@@ -1,0 +1,84 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}. Per-query time = median of N_RUNS warm
+runs of a full execute-and-consume (count-collect), after one untimed
+warm-up run that also JIT-compiles and primes the file-system cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = 3
+
+# Headline set: scan/agg throughput (q1), broadcast-join pipelines (q3, q5),
+# windows (win_rank), distinct agg, asof (union+window custom op), set op,
+# plus the beyond-reference pipeline ops (minhash dedup, ANN, text quality).
+BENCH_KEYS = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "agg_groupby",
+    "agg_distinct",
+    "win_rank",
+    "join_asof",
+    "orderby_desc_limit",
+    "set_union",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "stream_tumbling",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as e
+
+    from quackflight_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = e.queries()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for key in BENCH_KEYS:
+        fn = queries[key]
+        fn(spark, SF_DIR).count()  # warm-up (untimed)
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        times[key] = round(statistics.median(samples), 4)
+        print(f"# {key}: {times[key]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall-clock (median of 3 warm runs)",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spark": spark.version,
+                "conf": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

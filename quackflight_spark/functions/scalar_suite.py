@@ -1,0 +1,349 @@
+"""Scalar-function coverage suite — SURVEY.md §2.8 (delegated DuckDB
+built-in families + chsql compat), each family exercised over fixture
+tables with a DuckDB oracle.
+
+All expressions are built-in Catalyst functions (WholeStageCodegen) — no
+Python in the data path. Dialect differences (DuckDB name ↔ Spark name)
+are resolved here per family and, for SQL input, by plans/dialect.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+
+@query("fn_string_basic", oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lo,
+           upper(p_brand) AS up,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           substr(p_name, 1, 5) AS sub5,
+           length(p_name) AS len,
+           split_part(p_type, ' ', 1) AS first_word,
+           replace(p_name, ' ', '_') AS underscored,
+           reverse(p_brand) AS rev,
+           concat_ws('|', p_brand, p_type) AS joined
+    FROM part
+""")
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.length("p_name").alias("len"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("underscored"),
+        F.reverse("p_brand").alias("rev"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+    )
+
+
+@query("fn_regexp", oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_token,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           regexp_matches(p_brand, '#[0-9]+$') AS has_num
+    FROM part
+""")
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_token"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.col("p_brand").rlike("#[0-9]+$").alias("has_num"),
+    )
+
+
+@query("fn_date_parts", oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate) AS dom,
+           dayofweek(o_orderdate) AS dow,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+    FROM orders
+""")
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc/extract/strftime family. DuckDB dayofweek = Sunday-0;
+    Spark dayofweek = Sunday-1 → subtract 1 to align with the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+    )
+
+
+@query("fn_date_arith", oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+           date_trunc('year', o_orderdate) + INTERVAL 6 MONTH AS mid_year
+    FROM orders
+""")
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + date_diff. DuckDB date_diff('day', a, b) ↔
+    Spark datediff(b, a) (note the argument swap)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint").alias("days_since_95"),
+        (F.date_trunc("year", "o_orderdate") + F.expr("INTERVAL 6 MONTH")).alias("mid_year"),
+    )
+
+
+@query("fn_math", oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS bumped,
+           abs(l_discount - 0.05) AS dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS kbucket,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(sqrt(l_quantity), 6) AS sqrt_qty,
+           round(pow(l_quantity, 2), 1) AS qty_sq,
+           CAST(l_orderkey % 10 AS BIGINT) AS last_digit
+    FROM lineitem
+""")
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # decimal-exact: round() on raw doubles differs between engines at
+        # representation boundaries (Spark rounds the shortest decimal
+        # repr, DuckDB the binary value)
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(2,1)"), 2)
+        .cast("double").alias("bumped"),
+        F.abs(F.col("l_discount") - 0.05).alias("dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("q7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("kbucket"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_quantity", F.lit(2)), 1).alias("qty_sq"),
+        (F.col("l_orderkey") % 10).alias("last_digit"),
+    )
+
+
+@query("fn_array_hof", oracle="""
+    SELECT n_regionkey,
+           list_transform(list_sort(list(n_name)), x -> upper(x)) AS upper_names,
+           list_filter(list_sort(list(n_nationkey)), x -> x % 2 = 0) AS even_keys,
+           list_reduce(list_sort(list(CAST(n_nationkey AS BIGINT))), (a, b) -> a + b) AS key_sum,
+           len(list(n_name)) AS n
+    FROM nation GROUP BY n_regionkey
+""")
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions: DuckDB list_transform/filter/reduce ↔
+    Spark transform/filter/aggregate — all codegen'd, no UDFs."""
+    n = load_table(spark, sf_dir, "nation")
+    names = F.array_sort(F.collect_list("n_name"))
+    keys = F.array_sort(F.collect_list("n_nationkey"))
+    return n.groupBy("n_regionkey").agg(
+        F.transform(names, lambda x: F.upper(x)).alias("upper_names"),
+        F.filter(keys, lambda x: x % 2 == 0).alias("even_keys"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("n_nationkey").cast("bigint"))),
+            F.lit(None).cast("bigint"),
+            lambda acc, x: F.when(acc.isNull(), x).otherwise(acc + x),
+        ).alias("key_sum"),
+        F.size(F.collect_list("n_name")).cast("bigint").alias("n"),
+    )
+
+
+@query("fn_array_ops", oracle="""
+    SELECT n_nationkey,
+           [n_nationkey, n_regionkey] AS pair,
+           array_contains([0, 1, 2], n_regionkey) AS in_small,
+           list_append([n_regionkey], n_nationkey) AS appended,
+           range(3) AS r3
+    FROM nation
+""")
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construct / contains / append + range (DuckDB range(3) =
+    [0,1,2] ↔ Spark sequence(0,2))."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.array("n_nationkey", "n_regionkey").alias("pair"),
+        F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("n_regionkey")).alias("in_small"),
+        F.concat(F.array("n_regionkey"), F.array("n_nationkey")).alias("appended"),
+        F.sequence(F.lit(0), F.lit(2)).alias("r3"),
+    )
+
+
+@query("fn_unnest", oracle="""
+    SELECT n_regionkey, unnest(list_sort(list(n_name))) AS name
+    FROM nation GROUP BY n_regionkey
+""")
+def fn_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unnest ↔ explode."""
+    n = load_table(spark, sf_dir, "nation")
+    grouped = n.groupBy("n_regionkey").agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+    return grouped.select("n_regionkey", F.explode("names").alias("name"))
+
+
+@query("fn_generate_series", oracle="""
+    SELECT generate_series AS i, generate_series * generate_series AS sq
+    FROM generate_series(1, 100)
+""")
+def fn_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """generate_series table function ↔ spark.range (distributed,
+    partitioned by default — unlike a driver-side Python range)."""
+    return spark.range(1, 101).select(
+        F.col("id").alias("i"), (F.col("id") * F.col("id")).alias("sq")
+    )
+
+
+@query("fn_map_access", oracle="""
+    SELECT n_nationkey,
+           element_at(MAP {'k': n_regionkey}, 'k')[1] AS v,
+           map_keys(MAP {'a': 1, 'b': 2}) AS ks
+    FROM nation
+""")
+def fn_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at/map_keys."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.element_at(F.create_map(F.lit("k"), F.col("n_regionkey")), F.lit("k")).alias("v"),
+        F.map_keys(
+            F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))
+        ).alias("ks"),
+    )
+
+
+@query("fn_struct", oracle="""
+    SELECT n_nationkey,
+           CAST(to_json({'key': n_nationkey, 'name': n_name}) AS VARCHAR) AS s_json,
+           struct_extract({'key': n_nationkey, 'name': n_name}, 'name') AS sname
+    FROM nation
+""")
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct_pack / dot access ↔ F.struct / getField. The struct itself
+    is compared via its JSON serialization (engine-neutral canonical
+    form); field access (`sname`) is compared natively."""
+    n = load_table(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_nationkey").alias("key"), F.col("n_name").alias("name"))
+    return n.select("n_nationkey", F.to_json(s).alias("s_json"), s.getField("name").alias("sname"))
+
+
+@query("fn_json_extract", oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+""")
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (DuckDB json extension `->`/`->>`/json_extract ↔
+    Spark get_json_object/from_json)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+    )
+
+
+@query("fn_cast", oracle="""
+    SELECT o_orderkey,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           CAST(o_orderdate AS DATE) AS d
+    FROM orders
+""")
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST / :: / TRY_CAST. double→int rounding differs between engines
+    (DuckDB: half-to-even on the binary value; Spark round: half-up on the
+    shortest decimal repr) → go through DECIMAL where exactness matters."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 0).cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderpriority").try_cast("int").alias("prio_int"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+
+
+@query("fn_conditional", oracle="""
+    SELECT o_orderkey,
+           if(o_totalprice > 200000, 'hi', 'lo') AS flag,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+           greatest(o_totalprice, 100000) AS at_least_100k,
+           least(o_totalprice, 100000) AS at_most_100k
+    FROM orders
+""")
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "hi").otherwise("lo").alias("flag"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status2"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("at_least_100k"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("at_most_100k"),
+    )
+
+
+@query("fn_cast_ch", oracle="""
+    SELECT n_nationkey,
+           CAST(n_nationkey AS VARCHAR) AS s,
+           CAST(n_nationkey AS BIGINT) AS i64,
+           CAST(n_nationkey AS DOUBLE) AS f64,
+           CAST(FLOOR(n_nationkey / 7) AS BIGINT) AS idiv
+    FROM nation
+""")
+def fn_cast_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-compat functions (chsql §2.8b: toString/toInt64/
+    toFloat64/intDiv) — registered as session SQL functions, exercised
+    through spark.sql to prove the registration path."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_nationkey,
+               toString(n_nationkey) AS s,
+               toInt64(n_nationkey) AS i64,
+               toFloat64(n_nationkey) AS f64,
+               intDiv(n_nationkey, 7) AS idiv
+        FROM nation
+        """
+    )
+
+
+@query("fn_date_ch", oracle="""
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS yyyymm,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS som,
+           EXTRACT(year FROM o_orderdate)::INTEGER AS yr,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt
+    FROM orders
+""")
+def fn_date_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse date helpers (toYYYYMM/toStartOfMonth/toYear/
+    formatDateTime) through the registered chsql session functions."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               toYYYYMM(o_orderdate) AS yyyymm,
+               toStartOfMonth(o_orderdate) AS som,
+               toYear(o_orderdate) AS yr,
+               formatDateTime(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS fmt
+        FROM orders
+        """
+    )

@@ -1,0 +1,397 @@
+"""Deduplication suite — beyond-reference training-data-pipeline operators
+(BASELINE.json north star; the reference has no dedup surface).
+
+Five dedup families over the `documents` fixture, all expressed with
+built-in Catalyst expressions (no Python in the data path) so they run at
+100 TB:
+
+- exact          hash-groupBy on canonicalized text
+- ngram_jaccard  exact word-bigram Jaccard via shingle-inverted-index join
+- minhash_lsh    MinHash signatures + banded LSH candidate join + exact
+                 Jaccard verify (the classic FindDups-at-scale pipeline)
+- simhash        48-bit SimHash + 4-band pigeonhole blocking + Hamming
+                 verify (hamming ≤ 3 with 4 bands → zero false negatives,
+                 so the oracle can check exact equality)
+- embedding      cosine near-dup pairs over the embeddings table
+
+Scale notes: every candidate-generation step is a shuffle on a
+blocking/bucket key (shingle, band bucket, simhash chunk) — never an
+all-pairs cross join. The all-pairs form appears only in the DuckDB
+oracles (fine at oracle SF).
+
+Cross-engine-deterministic hashing: h_i(s) = first 15 hex chars of
+md5(i || ':' || s) parsed as a 60-bit int — identical in Spark
+(conv(...,16,10)) and DuckDB (CAST('0x'||... AS BIGINT)), no engine
+hash() involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+N_MINHASH = 64          # minhash permutations
+LSH_ROWS = 2            # rows per band
+LSH_BANDS = N_MINHASH // LSH_ROWS  # 32 bands → P(miss | j=0.7) ≈ 4e-10
+JACCARD_THRESHOLD = 0.7
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4       # 12-bit chunks; hamming ≤ SIMHASH_BANDS-1 guaranteed caught
+HAMMING_MAX = 3
+
+
+def _h60(seed: Column, s: Column) -> Column:
+    """60-bit deterministic hash, identical in the DuckDB oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(seed.cast("string"), F.lit(":"), s)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _h48(seed: Column, s: Column) -> Column:
+    """48-bit variant: values stay ≤ 2^48, so dividing by 2^b in doubles
+    is exact (mantissa fits) — needed where the shift count is a lambda
+    variable and F.shiftright's literal-only API can't be used."""
+    return F.conv(
+        F.substring(F.md5(F.concat(seed.cast("string"), F.lit(":"), s)), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def _barrier(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Exchange barrier: stops Catalyst's CollapseProject from inlining a
+    heavy column expression into every downstream reference (which would
+    recompute e.g. a MinHash signature once per band). One hash shuffle on
+    the row key; the expensive projection evaluates exactly once below it.
+    At scale this also spreads the CPU-heavy map evenly across executors."""
+    return df.repartition(F.col(key))
+
+
+def word_bigrams(words: Column) -> Column:
+    """Distinct word-bigram shingles from a materialized words array
+    (sorted for canonical comparison)."""
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(words, i), F.lit(" "), F.element_at(words, i + 1)),
+    )
+    return F.array_sort(F.array_distinct(grams))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh: distinct word-bigram shingles), with
+    barriers so tokenize and shingle each evaluate once."""
+    d = _barrier(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+        )
+    )
+    return _barrier(d.select("doc_id", word_bigrams(F.col("words")).alias("sh")))
+
+
+# DuckDB equivalent of word_bigrams (shared by several oracles)
+_DUCK_BIGRAMS = """
+    list_sort(list_distinct(
+      list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+        i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+             regexp_split_to_array(trim(text), '\\s+')[i+1])
+    ))
+"""
+
+
+@query("dedup_exact", oracle="""
+    SELECT md5(lower(trim(text))) AS text_hash,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonicalize → hash → groupBy. One shuffle on the
+    128-bit hash; survivor = min doc_id. At 100 TB: map-side partial agg
+    collapses per-partition copies before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_BIGRAMS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(jaccard, 8) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.5 via a shingle inverted index:
+    explode shingles → self-join on shingle (shuffle on shingle, never
+    all-pairs) → per-pair common count → Jaccard. The oracle computes the
+    same thing the O(n²) way — equality proves the index join is lossless
+    (any pair with jaccard > 0 shares ≥1 shingle, and we only threshold
+    above 0)."""
+    d = doc_shingles(spark, sf_dir)
+    sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                8,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+MINHASH_P = 2147483647  # 2^31-1; (a*h+b) stays < 2^52 — no bigint overflow
+
+
+def minhash_base(shingles: Column) -> Column:
+    """One md5-derived base hash (mod p) per shingle. Materialize behind a
+    barrier before minhash_signature — md5 is the expensive part and must
+    evaluate once, not once per permutation."""
+    return F.transform(shingles, lambda s: _h60(F.lit(0), s) % MINHASH_P)
+
+
+def minhash_signature(base: Column) -> Column:
+    """N_MINHASH-wide MinHash signature from materialized base hashes.
+    The i-th permutation is the affine family h_i = ((2i+1)·h +
+    40503i+1231) mod p — 64× cheaper than 64 md5s per shingle, same
+    cross-engine determinism."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        lambda i: F.array_min(
+            F.transform(base, lambda h: ((i * 2 + 1) * h + i * 40503 + 1231) % MINHASH_P)
+        ),
+    )
+
+
+@query("dedup_minhash_lsh", oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_BIGRAMS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) AS jaccard
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(jaccard, 8) AS jaccard
+    FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup detection.
+
+    Pipeline: shingle → 64-hash MinHash signature → 32 bands × 2 rows →
+    band-bucket self-join (candidates) → exact-Jaccard verify ≥ 0.7.
+    The oracle is ground truth (all pairs ≥ 0.7): equality holds because
+    the verify step removes LSH false positives and P(false negative) at
+    j ≥ 0.7 is (1-j²)³² ≤ 4e-10 — checked empirically in tests too.
+
+    Scale: candidates shuffle on (band, bucket-hash); signature compute is
+    a pure map. 100 TB plan: no stage touches all-pairs space.
+    """
+    d = doc_shingles(spark, sf_dir)
+    based = _barrier(d.select("doc_id", "sh", minhash_base(F.col("sh")).alias("base")))
+    sig = _barrier(
+        based.select("doc_id", "sh", minhash_signature(F.col("base")).alias("sig"))
+    )
+    # bands: (band_id, md5 of the band's signature slice) as bucket key
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS).cast("array<string>")
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the (small) candidate set
+    sh_a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+                8,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_features(text: Column) -> Column:
+    """Weighted word features for SimHash: array<struct<h:bigint, cnt:int>>
+    (48-bit word hash + occurrence count). Materialize this column behind
+    a barrier before calling simhash_from_features — otherwise Catalyst
+    inlines it into all SIMHASH_BITS references."""
+    words = F.split(F.trim(text), r"\s+")
+    return F.transform(
+        F.array_distinct(words),
+        lambda w: F.struct(
+            _h48(F.lit(0), w).alias("h"),
+            F.size(F.filter(words, lambda x: x == w)).alias("cnt"),
+        ),
+    )
+
+
+def simhash_from_features(wh: Column) -> Column:
+    """SIMHASH_BITS-bit SimHash from materialized features."""
+    # F.shiftright needs a literal shift count, but the shift amount is a
+    # lambda variable here — use h DIV 2^b (equal to h >> b for h < 2^48,
+    # exact in doubles because the 48-bit mantissa fits).
+    pow2 = lambda b: F.pow(F.lit(2.0), b).cast("bigint")  # noqa: E731
+    bit_contrib = lambda b: F.aggregate(  # noqa: E731
+        wh,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + x["cnt"] * (((x["h"] / pow2(b)).cast("bigint") % 2) * 2 - 1),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc + F.when(bit_contrib(b) > 0, pow2(b)).otherwise(F.lit(0)),
+    )
+
+
+_DUCK_SIMHASH = """
+    list_aggregate(list_transform(range(0, 48), b ->
+      CASE WHEN list_aggregate(list_transform(
+        list_distinct(regexp_split_to_array(trim(text), '\\s+')),
+        w -> len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x = w))
+             * (2 * ((CAST('0x' || substr(md5('0:' || w), 1, 12) AS BIGINT) >> b) & 1) - 1)
+      ), 'sum') > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+    ), 'sum')
+"""
+
+
+@query("dedup_simhash", oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_SIMHASH} AS sh FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {HAMMING_MAX}
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ 3.
+
+    Blocking: split the 48-bit hash into 4 × 12-bit chunks and self-join
+    on chunk equality — by pigeonhole, any pair with ≤ 3 differing bits
+    agrees on ≥ 1 chunk, so blocking is *lossless* and oracle equality is
+    exact (not probabilistic). Verify step computes true Hamming.
+    """
+    feats = _barrier(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", simhash_features(F.col("text")).alias("wh")
+        )
+    )
+    d = _barrier(feats.select("doc_id", simhash_from_features(F.col("wh")).alias("sh")))
+    chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
+    chunks = d.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1)),
+                lambda c: F.struct(
+                    c.alias("chunk_id"),
+                    # sh DIV 2^(c·bits) & mask; exact since sh < 2^48
+                    (F.col("sh") / F.pow(F.lit(2.0), c * chunk_bits))
+                    .cast("bigint")
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sh", "cc.chunk_id", "cc.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+@query("dedup_embedding", oracle="""
+    WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM t a JOIN t b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.8
+""")
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.8).
+
+    Test-SF implementation joins all pairs of L2-normalized vectors with
+    a codegen'd zip_with dot product. The 100 TB path is ann_lsh_topk in
+    pipeline/similarity.py (bucketed candidates); this operator's contract
+    is exactness, and its oracle is the ground truth.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    norm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a_, x: a_ + x * x))
+    e = e.withColumn("n", norm)
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a.n") * F.col("b.n")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing — beyond-reference operator family
+(BASELINE.json north star).
+
+Images/audio/video are opaque `binary` columns + typed metadata structs.
+The decode/feature-extraction libraries are not in this container, so the
+decode kernel is a deterministic fake behind the real Spark plumbing:
+
+- schema: binary payload + struct metadata (the pattern a real pipeline
+  uses for parquet-stored media blobs),
+- mapInPandas with an explicit output schema and Arrow-batched transfer —
+  the exact signature a real decoder (PIL/ffmpeg/torchaudio) would plug
+  into, batch-at-a-time, constant memory per task,
+- frame sampling as a pure-SQL explode over a computed index sequence.
+
+Swap `_fake_decode` for the real library call and nothing else changes —
+that's the point of the stub.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, format string, width int, height int, "
+    "n_frames int, duration_s double"
+)
+
+
+@query("mm_binary_meta", oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text) AS content_md5,
+           CASE WHEN n_chars % 3 = 0 THEN 'image/png'
+                WHEN n_chars % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime
+    FROM documents
+""")
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload as BinaryType + typed metadata.
+    (Fixtures have no real media, so the payload is the doc text's bytes;
+    at 100 TB this is a parquet binary column read with column pruning —
+    metadata-only queries never touch the blobs.)"""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.when(F.col("n_chars") % 3 == 0, "image/png")
+        .when(F.col("n_chars") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a media decoder.
+
+    A real implementation would be e.g. PIL.Image.open(io.BytesIO(b)) —
+    the container has no media libs, so derive plausible metadata from the
+    payload's md5 (stable across runs/engines). Raise NotImplementedError
+    here if you need to be loud about the missing dependency instead.
+    """
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    return {
+        "n_bytes": len(payload),
+        "format": ["png", "wav", "mp4"][h[0] % 3],
+        "width": 64 + h[1] % 192,
+        "height": 64 + h[2] % 192,
+        "n_frames": 1 + h[3] % 32,
+        "duration_s": round((h[4] % 600) / 10.0, 1),
+    }
+
+
+@query("mm_decode")  # Python kernel → rows-only driver check; unit-tested
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow batches).
+
+    This is the slow-path pattern done right: batch iterator in/out, output
+    schema declared, payload column dropped before any downstream shuffle.
+    Partitioning: inherits the scan's partitions; a real 100 TB run would
+    repartition by size (maxPartitionBytes) so each task decodes a bounded
+    byte budget.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(metas)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return d.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+@query("mm_frame_sample", oracle="""
+    WITH m AS (
+      SELECT doc_id, 1 + (CAST('0x' || substr(md5(text), 7, 2) AS BIGINT) % 32) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 8)) AS BIGINT) AS frame_idx
+    FROM m
+""")
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 8th frame index per media item, as a pure
+    explode over a computed sequence — the shape of 'sample frames then
+    decode only those' which avoids decoding whole videos at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (
+        F.lit(1)
+        + F.conv(F.substring(F.md5(F.col("text")), 7, 2), 16, 10).cast("bigint") % 32
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(8).cast("bigint"))).alias("frame_idx"),
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over embeddings — beyond-reference operator family
+(BASELINE.json north star).
+
+- ann_bruteforce_topk: exact top-k cosine neighbors for a query set.
+  Baseline/correctness path; broadcast the queries, scan the corpus once,
+  per-partition top-k via window. Oracle = DuckDB list_cosine_similarity.
+- ann_lsh_topk: random-hyperplane LSH variant — the 100 TB path. Buckets
+  candidates by sign-bit sketch (hyperplanes derived deterministically
+  from md5, no engine RNG), reranks candidates exactly. Rows-only driver
+  check; tests assert recall ≥ 0.9 vs brute force.
+
+All vector math is codegen'd zip_with/aggregate — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+TOP_K = 5
+N_QUERIES = 10          # query set = vec_id < 10
+# Tuning: fixture embeddings are near-orthogonal (top-5 neighbor cosine
+# ≈ 0.25-0.49 → per-plane collision p ≈ 0.6), so short sketches + many
+# tables. Denser real corpora (higher neighbor cosine) take more planes:
+# recall ≈ 1-(1-p^PLANES)^TABLES with p = 1 - arccos(cos_sim)/π.
+LSH_PLANES = 3          # sign bits per sketch
+LSH_TABLES = 10         # independent sketches (OR-amplification)
+DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _normed(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize, with an exchange barrier so the normalized array is
+    computed once instead of being re-inlined into every downstream dot
+    product (CollapseProject would otherwise duplicate it)."""
+    e = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    return df.withColumn("e", F.transform(e, lambda x: x / norm)).repartition(
+        F.col("vec_id")
+    )
+
+
+@query("ann_bruteforce_topk", oracle=f"""
+    WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qe, t.e), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.qe, t.e), 6) DESC, t.vec_id) AS rn
+      FROM q JOIN t ON t.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+""")
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine: broadcast-join the query set against the corpus
+    scan, window top-k per query. One corpus scan, no corpus shuffle —
+    at 100 TB this is the IO-bound exact baseline."""
+    emb = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "e")
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("e")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def _hyperplane(table: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component seeds; expanded to
+    a vector via md5-derived values in [-1, 1]. Computed driver-side once
+    (tiny), broadcast as literals — no RNG in the distributed plan."""
+    import hashlib
+
+    vals = []
+    for d in range(DIM):
+        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()[:8]
+        vals.append((int(h, 16) / 0x7FFFFFFF) - 1.0)
+    return vals
+
+
+@query("ann_lsh_topk")  # rows-only: recall asserted in tests vs brute force
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: the scale path.
+
+    Sketch = sign bits of LSH_PLANES hyperplane dots, LSH_TABLES
+    independent tables (OR-amplified). Candidates = corpus rows sharing a
+    sketch with the query in any table; exact rerank on candidates.
+    Shuffles on (table, sketch) buckets only — corpus never crosses the
+    cluster unbucketed, queries broadcast.
+    """
+    emb = _normed(load_table(spark, sf_dir, "embeddings"))
+
+    def sketch_cols(df: DataFrame) -> DataFrame:
+        out = df
+        for t in range(LSH_TABLES):
+            bits = []
+            for p in range(LSH_PLANES):
+                plane = _hyperplane(t, p)
+                dot = F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.array(*[F.lit(v) for v in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
+            out = out.withColumn(f"sk{t}", sum(bits[1:], bits[0]))
+        return out
+
+    sk = sketch_cols(emb)
+    q = sk.filter(F.col("vec_id") < N_QUERIES)
+    corpus = sk.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        *[F.col(f"sk{t}").alias(f"csk{t}") for t in range(LSH_TABLES)],
+    )
+    qs = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        *[F.col(f"sk{t}") for t in range(LSH_TABLES)],
+    )
+    match_any = None
+    for t in range(LSH_TABLES):
+        m = F.col(f"sk{t}") == F.col(f"csk{t}")
+        match_any = m if match_any is None else (match_any | m)
+    candidates = corpus.join(
+        F.broadcast(qs), match_any & (F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = candidates.withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -1,0 +1,171 @@
+"""Text-analysis suite — beyond-reference training-data-pipeline operators
+(BASELINE.json north star): language ID, quality scoring, token counting,
+document fingerprinting. All built-in Catalyst expressions — zero Python
+in the data path, so each op is a pure map over documents (no shuffle,
+embarrassingly parallel at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+# tiny per-language marker profiles for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "en": ["the", "and", "of", "to", "is", "in", "that"],
+    "es": ["el", "la", "de", "que", "y", "los", "en"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和"],
+}
+
+STOPWORDS = sorted(set(LANG_MARKERS["en"]))
+
+
+@query("text_tokens", oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+(''[a-z]+)?')) AS INT) AS n_words_bpeish
+    FROM documents
+""")
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex word count."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(ws_tokens).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+('[a-z]+)?"), F.lit(0))).alias("n_words_bpeish"),
+    )
+
+
+@query("text_quality", oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_q,
+           round(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+                 / greatest(length(text), 1), 8) AS punct_ratio,
+           round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1), 8) AS digit_ratio,
+           round(CAST(len(list_filter(toks, x -> list_contains(
+                   ['and','in','is','of','that','the','to'], lower(x)))) AS DOUBLE)
+                 / greatest(len(toks), 1), 8) AS stopword_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / greatest(len(toks), 1), 8) AS mean_word_len
+    FROM t
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: length, punctuation/digit density, stopword
+    ratio, mean word length (the Gopher/C4-style filter inputs)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    n_chars = F.length("text")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_q"),
+        F.round(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\p{Punct}]"), F.lit(0))).cast("double")
+            / F.greatest(n_chars, F.lit(1)), 8,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))).cast("double")
+            / F.greatest(n_chars, F.lit(1)), 8,
+        ).alias("digit_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x)))).cast("double")
+            / n_toks, 8,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_toks, 8
+        ).alias("mean_word_len"),
+    )
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(markers, F.lower(x))))
+
+
+@query("text_langid", oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit'], lower(x)))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that'], lower(x)))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','en'], lower(x)))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','de','et','est','que'], lower(x)))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和'], lower(x)))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+             WHEN 0 THEN 'unknown'
+             WHEN s_de THEN 'de'
+             WHEN s_en THEN 'en'
+             WHEN s_es THEN 'es'
+             WHEN s_fr THEN 'fr'
+             ELSE 'zh' END AS predicted_lang
+    FROM scores
+""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic with deterministic tie-break
+    (alphabetical language order — the oracle's CASE checks in the same
+    order). Returns the labeled lang alongside for accuracy eval."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", "lang", toks.alias("toks"))
+    langs = sorted(LANG_MARKERS)  # alphabetical = tie-break order
+    scored = t.select(
+        "doc_id", "lang",
+        *[_lang_score(F.col("toks"), lang).alias(f"s_{lang}") for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(best == 0, "unknown")
+    for lang in langs:
+        pred = pred.when(F.col(f"s_{lang}") == best, lang)
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query("text_fingerprint", oracle=r"""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
+               w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT)),
+             'sum') % 2147483647 AS additive_fp,
+           CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS content_fp
+    FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive additive token hash
+    (rolling-hash family, mod 2^31-1) + full-content 60-bit fingerprint.
+    Both cross-engine-deterministic (md5-derived, no engine hash())."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    tok_hashes = F.transform(
+        toks, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("bigint")
+    )
+    return d.select(
+        "doc_id",
+        (
+            F.aggregate(tok_hashes, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+            % F.lit(2147483647)
+        ).alias("additive_fp"),
+        F.conv(F.substring(F.md5(F.lower(F.trim(F.col("text")))), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("content_fp"),
+    )

@@ -1,0 +1,48 @@
+"""Central query/oracle registry backing __spark_entry__.py.
+
+Every operator the engine claims (SURVEY.md §2 inventory + beyond-reference
+pipeline ops) registers here as a (spark, sf_dir) -> DataFrame callable,
+optionally paired with the ANSI-SQL oracle string DuckDB runs on the same
+fixtures. Keys without an oracle get the driver's weaker rows-only check
+(reserved for genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering an operator under its SURVEY §2 key."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate query key: {key}")
+        QUERIES[key] = fn
+        if oracle is not None:
+            ORACLES[key] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import quackflight_spark.operators.relational  # noqa: F401
+    import quackflight_spark.operators.windows  # noqa: F401
+    import quackflight_spark.operators.setops  # noqa: F401
+    import quackflight_spark.operators.asof  # noqa: F401
+    import quackflight_spark.functions.scalar_suite  # noqa: F401
+    import quackflight_spark.streaming.windowed  # noqa: F401
+    import quackflight_spark.pipeline.dedup  # noqa: F401
+    import quackflight_spark.pipeline.similarity  # noqa: F401
+    import quackflight_spark.pipeline.text_analysis  # noqa: F401
+    import quackflight_spark.pipeline.multimodal  # noqa: F401

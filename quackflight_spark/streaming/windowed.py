@@ -1,0 +1,132 @@
+"""Event-time windowed aggregations — SURVEY.md §2.9 beyond-reference
+extensions (the reference's streaming story is client polling; watermarks
+and windows are our upgrade path, per SURVEY §2.9 note).
+
+Each operator is the *batch-equivalent semantics* of the Structured
+Streaming aggregation (same F.window/session_window expressions work under
+readStream + withWatermark — proven in tests/test_streaming.py, which runs
+the same aggregation through an actual streaming query and asserts
+equality with these batch results). Oracles emulate the window assignment
+in plain SQL.
+
+Scale: window aggs shuffle on (window, key) with map-side partial aggs;
+sliding windows multiply rows by size/slide before the shuffle — keep
+ratios small (ours is 2×).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+
+@query("stream_tumbling", oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+""")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@query("stream_sliding", oracle="""
+    WITH starts AS (
+      SELECT e.*, time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+               - INTERVAL (s.i * 30) MINUTE AS window_start
+      FROM events e, (SELECT unnest(range(0, 2)) AS i) s
+    )
+    SELECT window_start, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM starts
+    WHERE CAST(ts AS TIMESTAMP) >= window_start
+      AND CAST(ts AS TIMESTAMP) < window_start + INTERVAL 1 HOUR
+    GROUP BY 1
+""")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour size, 30 min slide (each event lands in 2
+    windows — the oracle enumerates both candidate starts per event)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query("stream_session", oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+""")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via F.session_window — the
+    streaming-native sessionization operator, batch-evaluated. The oracle
+    is the classic gaps-and-islands rewrite (lag + running sum), which is
+    also what we'd use on engines without session_window."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query("stream_watermark_late")  # streaming-semantics op: rows-only check;
+# equivalence with an actual withWatermark streaming run is asserted in tests
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data handling: tumbling window count that *drops* events
+    arriving later than the 10-minute watermark would allow. Batch
+    emulation: an event is late if an event ≥10min newer was already seen
+    (by event_id arrival order) in its key's stream; real streaming run in
+    tests/test_streaming.py matches this semantics under availableNow."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    # max event-time seen so far in arrival order (event_id), per type
+    w = W.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    max_seen = F.max("ts").over(w)
+    on_time = e.withColumn("late", F.col("ts") < max_seen - F.expr("INTERVAL 10 MINUTES")).filter(
+        ~F.coalesce(F.col("late"), F.lit(False))
+    )
+    return (
+        on_time.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )

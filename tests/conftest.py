@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from quackflight_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[8]")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE

@@ -1,0 +1,168 @@
+"""Operator-suite sanity tests (fast, sf0.001).
+
+The heavyweight differential check against DuckDB lives in tools/check.py
+(and the driver's t2 gate); these tests pin down semantics and plan shape
+that the oracle can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def _oracles():
+    import __spark_entry__ as e
+
+    return e.oracle_sql()
+
+
+def test_registry_contract():
+    q = _queries()
+    o = _oracles()
+    assert len(q) >= 90
+    # every oracle key has a query
+    assert set(o) <= set(q)
+    # the non-oracle keys are the documented non-SQL-expressible set
+    assert set(q) - set(o) == {
+        "sample_random",
+        "sample_percent",
+        "stream_watermark_late",
+        "ann_lsh_topk",
+        "mm_decode",
+    }
+
+
+def test_all_queries_run_and_are_nonempty(spark, sf_dir):
+    """Every registered query executes; all but the legitimately-empty
+    ones return rows."""
+    may_be_empty = {"join_anti", "join_theta", "filter_like_regex", "dedup_embedding"}
+    for key, fn in _queries().items():
+        df = fn(spark, sf_dir)
+        n = df.count()
+        if key not in may_be_empty:
+            assert n > 0, f"{key} returned 0 rows"
+
+
+def test_topk_plan_uses_take_ordered(spark, sf_dir):
+    df = _queries()["orderby_desc_limit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_inner_on_broadcasts_dim(spark, sf_dir):
+    df = _queries()["join_inner_on"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q5_no_fact_broadcast(spark, sf_dir):
+    """Q5: dims broadcast; the lineitem⋈orders join may be hash/sort-merge
+    but lineitem itself must never be the broadcast side."""
+    df = _queries()["tpch_q5"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_semantics(spark, sf_dir):
+    """ASOF: every matched error ts ≤ event ts, and it is the latest one."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    df = _queries()["join_asof"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("u"), F.col("ts").alias("err_ts")
+    )
+    joined = df.filter(F.col("last_error_id").isNotNull()).join(
+        err, df.last_error_id == err.err_id
+    )
+    # matched error happened at-or-before the event
+    assert joined.filter(F.col("err_ts") > F.col("ts")).count() == 0
+    # no later error exists at-or-before the event for that user
+    later = (
+        joined.alias("j")
+        .join(
+            err.alias("e2"),
+            (F.col("j.user_id") == F.col("e2.u"))
+            & (F.col("e2.err_ts") <= F.col("j.ts"))
+            & (F.col("e2.err_ts") > F.col("j.err_ts")),
+        )
+    )
+    assert later.count() == 0
+
+
+def test_minhash_lsh_no_false_negatives(spark, sf_dir):
+    """LSH candidate generation must not lose any pair the exact-jaccard
+    ground truth (dedup_ngram_jaccard at the higher threshold) finds."""
+    q = _queries()
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in q["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in q["dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r["jaccard"] >= 0.7
+    }
+    assert exact == lsh
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    """LSH ANN recall ≥ 0.8 of brute-force top-5 on the fixture set."""
+    q = _queries()
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_lsh_topk"](spark, sf_dir).collect()
+    }
+    assert len(bf) > 0
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.8, f"LSH ANN recall {recall:.2f} < 0.8"
+
+
+def test_simhash_blocking_is_lossless():
+    """Pigeonhole: ≤3 differing bits across 4 chunks ⇒ ≥1 identical chunk."""
+    from quackflight_spark.pipeline.dedup import HAMMING_MAX, SIMHASH_BANDS
+
+    assert HAMMING_MAX < SIMHASH_BANDS
+
+
+def test_mm_decode_batch_schema(spark, sf_dir):
+    df = _queries()["mm_decode"](spark, sf_dir)
+    assert df.columns == [
+        "doc_id", "n_bytes", "format", "width", "height", "n_frames", "duration_s",
+    ]
+    row = df.orderBy("doc_id").first()
+    assert row["format"] in ("png", "wav", "mp4")
+    assert 64 <= row["width"] < 256
+
+
+def test_langid_accuracy(spark, sf_dir):
+    """The heuristic must beat random guessing on the labeled fixture."""
+    df = _queries()["text_langid"](spark, sf_dir)
+    total = df.count()
+    hits = df.filter(F.col("lang") == F.col("predicted_lang")).count()
+    # fixture text is synthetic word-soup, so the ceiling is low; random
+    # guessing over 5 labels would be 0.2
+    assert hits / total > 0.25
+
+
+@pytest.mark.parametrize("key", ["agg_basic", "tpch_q1"])
+def test_decimal_sums_are_exact(spark, sf_dir, key):
+    """Re-running with different partitioning must give identical doubles
+    (the decimal-exact aggregation contract)."""
+    from quackflight_spark.sources.fixtures import load_table  # noqa: F401
+
+    df1 = _queries()[key](spark, sf_dir)
+    rows1 = {tuple(r) for r in df1.collect()}
+    df2 = _queries()[key](spark, sf_dir)
+    rows2 = {tuple(r) for r in df2.repartition(7).collect()}
+    assert rows1 == rows2

@@ -1,0 +1,120 @@
+"""Local differential harness mimicking the driver's t2 oracle compare.
+
+Runs every __spark_entry__.queries()[k] on Spark and oracle_sql()[k] on
+DuckDB over the same parquet fixtures, then compares row count, column
+names, and order-insensitive values (column-name-sorted, like the driver).
+
+Usage:
+    python tools/check.py                 # all keys at sf0.01
+    python tools/check.py filter_eq win_rank   # subset
+    SF_DIR=/root/testdata/sf0.001 python tools/check.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm(v):
+    """Normalize one cell for comparison."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _rowset(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    """Sort columns by name (driver behavior) and normalize values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return sorted_cols, out
+
+
+def main(keys: list[str]) -> int:
+    import __spark_entry__ as e
+
+    from quackflight_spark.session import get_spark
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    if keys:
+        queries = {k: queries[k] for k in keys}
+
+    spark = get_spark(app_name="check", master="local[8]")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    for key, fn in queries.items():
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception as ex:
+            print(f"FAIL  {key}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if key not in oracles:
+            print(f"rows  {key}: {len(s_rows)} rows (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[key])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {key}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+        sc, sr = _rowset(s_cols, s_rows)
+        dc, dr = _rowset(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL  {key}: columns differ spark={sc} duckdb={dc}")
+            n_fail += 1
+        elif len(sr) != len(dr):
+            print(f"FAIL  {key}: rowcount spark={len(sr)} duckdb={len(dr)}")
+            n_fail += 1
+        elif sr != dr:
+            diff = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+            print(f"FAIL  {key}: values differ at sorted-row {diff}:")
+            print(f"      spark : {sr[diff]}")
+            print(f"      duckdb: {dr[diff]}")
+            n_fail += 1
+        else:
+            print(f"ok    {key}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAILED")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
