@@ -1,0 +1,50 @@
+"""Per-user namespaces — the Spark analog of the reference's per-user
+DuckDB database files.
+
+Reference: sha256(username+password) → "{hash}.db" file per user,
+anonymous → shared in-memory DB (ConnectionManager, main.py:71-114; the
+same logic repeated in Flight handlers :523-535, 749-762). One engine
+process, N isolated catalogs.
+
+Spark analog: one SparkSession, per-user *database* (namespace) named
+user_{hash16}; anonymous → 'default'. Isolation is namespace-level in a
+shared metastore — weaker than separate files (documented deviation,
+SURVEY §7). Unlike the reference, nothing here mutates shared
+connection state per request (the reference's self.conn rebinding race,
+main.py:762, is listed in SURVEY §7 as a bug not to replicate): the
+database name is returned and used query-locally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import SparkSession
+
+
+def user_namespace(user: str | None, password: str | None) -> str:
+    """Hash credentials → namespace name (reference main.py:108-114)."""
+    if not user:
+        return "default"
+    h = hashlib.sha256(f"{user}:{password or ''}".encode()).hexdigest()[:16]
+    return f"user_{h}"
+
+
+_SAFE_DB = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def ensure_namespace(spark: SparkSession, name: str) -> str:
+    """CREATE DATABASE IF NOT EXISTS (identifier-validated, no f-string
+    injection — the reference's f-string DDL is another §7 bug)."""
+    if not _SAFE_DB.match(name):
+        raise ValueError(f"invalid namespace name: {name!r}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+    return name
+
+
+def use_namespace(spark: SparkSession, name: str) -> None:
+    """USE db — reference main.py:284 `ATTACH '{db}' AS db; USE db;`
+    behavior for the HTTP `database` parameter."""
+    ensure_namespace(spark, name)
+    spark.catalog.setCurrentDatabase(name)
