@@ -67,6 +67,17 @@ def _barrier(df: DataFrame, key: str = "doc_id") -> DataFrame:
     return df.repartition(F.col(key))
 
 
+def _reused(df: DataFrame) -> DataFrame:
+    """Persist a frame that feeds BOTH sides of a self-join (candidate
+    generation + verify): without it every branch of the DAG recomputes
+    the full shingle/signature lineage. MEMORY_AND_DISK so a 100 TB run
+    spills instead of OOMing; the alternative at extreme scale is writing
+    the signatures to a staging table — same idea, explicit storage."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def word_bigrams(words: Column) -> Column:
     """Distinct word-bigram shingles from a materialized words array
     (sorted for canonical comparison)."""
@@ -86,7 +97,7 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
         )
     )
-    return _barrier(d.select("doc_id", word_bigrams(F.col("words")).alias("sh")))
+    return _reused(_barrier(d.select("doc_id", word_bigrams(F.col("words")).alias("sh"))))
 
 
 # DuckDB equivalent of word_bigrams (shared by several oracles)
@@ -209,8 +220,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = doc_shingles(spark, sf_dir)
     based = _barrier(d.select("doc_id", "sh", minhash_base(F.col("sh")).alias("base")))
-    sig = _barrier(
-        based.select("doc_id", "sh", minhash_signature(F.col("base")).alias("sig"))
+    sig = _reused(
+        _barrier(based.select("doc_id", "sh", minhash_signature(F.col("base")).alias("sig")))
     )
     # bands: (band_id, md5 of the band's signature slice) as bucket key
     bands = sig.select(
@@ -323,7 +334,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", simhash_features(F.col("text")).alias("wh")
         )
     )
-    d = _barrier(feats.select("doc_id", simhash_from_features(F.col("wh")).alias("sh")))
+    d = _reused(
+        _barrier(feats.select("doc_id", simhash_from_features(F.col("wh")).alias("sh")))
+    )
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     chunks = d.select(
         "doc_id",

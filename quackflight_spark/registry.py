@@ -40,6 +40,8 @@ def load_all() -> None:
     import quackflight_spark.operators.windows  # noqa: F401
     import quackflight_spark.operators.setops  # noqa: F401
     import quackflight_spark.operators.asof  # noqa: F401
+    import quackflight_spark.operators.subqueries  # noqa: F401
+    import quackflight_spark.pipeline.composite  # noqa: F401
     import quackflight_spark.functions.scalar_suite  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.pipeline.dedup  # noqa: F401

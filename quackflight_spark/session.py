@@ -22,6 +22,10 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS: dict[str, str] = {
+    # local mode = one JVM: driver memory is the only heap knob that
+    # matters (default 1g OOMs under 32 concurrent tasks). On a cluster
+    # this becomes executor.memory sizing instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -1,0 +1,98 @@
+"""Physical-plan assertions — the 100 TB contract from ARCHITECTURE.md.
+
+These tests pin the plan *shape*, not timings: pushdown reached the scan,
+projections pruned, top-k fused, dims broadcast, no cartesian products in
+keyed pipelines. A regression here is a scale bug even when sf0.001
+results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+@pytest.fixture(scope="module")
+def q():
+    return _queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, q):
+    out = _formatted(q["filter_eq"](spark, sf_dir))
+    assert "PushedFilters" in out
+    assert "EqualTo(o_orderstatus,F)" in out
+
+
+def test_column_pruning(spark, sf_dir, q):
+    out = _formatted(q["project_cols"](spark, sf_dir))
+    read_schema = out.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_topk_fused(spark, sf_dir, q):
+    assert "TakeOrderedAndProject" in _plan(q["orderby_desc_limit"](spark, sf_dir))
+
+
+def test_q1_partial_agg(spark, sf_dir, q):
+    plan = _plan(q["tpch_q1"](spark, sf_dir))
+    # two-phase hash aggregation (map-side combine before the exchange)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_q5_dims_broadcast(spark, sf_dir, q):
+    for key in ("tpch_q3", "tpch_q5"):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, key
+        assert "CartesianProduct" not in plan, key
+
+
+def test_theta_join_broadcast_nested_loop(spark, sf_dir, q):
+    plan = _plan(q["join_theta"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_single_shuffle_window(spark, sf_dir, q):
+    plan = _plan(q["join_asof"](spark, sf_dir))
+    assert "Window" in plan
+    # no join operator at all — the rewrite is union+window
+    assert "Join" not in plan
+
+
+def test_no_cartesian_in_dedup_pipeline(spark, sf_dir, q):
+    for key in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir, q):
+    # AQE only annotates codegen stages in the *final* plan — execute
+    # first; codegen'd operators are starred "*(n)" in the plan string
+    df = q["tpch_q1"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_scalar_suite_stays_jvm_side(spark, sf_dir, q):
+    """No Python eval operators in the scalar-function plans."""
+    for key in ("fn_string_basic", "fn_math", "fn_array_hof", "fn_json_extract"):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, key
+        assert "ArrowEvalPython" not in plan, key
