@@ -29,14 +29,23 @@ BENCH_KEYS = [
     "tpch_q5",
     "agg_groupby",
     "agg_distinct",
+    "agg_grouping_sets",
     "win_rank",
+    "win_agg_frame",
     "join_asof",
     "orderby_desc_limit",
     "set_union",
+    "cte_with",
+    "subquery_in",
+    "fn_math",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "text_quality",
+    "pipeline_corpus_prep",
     "stream_tumbling",
+    "stream_session",
 ]
 
 

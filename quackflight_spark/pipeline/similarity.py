@@ -26,6 +26,11 @@ N_QUERIES = 10          # query set = vec_id < 10
 # ≈ 0.25-0.49 → per-plane collision p ≈ 0.6), so short sketches + many
 # tables. Denser real corpora (higher neighbor cosine) take more planes:
 # recall ≈ 1-(1-p^PLANES)^TABLES with p = 1 - arccos(cos_sim)/π.
+# NOTE: at this fixture's similarity profile 3-plane sketches keep ~74%
+# of random pairs as candidates — LSH barely prunes, and brute force wins
+# on wall-clock at this corpus size. The operator's value is the SHAPE
+# (bucket equi-join, no all-pairs stage): on a real corpus raise
+# LSH_PLANES (12-16) and selectivity returns while recall holds.
 LSH_PLANES = 3          # sign bits per sketch
 LSH_TABLES = 10         # independent sketches (OR-amplification)
 DIM = 64
@@ -105,10 +110,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _normed(load_table(spark, sf_dir, "embeddings"))
 
-    def sketch_cols(df: DataFrame) -> DataFrame:
-        out = df
+    def sketch_entries() -> F.Column:
+        """array<struct<tbl:int, sk:int>> — all tables' sketches in ONE
+        projection (chained withColumns would nest 60 projections and
+        swamp the analyzer)."""
+        entries = []
         for t in range(LSH_TABLES):
-            bits = []
+            sk = F.lit(0)
             for p in range(LSH_PLANES):
                 plane = _hyperplane(t, p)
                 dot = F.aggregate(
@@ -120,28 +128,42 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
-                bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-            out = out.withColumn(f"sk{t}", sum(bits[1:], bits[0]))
-        return out
+                sk = sk + F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+            entries.append(F.struct(F.lit(t).alias("tbl"), sk.alias("sk")))
+        return F.array(*entries)
 
-    sk = sketch_cols(emb)
-    q = sk.filter(F.col("vec_id") < N_QUERIES)
-    corpus = sk.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ce"),
-        *[F.col(f"sk{t}").alias(f"csk{t}") for t in range(LSH_TABLES)],
+    from quackflight_spark.pipeline.dedup import _reused
+
+    # persist: corpus and query branches both consume the sketches; without
+    # it each branch re-inlines (and Janino re-compiles) the 30-hyperplane
+    # expression tree — observed 6× slower
+    sk = _reused(emb.withColumn("skl", sketch_entries()))
+    # explode into (tbl, sk) bucket keys → plain equi-join (hash join,
+    # shuffle keyed on the bucket) — NOT an OR-of-equalities nested loop
+    # bucket keys only — the 64-double vectors stay OUT of the candidate
+    # join/distinct (dedup wide rows is pure shuffle waste) and are joined
+    # back from the persisted sketch frame for the rerank
+    corpus_b = sk.select(
+        F.col("vec_id").alias("neighbor_id"), F.explode("skl").alias("bkt")
+    ).select("neighbor_id", "bkt.tbl", "bkt.sk")
+    query_b = (
+        sk.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.explode("skl").alias("bkt"))
+        .select("query_id", "bkt.tbl", "bkt.sk")
     )
-    qs = q.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        *[F.col(f"sk{t}") for t in range(LSH_TABLES)],
+    candidate_ids = (
+        corpus_b.join(F.broadcast(query_b), on=["tbl", "sk"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    match_any = None
-    for t in range(LSH_TABLES):
-        m = F.col(f"sk{t}") == F.col(f"csk{t}")
-        match_any = m if match_any is None else (match_any | m)
-    candidates = corpus.join(
-        F.broadcast(qs), match_any & (F.col("neighbor_id") != F.col("query_id"))
+    vecs = sk.select("vec_id", "e")
+    candidates = (
+        candidate_ids.join(
+            F.broadcast(vecs.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))),
+            on="query_id",
+        )
+        .join(vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")), on="neighbor_id")
     )
     scored = candidates.withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
