@@ -42,6 +42,7 @@ BENCH_KEYS = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "pipeline_corpus_prep",
     "stream_tumbling",

@@ -347,3 +347,42 @@ def fn_date_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query("fn_url_ip", oracle="""
+    SELECT p_partkey,
+           CONCAT(CAST((p_partkey * 9973) % 256 AS VARCHAR), '.',
+                  CAST((p_partkey * 97) % 256 AS VARCHAR), '.',
+                  CAST((p_partkey * 13) % 256 AS VARCHAR), '.',
+                  CAST(p_partkey % 256 AS VARCHAR)) AS ip_str,
+           (((p_partkey * 9973) % 256) * 16777216
+             + ((p_partkey * 97) % 256) * 65536
+             + ((p_partkey * 13) % 256) * 256
+             + p_partkey % 256) AS ip_num,
+           regexp_extract('https://src' || CAST(p_partkey % 20 AS VARCHAR)
+                          || '.example.com/p/' || CAST(p_partkey AS VARCHAR),
+                          '^[a-z]+://([^/]+)', 1) AS host
+    FROM part
+""")
+def fn_url_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/IP family (chsql §2.8b: IPv4NumToString/IPv4StringToNum/domain)
+    through the registered session functions — the Spark side converts the
+    synthesized ip_num back to dotted form and re-parses it, proving the
+    round-trip; the oracle computes the same values arithmetically."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               IPv4NumToString(((p_partkey * 9973) % 256) * 16777216
+                 + ((p_partkey * 97) % 256) * 65536
+                 + ((p_partkey * 13) % 256) * 256
+                 + p_partkey % 256) AS ip_str,
+               IPv4StringToNum(IPv4NumToString(((p_partkey * 9973) % 256) * 16777216
+                 + ((p_partkey * 97) % 256) * 65536
+                 + ((p_partkey * 13) % 256) * 256
+                 + p_partkey % 256)) AS ip_num,
+               domain(CONCAT('https://src', CAST(p_partkey % 20 AS STRING),
+                             '.example.com/p/', CAST(p_partkey AS STRING))) AS host
+        FROM part
+        """
+    )

@@ -212,6 +212,20 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("join_right", oracle="""
+    SELECT o_orderkey, c_custkey, c_name
+    FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+    RIGHT JOIN customer ON o_custkey = c_custkey
+""")
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (SURVEY §2.3 J2)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_name"
+    )
+
+
 @query("join_full", oracle="""
     WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
                  WHERE o_totalprice > 400000 GROUP BY o_custkey),

