@@ -1,0 +1,88 @@
+"""Write-path layout tests: partition pruning, shuffle-free bucketed
+joins, skew salting — plan-level assertions for the sink-side scale
+design (ARCHITECTURE.md)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from quackflight_spark.sources.fixtures import load_table
+from quackflight_spark.sources.writers import (
+    salted_join,
+    two_phase_skew_agg,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="qf_writers_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmpdir):
+    ev = load_table(spark, sf_dir, "events")
+    write_partitioned(ev, f"{tmpdir}/events_by_type", "event_type")
+    back = spark.read.parquet(f"{tmpdir}/events_by_type")
+    q = back.filter(F.col("event_type") == "error").select("event_id")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    # the filter becomes a partition filter (directory pruning), not a data filter
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert q.count() == ev.filter(F.col("event_type") == "error").count()
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "b_orders", ["k"], 8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "b_lineitem", ["k"], 8)
+    # disable broadcast so the join would otherwise need an exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_lineitem").join(spark.table("b_orders"), on="k").select(
+            "k", "l_quantity", "o_totalprice"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-located both sides
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_lineitem")
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), "s_name"
+    )
+    plain = li.join(supp, on="k").groupBy("k").count()
+    salted = salted_join(li, supp, "k").groupBy("k").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_two_phase_skew_agg_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total"))
+        .collect()
+    }
+    salted = {
+        tuple(r) for r in two_phase_skew_agg(li, "l_returnflag", "l_quantity").collect()
+    }
+    assert direct == salted
