@@ -1,0 +1,112 @@
+"""Property-based differential tests (hypothesis) — SURVEY §5.2 stretch
+goal the reference never had: for arbitrary generated inputs, the engine's
+scalar semantics must match DuckDB's on the same data.
+
+Each property materializes one generated column into BOTH engines and
+compares a battery of expressions. Examples are capped (Spark actions are
+~0.3 s each); the value is the adversarial inputs hypothesis finds —
+empty strings, unicode, signed zeros, huge ints — not volume.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _both(spark, values: list, sql_body: str, dtype: str):
+    """Run `SELECT <sql_body> FROM t(v)` in Spark and DuckDB, return both
+    row lists (column-name-sorted like the driver compare)."""
+    pdf = pd.DataFrame({"v": pd.Series(values, dtype=dtype)})
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("prop_t")
+    s = [tuple(r) for r in spark.sql(f"SELECT {sql_body} FROM prop_t").collect()]
+    con = duckdb.connect()
+    con.register("prop_t", pdf)
+    d = con.execute(f"SELECT {sql_body} FROM prop_t").fetchall()
+    return sorted(map(repr, s)), sorted(map(repr, d))
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=20))
+def test_integer_arithmetic_matches(spark, xs):
+    s, d = _both(
+        spark,
+        xs,
+        "v + 1 AS a, v * 2 AS b, abs(v) AS c, CAST(v % 7 AS BIGINT) AS m, "
+        "CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' ELSE 'zero' END AS sgn",
+        "int64",
+    )
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            # Found by this very property: upper('ß') is 'SS' in Spark
+            # (Java full case mapping) but 'ẞ' in DuckDB (simple 1:1
+            # mapping) — same class of divergence for ı/İ/ŉ/ǰ. A real
+            # engine-semantics difference, documented in PERF/gotchas;
+            # excluded here so the property checks the agreeing surface.
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),
+                max_codepoint=0x2FF,
+                blacklist_characters="ßıİŉǰ",
+            ),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_string_functions_match(spark, xs):
+    s, d = _both(
+        spark,
+        xs,
+        "upper(v) AS u, lower(v) AS l, length(v) AS n, reverse(v) AS r, "
+        "substr(v, 1, 3) AS s3, concat(v, '!') AS bang, trim(v) AS t",
+        "object",
+    )
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_decimal_exact_aggregation_matches(spark, xs):
+    """The engine's decimal-exact SUM contract holds for arbitrary floats
+    (the property behind every agg oracle in the suite)."""
+    s, d = _both(
+        spark,
+        xs,
+        "CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS total, COUNT(*) AS n",
+        "float64",
+    )
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=20))
+def test_distinct_and_topk_match(spark, xs):
+    s, d = _both(
+        spark,
+        xs,
+        "COUNT(DISTINCT v) AS nd, MIN(v) AS lo, MAX(v) AS hi",
+        "int64",
+    )
+    assert s == d
