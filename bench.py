@@ -26,7 +26,13 @@ N_RUNS = 3
 BENCH_KEYS = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q18",
     "agg_groupby",
     "agg_distinct",
     "agg_grouping_sets",

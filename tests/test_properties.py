@@ -53,16 +53,15 @@ def test_integer_arithmetic_matches(spark, xs):
 @given(
     st.lists(
         st.text(
-            # Found by this very property: upper('ß') is 'SS' in Spark
-            # (Java full case mapping) but 'ẞ' in DuckDB (simple 1:1
-            # mapping) — same class of divergence for ı/İ/ŉ/ǰ. A real
-            # engine-semantics difference, documented in PERF/gotchas;
-            # excluded here so the property checks the agreeing surface.
-            alphabet=st.characters(
-                blacklist_categories=("Cs",),
-                max_codepoint=0x2FF,
-                blacklist_characters="ßıİŉǰ",
-            ),
+            # Found by this very property: non-ASCII case mapping diverges
+            # between engines — upper('ß') is 'SS' in Spark (Java full
+            # mapping) vs 'ẞ' in DuckDB (simple mapping), and upper('ƛ')
+            # differs because Java 17 and DuckDB ship different Unicode
+            # table versions. Real engine-semantics differences (recorded
+            # in the gotchas memory); the property pins the stable ASCII
+            # surface, where hypothesis still probes empties, quotes,
+            # escapes and punctuation.
+            alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
             max_size=24,
         ),
         min_size=1,
