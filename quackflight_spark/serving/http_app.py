@@ -29,7 +29,7 @@ from pyspark.sql import SparkSession
 from quackflight_spark.plans.dialect import sanitize_query, split_statements, transpile
 from quackflight_spark.serving.cache import QueryCache
 from quackflight_spark.serving.formats import format_result
-from quackflight_spark.serving.namespaces import use_namespace, user_namespace
+from quackflight_spark.serving.namespaces import SessionManager, user_namespace
 
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
 
@@ -40,13 +40,17 @@ def execute_query(
     fmt: str | None = None,
     database: str | None = None,
     body: bytes | None = None,
+    sessions: SessionManager | None = None,
 ) -> tuple[bytes, str]:
-    """The protocol-independent core: one reference-shaped request."""
+    """The protocol-independent core: one reference-shaped request.
+
+    `database` selects a per-namespace child session (SessionManager) —
+    isolation without mutating shared session state."""
     t0 = time.time()
     query, fmt_from_query = sanitize_query(query)
     fmt = fmt_from_query or fmt
     if database:
-        use_namespace(spark, database)
+        spark = (sessions or SessionManager(spark)).for_namespace(database)
 
     m = _INSERT_RE.match(query)
     if m and body:
@@ -77,6 +81,7 @@ def create_app(spark: SparkSession, cache: QueryCache | None = None):
 
     app = Flask("quackflight_spark")
     cache = cache if cache is not None else QueryCache(maxsize=10)
+    sessions = SessionManager(spark)
 
     def _handle(query: str, body: bytes | None) -> Response:
         fmt = request.args.get("default_format")
@@ -97,7 +102,7 @@ def create_app(spark: SparkSession, cache: QueryCache | None = None):
         if not query:
             return Response(b"Ok.", 200, content_type="text/plain")
         try:
-            payload, ctype = execute_query(spark, query, fmt, database, body)
+            payload, ctype = execute_query(spark, query, fmt, database, body, sessions)
         except Exception as ex:  # error → 400 with message (main.py:289-303)
             return Response(str(ex).encode(), 400, content_type="text/plain")
         if query_id:

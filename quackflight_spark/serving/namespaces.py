@@ -45,6 +45,39 @@ def ensure_namespace(spark: SparkSession, name: str) -> str:
 
 def use_namespace(spark: SparkSession, name: str) -> None:
     """USE db — reference main.py:284 `ATTACH '{db}' AS db; USE db;`
-    behavior for the HTTP `database` parameter."""
+    behavior for the HTTP `database` parameter. NOTE: mutates the given
+    session's current database — for concurrent serving use
+    SessionManager, which isolates per user."""
     ensure_namespace(spark, name)
     spark.catalog.setCurrentDatabase(name)
+
+
+class SessionManager:
+    """Per-namespace child sessions — the Spark analog of the reference's
+    ConnectionManager (per-user DuckDB connection cache, main.py:71-105).
+
+    `newSession()` shares the SparkContext, metastore and cached data but
+    isolates session state (current database, temp views, SQL conf), so
+    two users' requests can run concurrently without racing on
+    setCurrentDatabase — the reference's shared-self.conn race
+    (main.py:762, SURVEY §7) fixed structurally. Child sessions see
+    metastore tables but not the root session's temp views (use GLOBAL
+    TEMPORARY VIEWs for shared scratch data)."""
+
+    def __init__(self, root: SparkSession):
+        import threading
+
+        self.root = root
+        self._sessions: dict[str, SparkSession] = {}
+        self._lock = threading.Lock()
+
+    def for_namespace(self, namespace: str | None) -> SparkSession:
+        if not namespace or namespace == "default":
+            return self.root
+        with self._lock:
+            if namespace not in self._sessions:
+                s = self.root.newSession()
+                ensure_namespace(s, namespace)
+                s.catalog.setCurrentDatabase(namespace)
+                self._sessions[namespace] = s
+            return self._sessions[namespace]

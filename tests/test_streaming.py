@@ -147,3 +147,51 @@ def test_stateful_running_totals(spark, sf_dir):
     # every batch total appears in the streamed updates (update mode may
     # also contain intermediate per-microbatch rows)
     assert batch <= streamed
+
+
+def test_idempotent_sink_replay_safe(spark, tmp_table):
+    """ST3 done right: replaying a batch after a lost ack is a no-op."""
+    import tempfile
+
+    from quackflight_spark.streaming.exactly_once import IdempotentSink
+
+    ledger = tempfile.mkdtemp(prefix="qf_ledger_") + "/ledger"
+    sink = IdempotentSink(spark, tmp_table, ledger)
+    b0 = spark.range(0, 500).select(F.col("id"))
+    b1 = spark.range(500, 900).select(F.col("id"))
+    assert sink.write(b0, batch_id=0) == 500
+    assert sink.write(b1, batch_id=1) == 400
+    # client retry of batch 1 (ack lost) — must not double-insert
+    assert sink.write(b1, batch_id=1) == 0
+    assert spark.read.parquet(tmp_table).count() == 900
+
+
+def test_http_basic_auth_namespaces(spark):
+    """Per-user isolation over HTTP: two users' same-named tables live in
+    different namespaces (reference per-user DB files, main.py:90-114)."""
+    import base64
+
+    pytest.importorskip("flask")
+    from quackflight_spark.serving.http_app import create_app
+
+    app = create_app(spark)
+    app.config["TESTING"] = True
+    c = app.test_client()
+
+    def hdr(user, pw):
+        tok = base64.b64encode(f"{user}:{pw}".encode()).decode()
+        return {"Authorization": f"Basic {tok}"}
+
+    r = c.get(
+        "/?query=CREATE TABLE IF NOT EXISTS mine (v BIGINT) USING parquet; "
+        "INSERT INTO mine VALUES (1); SELECT count(*) AS n FROM mine;",
+        headers=hdr("alice", "pw"),
+    )
+    assert r.status_code == 200 and b"1" in r.data
+    # bob's namespace has no such table
+    r2 = c.get("/?query=SELECT count(*) AS n FROM mine", headers=hdr("bob", "pw"))
+    assert r2.status_code == 400
+    # alice still sees hers
+    r3 = c.get("/?query=SELECT count(*) AS n FROM mine", headers=hdr("alice", "pw"))
+    assert r3.status_code == 200 and b"1" in r3.data
+    spark.sql("DROP DATABASE IF EXISTS " + __import__("quackflight_spark.serving.namespaces", fromlist=["user_namespace"]).user_namespace("alice", "pw") + " CASCADE")
