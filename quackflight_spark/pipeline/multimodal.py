@@ -126,3 +126,76 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(8).cast("bigint"))).alias("frame_idx"),
     )
+
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"doc_id bigint, feature array<float>, norm double"
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes_resized bigint"
+
+
+def _fake_feature(payload: bytes) -> list[float]:
+    """Deterministic stand-in for an image/audio feature extractor (a real
+    one would run a vision/audio model over the decoded tensor). Derives a
+    FEATURE_DIM vector from the payload's md5 — stable across runs."""
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    return [round((h[i % 16] / 255.0) * 2 - 1, 6) for i in range(FEATURE_DIM)]
+
+
+@query("mm_feature_extract")  # Python kernel → rows-only; unit-tested
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas: the
+    embed-the-corpus stage of a multimodal pipeline. Output is a typed
+    array<float> column ready for the similarity operators
+    (pipeline/similarity.py) — the two stages compose into
+    decode → embed → ANN entirely inside the engine."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_feature(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "feature": feats,
+                    "norm": [round(math.sqrt(sum(x * x for x in f)), 6) for f in feats],
+                }
+            )
+
+    return d.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+@query("mm_resize")  # Python kernel → rows-only; unit-tested
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: target dims computed from metadata, 'resized'
+    payload size derived deterministically (a real kernel calls
+    PIL.Image.resize on the decoded image; the Spark side — batch
+    iterator, schema, payload dropped after the kernel — is identical)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    target_w, target_h = 224, 224
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    # deterministic stand-in for the re-encoded byte size
+                    "n_bytes_resized": [
+                        int(m["n_bytes"] * (target_w * target_h)
+                            / max(m["width"] * m["height"], 1))
+                        for m in metas
+                    ],
+                }
+            )
+
+    return d.mapInPandas(resize, schema=RESIZE_SCHEMA)

@@ -73,14 +73,57 @@ def _spark_schema_to_arrow(df) -> pa.Schema:
 
 if flight is not None:
 
+    class HeaderMiddleware(flight.ServerMiddleware):
+        """Per-call header capture (reference HeaderMiddlewareFactory,
+        main.py:456-471) — lower-cased keys, 'Bearer ' stripped from
+        authorization."""
+
+        def __init__(self, headers):
+            self.headers = {}
+            for k, v in headers.items():
+                val = v[0] if isinstance(v, (list, tuple)) else v
+                if isinstance(val, bytes):
+                    val = val.decode()
+                if k.lower() == "authorization" and val.startswith("Bearer "):
+                    val = val[len("Bearer "):]
+                self.headers[k.lower()] = val
+
+    class HeaderMiddlewareFactory(flight.ServerMiddlewareFactory):
+        def start_call(self, info, headers):
+            return HeaderMiddleware(headers)
+
     class SparkFlightServer(flight.FlightServerBase):
-        """Flight server wrapping one SparkSession."""
+        """Flight server wrapping one SparkSession.
+
+        Auth: a Bearer token of the form user:password (or an opaque
+        token) selects a per-user namespace session via SessionManager —
+        the reference's per-user DB file selection (main.py:749-762)
+        without its shared-connection rebinding race."""
 
         def __init__(self, spark: SparkSession, location: str = "grpc://0.0.0.0:8815"):
-            super().__init__(location)
+            super().__init__(location, middleware={"headers": HeaderMiddlewareFactory()})
             self.spark = spark
             self.location = location
             self._lock = threading.Lock()
+            from quackflight_spark.serving.namespaces import SessionManager
+
+            self._sessions = SessionManager(spark)
+
+        def _session_for(self, context) -> SparkSession:
+            """Per-request session from the auth header (never mutates
+            shared state)."""
+            if context is None:
+                return self.spark
+            mw = context.get_middleware("headers")
+            if mw is None:
+                return self.spark
+            token = mw.headers.get("authorization")
+            if not token:
+                return self.spark
+            from quackflight_spark.serving.namespaces import user_namespace
+
+            user, _, pwd = token.partition(":")
+            return self._sessions.for_namespace(user_namespace(user, pwd))
 
         # --- data path -----------------------------------------------------
         def do_get(self, context, ticket):
@@ -90,7 +133,8 @@ if flight is not None:
             does: fetch_arrow_table() at main.py:781; fixed per SURVEY
             §3.2 'improvement over the reference')."""
             query = parse_ticket(ticket.ticket)
-            df = run_script(self.spark, query)
+            spark = self._session_for(context)
+            df = run_script(spark, query)
             if df is None:
                 schema = pa.schema([])
                 return flight.RecordBatchStream(pa.table({}, schema=schema))
@@ -119,7 +163,7 @@ if flight is not None:
             else:
                 path = descriptor.path[0].decode()
                 query = f"SELECT * FROM {path}"
-            df = self.spark.sql(query)  # analysis only — lazy, no execution
+            df = self._session_for(context).sql(query)  # analysis only — lazy
             schema = _spark_schema_to_arrow(df)
             ticket = flight.Ticket(json.dumps({"query": query}).encode())
             endpoint = flight.FlightEndpoint(ticket, [self.location])

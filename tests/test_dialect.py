@@ -146,3 +146,11 @@ def test_python_udtf_lateral(spark):
     ).collect()
     assert [r["word"] for r in rows] == ["NATION", "3"]
     assert [r["pos"] for r in rows] == [0, 1]
+
+
+def test_all_chsql_functions_registered(spark):
+    """Every typed chsql signature must resolve as a session function."""
+    from quackflight_spark.functions.chsql import CHSQL_SIGNATURES
+
+    for name in CHSQL_SIGNATURES:
+        spark.sql(f"DESCRIBE FUNCTION {name}").collect()

@@ -37,6 +37,8 @@ def test_registry_contract():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "mm_decode",
+        "mm_feature_extract",
+        "mm_resize",
     }
 
 
@@ -182,3 +184,37 @@ def test_decimal_sums_are_exact(spark, sf_dir, key):
     df2 = _queries()[key](spark, sf_dir)
     rows2 = {tuple(r) for r in df2.repartition(7).collect()}
     assert rows1 == rows2
+
+
+def test_mm_feature_extract_composes_with_ann(spark, sf_dir):
+    """decode → embed → brute-force ANN, composed entirely in-engine."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    q = _queries()
+    feats = q["mm_feature_extract"](spark, sf_dir)
+    assert feats.columns == ["doc_id", "feature", "norm"]
+    emb = feats.select("doc_id", F.col("feature").cast("array<double>").alias("e"))
+    qset = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("qid"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    topk = (
+        emb.join(F.broadcast(qset), F.col("doc_id") != F.col("qid"))
+        .withColumn("s", dot)
+        .withColumn("rn", F.row_number().over(W.partitionBy("qid").orderBy(F.desc("s"), "doc_id")))
+        .filter(F.col("rn") <= 3)
+    )
+    assert topk.count() == 9
+
+
+def test_mm_resize_schema_and_determinism(spark, sf_dir):
+    q = _queries()
+    a = {tuple(r) for r in q["mm_resize"](spark, sf_dir).collect()}
+    b = {tuple(r) for r in q["mm_resize"](spark, sf_dir).collect()}
+    assert a == b
+    w = next(iter(a))
+    assert len(a) == 500

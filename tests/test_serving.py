@@ -213,3 +213,28 @@ def test_flight_list_actions_create_schema(flight_client, spark):
     assert any(d.name == "flight_test_db" for d in spark.catalog.listDatabases())
     res = list(flight_client.do_action(fl.Action("list_schemas", b"{}")))
     assert "flight_test_db" in json.loads(res[0].body.to_pybytes())
+
+
+def test_flight_bearer_auth_namespace(flight_client, spark):
+    """Bearer user:password → per-user namespace session (reference
+    main.py:749-762 semantics, race-free)."""
+    import pyarrow.flight as fl
+
+    opts = fl.FlightCallOptions(headers=[(b"authorization", b"Bearer erin:pw")])
+    flight_client.do_get(
+        fl.Ticket(b"CREATE TABLE IF NOT EXISTS flt (v BIGINT) USING parquet; "
+                  b"INSERT INTO flt VALUES (7); SELECT 1 AS ok;"),
+        options=opts,
+    ).read_all()
+    t = flight_client.do_get(
+        fl.Ticket(b"SELECT max(v) AS v FROM flt"), options=opts
+    ).read_all()
+    assert t.to_pydict()["v"] == [7]
+    # unauthenticated request resolves in the default namespace → no table
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        flight_client.do_get(fl.Ticket(b"SELECT max(v) AS v FROM flt")).read_all()
+    from quackflight_spark.serving.namespaces import user_namespace
+
+    spark.sql(f"DROP DATABASE IF EXISTS {user_namespace('erin','pw')} CASCADE")
