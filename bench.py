@@ -29,10 +29,14 @@ BENCH_KEYS = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q2",
+    "tpch_q7",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q12",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q21",
     "agg_groupby",
     "agg_distinct",
     "agg_grouping_sets",

@@ -43,6 +43,7 @@ def load_all() -> None:
     import quackflight_spark.operators.subqueries  # noqa: F401
     import quackflight_spark.operators.recursive  # noqa: F401
     import quackflight_spark.operators.tpch_extra  # noqa: F401
+    import quackflight_spark.operators.tpch_full  # noqa: F401
     import quackflight_spark.pipeline.composite  # noqa: F401
     import quackflight_spark.functions.scalar_suite  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401

@@ -45,7 +45,17 @@ def test_registry_contract():
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):
     """Every registered query executes; all but the legitimately-empty
     ones return rows."""
-    may_be_empty = {"join_anti", "join_theta", "filter_like_regex", "dedup_embedding"}
+    may_be_empty = {
+        "join_anti",
+        "join_theta",
+        "filter_like_regex",
+        "dedup_embedding",
+        # selective TPC-H predicates with no qualifying rows at sf0.001
+        # (non-empty and oracle-matched at sf0.01)
+        "tpch_q7",
+        "tpch_q11",
+        "tpch_q21",
+    }
     for key, fn in _queries().items():
         df = fn(spark, sf_dir)
         n = df.count()
