@@ -80,6 +80,10 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         times[key] = round(statistics.median(samples), 4)
         print(f"# {key}: {times[key]}s", file=sys.stderr)
+        # drop cached frames left by persist()-using pipelines: each run
+        # pays its own persist cost (honest), but stale copies from prior
+        # runs/keys must not occupy the block manager while later keys run
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -12,7 +12,11 @@
   path that still prunes on weakly-clustered corpora. Deterministic
   training, candidates via equi-join on cell id.
 
-All vector math is built-in zip_with/aggregate — no Python UDFs.
+All dense vector math (norms, dots, sketches, centroid distances) runs in
+Arrow-batched numpy kernels — see pipeline/veckernels.py for why Catalyst
+HOFs and unrolled column sums both lose here, and for the dim-order
+summation contract that keeps oracle-checked values bit-identical to the
+DuckDB fold.
 """
 
 from __future__ import annotations
@@ -40,18 +44,21 @@ DIM = 64
 
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    """Row-wise dot via the Arrow kernel (dim-order sum — bit-identical
+    to the DuckDB fold; see veckernels.py)."""
+    from quackflight_spark.pipeline.veckernels import cos_dot
+
+    return cos_dot(a, b)
 
 
 def _normed(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """L2-normalize, with an exchange barrier so the normalized array is
-    computed once instead of being re-inlined into every downstream dot
-    product (CollapseProject would otherwise duplicate it)."""
+    """L2-normalize via the Arrow kernel, with an exchange barrier so the
+    normalized array is materialized once instead of the UDF re-running
+    for every downstream reference."""
+    from quackflight_spark.pipeline.veckernels import l2_normalize
+
     e = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
-    return df.withColumn("e", F.transform(e, lambda x: x / norm)).repartition(
-        F.col("vec_id")
-    )
+    return df.withColumn("e", l2_normalize(e)).repartition(F.col("vec_id"))
 
 
 @query("ann_bruteforce_topk", oracle=f"""
@@ -88,17 +95,24 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplane(table: int, plane: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane component seeds; expanded to
-    a vector via md5-derived values in [-1, 1]. Computed driver-side once
-    (tiny), broadcast as literals — no RNG in the distributed plan."""
+def _hyperplanes() -> "np.ndarray":
+    """Deterministic pseudo-random hyperplanes, (TABLES*PLANES, DIM):
+    md5-derived values in [-1, 1]. Computed driver-side once (tiny),
+    shipped in the kernel closure — no RNG in the distributed plan."""
     import hashlib
 
-    vals = []
-    for d in range(DIM):
-        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()[:8]
-        vals.append((int(h, 16) / 0x7FFFFFFF) - 1.0)
-    return vals
+    import numpy as np
+
+    rows = []
+    for t in range(LSH_TABLES):
+        for p in range(LSH_PLANES):
+            rows.append(
+                [
+                    (int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:8], 16) / 0x7FFFFFFF) - 1.0
+                    for d in range(DIM)
+                ]
+            )
+    return np.array(rows, dtype=np.float64)
 
 
 @query("ann_lsh_topk")  # rows-only: recall asserted in tests vs brute force
@@ -111,48 +125,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles on (table, sketch) buckets only — corpus never crosses the
     cluster unbucketed, queries broadcast.
     """
-    emb = _normed(load_table(spark, sf_dir, "embeddings"))
-
-    def sketch_entries() -> F.Column:
-        """array<struct<tbl:int, sk:int>> — all tables' sketches in ONE
-        projection (chained withColumns would nest 60 projections and
-        swamp the analyzer)."""
-        entries = []
-        for t in range(LSH_TABLES):
-            sk = F.lit(0)
-            for p in range(LSH_PLANES):
-                plane = _hyperplane(t, p)
-                dot = F.aggregate(
-                    F.zip_with(
-                        F.col("e"),
-                        F.array(*[F.lit(v) for v in plane]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                sk = sk + F.when(dot >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-            entries.append(F.struct(F.lit(t).alias("tbl"), sk.alias("sk")))
-        return F.array(*entries)
-
     from quackflight_spark.pipeline.dedup import _reused
+    from quackflight_spark.pipeline.veckernels import lsh_sketch_udf
 
+    emb = _normed(load_table(spark, sf_dir, "embeddings"))
+    sketch = lsh_sketch_udf(_hyperplanes(), LSH_TABLES, LSH_PLANES)
     # persist: corpus and query branches both consume the sketches; without
-    # it each branch re-inlines (and Janino re-compiles) the 30-hyperplane
-    # expression tree — observed 6× slower
-    sk = _reused(emb.withColumn("skl", sketch_entries()))
-    # explode into (tbl, sk) bucket keys → plain equi-join (hash join,
-    # shuffle keyed on the bucket) — NOT an OR-of-equalities nested loop
-    # bucket keys only — the 64-double vectors stay OUT of the candidate
+    # it each branch re-runs the kernel over the full corpus
+    sk = _reused(emb.withColumn("skl", sketch(F.col("e"))))
+    # posexplode into (tbl, sk) bucket keys → plain equi-join (hash join,
+    # shuffle keyed on the bucket) — NOT an OR-of-equalities nested loop.
+    # Bucket keys only — the 64-double vectors stay OUT of the candidate
     # join/distinct (dedup wide rows is pure shuffle waste) and are joined
     # back from the persisted sketch frame for the rerank
     corpus_b = sk.select(
-        F.col("vec_id").alias("neighbor_id"), F.explode("skl").alias("bkt")
-    ).select("neighbor_id", "bkt.tbl", "bkt.sk")
-    query_b = (
-        sk.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.explode("skl").alias("bkt"))
-        .select("query_id", "bkt.tbl", "bkt.sk")
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("skl").alias("tbl", "sk"),
+    )
+    query_b = sk.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("skl").alias("tbl", "sk"),
     )
     candidate_ids = (
         corpus_b.join(F.broadcast(query_b), on=["tbl", "sk"])
@@ -190,18 +182,14 @@ _IVF_INDEX: dict[str, list[list[float]]] = {}
 
 
 def _assign_cell(centroids: list[list[float]]):
-    """Column: (cell_id of nearest centroid) via lexicographic array_min
-    over (distance, cid) structs. Centroids are driver-side literals —
-    K×DIM floats, broadcast into the plan, no join."""
-    entries = []
-    for cid, c in enumerate(centroids):
-        dist = F.aggregate(
-            F.zip_with(F.col("e"), F.array(*[F.lit(v) for v in c]), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+    """Column: cell_id of the nearest centroid (argmin L2; ties → lowest
+    cid, matching np.argmin's first-hit rule). Centroids are K×DIM
+    driver-side floats shipped in the kernel closure — no join."""
+    import numpy as np
+
+    from quackflight_spark.pipeline.veckernels import ivf_assign_udf
+
+    return ivf_assign_udf(np.array(centroids, dtype=np.float64))(F.col("e"))
 
 
 def _train_centroids(emb) -> list[list[float]]:
@@ -231,16 +219,11 @@ def _train_centroids(emb) -> list[list[float]]:
 
 def _probe_cells(centroids: list[list[float]]):
     """Column: array of the IVF_PROBES nearest cell ids (for queries)."""
-    entries = []
-    for cid, c in enumerate(centroids):
-        dist = F.aggregate(
-            F.zip_with(F.col("e"), F.array(*[F.lit(v) for v in c]), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
-    ranked = F.array_sort(F.array(*entries))
-    return F.transform(F.slice(ranked, 1, IVF_PROBES), lambda s: s["cid"])
+    import numpy as np
+
+    from quackflight_spark.pipeline.veckernels import ivf_probe_udf
+
+    return ivf_probe_udf(np.array(centroids, dtype=np.float64), IVF_PROBES)(F.col("e"))
 
 
 @query("ann_ivf_topk")  # rows-only: recall asserted in tests vs brute force

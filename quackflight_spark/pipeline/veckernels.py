@@ -1,0 +1,103 @@
+"""Arrow-vectorized numpy kernels for embedding math.
+
+Why Pandas UDFs here and nowhere else: 64-dim dot products / norms are
+dense numeric loops. Catalyst's higher-order functions (``aggregate``,
+``zip_with``, ``transform``) are CodegenFallback — every lambda step is an
+interpreted expression eval, and captured subexpressions re-evaluate per
+element (measured: a 64-wide normalize via ``transform`` costs 64 norm
+recomputes per row). Unrolling into explicit 64-term column sums fixes the
+re-evaluation but produces kilobyte-scale generated methods that exceed
+HotSpot's JIT bytecode limit and run in the bytecode interpreter (measured
+slower than the HOF form). An Arrow-batched numpy kernel is the remaining
+fast path: one JVM→Python transfer per batch, SIMD inner loops.
+
+Determinism contract: kernels that feed DuckDB-oracle-checked values
+accumulate **sequentially over dimensions, vectorized over rows** —
+``acc += a[:, i] * b[:, i]`` — which reproduces the left-to-right fold
+order of both the previous Catalyst implementation and DuckDB's
+``list_cosine_similarity``/``list_dot_product`` loops, so results are
+bit-identical and survive the value-hash compare (see tools/check.py).
+A plain ``m @ v`` BLAS matmul uses pairwise/blocked summation and would
+drift in the last ulp — only use it where results are rank-checked, not
+value-checked (LSH sketch signs, IVF cell argmin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    """Arrow array<double> series → (n, dim) float64 matrix."""
+    return np.vstack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot, sequential over dims (bit-identical to a fold)."""
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc += a[:, i] * b[:, i]
+    return acc
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def l2_normalize(emb: pd.Series) -> pd.Series:
+    """x / ||x||₂ with the norm accumulated in dim order."""
+    m = _mat(emb)
+    norm = np.sqrt(_seq_dot(m, m))
+    out = m / norm[:, None]
+    return pd.Series(list(out))
+
+
+@F.pandas_udf(DoubleType())
+def cos_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Dot of two pre-normalized vectors (= cosine), dim-order sum."""
+    return pd.Series(_seq_dot(_mat(a), _mat(b)))
+
+
+def lsh_sketch_udf(planes: np.ndarray, n_tables: int, n_planes: int):
+    """Pandas UDF: embedding → array<int> of per-table sign-bit sketches.
+
+    ``planes`` is (n_tables * n_planes, dim); row t*n_planes+p is plane p
+    of table t. Signs come from a BLAS matmul — rank/sign decisions only,
+    no value-checked output, so pairwise summation drift is acceptable.
+    """
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _sketch(emb: pd.Series) -> pd.Series:
+        m = _mat(emb)
+        bits = (m @ planes.T >= 0).astype(np.int32)  # (n, T*P)
+        weights = 1 << np.arange(n_planes, dtype=np.int32)
+        sk = bits.reshape(len(m), n_tables, n_planes) @ weights  # (n, T)
+        return pd.Series(list(sk.astype(np.int32)))
+
+    return _sketch
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Pandas UDF: embedding → nearest-centroid cell id (argmin L2)."""
+
+    @F.pandas_udf(IntegerType())
+    def _assign(emb: pd.Series) -> pd.Series:
+        m = _mat(emb)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row for argmin
+        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_probe_udf(centroids: np.ndarray, n_probes: int):
+    """Pandas UDF: embedding → array<int> of the n_probes nearest cells."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(emb: pd.Series) -> pd.Series:
+        m = _mat(emb)
+        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return _probe
