@@ -186,13 +186,12 @@ def minhash_signature(base: Column) -> Column:
     """N_MINHASH-wide MinHash signature from materialized base hashes.
     The i-th permutation is the affine family h_i = ((2i+1)·h +
     40503i+1231) mod p — 64× cheaper than 64 md5s per shingle, same
-    cross-engine determinism."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda i: F.array_min(
-            F.transform(base, lambda h: ((i * 2 + 1) * h + i * 40503 + 1231) % MINHASH_P)
-        ),
-    )
+    cross-engine determinism. Computed in an Arrow numpy kernel (int64-
+    exact, identical values to the Catalyst fold — see veckernels.py for
+    why interpreted HOFs lose here)."""
+    from quackflight_spark.pipeline.veckernels import minhash_sig_udf
+
+    return minhash_sig_udf(N_MINHASH, MINHASH_P)(base)
 
 
 @query("dedup_minhash_lsh", oracle=f"""

