@@ -32,9 +32,16 @@ def create_append_table(spark: SparkSession, path: str, schema_ddl: str) -> None
 
 def append_batch(spark: SparkSession, path: str, df: DataFrame) -> int:
     """ST1/ST3 producer step: append one batch, return its row count (the
-    reference acks rows_inserted per batch, main.py:1077)."""
+    reference acks rows_inserted per batch, main.py:1077).
+
+    Each batch commits as ONE file: a single task-file rename is atomic,
+    so concurrent readers see whole batches or nothing — parquet-append's
+    per-file atomicity becomes per-batch. Ingest batches are small by
+    construction (the reference streams 1000-row batches); large backfills
+    go through sources/writers.py layouts or an IdempotentSink on a
+    transactional table instead."""
     n = df.count()
-    df.write.mode("append").parquet(path)
+    df.coalesce(1).write.mode("append").parquet(path)
     return n
 
 

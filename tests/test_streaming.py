@@ -59,7 +59,8 @@ def test_truly_concurrent_reader_thread(spark, tmp_table):
     t = threading.Thread(target=reader)
     t.start()
     for epoch in range(10):
-        spark.range(epoch * 100, (epoch + 1) * 100).write.mode("append").parquet(tmp_table)
+        batch = spark.range(epoch * 100, (epoch + 1) * 100)
+        append_batch(spark, tmp_table, batch)  # single-file commit → batch-atomic reads
     t.join()
     assert counts, "reader never completed a poll"
     assert all(c % 100 == 0 for c in counts)
