@@ -53,6 +53,7 @@ BENCH_KEYS = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_pruned",
     "text_quality",
     "pipeline_corpus_prep",
     "stream_tumbling",

@@ -36,6 +36,7 @@ def test_registry_contract():
         "stream_watermark_late",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_ivf_pruned",
         "mm_decode",
         "mm_feature_extract",
         "mm_resize",
@@ -154,6 +155,16 @@ def test_ann_ivf_recall(spark, sf_dir):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8, f"IVF ANN recall {recall:.2f} < 0.8"
+
+
+def test_ann_ivf_pruned_equals_inline(spark, sf_dir):
+    """The materialized cell-partitioned index returns exactly the inline
+    IVF results (same centroids, same probes — the layout only changes
+    where the corpus bytes live)."""
+    q = _queries()
+    inline = sorted(map(tuple, q["ann_ivf_topk"](spark, sf_dir).collect()))
+    pruned = sorted(map(tuple, q["ann_ivf_pruned"](spark, sf_dir).collect()))
+    assert pruned == inline
 
 
 def test_simhash_blocking_is_lossless():

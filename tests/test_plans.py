@@ -96,3 +96,13 @@ def test_scalar_suite_stays_jvm_side(spark, sf_dir, q):
         plan = _plan(q[key](spark, sf_dir))
         assert "BatchEvalPython" not in plan, key
         assert "ArrowEvalPython" not in plan, key
+
+
+def test_ivf_pruned_scan_has_partition_filters(spark, sf_dir, q):
+    """The materialized IVF search must push the probed-cell set down as a
+    PARTITION filter on the layout scan (directory skip — the nprobe/K IO
+    contract), not as a post-scan row filter."""
+    out = _formatted(q["ann_ivf_pruned"](spark, sf_dir))
+    pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, "no PartitionFilters in the plan"
+    assert any("cell" in ln and "[]" not in ln for ln in pf_lines), pf_lines
