@@ -1,0 +1,126 @@
+"""Deterministic sampling & splitting — training-data-pipeline operators
+(beyond-reference, BASELINE.json north star; the reference's only sampling
+is `ORDER BY RANDOM() LIMIT 1`, examples/flight_watch.py:53-57).
+
+A training pipeline needs *reproducible* selections: the same document
+must land in the same split on every run, on any cluster, regardless of
+partitioning — otherwise eval sets leak into training between runs. RNG
+sampling (F.rand, TABLESAMPLE) can't give that, so these operators derive
+the selection from an md5 hash of the row key:
+
+- split_train_test    90/5/5 train/val/test assignment, pure map (no
+                      shuffle at any scale — the split ships with the row)
+- sample_stratified   per-stratum keep-rates (downsample a dominant
+                      language/source class), also a pure map
+- sample_quota        at most N docs per source, best-first (quality-
+                      ordered window) — one shuffle on the quota key
+
+The md5-bucket trick is the same cross-engine-deterministic device as
+pipeline/dedup.py's _h60, so every operator here is exactly oracle-checked
+(value-hash, not rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+SPLIT_BUCKETS = 100
+TRAIN_PCT, VAL_PCT = 90, 5      # remainder → test
+STRATA_RATES = {"en": 50, "de": 20}  # keep-% per lang; others 10
+QUOTA_PER_SOURCE = 40
+
+
+def hash_bucket(key: Column, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of the
+    key's string form, mod buckets. Engine-independent (no Spark hash()/
+    DuckDB hash() involved) and key-only — independent of partitioning,
+    row order, and cluster size."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def _duck_bucket(expr: str, buckets: int = SPLIT_BUCKETS) -> str:
+    return f"(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT) % {buckets})"
+
+
+@query("split_train_test", oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_duck_bucket('doc_id')} < {TRAIN_PCT} THEN 'train'
+                WHEN {_duck_bucket('doc_id')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+""")
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 90/5/5 split assignment keyed on doc_id.
+
+    Pure map: the bucket is a function of the row alone, so the plan has
+    zero exchanges and the assignment is identical at sf0.001 and 100 TB,
+    under repartitioning, and across engine versions. This is the property
+    RNG-based splits (F.rand, randomSplit) cannot give."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        F.when(b < TRAIN_PCT, F.lit("train"))
+        .when(b < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_RATE_SQL = " ".join(
+    f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
+)
+
+
+@query("sample_stratified", oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_duck_bucket('doc_id')} <
+          (CASE {_RATE_SQL} ELSE 10 END)
+""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: per-language keep-rates
+    (en 50%, de 20%, others 10%) via the hash bucket — the reproducible
+    form of df.sampleBy. Pure map again: rebalancing a skewed corpus
+    costs no shuffle; expected rates hold per stratum because md5 buckets
+    are uniform over doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = None
+    for lang, r in STRATA_RATES.items():
+        branch = rate if rate is not None else F
+        rate = branch.when(F.col("lang") == lang, F.lit(r))
+    rate = rate.otherwise(F.lit(10))
+    return d.filter(hash_bucket(F.col("doc_id")) < rate).select("doc_id", "lang", "source")
+
+
+@query("sample_quota", oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {QUOTA_PER_SOURCE}
+""")
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep the QUOTA_PER_SOURCE longest documents of
+    each source (deterministic doc_id tiebreak). One shuffle on source.
+    At 100 TB a hot source is a skew risk — the window needs all of a
+    source's rows on one reducer only up to the quota; pre-filtering with
+    an approximate per-source n_chars cutoff (quantile sketch) bounds the
+    shuffled volume when sources are huge."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "n_chars", "rn")
+    )

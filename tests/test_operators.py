@@ -239,3 +239,24 @@ def test_mm_resize_schema_and_determinism(spark, sf_dir):
     assert a == b
     w = next(iter(a))
     assert len(a) == 500
+
+
+def test_split_stable_under_repartitioning(spark, sf_dir):
+    """The split assignment depends only on doc_id — reshuffling the input
+    must not move any row between splits (the reproducibility contract
+    RNG-based randomSplit cannot give)."""
+    from quackflight_spark.pipeline.sampling import hash_bucket
+    from quackflight_spark.sources.fixtures import load_table
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["b"] for r in d.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()}
+    b = {
+        r["doc_id"]: r["b"]
+        for r in d.repartition(7, "lang").select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    assert a == b
+    # and the buckets actually spread: 90/5/5 within binomial tolerance
+    n = len(a)
+    train = sum(1 for v in a.values() if v < 90)
+    assert abs(train / n - 0.9) < 0.1

@@ -106,3 +106,12 @@ def test_ivf_pruned_scan_has_partition_filters(spark, sf_dir, q):
     pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
     assert pf_lines, "no PartitionFilters in the plan"
     assert any("cell" in ln and "[]" not in ln for ln in pf_lines), pf_lines
+
+
+def test_deterministic_splits_are_pure_maps(spark, sf_dir, q):
+    """split_train_test / sample_stratified must be shuffle-free: the
+    hash-bucket selection is a function of the row alone, so no Exchange
+    belongs in the plan at any scale."""
+    for key in ("split_train_test", "sample_stratified"):
+        plan = _plan(q[key](spark, sf_dir))
+        assert "Exchange" not in plan, key
