@@ -124,3 +124,47 @@ def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= QUOTA_PER_SOURCE)
         .select("doc_id", "source", "n_chars", "rn")
     )
+
+
+N_EVAL = 20  # fixture eval set = doc_id < 20
+
+
+@query("pipeline_decontaminate", oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(regexp_split_to_array(trim(text), '\\s+'))),
+          i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+               regexp_split_to_array(trim(text), '\\s+')[i+1])
+      )) AS shingle
+      FROM documents
+    )
+    SELECT t.doc_id, count(*) AS n_shared
+    FROM sh t JOIN sh e ON t.shingle = e.shingle
+    WHERE t.doc_id >= {N_EVAL} AND e.doc_id < {N_EVAL}
+    GROUP BY t.doc_id
+""")
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag every training document that shares
+    at least one word-bigram shingle with the held-out eval set (fixture
+    eval = doc_id < N_EVAL), with the shared-shingle count as evidence.
+
+    The GPT-3/Pile-style n-gram overlap check expressed as one inverted-
+    index join: explode distinct shingles on both sides, equi-join on the
+    shingle (shuffle keyed on shingle — never doc×doc), count per train
+    doc. At 100 TB the eval side is small by definition, so Catalyst
+    broadcasts it and the train corpus streams through map-side; a
+    stop-shingle cutoff (drop shingles above a document-frequency bound)
+    caps the blow-up from boilerplate n-grams shared by everything.
+    """
+    from quackflight_spark.pipeline.dedup import doc_shingles
+
+    sh = doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("shingle"))
+    train = sh.filter(F.col("doc_id") >= N_EVAL)
+    eval_ = sh.filter(F.col("doc_id") < N_EVAL).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(eval_), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
