@@ -130,3 +130,25 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+@query("stream_dedup", oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           value, props
+    FROM events
+""")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-safe deduplication: at-least-once delivery made exactly-once.
+
+    Input = the events feed unioned with a full replay of itself (the
+    retry/replay failure mode of at-least-once sources); output = one row
+    per event_id, which must equal the original table exactly — hence the
+    exact oracle. Streaming form is dropDuplicatesWithinWatermark on the
+    same key (parity asserted in tests/test_streaming.py); the state
+    store holds only ids inside the watermark horizon, so state is
+    bounded at any throughput. Batch form: one shuffle on event_id;
+    duplicate rows are identical, so survivor choice is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    replayed = e.union(e)  # simulated duplicate delivery
+    return replayed.dropDuplicates(["event_id"])

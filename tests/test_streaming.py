@@ -196,3 +196,31 @@ def test_http_basic_auth_namespaces(spark):
     r3 = c.get("/?query=SELECT count(*) AS n FROM mine", headers=hdr("alice", "pw"))
     assert r3.status_code == 200 and b"1" in r3.data
     spark.sql("DROP DATABASE IF EXISTS " + __import__("quackflight_spark.serving.namespaces", fromlist=["user_namespace"]).user_namespace("alice", "pw") + " CASCADE")
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a replayed stream keeps exactly
+    one row per event_id — same result set as the batch stream_dedup
+    operator (and therefore the original table)."""
+    from quackflight_spark.registry import QUERIES, load_all
+
+    load_all()
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.union(ev)  # simulated at-least-once redelivery
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    finally:
+        q.stop()
+    batch = {tuple(r) for r in QUERIES["stream_dedup"](spark, sf_dir).collect()}
+    assert streamed == batch
