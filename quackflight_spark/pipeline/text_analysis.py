@@ -169,3 +169,81 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_fp"),
     )
+
+
+VOCAB_TOP_K = 100
+PACK_BUDGET = 256  # tokens per packed training shard
+
+
+@query("text_vocab_topk", oracle=f"""
+    WITH tok AS (
+      SELECT lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS freq
+    FROM tok
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT {VOCAB_TOP_K}
+""")
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: the VOCAB_TOP_K most frequent lowercased tokens
+    (deterministic token tiebreak) — the first step of any tokenizer/
+    vocab-construction pass. explode → two-phase hash count (map-side
+    partial collapses each executor's token stream before the shuffle, so
+    shuffled volume is |vocab|, not |corpus|) → TakeOrdered top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    return (
+        d.select(F.explode(toks).alias("t"))
+        .select(F.lower(F.col("t")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+@query("pipeline_pack_sequences", oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), runs AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS shard
+    FROM runs
+""")
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~PACK_BUDGET-token training
+    shards by running token count within each source (deterministic
+    doc_id order — reproducible shards, like the splits in sampling.py).
+
+    Shape: one window per source partition (shuffle keyed on source), no
+    global sort — at 100 TB each source's stream packs independently;
+    shard ids are made globally unique by (source, shard). A greedy
+    bin-packer would give tighter packing but is inherently sequential;
+    running-sum sharding is the order-preserving distributed form.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        d.select("doc_id", "source", F.size(toks).alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / PACK_BUDGET).alias("shard"),
+        )
+    )
