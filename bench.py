@@ -55,7 +55,9 @@ BENCH_KEYS = [
     "ann_ivf_topk",
     "ann_ivf_pruned",
     "text_quality",
+    "split_train_test",
     "pipeline_corpus_prep",
+    "pipeline_decontaminate",
     "stream_tumbling",
     "stream_session",
 ]
