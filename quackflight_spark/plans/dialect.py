@@ -21,7 +21,10 @@ spark.sql():
 - read_parquet('p')       → parquet.`p` (Spark's native path table)
 - table-function-qualified refs (read_parquet.town) → bare column
 - multiIf(c1,v1,...,else) → CASE WHEN chain
+- SELECT * EXCLUDE (cols)  → * EXCEPT (cols)  (Spark's spelling)
 - == is already valid Spark SQL (no rewrite needed)
+- GROUP BY ALL / ORDER BY ALL / * EXCEPT are native in Spark ≥3.4 —
+  accepted as-is (pinned in tests/test_dialect.py)
 
 All rewrites are quote- and identifier-aware via a minimal SQL lexer —
 never blind string replace (the reference's own whitespace-split rewrite
@@ -379,6 +382,20 @@ def strip_catalog_prefix(sql: str, catalog: str = "deltalake") -> str:
 # ---------------------------------------------------------------------------
 # public API
 
+def _rewrite_star_exclude(toks: list[Tok]) -> list[Tok]:
+    """DuckDB `* EXCLUDE (cols)` → Spark `* EXCEPT (cols)` — same
+    semantics, different keyword. Only the token immediately after a `*`
+    is rewritten, so a column or alias named exclude survives."""
+    sig = _significant(toks)
+    out = list(toks)
+    for j, i in enumerate(sig):
+        if toks[i].text == "*" and j + 1 < len(sig):
+            nxt = sig[j + 1]
+            if toks[nxt].is_word("EXCLUDE"):
+                out[nxt] = Tok("word", "EXCEPT")
+    return out
+
+
 def transpile(sql: str) -> str:
     """DuckDB/ClickHouse-flavored SQL → Spark SQL (single statement)."""
     sql, _fmt = sanitize_query(sql)
@@ -390,6 +407,7 @@ def transpile(sql: str) -> str:
     toks = _rewrite_count_zero_arg(toks)
     toks = _rewrite_dcolon_cast(toks)
     toks = _rewrite_trailing_commas(toks)
+    toks = _rewrite_star_exclude(toks)
     return render(toks).strip()
 
 

@@ -154,3 +154,24 @@ def test_all_chsql_functions_registered(spark):
 
     for name in CHSQL_SIGNATURES:
         spark.sql(f"DESCRIBE FUNCTION {name}").collect()
+
+
+def test_star_exclude_rewrite(spark):
+    out = transpile("SELECT * EXCLUDE (n_name) FROM nation LIMIT 1")
+    assert "EXCEPT" in out and "EXCLUDE" not in out.upper()
+    cols = spark.sql(out).columns
+    assert "n_name" not in cols and "n_nationkey" in cols
+    # a column/alias literally named exclude is not touched
+    assert "EXCLUDE" not in transpile("SELECT 1 AS exclude").upper().split("AS")[0]
+
+
+def test_duckdb_group_order_by_all_native(spark):
+    """GROUP BY ALL / ORDER BY ALL / * EXCEPT are DuckDB idioms Spark ≥3.4
+    accepts natively — the frontend must pass them through unchanged."""
+    sql = ("SELECT n_regionkey, count(*) AS n FROM nation "
+           "GROUP BY ALL ORDER BY ALL")
+    rows = spark.sql(transpile(sql)).collect()
+    assert len(rows) == 5 and rows[0]["n_regionkey"] == 0
+    assert "n_name" not in spark.sql(
+        transpile("SELECT * EXCEPT (n_name) FROM nation")
+    ).columns
