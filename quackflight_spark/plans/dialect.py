@@ -22,6 +22,8 @@ spark.sql():
 - table-function-qualified refs (read_parquet.town) → bare column
 - multiIf(c1,v1,...,else) → CASE WHEN chain
 - SELECT * EXCLUDE (cols)  → * EXCEPT (cols)  (Spark's spelling)
+- leading FROM (`FROM t` / `FROM t WHERE ...`) → SELECT * FROM ...
+- SUMMARIZE t             → per-column stats via DataFrame.summary()
 - == is already valid Spark SQL (no rewrite needed)
 - GROUP BY ALL / ORDER BY ALL / * EXCEPT are native in Spark ≥3.4 —
   accepted as-is (pinned in tests/test_dialect.py)
@@ -396,9 +398,20 @@ def _rewrite_star_exclude(toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _rewrite_leading_from(sql: str) -> str:
+    """DuckDB's FROM-first shorthand: a statement starting with FROM is
+    `SELECT * FROM ...` (DuckDB docs, 'FROM-first syntax')."""
+    toks = tokenize(sql)
+    sig = _significant(toks)
+    if sig and toks[sig[0]].is_word("FROM"):
+        return "SELECT * " + sql.strip()
+    return sql
+
+
 def transpile(sql: str) -> str:
     """DuckDB/ClickHouse-flavored SQL → Spark SQL (single statement)."""
     sql, _fmt = sanitize_query(sql)
+    sql = _rewrite_leading_from(sql)
     sql = _rewrite_read_parquet(sql)
     sql = _rewrite_multiif(sql)
     sql = _rewrite_qualify(sql)
@@ -436,5 +449,19 @@ def run_script(spark: SparkSession, script: str) -> DataFrame | None:
     (examples/flight_read.py:7)."""
     result: DataFrame | None = None
     for stmt in split_statements(script):
-        result = spark.sql(transpile(stmt))
+        toks = tokenize(stmt)
+        sig = _significant(toks)
+        if sig and toks[sig[0]].is_word("SUMMARIZE"):
+            # DuckDB SUMMARIZE <table-or-query>: per-column summary stats.
+            # Spark-native form: DataFrame.summary() over the target —
+            # column set differs from DuckDB's (documented dialect delta).
+            rest = render(toks[sig[1]:]).strip() if len(sig) > 1 else ""
+            target = (
+                spark.table(rest)
+                if len(rest.split()) == 1
+                else spark.sql(transpile(rest))
+            )
+            result = target.summary()
+        else:
+            result = spark.sql(transpile(stmt))
     return result

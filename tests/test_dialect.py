@@ -175,3 +175,21 @@ def test_duckdb_group_order_by_all_native(spark):
     assert "n_name" not in spark.sql(
         transpile("SELECT * EXCEPT (n_name) FROM nation")
     ).columns
+
+
+def test_leading_from_shorthand(spark):
+    assert transpile("FROM nation").startswith("SELECT *")
+    assert spark.sql(transpile("FROM nation")).count() == 25
+    rows = spark.sql(transpile("FROM nation WHERE n_regionkey = 0")).collect()
+    assert all(r["n_regionkey"] == 0 for r in rows)
+    # FROM in normal position untouched
+    assert not transpile("SELECT n_name FROM nation").startswith("SELECT * ")
+
+
+def test_summarize_statement(spark):
+    out = run_script(spark, "SUMMARIZE nation")
+    stats = {r["summary"] for r in out.collect()}
+    assert {"count", "min", "max", "mean"} <= stats
+    # works over a subquery too
+    out2 = run_script(spark, "SUMMARIZE SELECT n_regionkey FROM nation")
+    assert out2.columns == ["summary", "n_regionkey"]
