@@ -59,6 +59,7 @@ BENCH_KEYS = [
     "pipeline_corpus_prep",
     "pipeline_decontaminate",
     "stream_tumbling",
+    "rollup_time_partitioned",
     "stream_session",
 ]
 

@@ -152,3 +152,62 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     replayed = e.union(e)  # simulated duplicate delivery
     return replayed.dropDuplicates(["event_id"])
+
+
+EVENTS_LAYOUT_ROOT = "/tmp/qf_events_layout"  # derived data; fixtures untouched
+ROLLUP_FROM, ROLLUP_TO = "2024-01-08", "2024-01-14"
+
+
+def events_build_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a date-partitioned parquet layout (one
+    directory per event_date) — the hypertable/time-chunk pattern.
+    Build-once per corpus; at 100 TB this is how the events stream lands
+    from ingest (writeStream partitionBy(event_date)), and every
+    time-ranged query afterwards prunes to its date directories."""
+    import hashlib
+    import os
+
+    path = f"{EVENTS_LAYOUT_ROOT}/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.withColumn("event_date", F.to_date("ts"))
+            .repartition(F.col("event_date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    return path
+
+
+@query("rollup_time_partitioned", oracle=f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+          BETWEEN DATE '{ROLLUP_FROM}' AND DATE '{ROLLUP_TO}'
+    GROUP BY 1, 2
+""")
+def rollup_time_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup over a date range, read from the date-partitioned
+    layout: the BETWEEN on event_date is a PARTITION filter, so the scan
+    opens only the 7 requested day-directories out of 30 — IO scales with
+    the queried range, not the table (the hypertable/continuous-aggregate
+    access pattern; PartitionFilters asserted in tests/test_plans.py).
+    Aggregation is the usual two-phase hash agg on (hour, type)."""
+    path = events_build_layout(spark, sf_dir)
+    e = spark.read.parquet(path).filter(
+        F.col("event_date").between(F.lit(ROLLUP_FROM).cast("date"), F.lit(ROLLUP_TO).cast("date"))
+    )
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )

@@ -115,3 +115,12 @@ def test_deterministic_splits_are_pure_maps(spark, sf_dir, q):
     for key in ("split_train_test", "sample_stratified"):
         plan = _plan(q[key](spark, sf_dir))
         assert "Exchange" not in plan, key
+
+
+def test_time_rollup_prunes_date_partitions(spark, sf_dir, q):
+    """The date-ranged rollup must prune to its day-directories: the
+    BETWEEN lands in PartitionFilters (directory skip), and the scan
+    reports fewer partitions than the table has days."""
+    out = _formatted(q["rollup_time_partitioned"](spark, sf_dir))
+    pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("event_date" in ln for ln in pf_lines), pf_lines
