@@ -407,3 +407,81 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.8)
     )
+
+
+@query("dedup_clusters", oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_BIGRAMS} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(a.sh || b.sh)) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+      ) SELECT * FROM r
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id,
+           CAST(a = min(b) AS BOOLEAN) AS is_survivor
+    FROM reach GROUP BY a
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    MinHash-LSH pair graph, survivor = the min doc_id of each component —
+    the grouping step every dedup pipeline runs after pair detection
+    (keep one representative per cluster, drop the rest).
+
+    Distributed min-label propagation: every node starts labeled with its
+    own id; each round joins labels across edges and keeps the elementwise
+    min; converges in diameter(G) rounds (near-dup components are tiny —
+    a handful of rounds). Per-round work is two keyed shuffles, fully
+    distributed; the driver sees only a changed-row count per round. This
+    is the standard large-graph CC pattern (GraphFrames/GraphX use the
+    same propagation with star-contraction accelerations). The oracle is
+    a DuckDB recursive-CTE transitive closure over the same pairs.
+    """
+    pairs = _reused(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    edges = _reused(
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .toDF("src", "dst")
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).persist()
+    for _ in range(20):  # safety bound >> component diameter
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select("node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()  # the new frame is materialized by the count above
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_survivor"),
+    )
