@@ -211,3 +211,77 @@ def rollup_time_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+GAPFILL_DAY = "2024-01-10"
+
+
+@query("timeseries_gapfill", oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events
+      WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '{GAPFILL_DAY}'
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', t) AS hour_start,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM e GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT e.event_type, g.h AS hour_start
+      FROM e, (SELECT unnest(generate_series(
+                 TIMESTAMP '{GAPFILL_DAY} 00:00:00',
+                 TIMESTAMP '{GAPFILL_DAY} 23:00:00',
+                 INTERVAL 1 HOUR)) AS h) g
+    )
+    SELECT grid.event_type, grid.hour_start,
+           COALESCE(agg.n, 0) AS n,
+           COALESCE(last_value(agg.total IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.hour_start), 0.0
+           ) AS total_ff
+    FROM grid LEFT JOIN agg
+      ON grid.event_type = agg.event_type AND grid.hour_start = agg.hour_start
+""")
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + forward-fill over one day of events — the
+    hypertable `time_bucket_gapfill`/`locf` pattern: build the dense
+    (event_type × hour) grid, left-join the sparse hourly rollup, carry
+    the last observed total forward into empty hours (0 before the first
+    observation).
+
+    Scale shape: the grid is |keys| × |buckets| rows built from a
+    per-key `sequence()` explode — never materialized on the driver —
+    and the fill is a running `last(ignorenulls)` window per key, one
+    shuffle on the same key as the rollup agg.  At 100 TB the day filter
+    rides the date-partitioned layout (see rollup_time_partitioned), so
+    IO is one day's directory regardless of table size."""
+    from pyspark.sql import Window as W
+
+    day_start = F.lit(f"{GAPFILL_DAY} 00:00:00").cast("timestamp")
+    day_end = F.lit(f"{GAPFILL_DAY} 23:00:00").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit(GAPFILL_DAY).cast("date")
+    )
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    grid = e.select("event_type").distinct().select(
+        "event_type",
+        F.explode(F.sequence(day_start, day_end, F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        ),
+    )
+    w = W.partitionBy("event_type").orderBy("hour_start").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return grid.join(agg, on=["event_type", "hour_start"], how="left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce(F.last("total", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "total_ff"
+        ),
+    )

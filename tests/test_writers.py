@@ -86,3 +86,60 @@ def test_two_phase_skew_agg_exact(spark, sf_dir):
         tuple(r) for r in two_phase_skew_agg(li, "l_returnflag", "l_quantity").collect()
     }
     assert direct == salted
+
+
+def test_merge_cow_rewrites_only_touched_partitions(spark, sf_dir, tmpdir):
+    """Copy-on-write MERGE: untouched partition directories must be
+    byte-identical on disk (same files, same mtimes); touched ones get
+    the merged rows."""
+    import os
+
+    from quackflight_spark.sources.merge import merge_upsert_cow
+
+    path = f"{tmpdir}/cust"
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+
+    def listing(seg):
+        d = f"{path}/c_mktsegment={seg}"
+        return sorted((f, os.path.getmtime(f"{d}/{f}")) for f in os.listdir(d))
+
+    untouched_before = listing("FURNITURE")
+    src = base.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 5 == 0)
+    ).withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0))
+    merge_upsert_cow(spark, path, src, ["c_custkey"], "c_mktsegment")
+
+    assert listing("FURNITURE") == untouched_before  # never rewritten
+    back = spark.read.parquet(path)
+    assert back.count() == base.count()  # pure update: no inserts
+    updated = back.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") % 5 == 0)
+    )
+    expected = src.select("c_custkey", "c_acctbal")
+    assert (
+        updated.select("c_custkey", "c_acctbal")
+        .exceptAll(expected)
+        .isEmpty()
+    )
+
+
+def test_merge_cow_inserts_new_partition(spark, sf_dir, tmpdir):
+    """Source rows for a partition value the target has never seen land
+    as a brand-new partition directory."""
+    from quackflight_spark.sources.merge import merge_upsert_cow
+
+    path = f"{tmpdir}/cust2"
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+    src = base.limit(5).withColumn("c_mktsegment", F.lit("BRANDNEW")).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10**6)
+    )
+    merge_upsert_cow(spark, path, src, ["c_custkey"], "c_mktsegment")
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("c_mktsegment") == "BRANDNEW").count() == 5
+    assert back.count() == base.count() + 5
