@@ -247,3 +247,97 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / PACK_BUDGET).alias("shard"),
         )
     )
+
+
+@query("text_repetition", oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+               i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+    bs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_big FROM bc GROUP BY 1),
+    tr AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      FROM t WHERE len(toks) >= 3
+    ),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
+    ts AS (SELECT doc_id,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
+                  sum(c) AS n_tri
+           FROM tc GROUP BY 1)
+    SELECT t.doc_id,
+           round(COALESCE(CAST(bs.top_c AS DOUBLE) / bs.n_big, 0.0), 8)
+             AS top_bigram_frac,
+           round(COALESCE(CAST(ts.dup_tri AS DOUBLE) / ts.n_tri, 0.0), 8)
+             AS dup_trigram_frac
+    FROM t
+    LEFT JOIN bs ON t.doc_id = bs.doc_id
+    LEFT JOIN ts ON t.doc_id = ts.doc_id
+""")
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of bigrams taken by the
+    single most frequent bigram, and fraction of trigrams that are
+    duplicates — the two strongest boilerplate/spam indicators in the
+    Gopher filtering rules (the char-level signals live in text_quality).
+
+    Scale shape: n-grams are exploded and counted with groupBy
+    (doc_id, gram) — partial aggregation collapses each doc's grams
+    map-side, so the shuffle carries one row per distinct gram, keyed by
+    doc_id (no hot keys possible: a doc's grams all land together, and
+    per-doc work is linear, never the quadratic
+    transform-filter-per-element form)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    big = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(toks)-1),"
+                   " i -> concat_ws(' ', toks[i-1], toks[i]))")
+        ).alias("g"),
+    )
+    tri = d.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(toks)-2),"
+                   " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")
+        ).alias("g"),
+    )
+    bs = (
+        big.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_c"), F.sum("count").alias("n_big"))
+    )
+    ts = (
+        tri.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup_tri"),
+            F.sum("count").alias("n_tri"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(bs, on="doc_id", how="left")
+        .join(ts, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top_c").cast("double") / F.col("n_big"), F.lit(0.0)), 8
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_tri").cast("double") / F.col("n_tri"), F.lit(0.0)), 8
+            ).alias("dup_trigram_frac"),
+        )
+    )

@@ -136,3 +136,48 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _build_target(spark, sf_dir)
     merge_upsert_cow(spark, path, _source_df(spark, sf_dir), ["c_custkey"], "c_mktsegment")
     return spark.read.parquet(path).select(*_COLS)
+
+
+def delete_where_cow(
+    spark: SparkSession, target_path: str, predicate, partition_col: str
+) -> None:
+    """DELETE FROM parquet table WHERE predicate, copy-on-write: only
+    partitions that actually contain matching rows are rewritten (the
+    GDPR-erasure / retention-sweep pattern — at 100 TB the deletes
+    usually cluster in a few partitions and everything else is zero IO)."""
+    target = spark.read.parquet(target_path)
+    touched = target.filter(predicate).select(partition_col).distinct()
+    affected = target.join(F.broadcast(touched), on=partition_col, how="left_semi")
+    kept = affected.filter(~predicate)
+
+    staging = target_path + "__staging"
+    (
+        kept.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    _commit_partition_swap(staging, target_path, partition_col)
+
+
+@query("delete_where", oracle=f"""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE NOT (c_mktsegment IN {_SEGS} AND c_acctbal < 0)
+""")
+def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE: drop negative-balance customers from two of
+    the five segment partitions, read the table back.  Only the two
+    touched partition directories are rewritten."""
+    import hashlib
+
+    path = f"{MERGE_ROOT}/del_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    base = load_table(spark, sf_dir, "customer").select(*_COLS)
+    base.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+    delete_where_cow(
+        spark,
+        path,
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") & (F.col("c_acctbal") < 0),
+        "c_mktsegment",
+    )
+    return spark.read.parquet(path).select(*_COLS)
