@@ -53,3 +53,4 @@ def load_all() -> None:
     import quackflight_spark.pipeline.multimodal  # noqa: F401
     import quackflight_spark.pipeline.sampling  # noqa: F401
     import quackflight_spark.sources.merge  # noqa: F401
+    import quackflight_spark.serving.formats  # noqa: F401

@@ -29,7 +29,7 @@ import math
 from datetime import date, datetime
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 FORMATS = ("JSONCompact", "JSON", "JSONEachRow", "TSV", "CSV")
@@ -149,3 +149,38 @@ def format_result(df: DataFrame, fmt: str | None, elapsed: float = 0.0) -> tuple
         json.dumps([[_cell(v) for v in row] for row in rows], ensure_ascii=False).encode(),
         "application/json",
     )
+
+
+def _register_format_key() -> None:
+    """`fmt_jsoncompact` (SURVEY §2.1 S12, rows-only): drive the real
+    ClickHouse-JSONCompact serializer over a small deterministic query
+    and surface the envelope as a 1-row DataFrame — the driver's
+    rows-only check pins that the protocol path stays alive; the
+    envelope *fields* are pinned exactly in tests/test_serving.py."""
+    from quackflight_spark.registry import query
+    from quackflight_spark.sources.fixtures import load_table
+
+    @query("fmt_jsoncompact")
+    def fmt_jsoncompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        n = load_table(spark, sf_dir, "nation")
+        r = load_table(spark, sf_dir, "region")
+        agg = (
+            n.join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .count()
+            .orderBy("r_name")
+        )
+        payload, content_type = format_result(agg, "jsoncompact", elapsed=0.0)
+        body = json.loads(payload)
+        return spark.createDataFrame(
+            [(
+                content_type,
+                len(body["meta"]),
+                body["rows"],
+                json.dumps(body["data"], ensure_ascii=False),
+            )],
+            "content_type string, n_cols int, n_rows long, data_json string",
+        )
+
+
+_register_format_key()

@@ -40,6 +40,7 @@ def test_registry_contract():
         "mm_decode",
         "mm_feature_extract",
         "mm_resize",
+        "fmt_jsoncompact",
     }
 
 
