@@ -55,11 +55,13 @@ BENCH_KEYS = [
     "ann_ivf_topk",
     "ann_ivf_pruned",
     "text_quality",
+    "text_repetition",
     "split_train_test",
     "pipeline_corpus_prep",
     "pipeline_decontaminate",
     "stream_tumbling",
     "rollup_time_partitioned",
+    "timeseries_gapfill",
     "stream_session",
 ]
 
