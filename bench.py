@@ -86,9 +86,18 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         times[key] = round(statistics.median(samples), 4)
         print(f"# {key}: {times[key]}s", file=sys.stderr)
-        # drop cached frames left by persist()-using pipelines: each run
-        # pays its own persist cost (honest), but stale copies from prior
-        # runs/keys must not occupy the block manager while later keys run
+        # Release BOTH cache layers between keys: the build-once shared
+        # frames (frame_cache) and any per-invocation persists. A bare
+        # clearCache() would strip the shared frames' storage while
+        # leaving stale handles in the frame cache — every later use
+        # would silently recompute uncached (the r1 bench anomaly's
+        # cousin). Clearing the registry too means each key's warm-up
+        # rebuilds its family's frames once and the timed runs reuse
+        # them — the deployment pattern (staging tables built at ingest),
+        # with no cross-key accumulation.
+        from quackflight_spark.pipeline.frame_cache import clear_frames
+
+        clear_frames()
         spark.catalog.clearCache()
 
     print(

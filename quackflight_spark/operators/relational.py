@@ -413,19 +413,36 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flag_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finest-grain pre-aggregate for the grouping-sets family: count by
+    (l_returnflag, l_linestatus).  Every grouping set here is a subset of
+    those two keys and count is decomposable (sum of partial counts), so
+    the rollup can run over this ~6-row frame instead of the raw scan.
+    Without it Spark's Expand operator multiplies EVERY scan row by the
+    number of grouping sets before the shuffle — 3× the table shuffled
+    for agg_grouping_sets (r1 bench: 1.7 s, 33× oracle at sf0.1; at
+    100 TB that is 300 TB through the exchange).  Pre-agg first: the
+    Expand blowup applies to 6 rows."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("agg_grouping_sets", oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS (Tier B) — native in Spark SQL; single Expand +
-    hash-agg, still one shuffle."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    """GROUPING SETS (Tier B) — native in Spark SQL, run over the
+    finest-grain pre-aggregate (see _flag_status_counts)."""
+    _flag_status_counts(spark, sf_dir).createOrReplaceTempView("qf_fs_counts")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, count(*) AS n
-        FROM lineitem
+        SELECT l_returnflag, l_linestatus, CAST(sum(n) AS BIGINT) AS n
+        FROM qf_fs_counts
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
@@ -437,9 +454,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "lineitem")
+        _flag_status_counts(spark, sf_dir)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
     )
 
 
@@ -449,9 +466,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load_table(spark, sf_dir, "lineitem")
+        _flag_status_counts(spark, sf_dir)
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").cast("long").alias("n"))
     )
 
 
@@ -493,18 +510,23 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("agg_list", oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS names,
+    SELECT n_regionkey,
+           len(list(n_name)) AS names_n,
            string_agg(n_name, ',' ORDER BY n_name) AS names_csv
     FROM nation GROUP BY n_regionkey
 """)
 def agg_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """list()/array_agg + string_agg (Tier B). collect_list order is
     partition-dependent → wrap in array_sort for a canonical result (the
-    oracle sorts too). At scale: bounded group payloads only."""
+    oracle sorts too). The checked projection is scalar-only (size +
+    joined string): the r1 driver canonicalizer cannot sort/hash a raw
+    array cell (`unhashable type: 'list'`), and the csv form proves the
+    identical list semantics. At scale: bounded group payloads only."""
     n = load_table(spark, sf_dir, "nation")
+    arr = F.array_sort(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("names"),
-        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
+        F.size(arr).alias("names_n"),
+        F.array_join(arr, ",").alias("names_csv"),
     )
 
 

@@ -31,19 +31,30 @@ def _dec(col, scale: int = 2):
     GROUP BY o_orderpriority
 """)
 def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4 order-priority checking: EXISTS → left-semi join then small agg.
-    The semi join shuffles on orderkey; lineitem is pre-filtered by the
-    pushed date comparison only after the join condition — Catalyst
-    decorrelates, no per-row subquery."""
+    """Q4 order-priority checking: EXISTS rewritten as inner-join +
+    distinct instead of a left-semi join.  Spark can only broadcast the
+    BUILD (right) side of a semi join, and here the small side is the
+    date-filtered orders on the LEFT — as a semi join both orders AND the
+    full lineitem shuffle on orderkey (r1 bench: 3.6 s, 40× oracle).
+    With filtered orders on the right of an inner join, AQE's runtime
+    size check converts the exchange to a broadcast hash join, so
+    lineitem never shuffles; the map-side partial distinct on (orderkey,
+    priority) collapses the multi-lineitem matches before the one small
+    exchange.  No broadcast() hint on purpose: at 100 TB a quarter of
+    orders may exceed the threshold and AQE falls back to shuffle —
+    scale-adaptive either way."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    matched = o.join(
-        li,
-        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-        "left_semi",
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        )
+        .select("o_orderkey", "o_orderpriority")
+        .distinct()
     )
     return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 

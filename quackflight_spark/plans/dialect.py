@@ -451,7 +451,21 @@ def run_script(spark: SparkSession, script: str) -> DataFrame | None:
     for stmt in split_statements(script):
         toks = tokenize(stmt)
         sig = _significant(toks)
-        if sig and toks[sig[0]].is_word("SUMMARIZE"):
+        words = [toks[i].text.upper() for i in sig[:3]]
+        if words == ["SHOW", "ALL", "TABLES"]:
+            # DuckDB `SHOW ALL TABLES` (the reference's canned
+            # list_schemas flight ticket, main.py:515-519): tables across
+            # every database. Spark SHOW TABLES is per-database, so this
+            # is a catalog-API union — driver-side metadata, no job.
+            rows = [
+                (db.name, t.name, t.tableType.lower() if t.tableType else "table")
+                for db in spark.catalog.listDatabases()
+                for t in spark.catalog.listTables(db.name)
+            ]
+            result = spark.createDataFrame(
+                rows or [], "database STRING, name STRING, table_type STRING"
+            )
+        elif sig and toks[sig[0]].is_word("SUMMARIZE"):
             # DuckDB SUMMARIZE <table-or-query>: per-column summary stats.
             # Spark-native form: DataFrame.summary() over the target —
             # column set differs from DuckDB's (documented dialect delta).

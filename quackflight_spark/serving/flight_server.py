@@ -20,9 +20,10 @@ engine, with the §7-listed reference bugs fixed:
   (reference main.py:1007-1105), without the INSERT INTO
   {schema}.{schema.table} double-prefix bug (main.py:1072-1073).
 - do_action create_schema / create_table / list_schemas
-  (reference main.py:537-742). list_schemas replies JSON (the reference
-  uses msgpack+zstd, main.py:582-594 — not available here; deviation
-  documented).
+  (reference main.py:537-742). list_schemas replies the reference's
+  msgpack+zstd two-Result envelope (main.py:582-594) via
+  serving/airport_codec.py (minimal public-spec msgpack + pyarrow's
+  bundled zstd, real wheels preferred when installed).
 - No shared mutable per-request connection state (reference rebinds
   self.conn per request — race, main.py:762).
 """
@@ -170,6 +171,25 @@ if flight is not None:
             return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
 
         # --- discovery -----------------------------------------------------
+        # Canned catalog flights (reference pre-registers these four,
+        # main.py:496-521): command name → ticket SQL. Yielded as REAL
+        # FlightInfo objects (the reference yields raw dicts — bug,
+        # main.py:972-982), with schemas from lazy Catalyst analysis.
+        CANNED_FLIGHTS = (
+            ("show_databases", "SHOW DATABASES"),
+            ("show_tables", "SHOW TABLES"),
+            ("show_version", "SELECT version()"),
+            ("list_schemas", "SHOW ALL TABLES"),
+        )
+
+        def _canned_flight_info(self, command: str, sql: str):
+            df = run_script(self.spark, sql)
+            schema = _spark_schema_to_arrow(df)
+            ticket = flight.Ticket(sql.encode())
+            endpoint = flight.FlightEndpoint(ticket, [self.location])
+            descriptor = flight.FlightDescriptor.for_command(command.encode())
+            return flight.FlightInfo(schema, descriptor, [endpoint], -1, -1)
+
         def list_flights(self, context, criteria):
             headers = {}
             if context is not None:
@@ -177,6 +197,8 @@ if flight is not None:
                 if mw is not None:
                     headers = mw.headers
             want_schema = headers.get("airport-list-flights-filter-schema")
+            for command, sql in self.CANNED_FLIGHTS:
+                yield self._canned_flight_info(command, sql)
             catalog = self.spark.catalog
             dbs = [d.name for d in catalog.listDatabases()]
             if want_schema:
@@ -245,8 +267,31 @@ if flight is not None:
                 self.spark.sql(f"CREATE TABLE IF NOT EXISTS {full} ({ddl_cols}) USING parquet")
                 return [flight.Result(json.dumps({"ticket": f"SELECT * FROM {full}"}).encode())]
             if action.type == "list_schemas":
-                dbs = [d.name for d in self.spark.catalog.listDatabases()]
-                return [flight.Result(json.dumps(dbs).encode())]
+                # Reference envelope (main.py:581-594): two Results —
+                # 4-byte LE msgpack length, then zstd(msgpack(catalog_root)).
+                # One entry per schema, named by its own schema_name (the
+                # reference sets every entry's "schema" to the catalog
+                # name — main.py:563 — which loses the names; fixed here).
+                from quackflight_spark.serving.airport_codec import encode_action_reply
+
+                payload = json.loads(body)
+                catalog_name = payload.get("catalog_name", "main")
+                schemas = [
+                    {
+                        "schema": d.name,
+                        "description": d.description or "Spark Schema",
+                        "tags": {},
+                        "type": "table",
+                        "contents": {"url": None, "sha256": None, "serialized": None},
+                    }
+                    for d in self.spark.catalog.listDatabases()
+                ]
+                catalog_root = {
+                    "contents": {"url": None, "sha256": None, "serialized": None},
+                    "schemas": schemas,
+                }
+                length_bytes, compressed = encode_action_reply(catalog_root)
+                return [flight.Result(length_bytes), flight.Result(compressed)]
             raise KeyError(f"unknown action {action.type!r}")
 
 else:  # pragma: no cover

@@ -130,4 +130,62 @@ def create_app(spark: SparkSession, cache: QueryCache | None = None):
     def ping():
         return Response(b"Ok.\n", 200, content_type="text/plain")
 
+    @app.route("/play", methods=["GET"])
+    def play_console():
+        """Browser query console (reference serves quack-ui's index.html at
+        GET /play, main.py:340-342; this is a self-contained stand-in that
+        POSTs to the same endpoints)."""
+        return Response(_PLAY_HTML, 200, content_type="text/html; charset=utf-8")
+
     return app
+
+
+_PLAY_HTML = b"""<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>quackflight-spark play</title>
+<style>
+  body { font-family: ui-monospace, Menlo, Consolas, monospace; margin: 2rem;
+         background: #11151a; color: #d8dee9; }
+  h1 { font-size: 1.1rem; }
+  textarea { width: 100%; height: 8rem; background: #1b222b; color: #d8dee9;
+             border: 1px solid #3a4452; border-radius: 4px; padding: .5rem;
+             font: inherit; }
+  select, button { font: inherit; padding: .3rem .8rem; margin-top: .5rem; }
+  button { background: #3b7; border: 0; border-radius: 4px; cursor: pointer; }
+  pre { background: #1b222b; border: 1px solid #3a4452; border-radius: 4px;
+        padding: .75rem; white-space: pre-wrap; word-break: break-all; }
+  .err { color: #f66; }
+</style>
+</head>
+<body>
+<h1>quackflight-spark &mdash; query console</h1>
+<textarea id="q" spellcheck="false">SELECT 1 AS hello</textarea><br>
+<label>format <select id="fmt">
+  <option>JSONCompact</option><option>JSONEachRow</option><option>JSON</option>
+  <option>TSV</option><option>CSV</option>
+</select></label>
+<button id="run">Run (Ctrl+Enter)</button>
+<pre id="out"></pre>
+<script>
+  const q = document.getElementById('q'), out = document.getElementById('out');
+  async function run() {
+    out.textContent = '...'; out.classList.remove('err');
+    const fmt = document.getElementById('fmt').value;
+    try {
+      const r = await fetch('/?default_format=' + encodeURIComponent(fmt),
+                            { method: 'POST', body: q.value });
+      const text = await r.text();
+      out.textContent = text;
+      if (!r.ok) out.classList.add('err');
+    } catch (e) { out.textContent = String(e); out.classList.add('err'); }
+  }
+  document.getElementById('run').onclick = run;
+  q.addEventListener('keydown', e => {
+    if (e.key === 'Enter' && (e.ctrlKey || e.metaKey)) { e.preventDefault(); run(); }
+  });
+</script>
+</body>
+</html>
+"""

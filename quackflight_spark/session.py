@@ -42,9 +42,9 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.ui.explainMode": "formatted",
     "spark.ui.enabled": "false",
-    # events.parquet stores ts as TIMESTAMP(NANOS) which the Spark reader
-    # rejects; read as long and convert ns→µs in the loader (fixtures.py).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # events.parquet ts is parquet TIMESTAMP(NANOS): Spark 4.1 reads it
+    # natively as TIMESTAMP_NTZ (µs-truncated). fixtures.events_ts_normalized
+    # guards the dtype for older readers that surface LongType ns.
 }
 
 

@@ -29,21 +29,35 @@ BROADCAST_DIMS = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table (parquet; single file or directory).
+def events_ts_normalized(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to µs-precision TimestampType.
 
-    events.ts is parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong=true it scans as LongType and we
-    convert to TimestampType at µs precision (floor-truncating, matching
-    DuckDB's CAST(ts_ns AS TIMESTAMP)). The conversion is a codegen'd
-    column expression — free at scale.
+    events.parquet stores ts as parquet TIMESTAMP(NANOS). How Spark scans
+    that is version-dependent: 4.1 reads it natively as TIMESTAMP_NTZ
+    (µs-truncated); older readers with
+    spark.sql.legacy.parquet.nanosAsLong=true surface LongType ns. Both
+    are normalized to TimestampType — watermarks require it
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), and with the session
+    timezone pinned to UTC (session.py) the wall-clock values are
+    identical to the UTC-naive oracle. The bigint branch uses integer
+    DIV, not float division — ns values exceed double's 2^53. All
+    branches are codegen'd column expressions, free at scale.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        # integer DIV, not float division — ns values exceed double's 2^53
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (parquet; single file or directory)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = events_ts_normalized(df)
     return df
 
 

@@ -46,7 +46,17 @@ def merge_upsert_cow(
     matched rows are replaced by the source row, unmatched source rows
     are inserted.  Only partitions whose `partition_col` value appears
     in the source are rewritten; the rest are untouched on disk
-    (asserted file-for-file in tests/test_writers.py)."""
+    (asserted file-for-file in tests/test_writers.py).
+
+    ASSUMPTION (documented per r1 advice): keys are partition-stable —
+    a source row never reuses an existing key under a DIFFERENT
+    partition value.  Like Hudi's non-global index (and unlike Delta's
+    whole-table MERGE match), matching is scoped to the touched
+    partitions; a key that moved partitions would leave its old row
+    alive in the untouched partition.  Callers whose keys can migrate
+    must include the old partition value in the source change-set (a
+    delete+insert), which is also how partition-key updates are
+    expressed in Hudi/Iceberg CoW pipelines."""
     target = spark.read.parquet(target_path)
     touched = source.select(partition_col).distinct()
     affected = target.join(F.broadcast(touched), on=partition_col, how="left_semi")
@@ -61,18 +71,54 @@ def merge_upsert_cow(
         .partitionBy(partition_col)
         .parquet(staging)
     )
-    _commit_partition_swap(staging, target_path, partition_col)
+    _commit_partition_swap(spark, staging, target_path, partition_col, touched)
 
 
-def _commit_partition_swap(staging: str, target_path: str, partition_col: str) -> None:
+def _partition_dirname(spark: SparkSession, partition_col: str, value) -> str:
+    """Hive-style partition directory name for a value, using Spark's own
+    escaping so the driver-side commit agrees with what the writer wrote."""
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    try:
+        esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+            str(value)
+        )
+    except Exception:
+        esc = str(value)
+    return f"{partition_col}={esc}"
+
+
+def _commit_partition_swap(
+    spark: SparkSession,
+    staging: str,
+    target_path: str,
+    partition_col: str,
+    touched: DataFrame,
+) -> None:
     """Swap rewritten partition directories into the target.  Stands in
     for a table-format metadata commit: per-partition directory rename,
-    no data copied."""
-    for staged in glob.glob(os.path.join(staging, f"{partition_col}=*")):
-        dest = os.path.join(target_path, os.path.basename(staged))
+    no data copied.
+
+    Driven by the TOUCHED partition values, not the staging listing (r1
+    advice): a touched partition whose rewrite kept zero rows emits no
+    staged directory, and it must still be REMOVED from the target —
+    deleting an entire partition is the central retention-sweep case.
+    Absent staged dir = partition fully deleted."""
+    touched_vals = [r[0] for r in touched.collect()]
+    for val in touched_vals:
+        dirname = _partition_dirname(spark, partition_col, val)
+        dest = os.path.join(target_path, dirname)
+        staged = os.path.join(staging, dirname)
         if os.path.exists(dest):
             shutil.rmtree(dest)
-        shutil.move(staged, dest)
+        if os.path.exists(staged):
+            shutil.move(staged, dest)
+    # safety net: any staged dir not covered by touched (should not happen —
+    # staged partitions are a subset of touched by construction) still lands
+    for staged in glob.glob(os.path.join(staging, f"{partition_col}=*")):
+        dest = os.path.join(target_path, os.path.basename(staged))
+        if not os.path.exists(dest):
+            shutil.move(staged, dest)
     shutil.rmtree(staging)
 
 
@@ -148,7 +194,11 @@ def delete_where_cow(
     target = spark.read.parquet(target_path)
     touched = target.filter(predicate).select(partition_col).distinct()
     affected = target.join(F.broadcast(touched), on=partition_col, how="left_semi")
-    kept = affected.filter(~predicate)
+    # SQL DELETE removes predicate=TRUE rows only; rows where the predicate
+    # is NULL survive.  A bare ~predicate would drop NULL rows (three-valued
+    # logic) and disagree with `touched` above, which treats NULL as
+    # not-matching — coalesce makes both sides use the same semantics.
+    kept = affected.filter(~F.coalesce(predicate, F.lit(False)))
 
     staging = target_path + "__staging"
     (
@@ -157,7 +207,7 @@ def delete_where_cow(
         .partitionBy(partition_col)
         .parquet(staging)
     )
-    _commit_partition_swap(staging, target_path, partition_col)
+    _commit_partition_swap(spark, staging, target_path, partition_col, touched)
 
 
 @query("delete_where", oracle=f"""

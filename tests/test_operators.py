@@ -168,6 +168,48 @@ def test_ann_ivf_pruned_equals_inline(spark, sf_dir):
     assert pruned == inline
 
 
+def test_dedup_embedding_lsh_blocking_finds_known_pairs(spark, tmp_path):
+    """The fixture corpus has no cos≥0.8 pairs at small SFs, so the
+    LSH-blocked dedup_embedding needs a corpus with KNOWN near-dups:
+    seeded base vectors plus small-perturbation copies.  The operator's
+    output must equal the numpy brute-force ground truth — proving the
+    OR-amplified sketch blocking loses none of the true pairs AND the
+    exact verify removes every bucket-collision false positive."""
+    import hashlib
+
+    import numpy as np
+
+    from quackflight_spark.pipeline.similarity import DIM
+
+    rng = np.random.default_rng(
+        int(hashlib.md5(b"dedup_embedding_test").hexdigest()[:8], 16)
+    )
+    base = rng.normal(size=(40, DIM))
+    # 12 perturbed near-copies of the first 12 vectors (high cosine)
+    near = base[:12] + 0.12 * rng.normal(size=(12, DIM))
+    vecs = np.vstack([base, near])
+    expected = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            cos = float(
+                vecs[i] @ vecs[j] / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+            )
+            if round(cos, 6) >= 0.8:
+                expected.add((i, j))
+    assert len(expected) >= 10  # the perturbed copies really are near-dups
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    corpus.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in _queries()["dedup_embedding"](spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
 def test_simhash_blocking_is_lossless():
     """Pigeonhole: ≤3 differing bits across 4 chunks ⇒ ≥1 identical chunk."""
     from quackflight_spark.pipeline.dedup import HAMMING_MAX, SIMHASH_BANDS

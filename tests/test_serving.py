@@ -134,6 +134,18 @@ def test_http_query_id_cache(client):
     assert r2.status_code == 200 and r2.data == r1.data
 
 
+def test_http_get_play_console(client):
+    """GET /play serves the browser query console (reference serves
+    quack-ui's index.html, main.py:340-342)."""
+    r = client.get("/play")
+    assert r.status_code == 200
+    assert r.content_type.startswith("text/html")
+    assert b"<html" in r.data.lower() and b"query" in r.data.lower()
+    # POST /play still executes queries (both routes, reference main.py:306)
+    r2 = client.post("/play?default_format=JSONCompact", data=b"SELECT 1 AS one")
+    assert r2.status_code == 200 and b'"one"' in r2.data
+
+
 def test_http_insert_ndjson(client, spark):
     spark.sql("DROP TABLE IF EXISTS _ins_test")
     spark.sql("CREATE TABLE _ins_test (a BIGINT, b STRING) USING parquet")
@@ -212,7 +224,73 @@ def test_flight_list_actions_create_schema(flight_client, spark):
     assert res[0].body.to_pybytes() == b"ok"
     assert any(d.name == "flight_test_db" for d in spark.catalog.listDatabases())
     res = list(flight_client.do_action(fl.Action("list_schemas", b"{}")))
-    assert "flight_test_db" in json.loads(res[0].body.to_pybytes())
+    # reference envelope (main.py:581-594): [4-byte LE msgpack length,
+    # zstd(msgpack(catalog_root))] as two Result bodies
+    from quackflight_spark.serving.airport_codec import decode_action_reply
+
+    assert len(res) == 2
+    length_bytes = res[0].body.to_pybytes()
+    compressed = res[1].body.to_pybytes()
+    assert len(length_bytes) == 4
+    assert compressed[:4] == bytes.fromhex("28b52ffd")  # zstd frame magic
+    catalog_root = decode_action_reply(length_bytes, compressed)
+    assert set(catalog_root) == {"contents", "schemas"}
+    entries = {s["schema"]: s for s in catalog_root["schemas"]}
+    assert "flight_test_db" in entries
+    assert set(entries["flight_test_db"]) == {
+        "schema", "description", "tags", "type", "contents"
+    }
+
+
+def test_flight_canned_flights_roundtrip(flight_client):
+    """The four canned catalog flights (reference main.py:496-521) are
+    listed as real FlightInfo objects and every ticket executes."""
+    import pyarrow.flight as fl
+
+    infos = list(flight_client.list_flights())
+    canned = {
+        i.descriptor.command.decode(): i
+        for i in infos
+        if i.descriptor.descriptor_type == fl.DescriptorType.CMD
+    }
+    assert set(canned) >= {"show_databases", "show_tables", "show_version",
+                           "list_schemas"}
+    for info in canned.values():
+        table = flight_client.do_get(info.endpoints[0].ticket).read_all()
+        assert table.schema.equals(info.schema)  # advertised schema is real
+    dbs_ticket = canned["show_databases"].endpoints[0].ticket
+    t = flight_client.do_get(dbs_ticket).read_all()
+    assert "default" in t.to_pydict()[t.schema.names[0]]
+
+
+def test_airport_codec_roundtrip():
+    """Minimal msgpack encoder: canonical bytes for the payload shapes the
+    envelope uses, verified against hand-computed spec encodings."""
+    from quackflight_spark.serving.airport_codec import (
+        decode_action_reply,
+        encode_action_reply,
+        packb,
+        unpackb,
+    )
+
+    # spec vectors (msgpack.org): fixmap/fixstr/nil/true/fixint/fixarray
+    assert packb({}) == b"\x80"
+    assert packb([1, 2]) == b"\x92\x01\x02"
+    assert packb("abc") == b"\xa3abc"
+    assert packb(None) == b"\xc0"
+    assert packb(True) == b"\xc3"
+    assert packb(200) == b"\xcc\xc8"
+    assert packb(-5) == b"\xfb"
+    assert packb(70000) == b"\xce\x00\x01\x11\x70"
+    payload = {
+        "contents": {"url": None, "sha256": None, "serialized": None},
+        "schemas": [
+            {"schema": "s1", "description": "d", "tags": {}, "type": "table",
+             "contents": {"url": None, "sha256": None, "serialized": None}},
+        ],
+    }
+    assert unpackb(packb(payload)) == payload
+    assert decode_action_reply(*encode_action_reply(payload)) == payload
 
 
 def test_flight_bearer_auth_namespace(flight_client, spark):

@@ -68,16 +68,19 @@ def test_truly_concurrent_reader_thread(spark, tmp_table):
 
 
 def _events_stream(spark, sf_dir):
-    """readStream over the events fixture (ns ts → µs, same as the batch
-    loader). The file-stream source needs a directory, so the single
-    parquet file is staged into a temp dir."""
+    """readStream over the events fixture (ts normalized by the SAME
+    dtype-guarded helper the batch loader uses). The file-stream source
+    needs a directory, so the single parquet file is staged into a temp
+    dir."""
     import os
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
 
     stage = tempfile.mkdtemp(prefix="qf_events_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return events_ts_normalized(stream)
 
 
 def test_streaming_tumbling_equals_batch(spark, sf_dir):

@@ -143,3 +143,49 @@ def test_merge_cow_inserts_new_partition(spark, sf_dir, tmpdir):
     back = spark.read.parquet(path)
     assert back.filter(F.col("c_mktsegment") == "BRANDNEW").count() == 5
     assert back.count() == base.count() + 5
+
+
+def test_delete_cow_whole_partition(spark, sf_dir, tmpdir):
+    """A predicate matching EVERY row of a partition must remove the
+    whole partition directory (retention-sweep / GDPR erasure), not
+    silently leave it behind because staging emitted no dir for it."""
+    import os
+
+    from quackflight_spark.sources.merge import delete_where_cow
+
+    path = f"{tmpdir}/cust3"
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+    assert os.path.isdir(f"{path}/c_mktsegment=BUILDING")
+    delete_where_cow(spark, path, F.col("c_mktsegment") == "BUILDING", "c_mktsegment")
+    assert not os.path.exists(f"{path}/c_mktsegment=BUILDING")
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("c_mktsegment") == "BUILDING").count() == 0
+    assert back.count() == base.filter(F.col("c_mktsegment") != "BUILDING").count()
+
+
+def test_delete_cow_null_predicate_rows_survive(spark, sf_dir, tmpdir):
+    """DELETE removes predicate=TRUE rows only: rows where the predicate
+    evaluates NULL (NULL acctbal here) must survive in rewritten
+    partitions, matching both SQL semantics and the touched-partition
+    computation."""
+    from quackflight_spark.sources.merge import delete_where_cow
+
+    path = f"{tmpdir}/cust4"
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    # null out the balance for every 3rd customer, then delete negatives
+    based = base.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_acctbal")),
+    )
+    based.write.mode("overwrite").partitionBy("c_mktsegment").parquet(path)
+    n_null = based.filter(F.col("c_acctbal").isNull()).count()
+    n_neg = based.filter(F.col("c_acctbal") < 0).count()
+    delete_where_cow(spark, path, F.col("c_acctbal") < 0, "c_mktsegment")
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("c_acctbal").isNull()).count() == n_null
+    assert back.count() == based.count() - n_neg
