@@ -111,6 +111,29 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_frame("doc_shingles", sf_dir, build)
 
 
+def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hsh: sorted 60-bit hashes of the distinct shingles, n_sh).
+
+    The compact verify-side representation for Jaccard on candidate
+    pairs: int arrays are ~2.5× smaller than the string shingles and,
+    being bounded (~8 KB/doc), broadcastable — so pair-verify joins never
+    shuffle array payloads.  Hashing preserves exact Jaccard w.h.p.: a
+    within-doc 60-bit collision (which would shrink |A|) has
+    P ≈ n_sh²/2⁶¹ ≈ 4e-13 per doc.  Built once per corpus (frame_cache)."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    d = doc_shingles(spark, sf_dir)
+    return shared_frame(
+        "doc_shingle_hashes",
+        sf_dir,
+        lambda: d.select(
+            "doc_id",
+            F.array_sort(F.transform(F.col("sh"), lambda s: _h60(F.lit(0), s))).alias("hsh"),
+            F.size("sh").alias("n_sh"),
+        ),
+    )
+
+
 # DuckDB equivalent of word_bigrams (shared by several oracles)
 _DUCK_BIGRAMS = """
     list_sort(list_distinct(
@@ -257,6 +280,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sig = shared_frame("minhash_sig", sf_dir, build_sig)
+    hs = doc_shingle_hashes(spark, sf_dir)
     # bands: (band_id, md5 of the band's signature slice) as bucket key
     bands = sig.select(
         "doc_id",
@@ -285,16 +309,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify on the (small) candidate set
-    sh_a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Exact verify on the candidate set. The arrays must NOT ride the
+    # candidate shuffle: on this corpus the 32×2 banding (needed for the
+    # 4e-10 miss bound) admits ~400k false-positive candidates, and
+    # joining each to two ~20 KB string-shingle arrays pushed ~17 GB
+    # through the exchange (r2 bench: 8-80 s with GC thrash).  Instead the
+    # per-doc SORTED 60-bit shingle-hash arrays (8 KB, broadcastable)
+    # attach via broadcast hash joins — candidates stay (long, long) pairs
+    # end-to-end and the intersect runs on int arrays in codegen.  At
+    # 100 TB the same shape holds with the hash-array table bucketed on
+    # doc_id (co-partitioned joins) instead of broadcast.
+    ha = hs.select(
+        F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"), F.col("n_sh").alias("na")
+    )
+    hb = hs.select(
+        F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"), F.col("n_sh").alias("nb")
+    )
+    n_common = F.size(F.array_intersect("ha", "hb"))
     return (
-        candidates.join(sh_a, "doc_a").join(sh_b, "doc_b")
+        candidates.join(F.broadcast(ha), "doc_a").join(F.broadcast(hb), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+                n_common.cast("double") / (F.col("na") + F.col("nb") - n_common),
                 8,
             ),
         )
@@ -553,47 +590,66 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackflight_spark.pipeline.frame_cache import shared_frame
 
     def build_labels() -> DataFrame:
+        # localCheckpoint (eager) rather than persist: iterative algorithms
+        # accumulate lineage — by round N the logical plan embeds the whole
+        # LSH pipeline N times over and Catalyst re-analysis dominated the
+        # loop (~9 s/round on a 48-node graph at sf0.01). Checkpointing
+        # truncates the plan to the materialized blocks, so per-round
+        # planning cost is CONSTANT. On a cluster use reliable
+        # checkpoint(dir) for executor-loss tolerance — same call shape.
         pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = _reused(
+        edges = (
             pairs.union(
                 pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-            ).toDF("src", "dst")
+            )
+            .toDF("src", "dst")
+            .localCheckpoint()
         )
-        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-            "lbl", F.col("node")
-        ).persist()
-        try:
-            changed = -1
-            for _ in range(CLUSTER_MAX_ROUNDS):  # safety bound >> component diameter
-                neighbor_min = (
-                    edges.join(labels, edges.src == labels.node)
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.min("lbl").alias("nlbl"))
-                )
-                new_labels = (
-                    labels.join(neighbor_min, on="node", how="left")
-                    .select("node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
-                    .persist()
-                )
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), on="node")
-                    .filter(F.col("n.lbl") != F.col("o.lbl"))
-                    .count()
-                )
-                labels.unpersist()  # the new frame is materialized by the count above
-                labels = new_labels
-                if changed == 0:
-                    break
-            if changed != 0:
-                labels.unpersist()
-                raise RuntimeError(
-                    f"dedup_clusters: min-label propagation did not converge in "
-                    f"{CLUSTER_MAX_ROUNDS} rounds ({changed} labels still changing) — "
-                    "component diameter exceeds the bound; raise CLUSTER_MAX_ROUNDS"
-                )
-        finally:
-            edges.unpersist()
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint()
+        )
+        changed = -1
+        for _ in range(CLUSTER_MAX_ROUNDS):  # bound >> log₂(diameter)
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            stepped = labels.join(neighbor_min, on="node", how="left").select(
+                "node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            # Path halving (pointer jumping): lbl ← min(lbl, lbl[lbl]).
+            # Labels are always in-component node ids, so following the
+            # label's own label stays in-component; each round therefore
+            # halves remaining pointer chains and convergence is
+            # O(log diameter) rounds, not O(diameter) — the standard trick
+            # from parallel CC (Shiloach-Vishkin / GraphFrames' large-star).
+            lbl_lookup = labels.select(
+                F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+            )
+            new_labels = (
+                stepped.join(lbl_lookup, on="lbl", how="left")
+                .select("node", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        if changed != 0:
+            raise RuntimeError(
+                f"dedup_clusters: min-label propagation did not converge in "
+                f"{CLUSTER_MAX_ROUNDS} rounds ({changed} labels still changing) — "
+                "component diameter exceeds the bound; raise CLUSTER_MAX_ROUNDS"
+            )
         return labels
 
     labels = shared_frame("cluster_labels", sf_dir, build_labels)

@@ -36,9 +36,21 @@ _SAFE_DB = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 def ensure_namespace(spark: SparkSession, name: str) -> str:
     """CREATE DATABASE IF NOT EXISTS (identifier-validated, no f-string
-    injection — the reference's f-string DDL is another §7 bug)."""
+    injection — the reference's f-string DDL is another §7 bug).
+
+    The reference literally ATTACHes the `database` parameter as a DuckDB
+    *file path* per request (main.py:284, 326). A distributed engine has
+    no single-file database to attach, so path-like values (anything that
+    is not a bare identifier) are REJECTED here with an explicit message
+    rather than silently mapped to a namespace that does not contain the
+    file's data — an honest loud deviation instead of a quiet wrong one."""
     if not _SAFE_DB.match(name):
-        raise ValueError(f"invalid namespace name: {name!r}")
+        raise ValueError(
+            f"invalid namespace name: {name!r}. The `database` parameter "
+            "selects a managed namespace (bare identifier), not a database "
+            "file; attaching external .duckdb/.db files is not supported — "
+            "register the data as tables instead"
+        )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
     return name
 

@@ -86,6 +86,15 @@ def test_user_namespace_hashing():
     assert a != user_namespace("alice", "other")
 
 
+def test_path_like_database_param_rejected_loudly(client):
+    """The reference ATTACHes the `database` param as a DuckDB file path
+    (main.py:284); we have no file to attach, so a path-like value must
+    produce an explicit 400, not a namespace quietly named like a path."""
+    r = client.get("/?query=SELECT 1&database=/data/mydb.duckdb")
+    assert r.status_code == 400
+    assert b"not supported" in r.data and b"namespace" in r.data
+
+
 # --- HTTP app ---------------------------------------------------------------
 
 @pytest.fixture(scope="module")
