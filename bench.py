@@ -60,6 +60,7 @@ BENCH_KEYS = [
     "pipeline_corpus_prep",
     "pipeline_decontaminate",
     "stream_tumbling",
+    "stream_interval_join",
     "rollup_time_partitioned",
     "timeseries_gapfill",
     "stream_session",

@@ -158,6 +158,56 @@ EVENTS_LAYOUT_ROOT = "/tmp/qf_events_layout"  # derived data; fixtures untouched
 ROLLUP_FROM, ROLLUP_TO = "2024-01-08", "2024-01-14"
 
 
+@query("stream_interval_join", oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           CAST(date_diff('second', CAST(c.ts AS TIMESTAMP),
+                          CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS lag_sec
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts
+     AND e.ts < c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+""")
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join, batch-equivalent semantics:
+    every error within 10 minutes AFTER a click by the same user.
+
+    Under Structured Streaming the identical join condition runs as a
+    watermarked stream-stream inner join (state bounded by watermark +
+    interval width; proven equal to this batch form in
+    tests/test_streaming.py::test_streaming_interval_join_equals_batch).
+    Batch plan: equi-join keyed on user_id with the time bound as a
+    residual predicate — shuffles on user_id only, never on time. At
+    100 TB the state store holds ≤ (watermark + 10 min) of each side per
+    key; the batch backfill form here is how the same pipeline reprocesses
+    history."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return (
+        clicks.join(
+            errors,
+            (F.col("user_id") == F.col("e_user_id"))
+            & (F.col("error_ts") >= F.col("click_ts"))
+            & (F.col("error_ts") < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "click_id",
+            "error_id",
+            "user_id",
+            (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias("lag_sec"),
+        )
+    )
+
+
 def events_build_layout(spark: SparkSession, sf_dir: str) -> str:
     """Materialize events as a date-partitioned parquet layout (one
     directory per event_date) — the hypertable/time-chunk pattern.

@@ -227,3 +227,59 @@ def test_streaming_dedup_equals_batch(spark, sf_dir):
         q.stop()
     batch = {tuple(r) for r in QUERIES["stream_dedup"](spark, sf_dir).collect()}
     assert streamed == batch
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked stream-stream inner join (clicks × errors within 10
+    minutes, per user) produces exactly the batch interval-join rows —
+    the state-store join with bounded retention IS the batch semantics."""
+    from quackflight_spark.registry import QUERIES, load_all
+
+    load_all()
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (F.col("error_ts") < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "click_id",
+        "error_id",
+        "user_id",
+        (F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")).alias("lag_sec"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ijoin_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.sql("SELECT * FROM ijoin_out").collect()}
+    finally:
+        q.stop()
+    batch = {
+        tuple(r) for r in QUERIES["stream_interval_join"](spark, sf_dir).collect()
+    }
+    assert len(batch) > 0
+    assert streamed == batch
