@@ -62,4 +62,5 @@ def load_all() -> None:
     import quackflight_spark.sources.merge  # noqa: F401
     import quackflight_spark.serving.formats  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
+    import quackflight_spark.streaming.upsert_sink  # noqa: F401
     import quackflight_spark.operators.relational  # noqa: F401
