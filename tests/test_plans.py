@@ -117,6 +117,29 @@ def test_deterministic_splits_are_pure_maps(spark, sf_dir, q):
         assert "Exchange" not in plan, key
 
 
+def test_dynamic_partition_pruning_on_events_layout(spark, sf_dir):
+    """Joining the date-partitioned events layout against a filtered dim
+    on the partition column must inject a DPP subquery into the scan's
+    PartitionFilters — at 100 TB this is the difference between scanning
+    the two joined day-directories and scanning the whole table."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.streaming.windowed import events_build_layout
+
+    path = events_build_layout(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), "a"), (datetime.date(2024, 1, 2), "b")],
+        "event_date DATE, tag STRING",
+    ).filter(F.col("tag") >= "a")  # non-foldable filter: keeps the dim a real join side
+    j = fact.join(dim, "event_date").groupBy("event_date").count()
+    out = _formatted(j)
+    pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines and any("dynamicpruning" in ln for ln in pf_lines), pf_lines
+
+
 def test_time_rollup_prunes_date_partitions(spark, sf_dir, q):
     """The date-ranged rollup must prune to its day-directories: the
     BETWEEN lands in PartitionFilters (directory skip), and the scan
