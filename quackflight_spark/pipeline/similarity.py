@@ -374,3 +374,100 @@ def ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the memory-compression scale path
+
+PQ_M = 8            # subvectors per vector
+PQ_K = 32           # centroids per sub-codebook (5-bit codes)
+PQ_ITERS = 5        # Lloyd rounds per sub-codebook
+PQ_TRAIN_SAMPLE = 4096
+PQ_RERANK = 256     # ADC candidates exact-reranked per query
+
+_PQ_INDEX: dict[str, "np.ndarray"] = {}
+
+
+def _train_pq(emb) -> "np.ndarray":
+    """Deterministic per-subspace k-means on a bounded driver-side sample
+    (same FAISS-style contract as _train_centroids): returns (M, K, dsub)
+    codebooks. Training cost is constant in corpus size; only the
+    distributed ENCODE pass touches the full corpus."""
+    import numpy as np
+
+    sample = emb.orderBy("vec_id").select("e").limit(PQ_TRAIN_SAMPLE).collect()
+    x = np.array([r["e"] for r in sample], dtype=np.float64)
+    dsub = DIM // PQ_M
+    books = np.zeros((PQ_M, PQ_K, dsub), dtype=np.float64)
+    for m in range(PQ_M):
+        xs = x[:, m * dsub:(m + 1) * dsub]
+        c = xs[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)
+            assign = d.argmin(axis=1)
+            for k in range(PQ_K):
+                members = xs[assign == k]
+                if len(members):
+                    c[k] = members.mean(axis=0)
+        books[m] = c
+    return books
+
+
+def _pq_books_for(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    if sf_dir not in _PQ_INDEX:
+        _PQ_INDEX[sf_dir] = _train_pq(_emb_normed(spark, sf_dir))
+    return _PQ_INDEX[sf_dir]
+
+
+@query("ann_pq_topk")  # rows-only: recall vs brute force asserted in tests
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 5-bit × PQ_M codes per vector (8 bytes
+    stored as int array; ~50× smaller than the raw 64-dim float64) + asymmetric-distance scan, exact
+    rerank of the ADC top-PQ_RERANK.
+
+    The 100 TB story is MEMORY, complementing IVF's IO pruning: the
+    full-corpus scan runs over the code table (64× smaller than the
+    vectors), raw vectors are only fetched for the ≤ N_QUERIES×PQ_RERANK
+    rerank candidates (a keyed semi-join, never a full-corpus column
+    read). Codebooks train once per corpus on a bounded sample; the
+    encode pass is a pure Arrow map cached like every index artifact
+    (frame_cache). In FAISS terms: IVF-PQ's PQ half, with the IVF half
+    available by composing with the cell layout of ann_ivf_pruned.
+    """
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+    from quackflight_spark.pipeline.veckernels import pq_adc_score_udf, pq_encode_udf
+
+    books = _pq_books_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    codes = shared_frame(
+        "pq_codes",
+        sf_dir,
+        lambda: emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            pq_encode_udf(books)(F.col("e")).alias("codes"),
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    adc = (
+        codes.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", pq_adc_score_udf(books)(F.col("qe"), F.col("codes")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "qe", "neighbor_id")
+    )
+    rerank = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
+        on="neighbor_id",
+    )
+    scored = rerank.withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

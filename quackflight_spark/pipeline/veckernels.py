@@ -134,3 +134,61 @@ def ivf_probe_udf(centroids: np.ndarray, n_probes: int):
         return pd.Series(list(order.astype(np.int32)))
 
     return _probe
+
+
+def pq_encode_udf(codebooks: np.ndarray):
+    """Pandas UDF: embedding → array<int> of M sub-codebook codes.
+
+    ``codebooks`` is (M, K, dsub): vector x is split into M contiguous
+    dsub-dim subvectors; code m = argmin_k ||x_m - codebooks[m, k]||².
+    Rank decision only (argmin), so BLAS matmuls are fine."""
+
+    n_sub, _, dsub = codebooks.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(emb: pd.Series) -> pd.Series:
+        m = _mat(emb)
+        codes = np.empty((len(m), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            xs = m[:, s * dsub:(s + 1) * dsub]
+            cb = codebooks[s]
+            d = -2.0 * (xs @ cb.T) + (cb * cb).sum(axis=1)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _encode
+
+
+def pq_adc_score_udf(codebooks: np.ndarray):
+    """Pandas UDF: (query embedding, corpus codes) → approximate inner
+    product via asymmetric distance computation: score ≈ Σ_m
+    LUT_q[m, code_m], LUT_q[m, k] = q_m · codebooks[m, k].
+
+    Queries repeat across the corpus rows of a batch, so the per-query
+    lookup table is computed once per distinct query in the batch (keyed
+    by the raw vector bytes) and applied with one fancy-index gather.
+    Approximate scores only feed a rank cut (top-C before exact rerank) —
+    BLAS summation drift is acceptable."""
+
+    n_sub, _, dsub = codebooks.shape
+
+    @F.pandas_udf(DoubleType())
+    def _score(qe: pd.Series, codes: pd.Series) -> pd.Series:
+        code_mat = np.vstack(codes.to_numpy()).astype(np.int64, copy=False)
+        out = np.empty(len(code_mat), dtype=np.float64)
+        luts: dict[bytes, np.ndarray] = {}
+        qarr = qe.to_numpy()
+        keys = np.array([np.asarray(v, dtype=np.float64).tobytes() for v in qarr])
+        for key in np.unique(keys):
+            q = np.frombuffer(key, dtype=np.float64)
+            lut = np.empty((n_sub, codebooks.shape[1]), dtype=np.float64)
+            for s in range(n_sub):
+                lut[s] = codebooks[s] @ q[s * dsub:(s + 1) * dsub]
+            luts[key] = lut
+        for key, lut in luts.items():
+            rows = np.nonzero(keys == key)[0]
+            gathered = lut[np.arange(n_sub)[None, :], code_mat[rows]]
+            out[rows] = gathered.sum(axis=1)
+        return pd.Series(out)
+
+    return _score

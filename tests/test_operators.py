@@ -37,6 +37,7 @@ def test_registry_contract():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivf_pruned",
+        "ann_pq_topk",
         "mm_decode",
         "mm_feature_extract",
         "mm_resize",
@@ -156,6 +157,23 @@ def test_ann_ivf_recall(spark, sf_dir):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8, f"IVF ANN recall {recall:.2f} < 0.8"
+
+
+def test_ann_pq_recall(spark, sf_dir):
+    """PQ+ADC with exact rerank: recall ≥ 0.8 of brute-force top-5.
+    The 8-byte codes must rank well enough that the true neighbors
+    survive into the top-PQ_RERANK shortlist."""
+    q = _queries()
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_pq_topk"](spark, sf_dir).collect()
+    }
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.8, f"PQ ANN recall {recall:.2f} < 0.8"
 
 
 def test_ann_ivf_pruned_equals_inline(spark, sf_dir):
