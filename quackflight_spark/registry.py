@@ -51,6 +51,7 @@ def load_all() -> None:
     import quackflight_spark.operators.subqueries  # noqa: F401
     import quackflight_spark.operators.setops  # noqa: F401
     import quackflight_spark.functions.scalar_suite  # noqa: F401
+    import quackflight_spark.operators.sketches  # noqa: F401
     import quackflight_spark.operators.tpch_extra  # noqa: F401
     import quackflight_spark.operators.tpch_full  # noqa: F401
     import quackflight_spark.pipeline.dedup  # noqa: F401

@@ -38,6 +38,7 @@ def test_registry_contract():
         "ann_ivf_topk",
         "ann_ivf_pruned",
         "ann_pq_topk",
+        "agg_hll_sketch_table",
         "mm_decode",
         "mm_feature_extract",
         "mm_resize",
@@ -321,3 +322,25 @@ def test_split_stable_under_repartitioning(spark, sf_dir):
     n = len(a)
     train = sum(1 for v in a.values() if v < 90)
     assert abs(train / n - 0.9) < 0.1
+
+
+def test_hll_sketch_table_accuracy(spark, sf_dir):
+    """The stored-sketch rollup answers distinct counts within 2% of the
+    exact COUNT(DISTINCT) — without rescanning the fact table."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    est = {
+        (r["l_returnflag"], r["approx_orders"])
+        for r in _queries()["agg_hll_sketch_table"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert len(est) == len(exact) > 0
+    for flag, approx in est:
+        rel = abs(approx - exact[flag]) / exact[flag]
+        assert rel <= 0.02, (flag, approx, exact[flag])
