@@ -189,3 +189,56 @@ def test_delete_cow_null_predicate_rows_survive(spark, sf_dir, tmpdir):
     back = spark.read.parquet(path)
     assert back.filter(F.col("c_acctbal").isNull()).count() == n_null
     assert back.count() == based.count() - n_neg
+
+
+def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmpdir):
+    """Z-order clustering must give every parquet file a tight min/max
+    envelope on BOTH cluster columns (multi-column data skipping); a
+    linear sort only clusters its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from quackflight_spark.sources.layout import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    lo_u, hi_u = [
+        (r["lo"], r["hi"])
+        for r in ev.agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi")).collect()
+    ][0]
+    lo_v, hi_v = [
+        (r["lo"], r["hi"])
+        for r in ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()
+    ][0]
+
+    def mean_range_frac(path, col, lo, hi):
+        fracs = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fracs.append((s.max - s.min) / (hi - lo))
+        assert fracs
+        return sum(fracs) / len(fracs)
+
+    # baseline: linear sort by user_id — value spans everything
+    lin = f"{tmpdir}/linear"
+    ev.repartitionByRange(16, F.col("user_id")).sortWithinPartitions("user_id").write.mode(
+        "overwrite"
+    ).parquet(lin)
+    zo = f"{tmpdir}/zorder"
+    write_zordered(ev, zo, "user_id", "value")
+
+    lin_value_frac = mean_range_frac(lin, "value", lo_v, hi_v)
+    z_user_frac = mean_range_frac(zo, "user_id", lo_u, hi_u)
+    z_value_frac = mean_range_frac(zo, "value", lo_v, hi_v)
+    # z-order keeps BOTH columns skippable...
+    assert z_user_frac < 0.5, z_user_frac
+    assert z_value_frac < 0.5, z_value_frac
+    # ...while the linear layout's second column spans ≥2× wider envelopes
+    assert lin_value_frac > 2 * z_value_frac, (lin_value_frac, z_value_frac)
+    # and the data round-trips
+    assert spark.read.parquet(zo).count() == ev.count()
