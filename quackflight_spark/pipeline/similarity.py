@@ -471,3 +471,56 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+@query("ann_ivfpq_topk")  # rows-only: recall vs brute force asserted in tests
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full FAISS-style IVF-PQ: IVF cells prune WHICH vectors are scored
+    (read ≤ nprobe/K of the corpus), PQ codes compress WHAT is scored
+    (~50× smaller than raw vectors), exact cosine reranks the ADC
+    shortlist. The two index artifacts compose: one cached frame holds
+    (vec_id, cell, codes) — at 100 TB it is the cell-partitioned code
+    table on disk, two orders of magnitude smaller than the corpus, and
+    a probe touches nprobe/K of THAT."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+    from quackflight_spark.pipeline.veckernels import pq_adc_score_udf, pq_encode_udf
+
+    centroids = _centroids_for(spark, sf_dir)
+    books = _pq_books_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    index = shared_frame(
+        "ivfpq_index",
+        sf_dir,
+        lambda: emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _assign_cell(centroids).alias("cell"),
+            pq_encode_udf(books)(F.col("e")).alias("codes"),
+        ),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cell", F.explode(_probe_cells(centroids)))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cell")
+    )
+    adc = (
+        index.join(F.broadcast(queries), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", pq_adc_score_udf(books)(F.col("qe"), F.col("codes")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "qe", "neighbor_id")
+    )
+    rerank = shortlist.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")),
+        on="neighbor_id",
+    )
+    scored = rerank.withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

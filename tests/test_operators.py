@@ -38,6 +38,7 @@ def test_registry_contract():
         "ann_ivf_topk",
         "ann_ivf_pruned",
         "ann_pq_topk",
+        "ann_ivfpq_topk",
         "agg_hll_sketch_table",
         "mm_decode",
         "mm_feature_extract",
@@ -175,6 +176,23 @@ def test_ann_pq_recall(spark, sf_dir):
     }
     recall = len(bf & pq) / len(bf)
     assert recall >= 0.8, f"PQ ANN recall {recall:.2f} < 0.8"
+
+
+def test_ann_ivfpq_recall(spark, sf_dir):
+    """Composed IVF-PQ: cell pruning + compressed-code ADC + rerank still
+    recalls >= 0.8 of brute-force top-5 (losses can come from BOTH the
+    unprobed cells and the code quantization)."""
+    q = _queries()
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    ivfpq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q["ann_ivfpq_topk"](spark, sf_dir).collect()
+    }
+    recall = len(bf & ivfpq) / len(bf)
+    assert recall >= 0.8, f"IVF-PQ ANN recall {recall:.2f} < 0.8"
 
 
 def test_ann_ivf_pruned_equals_inline(spark, sf_dir):
