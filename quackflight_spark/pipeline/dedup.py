@@ -41,8 +41,8 @@ SIMHASH_BITS = 48
 SIMHASH_BANDS = 4       # 12-bit chunks; hamming ≤ SIMHASH_BANDS-1 guaranteed caught
 HAMMING_MAX = 3
 CLUSTER_MAX_ROUNDS = 50  # min-label propagation bound (≫ near-dup diameters)
-DEDUP_LSH_PLANES = 4     # sign bits per sketch (embedding dedup blocking)
-DEDUP_LSH_TABLES = 24    # OR-amplified tables → P(miss | cos=0.8) ≈ 5e-6
+DEDUP_LSH_PLANES = 16    # sign bits per sketch (embedding dedup blocking)
+DEDUP_LSH_TABLES = 480   # OR-amplified tables → P(miss | cos=0.8) ≈ 4e-6
 
 
 def _h60(seed: Column, s: Column) -> Column:
@@ -485,13 +485,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     step computes the exact cosine on candidates with the same Catalyst
     fold as the oracle, so false positives are removed exactly.
 
-    Miss bound: a pair at cos = 0.8 collides per plane with
-    p = 1 - arccos(0.8)/π ≈ 0.795, per table p⁴ ≈ 0.40, so
-    P(miss) = (1-p⁴)²⁴ ≈ 5e-6 — and it vanishes as cos → 1 (true
-    near-dups), the regime this operator exists for. The DuckDB oracle
-    stays the all-pairs ground truth. At 100 TB: sketch compute is a
-    pure Arrow map over the corpus; candidate volume is governed by
-    bucket collisions, tunable via DEDUP_LSH_PLANES.
+    Parameter choice (b = 16 planes, T = 480 tables): a pair at
+    cos = 0.8 collides per plane with p = 1 - arccos(0.8)/π ≈ 0.795,
+    per table p¹⁶ ≈ 0.026, so P(miss) = (1-p¹⁶)⁴⁸⁰ ≈ 4e-6 — vanishing
+    as cos → 1, the regime this operator exists for.  The 16-bit tables
+    are what make the blocking actually BLOCK: an uncorrelated pair
+    (cos ≈ 0 ⇒ p ≈ 0.5) passes a table with 0.5¹⁶ ≈ 1.5e-5, so random
+    pass-through is 1-(1-1.5e-5)⁴⁸⁰ ≈ 0.7 % of all pairs (the r2-interim
+    4-bit × 24-table setting had the same miss bound but let 77 % of
+    random pairs through — all-pairs with extra steps).  The DuckDB
+    oracle stays the all-pairs ground truth. At 100 TB: sketch compute
+    is a pure Arrow map over the corpus; candidate volume is governed by
+    the (b, T) operating point.
     """
     from quackflight_spark.pipeline.frame_cache import shared_frame
     from quackflight_spark.pipeline.similarity import _hyperplanes
