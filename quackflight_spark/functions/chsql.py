@@ -178,3 +178,21 @@ def register_chsql_functions(spark: SparkSession) -> None:
         except Exception:  # pragma: no cover - depends on Spark build
             # Registration is best-effort; dialect rewrite still covers it.
             continue
+
+
+def ensure_chsql_functions(spark: SparkSession) -> None:
+    """Idempotently register the chsql surface on *this* session.
+
+    Queries that exercise chsql names via ``spark.sql`` (scalar_suite
+    fn_cast_ch/fn_date_ch/fn_url_ip) must not assume the session came from
+    session.get_spark — the correctness driver builds its own bare
+    SparkSession, where the startup registration never ran. Guarded by a
+    per-session attribute so repeated calls cost one getattr.
+    """
+    if getattr(spark, "_quackflight_chsql_registered", False):
+        return
+    register_chsql_functions(spark)
+    try:
+        spark._quackflight_chsql_registered = True
+    except Exception:  # pragma: no cover - frozen session proxy
+        pass

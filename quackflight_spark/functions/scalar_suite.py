@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quackflight_spark.functions.chsql import ensure_chsql_functions
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
@@ -141,21 +142,26 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fn_array_hof", oracle="""
     SELECT n_regionkey,
-           list_transform(list_sort(list(n_name)), x -> upper(x)) AS upper_names,
-           list_filter(list_sort(list(n_nationkey)), x -> x % 2 = 0) AS even_keys,
+           CAST(to_json(list_transform(list_sort(list(n_name)), x -> upper(x))) AS VARCHAR) AS upper_names,
+           CAST(to_json(list_filter(list_sort(list(n_nationkey)), x -> x % 2 = 0)) AS VARCHAR) AS even_keys,
            list_reduce(list_sort(list(CAST(n_nationkey AS BIGINT))), (a, b) -> a + b) AS key_sum,
            len(list(n_name)) AS n
     FROM nation GROUP BY n_regionkey
 """)
 def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions: DuckDB list_transform/filter/reduce ↔
-    Spark transform/filter/aggregate — all codegen'd, no UDFs."""
+    Spark transform/filter/aggregate — all codegen'd, no UDFs.
+
+    Array cells are projected through to_json on BOTH sides: the driver's
+    pandas canonicalizer cannot factorize raw list cells (r2 `unhashable
+    type: 'list'`, same constraint agg_list hit in r1) — the HOF semantics
+    are fully exercised before serialization."""
     n = load_table(spark, sf_dir, "nation")
     names = F.array_sort(F.collect_list("n_name"))
     keys = F.array_sort(F.collect_list("n_nationkey"))
     return n.groupBy("n_regionkey").agg(
-        F.transform(names, lambda x: F.upper(x)).alias("upper_names"),
-        F.filter(keys, lambda x: x % 2 == 0).alias("even_keys"),
+        F.to_json(F.transform(names, lambda x: F.upper(x))).alias("upper_names"),
+        F.to_json(F.filter(keys, lambda x: x % 2 == 0)).alias("even_keys"),
         F.aggregate(
             F.array_sort(F.collect_list(F.col("n_nationkey").cast("bigint"))),
             F.lit(None).cast("bigint"),
@@ -167,22 +173,23 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("fn_array_ops", oracle="""
     SELECT n_nationkey,
-           [n_nationkey, n_regionkey] AS pair,
+           CAST(to_json([n_nationkey, n_regionkey]) AS VARCHAR) AS pair,
            array_contains([0, 1, 2], n_regionkey) AS in_small,
-           list_append([n_regionkey], n_nationkey) AS appended,
-           range(3) AS r3
+           CAST(to_json(list_append([n_regionkey], n_nationkey)) AS VARCHAR) AS appended,
+           CAST(to_json(range(3)) AS VARCHAR) AS r3
     FROM nation
 """)
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construct / contains / append + range (DuckDB range(3) =
-    [0,1,2] ↔ Spark sequence(0,2))."""
+    [0,1,2] ↔ Spark sequence(0,2)). Array cells serialized via to_json on
+    both sides — driver canonicalizer constraint (see fn_array_hof)."""
     n = load_table(spark, sf_dir, "nation")
     return n.select(
         "n_nationkey",
-        F.array("n_nationkey", "n_regionkey").alias("pair"),
+        F.to_json(F.array("n_nationkey", "n_regionkey")).alias("pair"),
         F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), F.col("n_regionkey")).alias("in_small"),
-        F.concat(F.array("n_regionkey"), F.array("n_nationkey")).alias("appended"),
-        F.sequence(F.lit(0), F.lit(2)).alias("r3"),
+        F.to_json(F.concat(F.array("n_regionkey"), F.array("n_nationkey"))).alias("appended"),
+        F.to_json(F.sequence(F.lit(0), F.lit(2))).alias("r3"),
     )
 
 
@@ -212,17 +219,19 @@ def fn_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("fn_map_access", oracle="""
     SELECT n_nationkey,
            element_at(MAP {'k': n_regionkey}, 'k')[1] AS v,
-           map_keys(MAP {'a': 1, 'b': 2}) AS ks
+           CAST(to_json(map_keys(MAP {'a': 1, 'b': 2})) AS VARCHAR) AS ks
     FROM nation
 """)
 def fn_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + element_at/map_keys."""
+    """Map construction + element_at/map_keys. The key list is serialized
+    via to_json on both sides — driver canonicalizer constraint (see
+    fn_array_hof)."""
     n = load_table(spark, sf_dir, "nation")
     return n.select(
         "n_nationkey",
         F.element_at(F.create_map(F.lit("k"), F.col("n_regionkey")), F.lit("k")).alias("v"),
-        F.map_keys(
-            F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))
+        F.to_json(
+            F.map_keys(F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)))
         ).alias("ks"),
     )
 
@@ -311,7 +320,10 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_cast_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-compat functions (chsql §2.8b: toString/toInt64/
     toFloat64/intDiv) — registered as session SQL functions, exercised
-    through spark.sql to prove the registration path."""
+    through spark.sql to prove the registration path. Self-registers on
+    the caller's session: the driver gate builds a bare SparkSession where
+    get_spark's startup registration never ran (r2 UNRESOLVED_ROUTINE)."""
+    ensure_chsql_functions(spark)
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(
         """
@@ -336,6 +348,7 @@ def fn_cast_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_date_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse date helpers (toYYYYMM/toStartOfMonth/toYear/
     formatDateTime) through the registered chsql session functions."""
+    ensure_chsql_functions(spark)
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
@@ -369,6 +382,7 @@ def fn_url_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the registered session functions — the Spark side converts the
     synthesized ip_num back to dotted form and re-parses it, proving the
     round-trip; the oracle computes the same values arithmetically."""
+    ensure_chsql_functions(spark)
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(
         """

@@ -142,11 +142,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_fingerprint", oracle=r"""
     SELECT doc_id,
-           list_aggregate(
+           CAST(list_aggregate(
              list_transform(
                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
                w -> CAST('0x' || substr(md5(w), 1, 7) AS BIGINT)),
-             'sum') % 2147483647 AS additive_fp,
+             'sum') % 2147483647 AS BIGINT) AS additive_fp,
            CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT) AS content_fp
     FROM documents
 """)
