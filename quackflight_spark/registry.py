@@ -34,17 +34,61 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
     return deco
 
 
-def load_all() -> None:
-    """Import every module that registers queries (idempotent).
+# Keys the driver's budget-limited correctness gate should reach FIRST,
+# in order. The gate walks queries() in dict order and truncated at 50
+# keys in both r1 and r2 (cumulative driver-green 83/146 after r2).
+# Block A: the 8 keys whose r1/r2 rows were errors/hash-fails, now fixed
+# (chsql self-registration, JSON-canonical array/map cells, BIGINT oracle
+# casts, agg_list's r2 canonical-scalar fix). Block B: the 42 oracle keys
+# that have never received a driver row (pipeline/dedup/ANN/text/mm/
+# streaming + TPC-H q8..q22 remainder). A+B = exactly 50. Block C: the 10
+# never-checked rows-only keys — their driver check is weaker (row count
+# only; recall/parity is asserted in tests/), so they cost budget last.
+# Everything not listed follows in module-registration order (all green
+# in CORRECTNESS_r01/r02).
+GATE_PRIORITY: tuple[str, ...] = (
+    # -- Block A: fixed this round, need their green row --
+    "fn_cast_ch", "fn_date_ch", "fn_url_ip",
+    "fn_array_hof", "fn_array_ops", "fn_map_access",
+    "tpch_q12", "agg_list",
+    # -- Block B: never driver-checked, oracle-backed --
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding", "dedup_clusters",
+    "ann_bruteforce_topk",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_vocab_topk", "text_repetition",
+    "pipeline_pack_sequences", "pipeline_decontaminate", "pipeline_corpus_prep",
+    "mm_binary_meta", "mm_frame_sample",
+    "split_train_test", "sample_stratified", "sample_quota",
+    "merge_upsert", "delete_where",
+    "stream_tumbling", "stream_sliding", "stream_session", "stream_dedup",
+    "stream_interval_join", "stream_upsert_sink",
+    "rollup_time_partitioned", "timeseries_gapfill",
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # -- Block C: never driver-checked, rows-only by design --
+    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
+    "ann_ivfpq_topk", "mm_decode", "mm_feature_extract", "mm_resize",
+    "fmt_jsoncompact", "stream_watermark_late",
+)
 
-    ORDER MATTERS: the driver's correctness gate walks keys in
-    registration order and has a budget (r1 truncated after 50 of 141).
-    Modules whose keys have never received a driver correctness row —
-    and the three hardest frontend/rewrite keys (join_asof, win_qualify
-    via windows, recursive_cte) — register FIRST; the 47 keys already
-    proven green in CORRECTNESS_r01.json (relational.py, most of
-    windows.py) register LAST, so a recurrence of the truncation spends
-    its budget on unproven keys."""
+
+def _apply_gate_priority() -> None:
+    """Rebuild QUERIES/ORACLES in GATE_PRIORITY-first order (in place, so
+    modules holding references to the dicts see the new order)."""
+    ordered = {k: QUERIES[k] for k in GATE_PRIORITY if k in QUERIES}
+    ordered.update((k, v) for k, v in QUERIES.items() if k not in ordered)
+    QUERIES.clear()
+    QUERIES.update(ordered)
+    orc = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(orc)
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent), then sort
+    the registry so the driver's gate budget lands on unproven keys first
+    (GATE_PRIORITY above)."""
     import quackflight_spark.operators.asof  # noqa: F401
     import quackflight_spark.operators.recursive  # noqa: F401
     import quackflight_spark.operators.windows  # noqa: F401
@@ -65,3 +109,4 @@ def load_all() -> None:
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401
     import quackflight_spark.operators.relational  # noqa: F401
+    _apply_gate_priority()
