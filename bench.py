@@ -87,6 +87,7 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for key in BENCH_KEYS:
         fn = queries[key]
         fn(spark, SF_DIR).count()  # warm-up (untimed)
@@ -96,7 +97,11 @@ def main() -> None:
             fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
         times[key] = round(min(samples), 4)
-        print(f"# {key}: {times[key]}s", file=sys.stderr)
+        # Raw per-run samples make host-steal spikes auditable: a key whose
+        # min is 2.8 s but whose max is 7 s in the same session is noise,
+        # not plan shape (PERF.md host-noise caveat).
+        spread[key] = [round(s, 4) for s in samples]
+        print(f"# {key}: {times[key]}s  (runs: {spread[key]})", file=sys.stderr)
         # Release BOTH cache layers between keys: the build-once shared
         # frames (frame_cache) and any per-invocation persists. A bare
         # clearCache() would strip the shared frames' storage while
@@ -118,6 +123,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "samples": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "spark": spark.version,
                 "conf": {

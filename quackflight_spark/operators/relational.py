@@ -437,11 +437,17 @@ def _flag_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (Tier B) — native in Spark SQL, run over the
-    finest-grain pre-aggregate (see _flag_status_counts)."""
+    finest-grain pre-aggregate (see _flag_status_counts).
+
+    Empty-input caveat: count(*) over an empty table yields 0 for the ()
+    set, but sum over the 0-row pre-aggregate yields NULL — coalesce
+    covers that; a fully absent () row (no input rows at all) would still
+    diverge, which only an empty fact table can produce."""
     _flag_status_counts(spark, sf_dir).createOrReplaceTempView("qf_fs_counts")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, CAST(sum(n) AS BIGINT) AS n
+        SELECT l_returnflag, l_linestatus,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n
         FROM qf_fs_counts
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -456,7 +462,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _flag_status_counts(spark, sf_dir)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum("n").cast("long").alias("n"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"))
     )
 
 
@@ -468,7 +474,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _flag_status_counts(spark, sf_dir)
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.sum("n").cast("long").alias("n"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n"))
     )
 
 

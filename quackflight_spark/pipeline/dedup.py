@@ -38,6 +38,28 @@ LSH_ROWS = 2            # rows per band
 LSH_BANDS = N_MINHASH // LSH_ROWS  # 32 bands → P(miss | j=0.7) ≈ 4e-10
 JACCARD_THRESHOLD = 0.7
 SIMHASH_BITS = 48
+
+# Above this corpus size the per-doc hash-array side tables (~8 KB/doc)
+# stop being broadcast in the minhash verify join and the plan falls back
+# to AQE's choice — at real scale the table is bucketed on doc_id instead
+# (co-partitioned joins). 200k docs ≈ 1.6 GB, comfortably under Spark's
+# 8 GB broadcast ceiling with driver headroom.
+BROADCAST_DOC_LIMIT = 200_000
+
+
+def _corpus_doc_count(sf_dir: str) -> int:
+    """Row count from the parquet footer — no Spark job, no scan. A
+    corpus that is not a single local parquet file (multi-file dataset,
+    object store) is by definition past toy scale: report it as large so
+    the caller skips the broadcast hint."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    except Exception:
+        return BROADCAST_DOC_LIMIT + 1
 SIMHASH_BANDS = 4       # 12-bit chunks; hamming ≤ SIMHASH_BANDS-1 guaranteed caught
 HAMMING_MAX = 3
 CLUSTER_MAX_ROUNDS = 50  # min-label propagation bound (≫ near-dup diameters)
@@ -68,18 +90,6 @@ def _barrier(df: DataFrame, key: str = "doc_id") -> DataFrame:
     the row key; the expensive projection evaluates exactly once below it.
     At scale this also spreads the CPU-heavy map evenly across executors."""
     return df.repartition(F.col(key))
-
-
-def _reused(df: DataFrame) -> DataFrame:
-    """Persist a frame that feeds BOTH sides of a self-join (candidate
-    generation + verify): without it every branch of the DAG recomputes
-    the full shingle/signature lineage. MEMORY_AND_DISK so a 100 TB run
-    spills instead of OOMing. Frames reused ACROSS invocations go through
-    frame_cache.shared_frame instead — persisting anew per call leaked
-    dozens of orphaned cached frames over a bench session (r1 verdict)."""
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def word_bigrams(words: Column) -> Column:
@@ -326,8 +336,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"), F.col("n_sh").alias("nb")
     )
     n_common = F.size(F.array_intersect("ha", "hb"))
+    # Broadcast only while the hash-array tables actually fit (gate on the
+    # footer row count, r2 advice — an unconditional hint OOMs the driver
+    # past ~200k docs); larger corpora fall back to AQE's join choice,
+    # bucketed on doc_id at real scale.
+    if _corpus_doc_count(sf_dir) <= BROADCAST_DOC_LIMIT:
+        ha, hb = F.broadcast(ha), F.broadcast(hb)
     return (
-        candidates.join(F.broadcast(ha), "doc_a").join(F.broadcast(hb), "doc_b")
+        candidates.join(ha, "doc_a").join(hb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(

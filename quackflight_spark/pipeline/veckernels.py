@@ -176,19 +176,21 @@ def pq_adc_score_udf(codebooks: np.ndarray):
     def _score(qe: pd.Series, codes: pd.Series) -> pd.Series:
         code_mat = np.vstack(codes.to_numpy()).astype(np.int64, copy=False)
         out = np.empty(len(code_mat), dtype=np.float64)
-        luts: dict[bytes, np.ndarray] = {}
-        qarr = qe.to_numpy()
-        keys = np.array([np.asarray(v, dtype=np.float64).tobytes() for v in qarr])
-        for key in np.unique(keys):
+        # Group rows per distinct query with a plain dict keyed by Python
+        # bytes: a fixed-width numpy 'S' array strips trailing NUL bytes,
+        # so a vector whose last components encode to zero bytes would get
+        # a truncated key (short np.frombuffer / distinct queries merged).
+        groups: dict[bytes, list[int]] = {}
+        for i, v in enumerate(qe.to_numpy()):
+            groups.setdefault(np.asarray(v, dtype=np.float64).tobytes(), []).append(i)
+        col = np.arange(n_sub)[None, :]
+        for key, idxs in groups.items():
             q = np.frombuffer(key, dtype=np.float64)
             lut = np.empty((n_sub, codebooks.shape[1]), dtype=np.float64)
             for s in range(n_sub):
                 lut[s] = codebooks[s] @ q[s * dsub:(s + 1) * dsub]
-            luts[key] = lut
-        for key, lut in luts.items():
-            rows = np.nonzero(keys == key)[0]
-            gathered = lut[np.arange(n_sub)[None, :], code_mat[rows]]
-            out[rows] = gathered.sum(axis=1)
+            rows = np.asarray(idxs)
+            out[rows] = lut[col, code_mat[rows]].sum(axis=1)
         return pd.Series(out)
 
     return _score

@@ -452,16 +452,30 @@ def run_script(spark: SparkSession, script: str) -> DataFrame | None:
         toks = tokenize(stmt)
         sig = _significant(toks)
         words = [toks[i].text.upper() for i in sig[:3]]
-        if words == ["SHOW", "ALL", "TABLES"]:
+        if words == ["SHOW", "ALL", "TABLES"] and len(sig) == 3:
             # DuckDB `SHOW ALL TABLES` (the reference's canned
             # list_schemas flight ticket, main.py:515-519): tables across
             # every database. Spark SHOW TABLES is per-database, so this
             # is a catalog-API union — driver-side metadata, no job.
+            # Exactly three tokens: a FROM/LIKE suffix is NOT this
+            # statement and falls through to spark.sql for a loud error
+            # rather than silently ignoring the qualifier. Temp views are
+            # session-global (listTables repeats them per database) —
+            # list them once under their own pseudo-database.
             rows = [
                 (db.name, t.name, t.tableType.lower() if t.tableType else "table")
                 for db in spark.catalog.listDatabases()
                 for t in spark.catalog.listTables(db.name)
+                if t.tableType != "TEMPORARY"
             ]
+            rows += sorted(
+                {
+                    ("temp", t.name, "view")
+                    for db in spark.catalog.listDatabases()
+                    for t in spark.catalog.listTables(db.name)
+                    if t.tableType == "TEMPORARY"
+                }
+            )
             result = spark.createDataFrame(
                 rows or [], "database STRING, name STRING, table_type STRING"
             )

@@ -109,16 +109,33 @@ def _commit_partition_swap(
         dirname = _partition_dirname(spark, partition_col, val)
         dest = os.path.join(target_path, dirname)
         staged = os.path.join(staging, dirname)
-        if os.path.exists(dest):
+        dest_existed = os.path.exists(dest)
+        staged_exists = os.path.exists(staged)
+        if not dest_existed and not staged_exists:
+            # The computed dirname matches NOTHING the writer produced and
+            # nothing in the target: the escaping path disagrees with the
+            # writer (e.g. no _jvm under Spark Connect + a value needing
+            # Hive escaping). Committing anyway would silently discard the
+            # rewrite at the staging rmtree below — fail loudly instead,
+            # leaving staging on disk for recovery.
+            raise RuntimeError(
+                f"partition swap: touched value {val!r} resolved to "
+                f"{dirname!r}, present in neither staging nor target — "
+                "partition-name escaping disagrees with the writer's"
+            )
+        if dest_existed:
             shutil.rmtree(dest)
-        if os.path.exists(staged):
+        if staged_exists:
             shutil.move(staged, dest)
-    # safety net: any staged dir not covered by touched (should not happen —
-    # staged partitions are a subset of touched by construction) still lands
+    # Safety net: a staged dir the touched loop did not claim means the
+    # computed dirname disagreed with the writer's for that value. The
+    # staged rewrite is authoritative — REPLACE any stale dest rather than
+    # skipping it (a skip kept the old rows and dropped the rewrite).
     for staged in glob.glob(os.path.join(staging, f"{partition_col}=*")):
         dest = os.path.join(target_path, os.path.basename(staged))
-        if not os.path.exists(dest):
-            shutil.move(staged, dest)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        shutil.move(staged, dest)
     shutil.rmtree(staging)
 
 

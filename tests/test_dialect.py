@@ -135,6 +135,23 @@ def test_run_script_returns_last(spark):
     assert df is not None and df.count() == 1
 
 
+def test_show_all_tables_dedupes_temp_views_and_rejects_qualifiers(spark):
+    """SHOW ALL TABLES lists a session temp view exactly once (Spark's
+    listTables repeats temp views under every database); a qualified
+    'SHOW ALL TABLES FROM db' is NOT the DuckDB statement and must not
+    silently execute the bare form."""
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW _sat_probe AS SELECT 1 AS x")
+    try:
+        out = run_script(spark, "SHOW ALL TABLES").collect()
+        probe = [r for r in out if r["name"] == "_sat_probe"]
+        assert len(probe) == 1, probe
+        assert probe[0]["database"] == "temp"
+        with pytest.raises(Exception):
+            run_script(spark, "SHOW ALL TABLES FROM nowhere_db")
+    finally:
+        spark.catalog.dropTempView("_sat_probe")
+
+
 def test_python_udtf_lateral(spark):
     """§2.10(c): Python UDTF as a SQL table function with LATERAL."""
     from quackflight_spark.functions.udtf_demo import register_udtfs

@@ -211,6 +211,37 @@ def test_ann_ivfpq_recall(spark, sf_dir):
     assert recall >= 0.8, f"IVF-PQ ANN recall {recall:.2f} < 0.8"
 
 
+def test_pq_adc_trailing_zero_query_bytes():
+    """Regression: the ADC batch groups rows per distinct query by the
+    raw float64 bytes of the query vector. A fixed-width numpy 'S' array
+    strips trailing NUL bytes, so a query whose last components are 0.0
+    got a truncated key (short np.frombuffer) and distinct queries that
+    differ only in trailing zero bytes were merged. The grouping now uses
+    a plain dict keyed by Python bytes — verify both hazards directly on
+    the UDF's underlying function (no Spark session needed)."""
+    import numpy as np
+    import pandas as pd
+
+    from quackflight_spark.pipeline.veckernels import pq_adc_score_udf
+
+    n_sub, k, dsub = 2, 2, 2
+    books = np.arange(n_sub * k * dsub, dtype=np.float64).reshape(n_sub, k, dsub) + 1.0
+    score = pq_adc_score_udf(books).func
+
+    q_zero_tail = [1.0, 2.0, 0.0, 0.0]  # 16 trailing NUL bytes
+    q_other = [1.0, 2.0, 3.0, 0.0]      # differs only inside the zero tail
+    qe = pd.Series([q_zero_tail, q_other, q_zero_tail])
+    codes = pd.Series([[0, 1], [1, 0], [1, 1]])
+
+    def adc(q, code):
+        return sum(books[s, code[s]] @ np.asarray(q)[s * dsub:(s + 1) * dsub]
+                   for s in range(n_sub))
+
+    got = score(qe, codes).to_numpy()
+    want = np.array([adc(q, c) for q, c in zip(qe, codes)])
+    assert np.allclose(got, want), f"{got} != {want}"
+
+
 def test_ann_ivf_pruned_equals_inline(spark, sf_dir):
     """The materialized cell-partitioned index returns exactly the inline
     IVF results (same centroids, same probes — the layout only changes

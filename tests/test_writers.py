@@ -191,6 +191,56 @@ def test_delete_cow_null_predicate_rows_survive(spark, sf_dir, tmpdir):
     assert back.count() == based.count() - n_neg
 
 
+def test_partition_swap_safety_net_replaces_stale_dest(tmpdir):
+    """If the driver-side dirname computation ever disagrees with what the
+    writer wrote (escaping fallback), the safety-net loop must REPLACE the
+    stale target directory with the staged rewrite — the old behavior
+    skipped dirs whose dest existed, then rmtree'd staging, silently
+    discarding the rewrite (lost update)."""
+    import os
+    from types import SimpleNamespace
+
+    from quackflight_spark.sources.merge import _commit_partition_swap
+
+    target = os.path.join(str(tmpdir), "t")
+    staging = target + "__staging"
+    os.makedirs(os.path.join(target, "seg=B"))
+    os.makedirs(os.path.join(staging, "seg=B"))
+    with open(os.path.join(target, "seg=B", "old.parquet"), "w") as f:
+        f.write("old")
+    with open(os.path.join(staging, "seg=B", "new.parquet"), "w") as f:
+        f.write("new")
+
+    # touched empty = the touched loop never claims seg=B (name mismatch)
+    touched = SimpleNamespace(collect=lambda: [])
+    _commit_partition_swap(None, staging, target, "seg", touched)
+
+    assert os.listdir(os.path.join(target, "seg=B")) == ["new.parquet"]
+    assert not os.path.exists(staging)
+
+
+def test_partition_swap_raises_on_unresolvable_touched_value(tmpdir):
+    """A touched value whose computed dirname exists in neither staging
+    nor target means the escaping disagrees with the writer: the commit
+    must fail loudly and leave staging on disk for recovery."""
+    import os
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from quackflight_spark.sources.merge import _commit_partition_swap
+
+    target = os.path.join(str(tmpdir), "t")
+    staging = target + "__staging"
+    os.makedirs(target)
+    os.makedirs(os.path.join(staging, "seg=X"))
+
+    touched = SimpleNamespace(collect=lambda: [("GHOST",)])
+    with _pytest.raises(RuntimeError, match="neither staging nor target"):
+        _commit_partition_swap(None, staging, target, "seg", touched)
+    assert os.path.exists(os.path.join(staging, "seg=X"))
+
+
 def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmpdir):
     """Z-order clustering must give every parquet file a tight min/max
     envelope on BOTH cluster columns (multi-column data skipping); a

@@ -29,6 +29,46 @@ TABLES = (
 )
 
 
+def _gate_risk(key: str, s_cols, s_rows, con, oracle: str) -> list[str]:
+    """Emulate the DRIVER's canonicalizer (pandas-based) to surface
+    gate-compatibility hazards the value compare below tolerates:
+
+    - unhashable cells: raw array/map values break pandas sort_values
+      (r2: fn_array_hof/fn_array_ops/fn_map_access, r1: agg_list)
+    - dtype artifacts: DuckDB HUGEINT reaches pandas as float64 while the
+      Spark column is int64, so equal values hash differently
+      (r2: tpch_q12)
+    """
+    import pandas as pd
+
+    risks: list[str] = []
+    try:
+        spd = pd.DataFrame(s_rows, columns=s_cols)
+        spd = spd[sorted(spd.columns)]
+        spd.sort_values(list(spd.columns))
+    except TypeError as ex:
+        risks.append(f"spark frame not pandas-sortable ({ex})")
+    try:
+        dpd = con.execute(oracle).df()
+        dpd = dpd[sorted(dpd.columns)]
+        dpd.sort_values(list(dpd.columns))
+    except TypeError as ex:
+        risks.append(f"oracle frame not pandas-sortable ({ex})")
+        dpd = None
+    except Exception:
+        dpd = None
+    if dpd is not None and not risks and len(spd.columns) == len(dpd.columns):
+        for c in spd.columns:
+            sk, dk = spd[c].dtype.kind, dpd[c].dtype.kind
+            if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+                risks.append(
+                    f"column {c!r}: int-vs-float dtype split "
+                    f"(spark={spd[c].dtype}, oracle={dpd[c].dtype}) — "
+                    "HUGEINT-style hash artifact"
+                )
+    return risks
+
+
 def _norm(v):
     """Normalize one cell for comparison."""
     if isinstance(v, float):
@@ -109,8 +149,14 @@ def main(keys: list[str]) -> int:
             print(f"      duckdb: {dr[diff]}")
             n_fail += 1
         else:
-            print(f"ok    {key}: {len(sr)} rows [{time.time()-t0:.1f}s]")
-            n_pass += 1
+            risks = _gate_risk(key, s_cols, s_rows, con, oracles[key])
+            if risks:
+                for r in risks:
+                    print(f"RISK  {key}: {r}")
+                n_fail += 1
+            else:
+                print(f"ok    {key}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+                n_pass += 1
 
     print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAILED")
     return 1 if n_fail else 0
