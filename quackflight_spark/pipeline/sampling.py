@@ -168,3 +168,45 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+N_SHARDS = 16
+
+
+@query("pipeline_shuffle_shards", oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {_duck_bucket('doc_id', 16)} AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS sort_key
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+                AS INT) AS pos
+    FROM keyed
+""")
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a shard
+    in [0, N_SHARDS) and a position within its shard, both pure functions
+    of doc_id (md5-derived), so the 'random' order is identical across
+    runs, engines, partitionings, and cluster sizes — the property a
+    training-data shuffle needs and an RNG shuffle cannot give.
+
+    This is the assignment view; the writer form is
+    `df.repartition(N_SHARDS, shard).sortWithinPartitions(sort_key)`
+    + partitioned parquet — exactly one shuffle keyed on the shard, with
+    the within-shard order produced by the shuffle's sort rather than a
+    global orderBy (no single-point sort at 100 TB; shard count scales
+    with the cluster, not the data). The row_number window here exists
+    for the oracle's benefit at test SF: per-shard ranking over the same
+    keys the writer would sort by."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), 16).cast("int").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("sort_key"),
+    )
+    w = W.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )

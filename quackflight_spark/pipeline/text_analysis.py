@@ -341,3 +341,103 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+# PII scrub patterns, applied in order (URLs first — they may contain
+# digit runs and @-signs that the later patterns would mangle). Each
+# regex is valid and identical under Java regex (Spark) and RE2 (DuckDB):
+# character classes and bounded quantifiers only, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def _duck_scrub(col: str) -> str:
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+@query("text_pii_scrub", oracle=rf"""
+    SELECT doc_id,
+           {_duck_scrub('text')} AS scrubbed,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT)
+             + CAST(len(regexp_extract_all(
+                 regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT)
+             + CAST(len(regexp_extract_all(
+                 regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                                '<EMAIL>', 'g'),
+                 '[0-9]{{4,}}')) AS INT) AS n_redactions
+    FROM documents
+""")
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (corpus-prep staple): URLs, email addresses and
+    long digit runs replaced by typed placeholder tokens, with a count of
+    redactions per document. Pure Catalyst map — zero shuffle, zero
+    Python — so it composes into any ingest scan at 100 TB for free.
+    Patterns apply in a fixed order (URL → email → digit-run) so both
+    engines transform identical intermediate states."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.col("text")
+    n_red = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return d.select("doc_id", scrubbed.alias("scrubbed"), n_red.alias("n_redactions"))
+
+
+BIGRAM_TOP_K = 30
+
+
+@query("text_bigram_topk", oracle=rf"""
+    WITH tok AS (
+      SELECT list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''),
+               x -> lower(x)) AS toks
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM tok
+    )
+    SELECT bigram, count(*) AS freq
+    FROM grams
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT {BIGRAM_TOP_K}
+""")
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: the BIGRAM_TOP_K most frequent lowercased word
+    bigrams (deterministic tiebreak). Same two-phase shape as
+    text_vocab_topk — explode multiplies rows ~token-count×, but map-side
+    partial aggregation collapses each executor's stream to its distinct
+    bigrams before the shuffle, and TakeOrdered fuses the top-k (no
+    global sort materialized)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
+        lambda x: F.lower(x),
+    )
+    # Guard n<2: Spark's sequence(1, n-1) runs DESCENDING for n-1 < 1
+    # (DuckDB's range(1, n) is empty there), which would index toks[0].
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(BIGRAM_TOP_K)
+    )
