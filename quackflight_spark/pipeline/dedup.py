@@ -679,3 +679,125 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_survivor"),
     )
+
+
+INCR_CORPUS_BUCKETS = 10   # doc_id md5-bucket < 8 → existing corpus (80%)
+INCR_CORPUS_CUT = 8
+
+
+@query("dedup_incremental", oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {INCR_CORPUS_BUCKETS}) < {INCR_CORPUS_CUT} AS in_corpus
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT text_hash FROM hashed WHERE in_corpus),
+    batch AS (SELECT doc_id, text_hash FROM hashed WHERE NOT in_corpus)
+    SELECT b.doc_id, b.text_hash
+    FROM batch b
+    ANTI JOIN corpus c ON b.text_hash = c.text_hash
+    QUALIFY row_number() OVER (PARTITION BY b.text_hash ORDER BY b.doc_id) = 1
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup: admit from a new ingest batch
+    only documents whose canonical content hash is absent from the
+    already-ingested corpus, deduplicating within the batch as well
+    (min-doc_id survivor). Fixture split: md5 bucket of doc_id — 80%
+    'corpus', 20% 'new batch'.
+
+    This is the operation a continuously-fed training corpus actually
+    runs: the petabyte corpus is never rescanned per ingest. Its hash
+    index (a 16-byte-hash column extracted once, kept sorted/bucketed
+    next to the corpus) is all the history the delta needs. Here both
+    sides derive from one fixture scan; the plan shape is the real one —
+    batch LEFT ANTI corpus-hash-index keyed on the hash (the corpus side
+    column-pruned to the hash alone), then a groupBy(hash).min(doc_id)
+    within the delta. At scale the anti-join shuffles only hash values
+    (~25 B/row), or goes broadcast when the daily delta is small."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % INCR_CORPUS_BUCKETS < INCR_CORPUS_CUT
+        ).alias("in_corpus"),
+    )
+    corpus_index = d.filter("in_corpus").select("text_hash").distinct()
+    batch = d.filter(~F.col("in_corpus")).select("doc_id", "text_hash")
+    return (
+        batch.join(corpus_index, on="text_hash", how="left_anti")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_hash")
+    )
+
+
+CHUNK_WORDS = 10     # segment width for cross-doc repeated-chunk removal
+CHUNK_DOCFREQ_MAX = 2  # a chunk present in more docs than this is boilerplate
+
+
+@query("dedup_lines", oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(ws[(i*{CHUNK_WORDS}+1):((i+1)*{CHUNK_WORDS})], ' ') AS chunk
+      FROM w, unnest(range(CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS BIGINT))) AS t(i)
+    ),
+    bad AS (
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING count(DISTINCT doc_id) > {CHUNK_DOCFREQ_MAX}
+    ),
+    kept AS (
+      SELECT c.doc_id, c.pos, c.chunk FROM chunks c
+      ANTI JOIN bad b ON c.chunk = b.chunk
+    )
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_clean,
+           CAST(count(*) AS INT) AS n_kept
+    FROM kept GROUP BY doc_id
+""")
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-segment removal (the C4 'line dedup' rule:
+    drop any line occurring in ≥ 3 documents corpus-wide, keep the rest
+    of the document). The fixture text has no newlines, so the segment
+    unit is a fixed CHUNK_WORDS-word chunk; the pipeline shape is
+    identical for natural lines.
+
+    Plan: explode docs into (doc_id, pos, chunk); one shuffle counts each
+    chunk's document frequency (map-side combinable); boilerplate chunks
+    (doc-freq > CHUNK_DOCFREQ_MAX) anti-join away; a final groupBy
+    reassembles surviving chunks in order. At 100 TB the frequency table
+    is heavy-hitter-sized after a min-count threshold, so the anti-join
+    broadcasts; documents never pair with each other — all shuffles are
+    keyed on the chunk text or doc_id, never doc×doc."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(words) / CHUNK_WORDS).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    bad = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > CHUNK_DOCFREQ_MAX)
+        .select("chunk")
+    )
+    kept = chunks.join(bad, on="chunk", how="left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "chunk"))), lambda s: s["chunk"]
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(ordered, " ").alias("text_clean"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )

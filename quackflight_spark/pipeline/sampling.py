@@ -126,6 +126,74 @@ def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_WEIGHTS = {"src0": 4, "src1": 2}  # relative target weight; others 1
+MIX_BUDGET_DIV = 2                    # total budget = corpus size // 2
+MIX_BP = 10_000                       # keep-rate resolution (basis points)
+
+_MIX_W_SQL = " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items()
+)
+
+
+@query("pipeline_mix_domains", oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS cnt,
+             (CASE {_MIX_W_SQL} ELSE 1 END) AS w
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             least({MIX_BP}, ({MIX_BP} * (sum(cnt) OVER () // {MIX_BUDGET_DIV}) * w)
+                             // (sum(w) OVER () * cnt)) AS rate_bp
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_duck_bucket('d.doc_id', MIX_BP)} < r.rate_bp
+""")
+def pipeline_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixture: downsample each `source` so the sampled
+    corpus approaches target mixture weights (src0:4, src1:2, others:1)
+    within a total budget of corpus_size // MIX_BUDGET_DIV documents.
+    The data-mixing step of a training pipeline (e.g. upweighting
+    curated sources against web crawl) expressed deterministically.
+
+    Per-source keep-rate r_s = min(1, budget * w_s / (Σw * n_s)), held in
+    integer basis points so Spark and DuckDB floor identically, then
+    applied through the md5 bucket — same-doc-same-decision on every run.
+
+    Shape at 100 TB: one map-side-combined count per source (output rows
+    = #domains, tiny), a window over that tiny frame, then a broadcast
+    join back onto the corpus — the full scan happens exactly once and
+    the filter is a pure map. No shuffle touches the wide rows."""
+    d = load_table(spark, sf_dir, "documents")
+    w_col = None
+    for s, wgt in MIX_WEIGHTS.items():
+        branch = w_col if w_col is not None else F
+        w_col = branch.when(F.col("source") == s, F.lit(wgt))
+    w_col = w_col.otherwise(F.lit(1))
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w", w_col)
+    )
+    rates = counts.select(
+        "source",
+        F.least(
+            F.lit(MIX_BP),
+            F.expr(
+                f"({MIX_BP} * (sum(cnt) OVER () div {MIX_BUDGET_DIV}) * w)"
+                f" div (sum(w) OVER () * cnt)"
+            ),
+        ).alias("rate_bp"),
+    )
+    return (
+        d.join(F.broadcast(rates), on="source")
+        .filter(hash_bucket(F.col("doc_id"), MIX_BP) < F.col("rate_bp"))
+        .select("doc_id", "source")
+    )
+
+
 N_EVAL = 20  # fixture eval set = doc_id < 20
 
 

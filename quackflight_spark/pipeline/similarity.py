@@ -524,3 +524,34 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+@query("cluster_kmeans")  # rows-only: assignment verified vs numpy argmin in tests
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic clustering: assign every embedding to its nearest of
+    IVF_CELLS deterministic k-means centroids, with the cluster size
+    attached — the grouping step behind topic-balanced sampling, per-topic
+    dedup, and domain discovery over a training corpus.
+
+    Reuses the IVF index geometry (_centroids_for): training touches a
+    bounded 4096-vector sample once on the driver, so its cost is constant
+    in corpus size; the corpus itself only flows through the distributed
+    argmin-assignment map (Arrow-batched numpy kernel). The size
+    annotation is a map-side-combinable count over K<<n rows, broadcast
+    back — no shuffle ever carries the vectors themselves.
+
+    No SQL oracle: k-means is not expressible in DuckDB SQL; instead
+    tests/test_pipeline.py recomputes the argmin assignment in plain numpy
+    at fixture scale and asserts exact equality, plus determinism across
+    sessions."""
+    centroids = _centroids_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    assigned = emb.select(
+        "vec_id", _assign_cell(centroids).cast("int").alias("cluster")
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(F.broadcast(sizes), on="cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )

@@ -44,6 +44,7 @@ def test_registry_contract():
         "mm_feature_extract",
         "mm_resize",
         "fmt_jsoncompact",
+        "cluster_kmeans",
     }
 
 
@@ -409,3 +410,105 @@ def test_hll_sketch_table_accuracy(spark, sf_dir):
     for flag, approx in est:
         rel = abs(approx - exact[flag]) / exact[flag]
         assert rel <= 0.02, (flag, approx, exact[flag])
+
+
+def test_mix_domains_weights(spark, sf_dir):
+    """Weighted mixture: upweighted sources keep proportionally more docs
+    than weight-1 sources, totals respect the budget, and the selection
+    is deterministic across invocations."""
+    from quackflight_spark.pipeline.sampling import MIX_WEIGHTS
+    from quackflight_spark.sources.fixtures import load_table
+
+    q = _queries()["pipeline_mix_domains"]
+    picked = {r["doc_id"]: r["source"] for r in q(spark, sf_dir).collect()}
+    again = {r["doc_id"]: r["source"] for r in q(spark, sf_dir).collect()}
+    assert picked == again
+    counts = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert 0 < len(picked) <= total
+    # per-source keep-rates: heavier sources keep a larger share
+    kept = {}
+    for src in counts:
+        kept[src] = sum(1 for s in picked.values() if s == src) / counts[src]
+    heavy = max(MIX_WEIGHTS, key=MIX_WEIGHTS.get)
+    light = [s for s in counts if s not in MIX_WEIGHTS]
+    assert light, "fixture should have weight-1 sources"
+    avg_light = sum(kept[s] for s in light) / len(light)
+    assert kept[heavy] > avg_light, (kept[heavy], avg_light)
+
+
+def test_dedup_incremental_semantics(spark, sf_dir):
+    """Admitted docs are (a) from the new batch only, (b) hash-unique,
+    (c) never content-duplicates of the corpus side."""
+    from quackflight_spark.pipeline.dedup import INCR_CORPUS_BUCKETS, INCR_CORPUS_CUT
+    from quackflight_spark.pipeline.sampling import hash_bucket
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = _queries()["dedup_incremental"](spark, sf_dir).collect()
+    hashes = [r["text_hash"] for r in out]
+    assert len(hashes) == len(set(hashes))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        (hash_bucket(F.col("doc_id"), INCR_CORPUS_BUCKETS) < INCR_CORPUS_CUT).alias(
+            "in_corpus"
+        ),
+    )
+    side = {r["doc_id"]: r["in_corpus"] for r in d.collect()}
+    corpus_hashes = {r["h"] for r in d.collect() if r["in_corpus"]}
+    for r in out:
+        assert side[r["doc_id"]] is False
+        assert r["text_hash"] not in corpus_hashes
+
+
+def test_dedup_lines_preserves_unique_docs(spark, sf_dir):
+    """A document containing no corpus-boilerplate chunk comes back with
+    its full whitespace-normalized text; every output doc keeps >= 1
+    chunk and its chunk count matches ceil(words/CHUNK_WORDS) at most."""
+    import math
+
+    from quackflight_spark.pipeline.dedup import CHUNK_WORDS
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = {r["doc_id"]: r for r in _queries()["dedup_lines"](spark, sf_dir).collect()}
+    assert out
+    orig = {
+        r["doc_id"]: " ".join(r["text"].strip().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    full_count = 0
+    for doc_id, row in out.items():
+        n_words = len(orig[doc_id].split())
+        assert 1 <= row["n_kept"] <= math.ceil(n_words / CHUNK_WORDS)
+        if row["text_clean"] == orig[doc_id]:
+            full_count += 1
+    # the corpus is mostly unique docs: most texts survive intact
+    assert full_count >= len(out) * 0.5
+
+
+def test_cluster_kmeans_matches_numpy(spark, sf_dir):
+    """Distributed assignment == numpy argmin over the same centroids;
+    sizes are consistent; deterministic across invocations."""
+    import numpy as np
+
+    from quackflight_spark.pipeline.similarity import _centroids_for, _emb_normed
+
+    q = _queries()["cluster_kmeans"]
+    got = {r["vec_id"]: (r["cluster"], r["cluster_size"]) for r in q(spark, sf_dir).collect()}
+    again = {r["vec_id"]: (r["cluster"], r["cluster_size"]) for r in q(spark, sf_dir).collect()}
+    assert got == again
+    cents = np.array(_centroids_for(spark, sf_dir), dtype=np.float64)
+    emb = {r["vec_id"]: r["e"] for r in _emb_normed(spark, sf_dir).collect()}
+    assert set(emb) == set(got)
+    sizes: dict[int, int] = {}
+    for vid, (cl, _) in got.items():
+        x = np.array(emb[vid], dtype=np.float64)
+        d = ((cents - x) ** 2).sum(axis=1)
+        assert int(d.argmin()) == cl, vid
+        sizes[cl] = sizes.get(cl, 0) + 1
+    for vid, (cl, cs) in got.items():
+        assert cs == sizes[cl]
