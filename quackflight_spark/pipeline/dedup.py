@@ -329,21 +329,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end and the intersect runs on int arrays in codegen.  At
     # 100 TB the same shape holds with the hash-array table bucketed on
     # doc_id (co-partitioned joins) instead of broadcast.
-    ha = hs.select(
-        F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"), F.col("n_sh").alias("na")
-    )
-    hb = hs.select(
-        F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"), F.col("n_sh").alias("nb")
-    )
+    # Exact size-ratio pre-filter before any array rides a join:
+    # jaccard = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose
+    # shingle-set sizes differ by more than the threshold ratio can never
+    # verify. On this fixture it discards ~2/3 of the ~420k LSH false
+    # positives using only the (doc_id, n_sh) int table (broadcast, a few
+    # bytes per doc at any corpus size). The margin keeps every pair the
+    # final round(j, 8) >= t filter could keep (j <= ratio exactly; the
+    # 0.001 slack dominates the 5e-9 rounding window).
+    sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
     n_common = F.size(F.array_intersect("ha", "hb"))
     # Broadcast only while the hash-array tables actually fit (gate on the
     # footer row count, r2 advice — an unconditional hint OOMs the driver
     # past ~200k docs); larger corpora fall back to AQE's join choice,
     # bucketed on doc_id at real scale.
     if _corpus_doc_count(sf_dir) <= BROADCAST_DOC_LIMIT:
-        ha, hb = F.broadcast(ha), F.broadcast(hb)
+        sa, sb, ha, hb = F.broadcast(sa), F.broadcast(sb), F.broadcast(ha), F.broadcast(hb)
+    plausible = (
+        candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(
+            F.least("na", "nb").cast("double") / F.greatest("na", "nb")
+            >= JACCARD_THRESHOLD - 0.001
+        )
+    )
     return (
-        candidates.join(ha, "doc_a").join(hb, "doc_b")
+        plausible.join(ha, "doc_a").join(hb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
