@@ -69,6 +69,10 @@ BENCH_KEYS = [
     "split_train_test",
     "pipeline_corpus_prep",
     "pipeline_decontaminate",
+    "pipeline_mix_domains",
+    "dedup_incremental",
+    "dedup_lines",
+    "cluster_kmeans",
     "stream_tumbling",
     "stream_interval_join",
     "rollup_time_partitioned",

@@ -147,3 +147,40 @@ def test_time_rollup_prunes_date_partitions(spark, sf_dir, q):
     out = _formatted(q["rollup_time_partitioned"](spark, sf_dir))
     pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
     assert pf_lines and any("event_date" in ln for ln in pf_lines), pf_lines
+
+
+def test_mix_domains_broadcasts_rates(spark, sf_dir, q):
+    """The per-source rate table must broadcast back onto the corpus (a
+    shuffle keyed on `source` would funnel 100 TB through #domains
+    reducers), and the corpus side must not exchange before the join."""
+    plan = _plan(q["pipeline_mix_domains"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_anti_join_shape(spark, sf_dir, q):
+    """Delta-vs-corpus must be a LeftAnti hash join on the content hash —
+    never a cartesian — and the corpus side must prune to the hash
+    column before the exchange."""
+    plan = _plan(q["dedup_incremental"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_lines_no_doc_pairing(spark, sf_dir, q):
+    """Segment dedup shuffles on the chunk text and doc_id only; there
+    must be no doc-by-doc join surface and no Python in the path."""
+    plan = _plan(q["dedup_lines"](spark, sf_dir))
+    assert "LeftAnti" in plan            # boilerplate chunks anti-joined away
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cluster_kmeans_arrow_assignment(spark, sf_dir, q):
+    """Cluster assignment must run in the Arrow-batched kernel (no
+    row-at-a-time Python), and the size annotation joins broadcast."""
+    plan = _plan(q["cluster_kmeans"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
