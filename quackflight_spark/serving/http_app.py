@@ -137,6 +137,12 @@ def create_app(spark: SparkSession, cache: QueryCache | None = None):
         POSTs to the same endpoints)."""
         return Response(_PLAY_HTML, 200, content_type="text/html; charset=utf-8")
 
+    @app.errorhandler(404)
+    def handle_404(e):
+        """Unknown paths serve the console, matching the reference's SPA
+        fallback (`app.send_static_file('index.html')`, main.py:350-352)."""
+        return Response(_PLAY_HTML, 200, content_type="text/html; charset=utf-8")
+
     return app
 
 

@@ -153,6 +153,10 @@ def test_http_get_play_console(client):
     # POST /play still executes queries (both routes, reference main.py:306)
     r2 = client.post("/play?default_format=JSONCompact", data=b"SELECT 1 AS one")
     assert r2.status_code == 200 and b'"one"' in r2.data
+    # unknown paths fall back to the console, matching the reference's SPA
+    # 404 handler (main.py:350-352)
+    r3 = client.get("/no/such/path")
+    assert r3.status_code == 200 and b"<html" in r3.data.lower()
 
 
 def test_http_insert_ndjson(client, spark):
