@@ -467,10 +467,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two map-side-combinable shuffles: token counts (shuffled volume =
     |vocab|, not |corpus|), then the per-doc average (keyed on doc_id).
-    The model join is broadcast here; at 100 TB the unigram table is
-    frequency-capped first (every practical LM filter truncates its vocab
-    — OOV mass is exactly what the +1 smoothing absorbs), keeping the
-    broadcast bounded regardless of corpus size."""
+    The model join carries no broadcast hint — AQE broadcasts the vocab
+    while it fits and shuffles on the token past that; at 100 TB the
+    unigram table is frequency-capped first anyway (every practical LM
+    filter truncates its vocab — OOV mass is exactly what the +1
+    smoothing absorbs), keeping the model bounded regardless of corpus
+    size."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
     words = d.select("doc_id", F.explode(toks).alias("t")).select(
@@ -481,7 +483,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_tok"), F.count(F.lit(1)).alias("v_sz")
     )
     return (
-        words.join(F.broadcast(vocab), "w")
+        # no broadcast hint on the vocab: AQE broadcasts it while it fits
+        # (always, at fixture scale) and falls back to a shuffle keyed on
+        # the token when an uncapped corpus vocabulary outgrows the limit
+        # — the same gating rationale as dedup.py's BROADCAST_DOC_LIMIT
+        words.join(vocab, "w")
         .join(F.broadcast(totals))
         .withColumn(
             "nll", -F.log((F.col("cnt") + 1.0) / (F.col("n_tok") + F.col("v_sz")))

@@ -335,3 +335,97 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_ff"
         ),
     )
+
+
+SESSION_GAP_MIN = 30  # inactivity gap closing a session
+
+
+@query("events_sessionize", oracle=f"""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             AS session_idx
+    FROM flagged
+""")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: assign every event a per-user session index,
+    where a gap of more than SESSION_GAP_MIN minutes of inactivity starts
+    a new session — the classic lag-flag-cumsum form (the batch analog of
+    stream_session's session_window, over the full history instead of a
+    watermarked stream).
+
+    One shuffle on user_id serves both windows (same partitioning and
+    ordering, so Catalyst plans a single exchange + sort). At 100 TB a
+    mega-user is the skew risk; the standard mitigation is pre-bucketing
+    the event log by (user_id, coarse time range) so one reducer never
+    holds a user's full history."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = SESSION_GAP_MIN * 60
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("int"),
+        )
+        .select("event_id", "user_id", "session_idx")
+    )
+
+
+@query("retention_cohorts", oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM active
+    GROUP BY cohort_day, day_offset
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen day, counted
+    on each later day-offset they were active — the product-analytics
+    rollup behind every retention curve.
+
+    Three map-side-combinable shuffles, all keyed on user_id or the tiny
+    (cohort, offset) pair: per-user first-day agg, the distinct
+    (user, offset) projection, and the final count. The firsts table is
+    |users| rows of (bigint, date) — at 100 TB it is the materialized
+    user-dimension one join side, co-partitioned with the event log on
+    user_id so the join reuses the first agg's exchange."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -184,3 +184,15 @@ def test_cluster_kmeans_arrow_assignment(spark, sf_dir, q):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir, q):
+    """The lag-flag and cumsum windows share partitioning AND ordering,
+    so sessionization must plan exactly one exchange (on user_id) — a
+    second shuffle would double the cost of the dominant stage."""
+    plan = _plan(q["events_sessionize"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+
+    n_shuffle = len(re.findall(r"Exchange hashpartitioning", final))
+    assert n_shuffle == 1, final
