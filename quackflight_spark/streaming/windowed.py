@@ -429,3 +429,72 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@query("events_funnel", oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.ts1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'view' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT 'view>click', count(*) FROM s2
+      UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
+    )
+""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel completion: users who did view, THEN click, THEN
+    purchase (each stage strictly after the previous one's first
+    occurrence), counted per stage — the product-analytics funnel query.
+
+    Stage N is a per-user min-timestamp aggregate of the events matching
+    stage N's type after the user's stage-N-1 time: each of the three
+    rounds is one map-side-combined agg plus a join on user_id, and every
+    round's input is filtered by event_type BEFORE the shuffle (predicate
+    reaches the scan), so the shuffled volume is one stage's events, not
+    the log. Co-partitioning the log on user_id collapses all three
+    rounds onto one exchange at scale. The final stage counts are
+    single-row aggs unioned driver-free."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def stage_after(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        ev = e.filter(F.col("event_type") == etype)
+        if prev is None:
+            return ev.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            ev.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s1 = stage_after(None, "view", "", "ts1")
+    s2 = stage_after(s1, "click", "ts1", "ts2")
+    s3 = stage_after(s2, "purchase", "ts2", "ts3")
+    rows = [
+        s1.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s2.agg(F.lit("view>click").alias("stage"), F.count(F.lit(1)).alias("n_users")),
+        s3.agg(
+            F.lit("view>click>purchase").alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
