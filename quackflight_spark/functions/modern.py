@@ -1,0 +1,169 @@
+"""Modern-SQL surface: VARIANT semi-structured access, sketch-backed
+approximate top-k heavy hitters, mode/median aggregates, and a Python
+UDTF table function.
+
+The reference's extensibility story is "load a DuckDB extension and get
+its SQL surface" (reference main.py:83-86; SURVEY.md §2.8/§2.10). The
+Spark-native equivalents exercised here:
+
+- VARIANT (`parse_json`/`variant_get`) is Spark 4's answer to DuckDB's
+  JSON type: a binary-encoded semi-structured value with typed path
+  extraction that stays columnar end-to-end — at 100 TB this beats
+  re-parsing JSON strings per access and shreds into Parquet.
+- `approx_top_k` is a sketch aggregate (bounded memory per partition,
+  mergeable across partitions) — the scale-path for heavy hitters where
+  an exact groupBy+sort would shuffle every distinct key. With
+  maxItemsTracked >= NDV it is exact, which is what the oracle checks.
+- Python UDTFs are Spark's lateral table functions (SURVEY.md §2.10c):
+  one UDTF row-expansion per input row, Arrow-batched. The UDTF here is
+  deliberately trivial (word split with ordinality) so the oracle can
+  express it; the machinery (registration, LATERAL join, schema) is the
+  deliverable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+
+@query("fn_variant", oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS STRING) AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS absent,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    WHERE event_id % 7 = 0
+""")
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4 VARIANT.
+
+    `parse_json` decodes the JSON string ONCE into the binary variant
+    encoding; every `variant_get` after that is a typed path lookup on
+    the decoded value (no re-parse), all inside codegen. The DuckDB
+    oracle expresses the same accesses over its JSON type.
+    """
+    ev = load_table(spark, sf_dir, "events").where("event_id % 7 = 0")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").alias("absent"),
+        F.variant_get(v, "$.k", "int").isNotNull().alias("has_k"),
+    )
+
+
+@query("agg_approx_topk", oracle="""
+    SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
+    FROM events
+    GROUP BY event_type
+    ORDER BY est DESC, item
+    LIMIT 3
+""")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch aggregate.
+
+    Each partition tracks a bounded item->count summary; partial
+    summaries merge on the driver side of a single shuffle — memory is
+    O(maxItemsTracked) per task regardless of input rows, the shape that
+    survives 100 TB where exact top-k over a high-NDV column would
+    shuffle every key. maxItemsTracked (10000) far exceeds the fixture
+    NDV (5), so counts are exact and oracle-comparable; the fixtures
+    have no count ties in the top 3 at any SF (verified 0.001/0.01/0.1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("est"),
+        )
+    )
+
+
+@query("agg_mode_median", oracle="""
+    SELECT l_returnflag,
+           mode(l_linenumber) AS mode_line,
+           median(l_quantity) AS median_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode()/median() grouped aggregates (Spark >=3.4 built-ins).
+
+    median is an exact single-pass sort-based aggregate; mode keeps a
+    per-group value->count map. Both are Catalyst-native (no Python).
+    The fixture's (returnflag, linenumber) count distribution has a
+    strictly unique argmax per group at every SF (verified), so mode is
+    deterministic and oracle-comparable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber").alias("mode_line"),
+        F.median("l_quantity").alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def ensure_udtfs(spark: SparkSession) -> None:
+    """Idempotently register the Python UDTF surface on this session.
+
+    Mirrors ensure_chsql_functions: the driver's correctness gate builds
+    its own SparkSession, so registration must happen at call time, not
+    only in session.py (the r2 fn_cast_ch lesson).
+    """
+    if getattr(spark, "_qf_udtfs_registered", False):
+        return
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        """Word-split with ordinality — one output row per word."""
+
+        def eval(self, text):  # noqa: ANN001 - UDTF protocol signature
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                if w:
+                    yield i + 1, w
+
+    spark.udtf.register("split_words", SplitWords)
+    spark._qf_udtfs_registered = True
+
+
+@query("fn_udtf_split", oracle="""
+    SELECT doc_id,
+           generate_subscripts(words, 1) AS pos,
+           unnest(words) AS word
+    FROM (
+        SELECT doc_id, string_split(text, ' ') AS words
+        FROM documents
+        WHERE doc_id % 25 = 0
+    )
+""")
+def fn_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL Python UDTF: expand each document into (pos, word) rows.
+
+    The UDTF runs Arrow-batched in the Python worker, one lateral
+    expansion per input row; the surrounding plan (scan filter, lateral
+    join) stays in the JVM. The fixture filter keeps the oracle cheap;
+    the plan shape is row-count-independent. Words are split on single
+    spaces and empties dropped, matching DuckDB string_split semantics
+    on the fixture's single-spaced text.
+    """
+    ensure_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 25 = 0")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM _udtf_docs d, LATERAL split_words(d.text) s
+        """
+    )

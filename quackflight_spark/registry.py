@@ -66,10 +66,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "rollup_time_partitioned", "timeseries_gapfill",
     "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # -- Block B2: oracle-backed keys added after the r2 verdict (never
+    # driver-checked); land right past the 50-key window so they are the
+    # first keys a larger budget or the r4 gate reaches --
+    "dedup_incremental", "dedup_lines",
+    "events_sessionize", "retention_cohorts", "events_funnel",
+    "text_pii_scrub", "text_bigram_topk", "text_unigram_logprob",
+    "pipeline_mix_domains", "pipeline_shuffle_shards",
+    "fn_variant", "agg_approx_topk", "agg_mode_median", "fn_udtf_split",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
-    "ann_ivfpq_topk", "mm_decode", "mm_feature_extract", "mm_resize",
-    "fmt_jsoncompact", "stream_watermark_late",
+    "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
+    "mm_resize", "fmt_jsoncompact", "stream_watermark_late",
 )
 
 
@@ -95,6 +103,7 @@ def load_all() -> None:
     import quackflight_spark.operators.subqueries  # noqa: F401
     import quackflight_spark.operators.setops  # noqa: F401
     import quackflight_spark.functions.scalar_suite  # noqa: F401
+    import quackflight_spark.functions.modern  # noqa: F401
     import quackflight_spark.operators.sketches  # noqa: F401
     import quackflight_spark.operators.tpch_extra  # noqa: F401
     import quackflight_spark.operators.tpch_full  # noqa: F401

@@ -527,3 +527,63 @@ def test_unigram_logprob_semantics(spark, sf_dir):
     for r in rows:
         assert r["avg_nll"] > 0
         assert r["n_tokens"] == toks[r["doc_id"]]
+
+
+def test_variant_typed_access(spark, sf_dir):
+    """variant_get returns typed values identical to string-JSON parsing,
+    and missing paths are NULL (not an error)."""
+    rows = _queries()["fn_variant"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["absent"] is None
+        assert r["has_k"] == (r["k_int"] is not None)
+        if r["k_int"] is not None:
+            assert r["k_str"] == str(r["k_int"])
+
+
+def test_approx_topk_exact_when_tracked(spark, sf_dir):
+    """With maxItemsTracked >= NDV the sketch is exact: compare against
+    the plain groupBy counts."""
+    got = {
+        (r["item"], r["est"])
+        for r in _queries()["agg_approx_topk"](spark, sf_dir).collect()
+    }
+    from quackflight_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type").count()
+        .orderBy(F.desc("count"), "event_type").limit(3).collect()
+    )
+    assert got == {(r["event_type"], r["count"]) for r in exact}
+
+
+def test_mode_median_against_pandas(spark, sf_dir):
+    """median matches numpy's exact median per group."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r["l_returnflag"]: r for r in _queries()["agg_mode_median"](spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        assert got[flag]["median_qty"] == pytest.approx(float(np.median(grp["l_quantity"])))
+
+
+def test_udtf_split_ordinality(spark, sf_dir):
+    """The lateral UDTF emits one row per word with 1-based positions and
+    reconstructs the original text on re-join."""
+    out = _queries()["fn_udtf_split"](spark, sf_dir)
+    rejoined = {
+        r["doc_id"]: r["t"]
+        for r in out.groupBy("doc_id")
+        .agg(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "word"))).word).alias("t"))
+        .collect()
+    }
+    from quackflight_spark.sources.fixtures import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").where("doc_id % 25 = 0").collect()
+    }
+    assert rejoined == docs
