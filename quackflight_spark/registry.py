@@ -74,6 +74,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_pii_scrub", "text_bigram_topk", "text_unigram_logprob",
     "pipeline_mix_domains", "pipeline_shuffle_shards",
     "fn_variant", "agg_approx_topk", "agg_mode_median", "fn_udtf_split",
+    "timeseries_interpolate", "join_skew_salted",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
@@ -105,6 +106,7 @@ def load_all() -> None:
     import quackflight_spark.functions.scalar_suite  # noqa: F401
     import quackflight_spark.functions.modern  # noqa: F401
     import quackflight_spark.operators.sketches  # noqa: F401
+    import quackflight_spark.operators.skew  # noqa: F401
     import quackflight_spark.operators.tpch_extra  # noqa: F401
     import quackflight_spark.operators.tpch_full  # noqa: F401
     import quackflight_spark.pipeline.dedup  # noqa: F401

@@ -498,3 +498,124 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query("timeseries_interpolate", oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events
+      WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '{GAPFILL_DAY}'
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', t) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM e GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT e.event_type, g.h AS hour_start
+      FROM e, (SELECT unnest(generate_series(
+                 TIMESTAMP '{GAPFILL_DAY} 00:00:00',
+                 TIMESTAMP '{GAPFILL_DAY} 23:00:00',
+                 INTERVAL 1 HOUR)) AS h) g
+    ),
+    j AS (
+      SELECT grid.event_type, grid.hour_start, agg.n, agg.cents,
+             CAST(epoch(grid.hour_start) AS BIGINT) AS h
+      FROM grid LEFT JOIN agg
+        ON grid.event_type = agg.event_type AND grid.hour_start = agg.hour_start
+    ),
+    w AS (
+      SELECT *,
+             last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY hour_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             last_value(cents IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY hour_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY hour_start
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+             first_value(cents IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY hour_start
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      FROM j
+    )
+    SELECT event_type, hour_start,
+           COALESCE(n, 0) AS n,
+           CASE
+             WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               (CAST(pv AS DOUBLE)
+                + CAST(nv - pv AS DOUBLE)
+                  * (CAST(h - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))) / 100.0
+           END AS v_interp
+    FROM w
+""")
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + LINEAR interpolation over one day of events —
+    the hypertable `time_bucket_gapfill`/`interpolate` pattern: dense
+    (event_type × hour) grid, sparse hourly rollup, and each missing
+    hour lerped between its nearest observed neighbours (NULL outside
+    the observed range, matching the hypertable semantics).
+
+    Exactness design: the hourly metric is an integer (cents from a
+    DECIMAL sum), hour positions are integer epoch seconds, and the
+    lerp is written with the identical IEEE expression tree on both
+    engines — integer-derived doubles, one division, one multiply, one
+    add — so the oracle compare is bit-exact, no tolerance needed.
+
+    Scale shape: same as timeseries_gapfill — one shuffle on the
+    grouping key, two running-window passes over the (key × 24) grid
+    (tiny relative to the input), day filter rides the date-partitioned
+    layout."""
+    from pyspark.sql import Window as W
+
+    day_start = F.lit(f"{GAPFILL_DAY} 00:00:00").cast("timestamp")
+    day_end = F.lit(f"{GAPFILL_DAY} 23:00:00").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit(GAPFILL_DAY).cast("date")
+    )
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    grid = e.select("event_type").distinct().select(
+        "event_type",
+        F.explode(F.sequence(day_start, day_end, F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        ),
+    )
+    j = grid.join(agg, on=["event_type", "hour_start"], how="left").withColumn(
+        "h", F.unix_timestamp("hour_start")
+    )
+    past = W.partitionBy("event_type").orderBy("hour_start").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    future = W.partitionBy("event_type").orderBy("hour_start").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    observed_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    w = (
+        j.withColumn("pt", F.last(observed_h, ignorenulls=True).over(past))
+        .withColumn("pv", F.last("cents", ignorenulls=True).over(past))
+        .withColumn("nt", F.first(observed_h, ignorenulls=True).over(future))
+        .withColumn("nv", F.first("cents", ignorenulls=True).over(future))
+    )
+    lerp = (
+        F.col("pv").cast("double")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * ((F.col("h") - F.col("pt")).cast("double")
+           / (F.col("nt") - F.col("pt")).cast("double"))
+    ) / 100.0
+    return w.select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double") / 100.0)
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp)
+        .alias("v_interp"),
+    )

@@ -587,3 +587,49 @@ def test_udtf_split_ordinality(spark, sf_dir):
         for r in load_table(spark, sf_dir, "documents").where("doc_id % 25 = 0").collect()
     }
     assert rejoined == docs
+
+
+def test_interpolate_lerp_semantics(spark, sf_dir):
+    """Observed hours reproduce the exact hourly sum; missing interior
+    hours sit strictly between their neighbours; hours before the first
+    observation are NULL."""
+    rows = _queries()["timeseries_interpolate"](spark, sf_dir).collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["event_type"], []).append(r)
+    saw_interp = False
+    for seq in by_key.values():
+        seq.sort(key=lambda r: r["hour_start"])
+        vals = [r["v_interp"] for r in seq]
+        obs = [i for i, r in enumerate(seq) if r["n"] > 0]
+        for i, v in enumerate(vals):
+            if i < obs[0] or i > obs[-1]:
+                assert v is None
+            elif seq[i]["n"] == 0:
+                saw_interp = True
+                lo = max(j for j in obs if j < i)
+                hi = min(j for j in obs if j > i)
+                assert min(vals[lo], vals[hi]) <= v <= max(vals[lo], vals[hi])
+    assert saw_interp or all(len(o) == 24 for o in by_key.values())
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """The salted join is bit-identical to the unsalted plan."""
+    got = {r["o_orderpriority"]: (r["n_items"], r["revenue"])
+           for r in _queries()["join_skew_salted"](spark, sf_dir).collect()}
+    from quackflight_spark.sources.fixtures import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where("o_orderstatus = 'F'")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("rev"),
+        )
+        .collect()
+    )
+    assert got == {r["o_orderpriority"]: (r["n"], r["rev"]) for r in plain}
