@@ -498,3 +498,106 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (grams per window)
+
+
+@query("text_winnowing", oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk,
+             list_transform(
+               range(1, greatest(len(tk) - {WINNOW_K} + 1, 0) + 1),
+               i -> CAST('0x' || substr(md5(
+                      array_to_string(list_slice(tk, i, i + {WINNOW_K} - 1), ' ')
+                    ), 1, 15) AS BIGINT)) AS gh
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id,
+             len(gh) AS n_grams,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(gh) - {WINNOW_W} + 1, 0) + 1),
+               j -> list_min(list_slice(gh, j, j + {WINNOW_W} - 1))))) AS fp
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(len(fp) AS BIGINT) AS n_fps,
+           md5(array_to_string(list_transform(fp, x -> CAST(x AS STRING)), ','))
+             AS fp_sig
+    FROM fps
+""")
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-token gram, slide a w-gram window, keep
+    each window's minimum hash; the distinct minima are the document's
+    fingerprint set (guaranteed density 2/(w+1), guaranteed to share a
+    fingerprint with any copy of >= w+k-1 tokens).
+
+    Scale shape: the entire pipeline is per-row array higher-order
+    functions (split -> transform -> slice -> array_min) — zero explode,
+    zero shuffle, one narrow pass over the corpus; the fingerprint set
+    is emitted as canonical scalars (count + md5 signature) so the gate
+    can hash it. Hashes are md5-derived (cross-engine-deterministic, no
+    engine hash()). A dedup/all-vs-all comparison would explode fp and
+    equi-join on the fingerprint value — the same inverted-index shape
+    as dedup_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    n_grams_expr = F.greatest(
+        F.size(F.col("tk")) - F.lit(WINNOW_K - 1), F.lit(0)
+    )
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, WINNOW_K))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    grams = (
+        d.select("doc_id", tk.alias("tk"))
+        .withColumn("n_grams", n_grams_expr)
+        .withColumn(
+            "gh",
+            F.when(
+                F.col("n_grams") > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.col("n_grams"), F.lit(1))),
+                    gram_hash,
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+    )
+    n_wins = F.greatest(F.size(F.col("gh")) - F.lit(WINNOW_W - 1), F.lit(0))
+    win_min = lambda j: F.array_min(F.slice(F.col("gh"), j, WINNOW_W))  # noqa: E731
+    fps = grams.withColumn(
+        "fp",
+        F.array_sort(
+            F.array_distinct(
+                F.when(
+                    n_wins > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))), win_min
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            )
+        ),
+    )
+    return fps.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.size("fp").cast("bigint").alias("n_fps"),
+        F.md5(
+            F.array_join(F.transform(F.col("fp"), lambda x: x.cast("string")), ",")
+        ).alias("fp_sig"),
+    )

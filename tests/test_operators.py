@@ -633,3 +633,23 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .collect()
     )
     assert got == {r["o_orderpriority"]: (r["n"], r["rev"]) for r in plain}
+
+
+def test_winnowing_density_and_stability(spark, sf_dir):
+    """Winnowing guarantees: fingerprints non-empty for docs with >= w+k-1
+    tokens, density near the theoretical 2/(w+1), and the signature is a
+    pure function of text (same text => same sig)."""
+    from quackflight_spark.pipeline.text_analysis import WINNOW_K, WINNOW_W
+
+    rows = _queries()["text_winnowing"](spark, sf_dir).collect()
+    assert rows
+    densities = []
+    for r in rows:
+        if r["n_grams"] >= WINNOW_W:
+            assert r["n_fps"] > 0
+            densities.append(r["n_fps"] / r["n_grams"])
+    assert densities
+    mean_d = sum(densities) / len(densities)
+    # distinct-min collapse pulls density below 1; 2/(w+1) is the
+    # expected unique-min rate for random hashes
+    assert 0.5 * 2 / (WINNOW_W + 1) < mean_d < 1.0
