@@ -167,3 +167,62 @@ def fn_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL split_words(d.text) s
         """
     )
+
+
+@query("agg_listagg", oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+""")
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — Spark 4's ANSI `LISTAGG ... WITHIN
+    GROUP (ORDER BY ...)` vs DuckDB's ordered `string_agg`. DISTINCT +
+    explicit ORDER BY make the concatenation deterministic across
+    engines and partitionings (an unordered string_agg is not a valid
+    distributed aggregate — order depends on merge order)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_listagg_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, '|')
+                   WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM _listagg_orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query("fn_bitwise", oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber & 5 AS band,
+           l_linenumber | 9 AS bor,
+           xor(l_linenumber, 3) AS bxor,
+           l_linenumber << 2 AS shl,
+           l_linenumber >> 1 AS shr,
+           CAST(bit_count(l_linenumber) AS INT) AS bc,
+           ~l_linenumber AS bnot
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+""")
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (&, |, xor, shifts, bit_count, ~) — all
+    codegen'd integer expressions; dialect note: DuckDB spells xor as a
+    function and Spark as the ^ operator."""
+    li = load_table(spark, sf_dir, "lineitem").where("l_orderkey % 11 = 0")
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(5)).alias("band"),
+        ln.bitwiseOR(F.lit(9)).alias("bor"),
+        ln.bitwiseXOR(F.lit(3)).alias("bxor"),
+        F.shiftleft(ln, 2).alias("shl"),
+        F.shiftright(ln, 1).alias("shr"),
+        F.bit_count(ln).alias("bc"),
+        F.expr("~l_linenumber").alias("bnot"),
+    )
