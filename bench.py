@@ -78,6 +78,12 @@ BENCH_KEYS = [
     "rollup_time_partitioned",
     "timeseries_gapfill",
     "stream_session",
+    "join_skew_salted",
+    "timeseries_interpolate",
+    "text_winnowing",
+    "fn_variant",
+    "agg_approx_topk",
+    "fn_udtf_split",
 ]
 
 

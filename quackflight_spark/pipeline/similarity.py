@@ -555,3 +555,64 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.join(F.broadcast(sizes), on="cluster").select(
         "vec_id", "cluster", "cluster_size"
     )
+
+
+FILTER_LABELS = (0, 2, 4)  # metadata predicate for filtered search
+
+
+@query("ann_filtered_topk", oracle=f"""
+    WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT * FROM t WHERE label IN (0, 2, 4)),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+             round(list_cosine_similarity(q.qe, c.e), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.qe, c.e), 6) DESC,
+                        c.vec_id) AS rn
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(label AS INT) AS label, cos_sim,
+           CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+""")
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k cosine restricted by a
+    metadata predicate (label IN ...), with the predicate applied
+    PRE-scoring — the "pre-filter" strategy.
+
+    Why it's its own operator: post-filtering a plain top-k (score,
+    then drop non-matching neighbors) silently returns < k results for
+    selective predicates; pre-filtering keeps k exact. In the plan the
+    label predicate reaches the parquet scan (PushedFilters), so a
+    selective filter prunes IO before any vector math runs — on a
+    label-partitioned 100 TB corpus it becomes directory-level partition
+    pruning. Scoring cost drops from |corpus| to |match| per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from quackflight_spark.pipeline.veckernels import l2_normalize
+
+    q = (
+        _emb_normed(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    # Corpus side filters BEFORE normalization/scoring so the predicate
+    # sits directly on the scan (pushdown-visible), not above the kernel.
+    corpus = (
+        emb.filter(F.col("label").isin(*FILTER_LABELS))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("int").alias("label"),
+            l2_normalize(F.col("embedding").cast("array<double>")).alias("e"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("e")), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cos_sim", "rn")
+    )

@@ -196,3 +196,11 @@ def test_sessionize_single_exchange(spark, sf_dir, q):
 
     n_shuffle = len(re.findall(r"Exchange hashpartitioning", final))
     assert n_shuffle == 1, final
+
+
+def test_filtered_ann_pushes_label_predicate(spark, sf_dir, q):
+    """ann_filtered_topk's metadata predicate must sit on the parquet
+    scan (pre-filter strategy), not above the scoring kernel."""
+    out = _formatted(q["ann_filtered_topk"](spark, sf_dir))
+    assert "PushedFilters" in out
+    assert "In(label" in out or "label IN" in out
