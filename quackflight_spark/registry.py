@@ -75,7 +75,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_mix_domains", "pipeline_shuffle_shards",
     "fn_variant", "agg_approx_topk", "agg_mode_median", "fn_udtf_split",
     "timeseries_interpolate", "join_skew_salted", "text_winnowing",
-    "agg_listagg", "fn_bitwise", "ann_filtered_topk",
+    "agg_listagg", "fn_bitwise", "ann_filtered_topk", "stream_running_totals",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
@@ -120,5 +120,6 @@ def load_all() -> None:
     import quackflight_spark.serving.formats  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401
+    import quackflight_spark.streaming.stateful  # noqa: F401
     import quackflight_spark.operators.relational  # noqa: F401
     _apply_gate_priority()

@@ -17,6 +17,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from quackflight_spark.registry import query
+
 OUTPUT_SCHEMA = "user_id bigint, n bigint, total double"
 STATE_SCHEMA = "n bigint, total double"
 
@@ -44,4 +46,112 @@ def attach(grouped):
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+STATE_CENTS_SCHEMA = "n bigint, cents bigint"
+
+
+def running_totals_exact(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate (count, sum) per user with INTEGER-CENTS state.
+
+    Accumulating a float sum across micro-batches makes the result
+    depend on batch order (IEEE addition is not associative); holding
+    the metric as integer cents makes the fold exact and batch-order
+    independent — which is what lets the registered key carry a strict
+    value-hash oracle rather than a tolerance compare."""
+    if state.exists:
+        n, cents = state.get
+    else:
+        n, cents = 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+    )
+
+
+def attach_exact(grouped):
+    """events.groupBy('user_id') → exact streaming running totals."""
+    return grouped.applyInPandasWithState(
+        running_totals_exact,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_CENTS_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("stream_running_totals", oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+                AS DOUBLE) / 100.0 AS total
+    FROM events
+    GROUP BY user_id
+""")
+def stream_running_totals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Registered surface for the custom stateful operator: drain the
+    events feed through applyInPandasWithState running totals and return
+    each user's final state row. Because the per-key fold is exact
+    (integer cents), the final state equals the batch aggregate exactly
+    — the DuckDB GROUP BY is a strict oracle, proving the stateful
+    operator loses nothing across micro-batch boundaries.
+
+    Scale shape: state is per-key in the executor-local state store
+    (checkpointed, partitioned by the groupBy key) — no driver state;
+    update-mode emits only keys touched per batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized, load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"qf_state_src_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = events_ts_normalized(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    ).select("user_id", "value")
+    out = attach_exact(stream.groupBy("user_id"))
+    name = f"running_totals_{tag}"
+    # The stateful shuffle instantiates one state store + one Python
+    # worker per shuffle partition; for a 150-key state that fixed cost
+    # dwarfs the work. 8 partitions is still executor-parallel; at real
+    # scale (millions of keys) raise it back toward the core count.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # update-mode memory sink may hold several emissions per key (one per
+    # micro-batch that touched it); the final state per key is the row
+    # with the highest n.
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    snap = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n", "total")
     )
