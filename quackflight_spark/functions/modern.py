@@ -226,3 +226,70 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(ln).alias("bc"),
         F.expr("~l_linenumber").alias("bnot"),
     )
+
+
+@query("agg_regression", oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+""")
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: corr / covar / regr_* (ANSI
+    bivariate aggregates, Spark >=3.4 built-ins). All are single-pass
+    mergeable moment accumulators (sum, sum², cross-product per
+    partition, merged exactly once) — the distributed-safe formulation;
+    outputs rounded to the stable digit range so the cross-engine
+    compare is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_regr_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+               round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM _regr_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+TIME_BUCKET_ORIGIN = "2024-01-01 00:15:00"  # deliberately off-hour anchor
+TIME_BUCKET_SEC = 5400  # 90-minute buckets
+
+
+@query("fn_time_bucket", oracle=f"""
+    SELECT time_bucket(INTERVAL '90 minutes', CAST(ts AS TIMESTAMP),
+                       TIMESTAMP '{TIME_BUCKET_ORIGIN}') AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+""")
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width, arbitrary-origin time bucketing (the hypertable
+    `time_bucket` generalization of date_trunc): bucket = origin +
+    floor((ts - origin) / width) * width, all integer epoch arithmetic
+    inside codegen. The off-hour origin proves the anchor is honored —
+    date_trunc can't express it."""
+    ev = load_table(spark, sf_dir, "events")
+    origin = F.lit(TIME_BUCKET_ORIGIN).cast("timestamp")
+    delta = F.unix_timestamp("ts") - F.unix_timestamp(origin)
+    bucket = F.timestamp_seconds(
+        F.unix_timestamp(origin)
+        + F.floor(delta / TIME_BUCKET_SEC) * TIME_BUCKET_SEC
+    )
+    return ev.groupBy(
+        bucket.alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
