@@ -601,3 +601,73 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(F.col("fp"), lambda x: x.cast("string")), ",")
         ).alias("fp_sig"),
     )
+
+
+TFIDF_TOP = 3
+
+
+@query("text_tfidf_topterms", oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf,
+             CAST(df.df AS BIGINT) AS df,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {TFIDF_TOP}
+""")
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF salient terms: the TFIDF_TOP most distinctive tokens per
+    document (raw-count tf × ln(N/df) idf, deterministic term
+    tie-break).
+
+    Scale shape: explode → two groupBys that both shuffle on bounded
+    keys ((doc, term) then term); the document-frequency table is
+    vocabulary-sized, so it broadcasts back onto the tf table instead
+    of shuffling the corpus a second time; top-k per doc is one window
+    on the tf table's existing doc partitioning. tf/df stay integers —
+    the only float is the final ln, rounded to its stable digits."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    tok = d.select(
+        "doc_id", F.explode(toks).alias("t")
+    ).select("doc_id", F.lower(F.col("t")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # bounded driver scalar (fixture metadata)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )

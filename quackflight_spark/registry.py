@@ -76,7 +76,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fn_variant", "agg_approx_topk", "agg_mode_median", "fn_udtf_split",
     "timeseries_interpolate", "join_skew_salted", "text_winnowing",
     "agg_listagg", "fn_bitwise", "ann_filtered_topk", "stream_running_totals",
-    "agg_regression", "fn_time_bucket",
+    "agg_regression", "fn_time_bucket", "text_tfidf_topterms",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
