@@ -71,29 +71,3 @@ def write_zordered(
         .parquet(path)
     )
 
-
-def write_bucketed(
-    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 16,
-    sort_col: str | None = None,
-) -> None:
-    """Hash-bucketed managed table — the shuffle-free co-located join
-    layout (Hive bucketing; Spark reads it natively).
-
-    `bucketBy(n, col)` hash-partitions rows into n files per write task
-    and records the bucketing spec in the catalog. When two tables share
-    the spec on their join key, Catalyst plans a SortMergeJoin with NO
-    Exchange on either side — at 100 TB that removes the single largest
-    cost of a fact-to-fact join (shuffling both tables). Pre-sorting
-    within buckets (`sortBy`) additionally removes the per-task Sort.
-
-    Bucket count sizing: aim for bucket files of 128 MB-1 GB at the
-    target scale; too few buckets caps join parallelism, too many makes
-    small files. The spec is per-table and fixed at write time — pick
-    the join key of the dominant query pattern.
-    """
-    w = df.write.mode("overwrite").format("parquet")
-    if sort_col is not None:
-        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
-    else:
-        w = w.bucketBy(n_buckets, bucket_col)
-    w.saveAsTable(table_name)

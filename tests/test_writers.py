@@ -294,36 +294,45 @@ def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmpdir):
     assert spark.read.parquet(zo).count() == ev.count()
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir):
-    """Two tables bucketed on the join key join WITHOUT any shuffle:
-    the physical plan must contain no Exchange operator. This is the
-    co-located fact-to-fact join layout for 100 TB scale."""
-    from quackflight_spark.sources.layout import write_bucketed
+def test_mv_refresh_leaves_untouched_partitions_alone(spark, sf_dir):
+    """Incremental refresh must not rewrite MV partitions whose dates
+    did not receive data: their files stay byte-identical (same paths,
+    same mtimes) across the refresh."""
+    import os
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem",
-                   "l_orderkey", n_buckets=8)
-    write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders",
-                   "o_orderkey", n_buckets=8)
-    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        # at fixture size AQE would broadcast; disable it so the plan
-        # shows the sort-merge path the bucketing spec co-locates
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        j = spark.table("b_lineitem").join(
-            spark.table("b_orders").hint("merge"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        final = plan.split("== Initial Plan ==")[0]
-        assert "SortMergeJoin" in final
-        assert "Exchange" not in final  # no shuffle on either side
-        # and the join result is still correct
-        n_bucketed = j.count()
-        n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
-        assert n_bucketed == n_plain
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.sql("DROP TABLE IF EXISTS b_lineitem")
-        spark.sql("DROP TABLE IF EXISTS b_orders")
+    from quackflight_spark.sources.matview import (
+        MV_ROOT, SPLIT_DAY, _daily_rollup, refresh_incremental,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    mv_path = f"{MV_ROOT}/test_incr"
+    shutil.rmtree(mv_path, ignore_errors=True)
+    split = F.lit(SPLIT_DAY).cast("date")
+    (
+        _daily_rollup(events.filter(F.to_date("ts") <= split))
+        .repartition("event_date")
+        .write.mode("overwrite").partitionBy("event_date").parquet(mv_path)
+    )
+
+    def snapshot():
+        out = {}
+        for d in os.listdir(mv_path):
+            if d.startswith("event_date="):
+                p = os.path.join(mv_path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                )
+        return out
+
+    before = snapshot()
+    refresh_incremental(
+        spark, mv_path, events.filter(F.to_date("ts") > split)
+    )
+    after = snapshot()
+    base_dates = set(before)
+    appended_dates = set(after) - base_dates
+    assert appended_dates  # refresh added the new days
+    for d in base_dates:  # and rewrote nothing else
+        assert after[d] == before[d]
+    shutil.rmtree(mv_path, ignore_errors=True)
