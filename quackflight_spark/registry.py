@@ -77,7 +77,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_interpolate", "join_skew_salted", "text_winnowing",
     "agg_listagg", "fn_bitwise", "ann_filtered_topk", "stream_running_totals",
     "agg_regression", "fn_time_bucket", "text_tfidf_topterms",
-    "agg_theta_sketch_ops", "mv_incremental_refresh",
+    "agg_theta_sketch_ops", "mv_incremental_refresh", "scan_csv", "scan_jsonl",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
@@ -120,6 +120,7 @@ def load_all() -> None:
     import quackflight_spark.pipeline.composite  # noqa: F401
     import quackflight_spark.sources.merge  # noqa: F401
     import quackflight_spark.sources.matview  # noqa: F401
+    import quackflight_spark.sources.textformats  # noqa: F401
     import quackflight_spark.serving.formats  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401

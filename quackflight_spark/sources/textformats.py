@@ -1,0 +1,60 @@
+"""CSV / JSON-lines source connectors — SURVEY §2.1's delegated
+read_csv/read_json table functions (reference main.py:231 pass-through;
+the HTTP ingest path also round-trips JSONEachRow, main.py:196-211).
+
+Spark-first: `spark.read.csv` / `spark.read.json` with an EXPLICIT
+schema. Schema inference re-reads the input once per job and guesses
+types per file — at 100 TB that is a second full pass and a schema-drift
+hazard, so the connectors here always declare the schema (the reference
+gets the same effect from DuckDB coercing JSON to the existing table
+schema on COPY).
+
+The fixture staging (parquet → csv/ndjson under /tmp) stands in for data
+that ARRIVES in those formats; the keys prove the read path yields rows
+identical to the parquet truth (oracle = the parquet-backed view).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+STAGE_ROOT = "/tmp/qf_textformats"
+
+NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write nation once per (sf_dir, fmt) as csv/ndjson; reused across
+    calls (build-once staging, like the ingest landing zone it models)."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/{fmt}_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        n = load_table(spark, sf_dir, "nation")
+        if fmt == "csv":
+            n.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        else:
+            n.coalesce(1).write.mode("overwrite").json(path)
+    return path
+
+
+@query("scan_csv", oracle="SELECT * FROM nation")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with declared schema + header: rows must equal the
+    parquet truth (type-faithful round-trip, no inference pass)."""
+    path = _staged(spark, sf_dir, "csv")
+    return spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+
+
+@query("scan_jsonl", oracle="SELECT * FROM nation")
+def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines (JSONEachRow) scan with declared schema — the batch
+    twin of the HTTP JSONEachRow ingest path (serving/http_app.py)."""
+    path = _staged(spark, sf_dir, "jsonl")
+    return spark.read.schema(NATION_SCHEMA).json(path)
