@@ -84,6 +84,12 @@ BENCH_KEYS = [
     "fn_variant",
     "agg_approx_topk",
     "fn_udtf_split",
+    "ann_filtered_topk",
+    "text_tfidf_topterms",
+    "agg_theta_sketch_ops",
+    "agg_regression",
+    "fn_time_bucket",
+    "mv_incremental_refresh",
 ]
 
 

@@ -71,3 +71,44 @@ def write_zordered(
         .parquet(path)
     )
 
+
+
+def compact_files(
+    spark, path: str, target_rows_per_file: int, sort_col: str | None = None
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE/bin-packing maintenance op).
+
+    Streaming sinks and per-partition CoW commits accumulate many small
+    files; each file costs a task, a footer read, and an open at query
+    time, so a 100 TB table with 10^7 tiny files is slow regardless of
+    layout. Compaction rewrites the directory into ceil(rows/target)
+    right-sized files — here sized by rows (the fixture analog of the
+    128 MB-1 GB byte target), optionally re-sorted so row-group stats
+    stay tight after the rewrite.
+
+    Returns (files_before, files_after). Rewrite is atomic-by-rename:
+    written to a staging dir, then swapped in, so readers never see a
+    half-compacted table.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    staging = path.rstrip("/") + "__compact"
+    out = df.repartition(n_files)
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return before, after

@@ -619,3 +619,58 @@ def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), lerp)
         .alias("v_interp"),
     )
+
+
+ANOMALY_K = 3.0  # MAD multiplier
+
+
+@query("events_anomaly_mad", oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, median(n) AS med FROM hourly GROUP BY 1
+    ),
+    dev AS (
+      SELECT h.*, m.med, abs(h.n - m.med) AS adev
+      FROM hourly h JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.hour_start, d.n, d.med, m2.mad
+    FROM dev d JOIN mad m2 USING (event_type)
+    WHERE d.adev > {ANOMALY_K} * m2.mad
+""")
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: flag hours whose event count
+    deviates from the per-type median by more than K median-absolute-
+    deviations. Median/MAD (not mean/stddev) so the baseline itself is
+    not dragged by the outliers being hunted — the standard robust
+    monitor for ingest-volume regressions.
+
+    Determinism: counts are integers and both engines' exact medians of
+    integers land on .0/.5, so every comparison is exact — no tolerance.
+    Scale shape: the hourly rollup collapses the corpus to |types| ×
+    |hours| rows in one shuffle; the two median passes and the flag join
+    run on that tiny frame (broadcast), never on raw events."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > ANOMALY_K * F.col("mad"))
+        .select("event_type", "hour_start", "n", "med", "mad")
+    )

@@ -336,3 +336,18 @@ def test_mv_refresh_leaves_untouched_partitions_alone(spark, sf_dir):
     for d in base_dates:  # and rewrote nothing else
         assert after[d] == before[d]
     shutil.rmtree(mv_path, ignore_errors=True)
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmpdir):
+    """Compaction: 32 shards -> right-sized files, identical content."""
+    from quackflight_spark.sources.layout import compact_files
+
+    path = f"{tmpdir}/frag"
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(32).write.mode("overwrite").parquet(path)  # fragmented
+    n = ev.count()
+    before_rows = {tuple(r) for r in spark.read.parquet(path).collect()}
+    before, after = compact_files(spark, path, target_rows_per_file=n // 2 + 1)
+    assert before == 32
+    assert after == 2
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before_rows
