@@ -293,3 +293,25 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         bucket.alias("bucket"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("fn_hashing", oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_brand) AS h_sha256,
+           md5(concat(p_name, '|', p_type)) AS h_compound
+    FROM part
+    WHERE p_partkey % 9 = 0
+""")
+def fn_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash functions (md5 / sha2-256) — the
+    cross-engine-stable content-hash primitives every dedup/fingerprint
+    operator in pipeline/ builds on (engine-internal hash() functions
+    deliberately never appear in oracle-checked output)."""
+    p = load_table(spark, sf_dir, "part").where("p_partkey % 9 = 0")
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_brand", 256).alias("h_sha256"),
+        F.md5(F.concat_ws("|", "p_name", "p_type")).alias("h_compound"),
+    )

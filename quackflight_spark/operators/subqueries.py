@@ -203,3 +203,37 @@ def exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@query("subquery_any_all", oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > ALL (
+            SELECT o_totalprice FROM orders WHERE o_orderpriority = '5-LOW'
+              AND o_custkey < 100
+          )
+      AND o_orderkey < ANY (
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+          )
+""")
+def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (ALL / ANY subqueries) — rewritten to the
+    aggregate forms Catalyst executes directly: `> ALL (S)` = `> max(S)`
+    (with empty-S = TRUE via coalesce) and `< ANY (S)` = `< max(S)`.
+    The rewrite turns a correlated quantifier into one scalar aggregate
+    broadcast against the outer scan — no per-row subquery execution at
+    any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_anyall_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _anyall_orders
+        WHERE o_totalprice > coalesce(
+                (SELECT max(o_totalprice) FROM _anyall_orders
+                 WHERE o_orderpriority = '5-LOW' AND o_custkey < 100),
+                CAST('-Infinity' AS DOUBLE))
+          AND o_orderkey < (SELECT max(o_orderkey) FROM _anyall_orders
+                            WHERE o_orderstatus = 'F')
+        """
+    )

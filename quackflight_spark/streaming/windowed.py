@@ -674,3 +674,63 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("adev") > ANOMALY_K * F.col("mad"))
         .select("event_type", "hour_start", "n", "med", "mad")
     )
+
+
+SEVERITY = {"view": 1, "click": 2, "signup": 3, "purchase": 4, "error": 5}
+
+
+@query("stream_enrich_join", oracle="""
+    SELECT event_id, event_type,
+           CASE event_type
+             WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'signup' THEN 3
+             WHEN 'purchase' THEN 4 WHEN 'error' THEN 5
+           END AS severity,
+           value
+    FROM events
+    WHERE event_id % 13 = 0
+""")
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a streaming fact feed joined to a
+    static dimension (the severity lookup) — the stateless streaming
+    join class (no watermark, no state store; the dim broadcasts into
+    every micro-batch). Batch parity is exact, so the oracle is the
+    batch join.
+
+    At 100 TB-rate streams this is the standard enrichment shape: the
+    dim refreshes by replacing the static frame between restarts (or
+    via a slowly-changing broadcast), while the stream side never
+    shuffles — the join is map-side in each micro-batch."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in SEVERITY.items()], "event_type string, severity int"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"qf_enrich_src_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stage)
+        .filter("event_id % 13 = 0")
+        .select("event_id", "event_type", "value")
+        .join(F.broadcast(dim), "event_type")
+        .select("event_id", "event_type", "severity", "value")
+    )
+    name = f"enrich_{tag}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
