@@ -315,3 +315,42 @@ def fn_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("p_brand", 256).alias("h_sha256"),
         F.md5(F.concat_ws("|", "p_name", "p_type")).alias("h_compound"),
     )
+
+
+HIST_LO, HIST_HI, HIST_N = 0.0, 600000.0, 12
+
+
+@query("agg_histogram", oracle=f"""
+    SELECT CAST(least(greatest(floor((o_totalprice - {HIST_LO})
+                 / (({HIST_HI} - {HIST_LO}) / {HIST_N})) + 1, 0), {HIST_N} + 1)
+               AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+""")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: one map-side-combinable
+    groupBy over the bucket id — the shuffle carries |buckets| rows per
+    task, never the data. The DuckDB oracle spells out width_bucket's
+    exact boundary arithmetic (floor((x-lo)/w)+1, clamped), which is
+    bit-deterministic here because the bucket width is an exact binary
+    double."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(
+                "o_totalprice", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_N)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("lo"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("hi"),
+        )
+    )
