@@ -653,3 +653,49 @@ def test_winnowing_density_and_stability(spark, sf_dir):
     # distinct-min collapse pulls density below 1; 2/(w+1) is the
     # expected unique-min rate for random hashes
     assert 0.5 * 2 / (WINNOW_W + 1) < mean_d < 1.0
+
+
+def test_theta_sketch_set_algebra_consistency(spark, sf_dir):
+    """Inclusion-exclusion sanity on the theta estimates: |A| = |A∩B| +
+    |A\\B| exactly (sketches are exact below nominal entries here)."""
+    rows = {r["measure"]: r["est"]
+            for r in _queries()["agg_theta_sketch_ops"](spark, sf_dir).collect()}
+    a = rows["per:1-URGENT"]
+    assert a == rows["intersect:1-URGENT&5-LOW"] + rows["diff:1-URGENT-minus-5-LOW"]
+    assert rows["union:all"] <= sum(v for k, v in rows.items() if k.startswith("per:"))
+
+
+def test_anomaly_mad_flags_are_extreme(spark, sf_dir):
+    """Every flagged hour really deviates by more than K MADs, and the
+    overwhelming majority of hours are NOT flagged (robustness)."""
+    from quackflight_spark.streaming.windowed import ANOMALY_K
+
+    flagged = _queries()["events_anomaly_mad"](spark, sf_dir).collect()
+    for r in flagged:
+        assert abs(r["n"] - r["med"]) > ANOMALY_K * r["mad"]
+    from quackflight_spark.sources.fixtures import load_table
+
+    total_hours = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", "ts"))
+        .distinct()
+        .count()
+    )
+    assert len(flagged) < 0.2 * total_hours
+
+
+def test_histogram_covers_all_rows(spark, sf_dir):
+    """Bucket counts sum to the table size and per-bucket min/max nest
+    inside the bucket bounds."""
+    from quackflight_spark.functions.modern import HIST_HI, HIST_LO, HIST_N
+
+    rows = _queries()["agg_histogram"](spark, sf_dir).collect()
+    from quackflight_spark.sources.fixtures import load_table
+
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    w = (HIST_HI - HIST_LO) / HIST_N
+    for r in rows:
+        if 1 <= r["bucket"] <= HIST_N:
+            lo_edge = HIST_LO + (r["bucket"] - 1) * w
+            assert lo_edge <= r["lo"] <= r["hi"] < lo_edge + w
