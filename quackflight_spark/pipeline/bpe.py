@@ -1,0 +1,116 @@
+"""Distributed BPE merge training — the real subword-tokenizer
+construction step behind `text_tokens`' BPE-ish counting.
+
+Sennrich et al.'s byte-pair-encoding learner (ACL'16), map-reduce form:
+the corpus collapses ONCE to its word-frequency table (the only pass
+over raw text); every merge iteration then runs on that vocabulary-sized
+table — explode adjacent symbol pairs weighted by word frequency, sum,
+take the argmax pair, rewrite the symbol arrays with a left-to-right
+fold. K merges = K vocabulary-sized shuffles + K driver-side argmax
+rows; the corpus is never rescanned. This is exactly how
+wordpiece/sentencepiece vocabularies are trained over web-scale corpora
+(the 100 TB cost lives entirely in the one word-count pass).
+
+Determinism: pair selection tie-breaks (count DESC, left ASC, right
+ASC); the fold applies a merge left-to-right non-overlapping, matching
+the reference algorithm ("aaa" + merge(a,a) -> ["aa","a"]). No RNG, no
+engine hash — the merge table is a pure function of the corpus, verified
+against an independent pure-Python implementation in tests.
+
+Iterative argmax is not expressible as one SQL statement, so the key is
+rows-only in the driver gate; the Python cross-check is the correctness
+authority.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+BPE_MERGES = 8
+END_MARK = "_"  # end-of-word marker (classic </w>, shortened)
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) over lowercased whitespace tokens — the single
+    corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != "")
+    return (
+        d.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbols(word: Column) -> Column:
+    """Initial symbol array: characters + end-of-word marker."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END_MARK)))
+
+
+def _apply_merge(sym: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of (left, right) -> left+right
+    as a Catalyst fold (no Python in the data path)."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    spark: SparkSession, sf_dir: str, k: int = BPE_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Learn k merges; returns [(rank, left, right, weighted_count)]."""
+    vocab = _word_freqs(spark, sf_dir).select(
+        _symbols(F.col("word")).alias("sym"), "freq"
+    )
+    # vocabulary-sized frame, reused every iteration
+    vocab = vocab.localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("sym") - 1),
+                        lambda i: F.struct(
+                            F.element_at("sym", i).alias("a"),
+                            F.element_at("sym", i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        vocab = vocab.select(
+            _apply_merge(F.col("sym"), a, b).alias("sym"), "freq"
+        ).localCheckpoint()  # constant plan depth across iterations
+    return merges
+
+
+@query("pipeline_bpe_merges")  # rows-only: iterative argmax, not one SQL
+def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table as a DataFrame (rank, left, right, n)."""
+    rows = train_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, n bigint"
+    )

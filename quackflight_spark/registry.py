@@ -83,7 +83,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
-    "mm_resize", "fmt_jsoncompact", "stream_watermark_late",
+    "mm_resize", "fmt_jsoncompact", "stream_watermark_late", "pipeline_bpe_merges",
 )
 
 
@@ -120,6 +120,7 @@ def load_all() -> None:
     import quackflight_spark.pipeline.multimodal  # noqa: F401
     import quackflight_spark.pipeline.sampling  # noqa: F401
     import quackflight_spark.pipeline.composite  # noqa: F401
+    import quackflight_spark.pipeline.bpe  # noqa: F401
     import quackflight_spark.sources.merge  # noqa: F401
     import quackflight_spark.sources.matview  # noqa: F401
     import quackflight_spark.sources.textformats  # noqa: F401

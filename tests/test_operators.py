@@ -699,3 +699,50 @@ def test_histogram_covers_all_rows(spark, sf_dir):
         if 1 <= r["bucket"] <= HIST_N:
             lo_edge = HIST_LO + (r["bucket"] - 1) * w
             assert lo_edge <= r["lo"] <= r["hi"] < lo_edge + w
+
+
+def test_bpe_merges_match_pure_python(spark, sf_dir):
+    """The distributed BPE learner must produce exactly the merge
+    sequence of an independent pure-Python reference implementation."""
+    import collections
+    import re
+
+    from quackflight_spark.pipeline.bpe import (
+        BPE_MERGES, END_MARK, train_bpe_merges,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    texts = [
+        r["text"] for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    freqs = collections.Counter(
+        w for t in texts for w in re.split(r"\s+", t.strip().lower()) if w
+    )
+    vocab = {w: list(w) + [END_MARK] for w in freqs}
+
+    def merge_word(sym, a, b):
+        out = []
+        for s in sym:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts = collections.Counter()
+        for w, f in freqs.items():
+            sym = vocab[w]
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((rank, a, b, n))
+        vocab = {w: merge_word(s, a, b) for w, s in vocab.items()}
+
+    got = train_bpe_merges(spark, sf_dir)
+    assert got == expected
