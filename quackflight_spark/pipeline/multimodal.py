@@ -199,3 +199,68 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+AUDIO_WIN = 16  # samples per energy window
+
+AUDIO_SCHEMA = "doc_id bigint, win_idx int, rms double"
+
+
+def _audio_energy_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Windowed RMS energy over 8-bit PCM payloads, numpy-vectorized per
+    Arrow batch. The deterministic stand-in decode interprets the payload
+    bytes directly as unsigned samples (the fixture payloads are ASCII
+    text, so byte == codepoint and the SQL oracle can mirror the math);
+    a real torchaudio/soundfile decode drops into the same loop."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_win, out_rms = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)
+            n_win = len(samples) // AUDIO_WIN
+            if n_win == 0:
+                continue
+            w = (
+                samples[: n_win * AUDIO_WIN]
+                .astype(np.float64)
+                .reshape(n_win, AUDIO_WIN)
+            )
+            rms = np.round(np.sqrt((w * w).sum(axis=1) / float(AUDIO_WIN)), 6)
+            out_doc.extend([doc_id] * n_win)
+            out_win.extend(range(1, n_win + 1))
+            out_rms.extend(rms.tolist())
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "win_idx": out_win, "rms": out_rms}
+        )
+
+
+@query("mm_audio_energy", oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) // {AUDIO_WIN} AS INT) AS nw
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT d.doc_id, CAST(t.i AS INT) AS win_idx,
+           round(sqrt(list_aggregate(
+             list_transform(range(1, {AUDIO_WIN} + 1),
+               j -> pow(CAST(unicode(substr(d.text, (t.i - 1) * {AUDIO_WIN} + j, 1))
+                        AS DOUBLE), 2)),
+             'sum') / {AUDIO_WIN}.0), 6) AS rms
+    FROM d, UNNEST(range(1, nw + 1)) AS t(i)
+""")
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: windowed RMS energy per clip — the
+    feature a VAD / silence-trim / loudness-normalization stage consumes.
+
+    Unlike the other mm_* kernels this one is oracle-BACKED: the
+    stand-in decode is bytes-as-samples, so DuckDB can replay the exact
+    arithmetic on the staged payloads (integer sums, one divide, one
+    sqrt — bit-deterministic both sides). The Spark side still runs the
+    REAL shape: binary column in, mapInPandas numpy kernel, multi-row
+    Arrow-batched output per clip."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return d.mapInPandas(_audio_energy_kernel, AUDIO_SCHEMA)
