@@ -151,3 +151,31 @@ def win_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__q")
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query("win_time_range", oracle="""
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""")
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per row, the trailing-1-hour event
+    count and value total within its type — the rolling-window-by-TIME
+    class (distinct from win_range_frame's numeric range), the shape
+    rate-limiters and rolling KPIs use. One shuffle on the partition
+    key; the frame is evaluated on the sorted run, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_wtr_events")
+    return spark.sql(
+        """
+        SELECT event_id, event_type,
+               count(*) OVER w AS n_1h,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_1h
+        FROM _wtr_events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
