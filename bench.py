@@ -90,6 +90,10 @@ BENCH_KEYS = [
     "agg_regression",
     "fn_time_bucket",
     "mv_incremental_refresh",
+    "win_time_range",
+    "agg_histogram",
+    "events_anomaly_mad",
+    "mm_audio_energy",
 ]
 
 

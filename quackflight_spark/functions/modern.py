@@ -34,7 +34,8 @@ from quackflight_spark.sources.fixtures import load_table
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
            CAST(json_extract_string(props, '$.k') AS STRING) AS k_str,
-           CAST(json_extract_string(props, '$.missing') AS INT) AS absent,
+           coalesce(CAST(json_extract_string(props, '$.missing') AS INT), -1)
+               AS absent,
            (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
     FROM events
     WHERE event_id % 7 = 0
@@ -45,7 +46,11 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     `parse_json` decodes the JSON string ONCE into the binary variant
     encoding; every `variant_get` after that is a typed path lookup on
     the decoded value (no re-parse), all inside codegen. The DuckDB
-    oracle expresses the same accesses over its JSON type.
+    oracle expresses the same accesses over its JSON type. The missing
+    path goes through coalesce(-1): it still proves path-miss => NULL
+    (the -1 is visible in every row), without emitting an all-NULL int
+    column, which pandas types differently per engine (object None vs
+    float64 NaN) and would hash-split in the driver's canonicalizer.
     """
     ev = load_table(spark, sf_dir, "events").where("event_id % 7 = 0")
     v = F.parse_json("props")
@@ -53,7 +58,9 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),
         F.variant_get(v, "$.k", "string").alias("k_str"),
-        F.variant_get(v, "$.missing", "int").alias("absent"),
+        F.coalesce(
+            F.variant_get(v, "$.missing", "int"), F.lit(-1)
+        ).alias("absent"),
         F.variant_get(v, "$.k", "int").isNotNull().alias("has_k"),
     )
 
