@@ -114,3 +114,39 @@ def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left string, right string, n bigint"
     )
+
+
+@query("pipeline_bpe_tokenize")  # rows-only: depends on learned merges
+def pipeline_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merge table to the corpus: per document, the
+    subword token count before/after merging and the mean symbols per
+    word — the tokenizer's compression effect, measured distributedly.
+
+    The merge rules (a tiny driver-side list) are baked into K chained
+    Catalyst folds over each word's symbol array — the corpus pass is
+    one narrow map, no shuffle except the final per-doc aggregation,
+    and a real tokenizer service would apply its merges the same way
+    (broadcast rules, per-row rewrite)."""
+    merges = train_bpe_merges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    words = d.select("doc_id", F.explode(toks).alias("word"))
+    sym = _symbols(F.col("word"))
+    n_chars = F.size(sym)
+    for _, a, b, _n in merges:
+        sym = _apply_merge(sym, a, b)
+    return (
+        words.select(
+            "doc_id",
+            n_chars.alias("n_sym_before"),
+            F.size(sym).alias("n_sym_after"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym_before").cast("bigint").alias("symbols_raw"),
+            F.sum("n_sym_after").cast("bigint").alias("symbols_bpe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )

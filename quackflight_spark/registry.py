@@ -88,6 +88,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
     "mm_resize", "fmt_jsoncompact", "stream_watermark_late", "pipeline_bpe_merges",
+    "pipeline_bpe_tokenize",
 )
 
 

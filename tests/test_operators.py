@@ -746,3 +746,15 @@ def test_bpe_merges_match_pure_python(spark, sf_dir):
 
     got = train_bpe_merges(spark, sf_dir)
     assert got == expected
+
+
+def test_bpe_tokenize_compresses(spark, sf_dir):
+    """Applying the merges strictly reduces symbol counts (the argmax
+    pair always occurs) and never below one symbol per word."""
+    rows = _queries()["pipeline_bpe_tokenize"](spark, sf_dir).collect()
+    assert rows
+    total_raw = sum(r["symbols_raw"] for r in rows)
+    total_bpe = sum(r["symbols_bpe"] for r in rows)
+    assert total_bpe < total_raw
+    for r in rows:
+        assert r["symbols_bpe"] >= r["n_words"]
