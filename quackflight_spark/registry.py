@@ -83,7 +83,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_regression", "fn_time_bucket", "text_tfidf_topterms",
     "agg_theta_sketch_ops", "mv_incremental_refresh", "scan_csv", "scan_jsonl",
     "events_anomaly_mad", "fn_hashing", "subquery_any_all", "stream_enrich_join",
-    "agg_histogram", "mm_audio_energy", "win_time_range",
+    "agg_histogram", "mm_audio_energy", "win_time_range", "pipeline_quality_audit",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
@@ -126,6 +126,7 @@ def load_all() -> None:
     import quackflight_spark.pipeline.sampling  # noqa: F401
     import quackflight_spark.pipeline.composite  # noqa: F401
     import quackflight_spark.pipeline.bpe  # noqa: F401
+    import quackflight_spark.pipeline.quality_audit  # noqa: F401
     import quackflight_spark.sources.merge  # noqa: F401
     import quackflight_spark.sources.matview  # noqa: F401
     import quackflight_spark.sources.textformats  # noqa: F401
