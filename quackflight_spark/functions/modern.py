@@ -361,3 +361,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hi"),
         )
     )
+
+
+@query("agg_grouping_id", oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+""")
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() over GROUPING SETS — the disambiguation
+    functions that tell a NULL group key ("this row aggregates over all
+    statuses") apart from a NULL data value. Same Expand-based plan as
+    agg_grouping_sets; the flags are computed from the expansion mask,
+    zero extra passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gid_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+               CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS gid
+        FROM _gid_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )
