@@ -45,6 +45,8 @@ def test_registry_contract():
         "mm_resize",
         "fmt_jsoncompact",
         "cluster_kmeans",
+        "pipeline_bpe_merges",
+        "pipeline_bpe_tokenize",
     }
 
 
@@ -535,7 +537,7 @@ def test_variant_typed_access(spark, sf_dir):
     rows = _queries()["fn_variant"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r["absent"] is None
+        assert r["absent"] == -1  # path miss -> NULL -> coalesce(-1)
         assert r["has_k"] == (r["k_int"] is not None)
         if r["k_int"] is not None:
             assert r["k_str"] == str(r["k_int"])
