@@ -663,11 +663,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", F.col("ts")).alias("hour_start"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        # |types| x |hours| rows; pinning it keeps the corpus scan+rollup
+        # from re-running once per downstream branch (med, dev, mad)
+        .localCheckpoint()
     )
     med = hourly.groupBy("event_type").agg(F.median("n").alias("med"))
     dev = hourly.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("n") - F.col("med"))
-    )
+    ).localCheckpoint()
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
