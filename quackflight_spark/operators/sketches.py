@@ -122,12 +122,17 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative error."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_theta_orders")
+    # Materialize the sketch table once: the SQL below reads it from five
+    # branches, and an inlined CTE would re-aggregate the fact table per
+    # branch — the sketch TABLE being built once IS the pattern's point.
+    sk = spark.sql(
+        "SELECT o_orderpriority, theta_sketch_agg(o_custkey) AS s "
+        "FROM _theta_orders GROUP BY o_orderpriority"
+    ).localCheckpoint()
+    sk.createOrReplaceTempView("_theta_sk")
     return spark.sql(
         r"""
-        WITH sk AS (
-          SELECT o_orderpriority, theta_sketch_agg(o_custkey) AS s
-          FROM _theta_orders GROUP BY o_orderpriority
-        ),
+        WITH sk AS (SELECT * FROM _theta_sk),
         per AS (
           SELECT 'per:' || o_orderpriority AS measure,
                  CAST(theta_sketch_estimate(s) AS BIGINT) AS est
