@@ -86,9 +86,12 @@ def compact_files(
     128 MB-1 GB byte target), optionally re-sorted so row-group stats
     stay tight after the rewrite.
 
-    Returns (files_before, files_after). Rewrite is atomic-by-rename:
-    written to a staging dir, then swapped in, so readers never see a
-    half-compacted table.
+    Returns (files_before, files_after). The rewrite lands in a staging
+    dir and is swapped in with two renames — readers never see a
+    HALF-compacted table, though there is a brief window between the
+    renames where the path is absent (a production table format would
+    commit via its metadata log instead; see sources/merge.py for the
+    per-partition variant of the same swap).
     """
     import math
     import os
