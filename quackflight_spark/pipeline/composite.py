@@ -64,3 +64,116 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
         F.round(F.sum("mean_wl").cast("double") / F.count(F.lit(1)), 6).alias("avg_word_len"),
     )
+
+
+OVERLAP_SHINGLE = 5  # tokens per shingle for source-overlap containment
+
+
+@query("pipeline_overlap_matrix", oracle=rf"""
+    WITH tok AS (
+      SELECT source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(sg), 1, 15) AS BIGINT) AS h
+      FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(tk) - {OVERLAP_SHINGLE} + 1, 0) + 1),
+                 i -> array_to_string(
+                        list_slice(tk, i, i + {OVERLAP_SHINGLE} - 1), ' ')))
+                 AS sg
+        FROM tok
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b,
+           CAST(s.shared AS BIGINT) AS shared,
+           round(CAST(s.shared AS DOUBLE) / za.n, 6) AS containment_a,
+           round(CAST(s.shared AS DOUBLE) / zb.n, 6) AS containment_b
+    FROM shared s
+    JOIN sizes za ON za.source = s.src_a
+    JOIN sizes zb ON zb.source = s.src_b
+""")
+def pipeline_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram containment matrix — the corpus-governance
+    question "which sources duplicate each other, and how much" answered
+    before mixing weights are chosen (the overlap analysis behind every
+    public pretraining-data card).
+
+    Shape: distinct (source, shingle-hash) inverted index built once
+    (one corpus pass), pairs found by EQUI-JOIN on the hash — never an
+    all-pairs source product — then two broadcast joins against the
+    vocabulary-sized size table. Shingles ride as md5-derived 60-bit
+    ints, so the shuffle carries 8-byte keys instead of raw 5-gram
+    strings; both engines count the same hash values, so the compare is
+    exact even in the (negligible) collision case."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    n_sh = F.greatest(F.size("tk") - F.lit(OVERLAP_SHINGLE - 1), F.lit(0))
+    sh = (
+        d.select("source", tk.alias("tk"))
+        .select(
+            "source",
+            F.explode(
+                F.when(
+                    n_sh > 0,
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+                        lambda i: F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        " ",
+                                        F.slice(F.col("tk"), i, OVERLAP_SHINGLE),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    sh = shared_frame(
+        "overlap_shingles", sf_dir, lambda: sh
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(F.col("shared") / F.col("na"), 6).alias("containment_a"),
+            F.round(F.col("shared") / F.col("nb"), 6).alias("containment_b"),
+        )
+    )
