@@ -109,3 +109,45 @@ def test_distinct_and_topk_match(spark, xs):
         "int64",
     )
     assert s == d
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "c"), ("ab", "c")]),
+)
+def test_bpe_merge_fold_matches_python(spark, seqs, pair):
+    """The Catalyst left-to-right merge fold must agree with the Python
+    reference on arbitrary symbol sequences, including overlapping runs
+    ("aaa" + (a,a) -> ["aa","a"]) and symbols equal to the merged token."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.bpe import _apply_merge
+
+    a, b = pair
+
+    def py_merge(sym):
+        out = []
+        for s in sym:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)], "i int, sym array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", _apply_merge(F.col("sym"), a, b).alias("m")
+        ).collect()
+    }
+    for i, s in enumerate(seqs):
+        assert got[i] == py_merge(s), (s, a, b)
