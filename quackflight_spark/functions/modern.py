@@ -130,7 +130,7 @@ def ensure_udtfs(spark: SparkSession) -> None:
         return
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, word string")
+    @udtf(returnType="pos int, word string", useArrow=True)
     class SplitWords:
         """Word-split with ordinality — one output row per word."""
 
