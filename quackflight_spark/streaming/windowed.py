@@ -737,3 +737,60 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+WAU_DAYS = 7
+
+
+@query("events_dau_wau", oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+      FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    cover AS (
+      SELECT CAST(ud.d + (g.i || ' days')::INTERVAL AS DATE) AS target_d,
+             ud.user_id
+      FROM ud, (SELECT unnest(range(0, {WAU_DAYS})) AS i) g
+    ),
+    wau AS (
+      SELECT target_d AS d, count(DISTINCT user_id) AS wau
+      FROM cover GROUP BY 1
+    )
+    SELECT dau.d, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (d)
+""")
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-{WAU_DAYS}-day WAU / stickiness per day.
+
+    Windowed COUNT(DISTINCT) does not exist as a window function (in
+    either engine) — the scalable rewrite is coverage-explode: each
+    (user, active-day) row contributes to the {WAU_DAYS} target days it
+    keeps the user "active" for, then a plain groupBy-distinct per
+    target day. Shuffle volume is |user-days| x {WAU_DAYS} compact rows
+    — linear, partition-friendly, no per-day self-joins. Days at the
+    range edge aggregate only the fixture's observed days (both engines
+    identically), so the oracle is exact."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), WAU_DAYS - 1))
+        ).alias("d"),
+        "user_id",
+    )
+    wau = cover.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
