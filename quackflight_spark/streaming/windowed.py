@@ -794,3 +794,58 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query("events_transition_matrix", oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, sum(n) AS total FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+           round(CAST(p.n AS DOUBLE) / t.total, 6) AS p
+    FROM pairs p JOIN totals t USING (from_type)
+""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current type). The sequencing is one
+    lead() window per user (ts + event_id tie-break, deterministic),
+    the matrix a |types|² count table row-normalized via a broadcast
+    totals join — the funnel/next-action analysis primitive.
+
+    Scale shape: one shuffle on user_id for the window, then map-side
+    combinable pair counts; the matrix and totals are
+    vocabulary-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("p"),
+        )
+    )
