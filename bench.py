@@ -94,6 +94,8 @@ BENCH_KEYS = [
     "agg_histogram",
     "events_anomaly_mad",
     "mm_audio_energy",
+    "events_dau_wau",
+    "events_transition_matrix",
 ]
 
 
