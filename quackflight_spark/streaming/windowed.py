@@ -776,6 +776,10 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select(F.to_date("ts").alias("d"), "user_id")
         .distinct()
+        # |users| x |days| frame feeding both the DAU count and the
+        # WAU coverage-explode — pin it so the events scan+distinct
+        # runs once, not once per branch
+        .localCheckpoint()
     )
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     cover = ud.select(
@@ -838,6 +842,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("to_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        # |types|^2 matrix feeding both the totals agg and the final
+        # join — pin it so the window+count pipeline runs once
+        .localCheckpoint()
     )
     totals = pairs.groupBy("from_type").agg(F.sum("n").alias("total"))
     return (
