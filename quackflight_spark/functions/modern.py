@@ -394,3 +394,43 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@query("fn_edit_distance", oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand FROM part
+               WHERE p_partkey % 17 = 0)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev_name,
+           CAST(levenshtein(a.p_brand, b.p_brand) AS INT) AS lev_brand
+    FROM p a JOIN p b ON b.p_partkey = a.p_partkey + 17
+""")
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance over successive part pairs — the
+    fuzzy-matching primitive (entity resolution, typo-tolerant joins).
+    At scale an edit-distance join is always blocked first (length
+    bucket, q-gram index — the dedup_ngram_jaccard shape); the scalar
+    itself is codegen-native in both engines."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where("p_partkey % 17 = 0")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+    )
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 17)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("lev_name"),
+            F.levenshtein("brand_a", "brand_b").alias("lev_brand"),
+        )
+    )

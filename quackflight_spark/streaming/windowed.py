@@ -856,3 +856,59 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("total"), 6).alias("p"),
         )
     )
+
+
+RFM_BUCKETS = 4
+
+
+@query("events_rfm", oracle=f"""
+    WITH agg AS (
+      SELECT user_id,
+             max(CAST(ts AS TIMESTAMP)) AS last_ts,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY last_ts, user_id) AS INT)
+               AS r_score,
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY freq, user_id) AS INT)
+               AS f_score,
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary, user_id) AS INT)
+               AS m_score,
+           freq, monetary
+    FROM agg
+""")
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quartile
+    scores — the classic customer-value matrix. One aggregate shuffle on
+    user_id, then three global ntile windows over the USER-level frame
+    (|users| rows — tiny relative to events; a global sort on the raw
+    feed would be the anti-pattern). user_id tie-breaks make every ntile
+    assignment deterministic; the monetary sum is decimal-exact."""
+    from pyspark.sql import Window as W
+
+    agg = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .localCheckpoint()  # |users| frame feeding three windows
+    )
+    return agg.select(
+        "user_id",
+        F.ntile(RFM_BUCKETS)
+        .over(W.orderBy("last_ts", "user_id"))
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS).over(W.orderBy("freq", "user_id")).alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(W.orderBy("monetary", "user_id"))
+        .alias("m_score"),
+        "freq",
+        "monetary",
+    )
