@@ -163,3 +163,45 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT * FROM inter UNION ALL SELECT * FROM diff
         """
     )
+
+
+@query("agg_bitmap_distinct", oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+""")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregation (Spark's
+    bitmap_construct_agg family) — the third distinct-count strategy
+    next to the approximate sketch tables (HLL: unions only; theta:
+    full set algebra; bitmap: exact, integer-keyed).
+
+    Shape: keys bucket into fixed 32k-bit bitmap segments
+    (bitmap_bucket_number), each (group, bucket) aggregates to one
+    bitmap map-side, and the final count is a sum of per-segment
+    popcounts — COUNT(DISTINCT)'s full shuffle of every distinct key is
+    replaced by a shuffle of bounded bitmap blocks. Stored as a table
+    (like agg_hll_sketch_table) the segments answer later distinct
+    rollups by OR-merge (bitmap_or_agg) without rescanning facts. Exact
+    by construction, so the oracle is plain COUNT(DISTINCT)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_bitmap_orders")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT o_orderpriority,
+                 bitmap_bucket_number(o_custkey) AS bucket,
+                 bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm,
+                 count(*) AS n_rows
+          FROM _bitmap_orders
+          GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        SELECT o_orderpriority,
+               CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_distinct,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows
+        FROM seg
+        GROUP BY o_orderpriority
+        """
+    )

@@ -86,6 +86,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_histogram", "mm_audio_energy", "win_time_range", "pipeline_quality_audit",
     "join_asof_forward", "agg_grouping_id", "pipeline_overlap_matrix",
     "events_dau_wau", "events_transition_matrix", "fn_edit_distance", "events_rfm",
+    "agg_bitmap_distinct",
     # -- Block C: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans", "mm_decode", "mm_feature_extract",
