@@ -96,6 +96,9 @@ BENCH_KEYS = [
     "mm_audio_energy",
     "events_dau_wau",
     "events_transition_matrix",
+    "events_rfm",
+    "agg_bitmap_distinct",
+    "fn_edit_distance",
 ]
 
 
