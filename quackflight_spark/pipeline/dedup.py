@@ -337,16 +337,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bytes per doc at any corpus size). The margin keeps every pair the
     # final round(j, 8) >= t filter could keep (j <= ratio exactly; the
     # 0.001 slack dominates the 5e-9 rounding window).
+    # Broadcast only while the hash-array tables actually fit (gate on the
+    # footer row count, r2 advice — an unconditional hint OOMs the driver
+    # past ~200k docs); larger corpora verify against the hash table
+    # materialized as a doc_id-bucketed managed table instead, so the
+    # 8 KB/doc arrays never cross an exchange (minhash_verify below;
+    # Exchange-free array side plan-asserted in tests/test_writers.py).
+    if _corpus_doc_count(sf_dir) <= BROADCAST_DOC_LIMIT:
+        return minhash_verify(candidates, hs, use_broadcast=True)
+    return minhash_verify(
+        candidates, minhash_hash_table_bucketed(spark, sf_dir), use_broadcast=False
+    )
+
+
+def minhash_hash_table_bucketed(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> DataFrame:
+    """doc_shingle_hashes materialized once per corpus as a managed table
+    bucketed + sorted on doc_id — the at-scale verify-side layout. Every
+    verify join then reads the arrays straight from bucketed files: the
+    stream (candidate-pair) side shuffles its (long, long) rows into the
+    bucketing, the array side plans NO Exchange (bucketed scan satisfies
+    the join's hash distribution). Write-once, read-per-band-config."""
+    import hashlib
+
+    table = "qf_minhash_hsh_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if not spark.catalog.tableExists(table):
+        from quackflight_spark.sources.writers import write_bucketed
+
+        write_bucketed(doc_shingle_hashes(spark, sf_dir), table, ["doc_id"], n_buckets)
+    return spark.table(table)
+
+
+def minhash_verify(
+    candidates: DataFrame, hs: DataFrame, use_broadcast: bool
+) -> DataFrame:
+    """Exact-Jaccard verify of (doc_a, doc_b) candidate pairs against the
+    (doc_id, hsh, n_sh) shingle-hash table: size-ratio pre-filter on the
+    tiny (doc_id, n_sh) projection first, then int-array intersect on the
+    sorted 60-bit hash arrays. With use_broadcast the four side frames are
+    broadcast; otherwise they join as-is (pass a bucketed frame from
+    minhash_hash_table_bucketed so the array side stays Exchange-free)."""
     sa = hs.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = hs.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("ha"))
     hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("hb"))
     n_common = F.size(F.array_intersect("ha", "hb"))
-    # Broadcast only while the hash-array tables actually fit (gate on the
-    # footer row count, r2 advice — an unconditional hint OOMs the driver
-    # past ~200k docs); larger corpora fall back to AQE's join choice,
-    # bucketed on doc_id at real scale.
-    if _corpus_doc_count(sf_dir) <= BROADCAST_DOC_LIMIT:
+    if use_broadcast:
         sa, sb, ha, hb = F.broadcast(sa), F.broadcast(sb), F.broadcast(ha), F.broadcast(hb)
     plausible = (
         candidates.join(sa, "doc_a").join(sb, "doc_b")

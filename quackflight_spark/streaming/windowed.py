@@ -861,6 +861,55 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 RFM_BUCKETS = 4
 
 
+def _ntile_distributed(df: DataFrame, cols: list, out_col: str, buckets: int) -> DataFrame:
+    """Exact NTILE(buckets) OVER (ORDER BY cols) with no single-task sort.
+
+    A bare `W.orderBy(...)` window funnels the whole frame through ONE
+    reducer (Exchange SinglePartition + global Sort) — the scale-killer
+    class at 10^8-10^9 users. Instead: (1) range-partition on the order
+    key (the same sampled-boundary exchange a global sort uses, but the
+    downstream work stays parallel); (2) per-partition row_number — a
+    Window partitioned by the physical partition id, so every task sorts
+    only its slice; (3) per-partition counts (one tiny agg, ≤P rows,
+    bounded driver collect) → cumulative offsets broadcast back; (4) the
+    exact ntile bucket formula from global rank r and total n:
+    the first n%B buckets hold n//B+1 rows, the rest n//B. Output is
+    bit-identical to the window ntile because `cols` ends in a unique
+    tie-break key, making the global order total.
+    """
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window as W
+
+    part = (
+        df.repartitionByRange(p, *[F.col(c).asc() for c in cols])
+        .withColumn("_pid", F.spark_partition_id())
+        # pin so the counts pass and the rank pass see one pid assignment
+        .localCheckpoint()
+    )
+    rows = sorted(
+        (r["_pid"], r["_c"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )  # ≤P rows — bounded collect
+    n = sum(c for _, c in rows)
+    offs, acc = [], 0
+    for pid, c in rows:
+        offs.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offs, "`_pid` INT, `_off` BIGINT")
+    q, rem = divmod(n, buckets)
+    qs = max(q, 1)  # q=0 only when n<buckets; the when() below never divides then
+    r = F.col("_off") + F.row_number().over(W.partitionBy("_pid").orderBy(*cols))
+    bucket = F.when(
+        r <= rem * (q + 1), F.floor((r + F.lit(q)) / F.lit(q + 1))
+    ).otherwise(rem + F.floor((r - rem * (q + 1) + qs - 1) / F.lit(qs)))
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_off")
+    )
+
+
 @query("events_rfm", oracle=f"""
     WITH agg AS (
       SELECT user_id,
@@ -882,12 +931,13 @@ RFM_BUCKETS = 4
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary quartile
     scores — the classic customer-value matrix. One aggregate shuffle on
-    user_id, then three global ntile windows over the USER-level frame
-    (|users| rows — tiny relative to events; a global sort on the raw
-    feed would be the anti-pattern). user_id tie-breaks make every ntile
-    assignment deterministic; the monetary sum is decimal-exact."""
-    from pyspark.sql import Window as W
-
+    user_id, then three DISTRIBUTED ntile passes over the user-level
+    frame via `_ntile_distributed` (range-partition + parallel
+    per-partition rank + broadcast offsets) — no Exchange
+    SinglePartition / single-task Sort anywhere, so the plan survives
+    10^9 users. user_id tie-breaks make every assignment deterministic
+    and bit-identical to the oracle's global-window ntile; the monetary
+    sum is decimal-exact."""
     agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -898,17 +948,8 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("monetary"),
         )
-        .localCheckpoint()  # |users| frame feeding three windows
     )
-    return agg.select(
-        "user_id",
-        F.ntile(RFM_BUCKETS)
-        .over(W.orderBy("last_ts", "user_id"))
-        .alias("r_score"),
-        F.ntile(RFM_BUCKETS).over(W.orderBy("freq", "user_id")).alias("f_score"),
-        F.ntile(RFM_BUCKETS)
-        .over(W.orderBy("monetary", "user_id"))
-        .alias("m_score"),
-        "freq",
-        "monetary",
-    )
+    scored = _ntile_distributed(agg, ["last_ts", "user_id"], "r_score", RFM_BUCKETS)
+    scored = _ntile_distributed(scored, ["freq", "user_id"], "f_score", RFM_BUCKETS)
+    scored = _ntile_distributed(scored, ["monetary", "user_id"], "m_score", RFM_BUCKETS)
+    return scored.select("user_id", "r_score", "f_score", "m_score", "freq", "monetary")

@@ -204,3 +204,14 @@ def test_filtered_ann_pushes_label_predicate(spark, sf_dir, q):
     out = _formatted(q["ann_filtered_topk"](spark, sf_dir))
     assert "PushedFilters" in out
     assert "In(label" in out or "label IN" in out
+
+
+def test_events_rfm_no_single_partition_window(spark, sf_dir, q):
+    """The r3 verdict flagged events_rfm's three global `ntile` windows
+    (Exchange SinglePartition + one-task Sort — the 10^9-user
+    scale-killer). The rewrite ranks via range partitioning + parallel
+    per-partition row_number; the executed plan must contain NO
+    single-partition exchange and no ntile window at all."""
+    plan = _plan(q["events_rfm"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ntile" not in plan, plan

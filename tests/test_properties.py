@@ -151,3 +151,36 @@ def test_bpe_merge_fold_matches_python(spark, seqs, pair):
     }
     for i, s in enumerate(seqs):
         assert got[i] == py_merge(s), (s, a, b)
+
+
+def test_ntile_distributed_matches_window_ntile(spark):
+    """_ntile_distributed must be bit-identical to the global-window
+    NTILE for every bucket count and frame size, including n < buckets
+    and the uneven-remainder cases — exercised across many partitions so
+    the offset arithmetic is actually multi-partition."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.streaming.windowed import _ntile_distributed
+
+    for n, b in [(1, 4), (3, 4), (97, 4), (1000, 7), (64, 64)]:
+        df = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                # collide values so the tie-break path is exercised
+                (F.col("id") % 11).alias("v"),
+            )
+            .repartition(8)
+        )
+        got = {
+            r["k"]: r["b"]
+            for r in _ntile_distributed(df, ["v", "k"], "b", b).collect()
+        }
+        want = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", F.ntile(b).over(W.orderBy("v", "k")).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, b)

@@ -351,3 +351,60 @@ def test_compact_files_reduces_count_preserves_rows(spark, sf_dir, tmpdir):
     assert before == 32
     assert after == 2
     assert {tuple(r) for r in spark.read.parquet(path).collect()} == before_rows
+
+
+def test_minhash_bucketed_verify_array_side_no_exchange(spark):
+    """Past BROADCAST_DOC_LIMIT the minhash verify joins read the
+    8 KB/doc hash arrays from a doc_id-bucketed table. Contract (r3
+    verdict item 3): the ARRAY side of every verify join plans zero
+    Exchange — only the (long, long) candidate stream shuffles (and only
+    its final hop carries one attached array). Also: the bucketed path
+    must produce byte-identical results to the broadcast path."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.dedup import minhash_verify
+    from quackflight_spark.sources.writers import write_bucketed
+
+    # synthetic shingle-hash table with known overlaps: docs 1/2 share
+    # 9 hashes (j=9/12=0.75 keep), 1/3 share 5 (j=5/15=0.33 drop),
+    # 4/5 identical (j=1.0 keep)
+    rows = [
+        (1, sorted(range(0, 10)), 10),
+        (2, sorted(list(range(1, 10)) + [100, 101]), 11),
+        (3, sorted(list(range(5, 10)) + list(range(200, 205))), 10),
+        (4, sorted(range(300, 340)), 40),
+        (5, sorted(range(300, 340)), 40),
+    ]
+    hs = spark.createDataFrame(
+        [(d, [int(x) for x in a], n) for d, a, n in rows],
+        "doc_id bigint, hsh array<bigint>, n_sh int",
+    )
+    cand = spark.createDataFrame(
+        [(a, b) for a in range(1, 6) for b in range(a + 1, 6)],
+        "doc_a bigint, doc_b bigint",
+    ).localCheckpoint()
+    spark.sql("DROP TABLE IF EXISTS qf_test_minhash_hsh")
+    write_bucketed(hs, "qf_test_minhash_hsh", ["doc_id"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = minhash_verify(cand, spark.table("qf_test_minhash_hsh"), use_broadcast=False)
+        got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+        assert got == {(1, 2): 0.75, (4, 5): 1.0}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        import re
+
+        # 4 bucketed scans feed the joins directly — no Exchange between
+        # any bucketed FileScan and its SortMergeJoin; the only exchanges
+        # are the candidate stream's re-keyings (a->b->a->b = 4)
+        assert final.count("Bucketed: true") == 4, final
+        assert len(re.findall(r"Exchange hashpartitioning", final)) <= 4, final
+        assert "BroadcastHashJoin" not in final
+        # broadcast path must agree exactly
+        bc = minhash_verify(cand, hs, use_broadcast=True)
+        got_bc = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in bc.collect()}
+        assert got_bc == got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE qf_test_minhash_hsh")
