@@ -99,6 +99,11 @@ BENCH_KEYS = [
     "events_rfm",
     "agg_bitmap_distinct",
     "fn_edit_distance",
+    "pipeline_dedup_keep_best",
+    "ann_range_search",
+    "join_asof_tolerance",
+    "topk_per_group",
+    "mm_image_phash",
 ]
 
 

@@ -37,51 +37,48 @@ def asof_join(
     recent row with right.ts <= left.ts per `on` key (last-ignorenulls
     over the preceding frame). direction="forward": from the NEAREST row
     with right.ts >= left.ts (first-ignorenulls over the following
-    frame); equal-ts right rows tie-break on the first payload column so
-    the pick is deterministic under any partitioning."""
+    frame). All payload columns travel as ONE struct, so they always
+    come from the SAME right row, and equal-ts right rows tie-break on
+    the full payload struct — deterministic under any partitioning even
+    with multiple payload columns or NULL payload values (r3 advice)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join direction must be 'backward' or 'forward', got {direction!r}"
+        )
     lcols = left.columns
+    pay = F.struct(*[F.col(c).alias(c) for c in payload_cols])
     if direction == "backward":
         l = left.withColumn("__side", F.lit(1))
-        r = right.select(
-            on, ts, *[F.col(c).alias(f"__p_{c}") for c in payload_cols]
-        ).withColumn("__side", F.lit(0))
+        r = right.select(on, ts, pay.alias("__p")).withColumn("__side", F.lit(0))
         unioned = l.unionByName(r, allowMissingColumns=True)
-        # right rows (side=0) sort before left rows at equal ts → `>=`
+        # right rows (side=0) sort before left rows at equal ts → `>=`;
+        # equal-(ts, side) right rows order by payload struct, so last()
+        # deterministically picks the max
         w = (
             W.partitionBy(on)
-            .orderBy(F.col(ts).asc(), F.col("__side").asc())
+            .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__p").asc_nulls_last())
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        fills = [
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ]
+        fill = F.last("__p", ignorenulls=True).over(w)
         keep = 1
     else:
         l = left.withColumn("__side", F.lit(0))
-        r = right.select(
-            on, ts, *[F.col(c).alias(f"__p_{c}") for c in payload_cols]
-        ).withColumn("__side", F.lit(1))
+        r = right.select(on, ts, pay.alias("__p")).withColumn("__side", F.lit(1))
         unioned = l.unionByName(r, allowMissingColumns=True)
         # left rows (side=0) sort before right rows at equal ts → `<=`
-        # is inclusive; equal-ts right rows order by payload for a
-        # deterministic nearest pick
+        # is inclusive; first() deterministically picks the min payload
+        # struct among equal-ts right rows
         w = (
             W.partitionBy(on)
-            .orderBy(
-                F.col(ts).asc(),
-                F.col("__side").asc(),
-                F.col(f"__p_{payload_cols[0]}").asc_nulls_last(),
-            )
+            .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__p").asc_nulls_last())
             .rowsBetween(0, W.unboundedFollowing)
         )
-        fills = [
-            F.first(f"__p_{c}", ignorenulls=True).over(w).alias(c)
-            for c in payload_cols
-        ]
+        fill = F.first("__p", ignorenulls=True).over(w)
         keep = 0
-    filled = unioned.select(*lcols, "__side", *fills)
-    return filled.filter(F.col("__side") == keep).drop("__side")
+    filled = unioned.select(*lcols, "__side", fill.alias("__f"))
+    return filled.filter(F.col("__side") == keep).select(
+        *lcols, *[F.col("__f").getField(c).alias(c) for c in payload_cols]
+    )
 
 
 @query("join_asof", oracle="""
@@ -103,6 +100,60 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").alias("last_error_id"), "user_id", "ts")
     )
     return asof_join(left, right, on="user_id", ts="ts", payload_cols=["last_error_id"])
+
+
+ASOF_TOLERANCE_MIN = 30  # minutes — matches pandas merge_asof(tolerance=...)
+
+
+@query("join_asof_tolerance", oracle=f"""
+    WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type <> 'error'),
+    r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'error'),
+    matched AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.event_id AS last_error_id, r.ts AS err_ts
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN err_ts IS NOT NULL
+                 AND ts - err_ts <= INTERVAL {ASOF_TOLERANCE_MIN} MINUTE
+                THEN last_error_id END AS last_error_id
+    FROM matched
+""")
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join with a max-gap tolerance (pandas merge_asof's
+    `tolerance`): the most recent error at-or-before each event counts
+    only if it happened within the last ASOF_TOLERANCE_MIN minutes —
+    stale state must NOT be carried forward indefinitely (feature
+    freshness windows, attribution lookback caps). Same one-shuffle
+    union+window shape: the matched right row's ts rides the payload
+    struct, and the tolerance check nulls out stale matches afterwards —
+    no second join, no extra exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("last_error_id"), "user_id", "ts")
+        .withColumn("err_ts", F.col("ts"))
+    )
+    out = asof_join(
+        left, right, on="user_id", ts="ts",
+        payload_cols=["last_error_id", "err_ts"],
+    )
+    within = F.col("err_ts").isNotNull() & (
+        F.col("ts").cast("long") - F.col("err_ts").cast("long")
+        <= ASOF_TOLERANCE_MIN * 60
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("last_error_id")).alias("last_error_id"),
+    )
 
 
 @query("join_asof_forward", oracle="""

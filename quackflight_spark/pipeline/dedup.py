@@ -731,6 +731,74 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pipeline_dedup_keep_best", oracle=f"""
+    WITH {_duck_jaccard_pairs(JACCARD_THRESHOLD)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+      ) SELECT * FROM r
+    ),
+    members AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    scored AS (
+      SELECT m.doc_id, m.cluster_id, CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM members m JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS cluster_id, CAST(length(d.text) AS BIGINT)
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM members)
+""")
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: one representative per near-dup
+    cluster, KEEP-LONGEST policy (standard in corpus prep — the longest
+    member usually subsumes its truncated near-dups), tie-break min
+    doc_id; docs outside any cluster survive as their own cluster.
+
+    Scale shape: reuses the persisted cluster labels (dedup_clusters'
+    frame_cache — the propagation does not re-run), one hash-aggregate
+    shuffle on cluster_id with map-side combine via max(struct), and one
+    anti-join of the corpus against the (small) member set. No windows,
+    no global sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    members = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    best = (
+        members.join(d, "doc_id")
+        .groupBy("cluster_id")
+        # max over (n_chars, -doc_id) = longest doc, then smallest doc_id
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("s")
+        )
+        .select(
+            (-F.col("s.neg_id")).cast("bigint").alias("doc_id"),
+            "cluster_id",
+            F.col("s.n_chars").alias("n_chars"),
+        )
+    )
+    singletons = d.join(members, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id"), "n_chars"
+    )
+    return best.unionByName(singletons)
+
+
 INCR_CORPUS_BUCKETS = 10   # doc_id md5-bucket < 8 → existing corpus (80%)
 INCR_CORPUS_CUT = 8
 

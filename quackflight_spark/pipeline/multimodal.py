@@ -264,3 +264,117 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return d.mapInPandas(_audio_energy_kernel, AUDIO_SCHEMA)
+
+
+PHASH_BITS = 48       # cells in the average-hash (bigint-safe, like SimHash)
+PHASH_BANDS = 4       # pigeonhole chunks: lossless for hamming <= 3
+PHASH_HAMMING_MAX = 3
+PHASH_SCHEMA = "doc_id bigint, ph bigint"
+
+
+def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Average-hash (aHash) over the stand-in decode: payload bytes as a
+    1-D 'pixel' strip, average-pooled into PHASH_BITS cells, bit i set
+    iff cell i's mean exceeds the global mean. ALL-INTEGER math — bit i
+    compares 48·S_i > ΣS on int64 byte sums, so the SQL oracle replays
+    it bit-identically (no float summation-order hazards). A real
+    implementation swaps the byte strip for PIL-decoded 8×8 grayscale;
+    the pooling, threshold, and pairing stay unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_ph = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)
+            c = len(samples) // PHASH_BITS
+            if c == 0:
+                continue
+            s = (
+                samples[: PHASH_BITS * c]
+                .astype(np.int64)
+                .reshape(PHASH_BITS, c)
+                .sum(axis=1)
+            )
+            bits = (PHASH_BITS * s) > s.sum()
+            out_doc.append(doc_id)
+            out_ph.append(int((bits.astype(np.int64) << np.arange(PHASH_BITS)).sum()))
+        yield pd.DataFrame({"doc_id": out_doc, "ph": out_ph})
+
+
+@query("mm_image_phash", oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) // {PHASH_BITS} AS INT) AS c
+      FROM documents WHERE length(text) >= {PHASH_BITS}
+    ),
+    cells AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(0, {PHASH_BITS}), i ->
+               list_aggregate(list_transform(range(1, c + 1),
+                 j -> CAST(unicode(substr(text, i * c + j, 1)) AS BIGINT)),
+                 'sum')) AS s
+      FROM d
+    ),
+    hashed AS MATERIALIZED (
+      SELECT doc_id,
+             list_aggregate(list_transform(range(0, {PHASH_BITS}), i ->
+               CASE WHEN {PHASH_BITS} * s[i + 1] >
+                         list_aggregate(s, 'sum')
+                    THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END),
+               'sum') AS ph
+      FROM cells
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {PHASH_HAMMING_MAX}
+""")
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the image modality — the
+    visual twin of dedup_simhash (re-encoded/re-saved images dedup by
+    content, not bytes). Hash via the Arrow-batched aHash kernel above;
+    pairing via the same lossless 4×12-bit pigeonhole blocking as
+    SimHash (hamming ≤ 3 ⇒ some chunk equal), exact-verified, so oracle
+    equality is exact. Scale: hash is a pure map; candidates shuffle on
+    (chunk_id, chunk_val) — never all-pairs."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_ph() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode("text", "utf-8").alias("payload")
+        )
+        return d.mapInPandas(_phash_kernel, PHASH_SCHEMA)
+
+    ph = shared_frame("mm_phash", sf_dir, build_ph)
+    chunk_bits = PHASH_BITS // PHASH_BANDS
+    chunks = ph.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)),
+                lambda ci: F.struct(
+                    ci.alias("chunk_id"),
+                    (F.col("ph") / F.pow(F.lit(2.0), ci * chunk_bits))
+                    .cast("bigint")
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("chunk_val"),
+                ),
+            )
+        ).alias("cc"),
+    ).select("doc_id", "ph", "cc.chunk_id", "cc.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .distinct()
+    )

@@ -107,6 +107,45 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_THRESHOLD = 0.2  # fixture embeddings are near-orthogonal; 0.2 selects
+#                        the genuinely-related tail (top neighbor cos ≈ 0.5)
+
+
+@query("ann_range_search", oracle=f"""
+    WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM t WHERE vec_id < {N_QUERIES})
+    SELECT q.query_id, t.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.qe, t.e), 6) AS cos_sim
+    FROM q JOIN t ON t.vec_id <> q.query_id
+    WHERE round(list_cosine_similarity(q.qe, t.e), 6) >= {RANGE_THRESHOLD}
+""")
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within
+    cosine ≥ RANGE_THRESHOLD of each query — the 'find all related'
+    companion to top-k (dedup candidates, retrieval recall sets,
+    contamination sweeps take this form).
+
+    Exact and zero-shuffle: queries broadcast, corpus scanned ONCE, the
+    threshold filter runs inside the scan stage — at 100 TB this is
+    IO-bound with no exchange at all (the plan has no Exchange; compare
+    ann_bruteforce_topk, which pays one window shuffle for ranking). A
+    high-threshold variant can swap in the OR-amplified hyperplane
+    blocking of dedup_embedding unchanged; at 0.2 blocking cannot prune
+    (per-plane collision p ≈ 0.94) so the single scan IS the optimal
+    plan, not a fallback."""
+    emb = _emb_normed(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "e")
+    return (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("e")), 6))
+        .filter(F.col("cos_sim") >= RANGE_THRESHOLD)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 def _hyperplanes(n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
                  seed: str = "") -> "np.ndarray":
     """Deterministic pseudo-random hyperplanes, (n_tables*n_planes, DIM):
@@ -419,11 +458,20 @@ def _pq_books_for(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     return _PQ_INDEX[sf_dir]
 
 
+# ann_pq_topk deliberately scans the FULL code table: it is the ablation
+# row isolating PQ/ADC compression (PERF.md "ann_pq_topk is a building
+# block"). The serving operating point is ann_ivfpq_topk, which prunes
+# WHICH codes are scored via the IVF cell layout. Do not benchmark this
+# key as the product path.
+PQ_FULL_SCAN = "ablation"
+
+
 @query("ann_pq_topk")  # rows-only: recall vs brute force asserted in tests
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 5-bit × PQ_M codes per vector (8 bytes
     stored as int array; ~50× smaller than the raw 64-dim float64) + asymmetric-distance scan, exact
-    rerank of the ADC top-PQ_RERANK.
+    rerank of the ADC top-PQ_RERANK. ABLATION ROW (PQ_FULL_SCAN above):
+    serving form = ann_ivfpq_topk.
 
     The 100 TB story is MEMORY, complementing IVF's IO pruning: the
     full-corpus scan runs over the code table (64× smaller than the

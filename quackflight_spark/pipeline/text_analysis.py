@@ -270,8 +270,8 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tc AS (SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2),
     ts AS (SELECT doc_id,
-                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tri,
-                  sum(c) AS n_tri
+                  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_tri,
+                  CAST(sum(c) AS BIGINT) AS n_tri
            FROM tc GROUP BY 1)
     SELECT t.doc_id,
            round(COALESCE(CAST(bs.top_c AS DOUBLE) / bs.n_big, 0.0), 8)

@@ -83,9 +83,14 @@ def _meta(df: DataFrame) -> list[dict[str, str]]:
     return [{"name": f.name, "type": ch_type_name(f.dataType)} for f in df.schema.fields]
 
 
-def _stats(n_rows: int, elapsed: float) -> dict[str, Any]:
-    # shape from reference main.py:154-158
-    return {"elapsed": round(elapsed, 6), "rows_read": n_rows, "bytes_read": 0}
+def _stats(n_rows: int, elapsed: float, cells: list[list[Any]]) -> dict[str, Any]:
+    # shape from reference main.py:154-158, incl. its bytes_read metric:
+    # the total rendered-string length of every cell
+    return {
+        "elapsed": round(elapsed, 6),
+        "rows_read": n_rows,
+        "bytes_read": sum(len(str(v)) for row in cells for v in row),
+    }
 
 
 def format_result(df: DataFrame, fmt: str | None, elapsed: float = 0.0) -> tuple[bytes, str]:
@@ -99,20 +104,25 @@ def format_result(df: DataFrame, fmt: str | None, elapsed: float = 0.0) -> tuple
     fmt_norm = (fmt or "").lower()
 
     if fmt_norm == "jsoncompact":
+        data = [[_cell(v) for v in row] for row in rows]
         body = {
             "meta": _meta(df),
-            "data": [[_cell(v) for v in row] for row in rows],
+            "data": data,
             "rows": len(rows),
-            "statistics": _stats(len(rows), elapsed),
+            # reference main.py:153 — JSONCompact (and only JSONCompact)
+            # carries rows_before_limit_at_least
+            "rows_before_limit_at_least": len(rows),
+            "statistics": _stats(len(rows), elapsed, data),
         }
         return json.dumps(body, ensure_ascii=False).encode(), "application/json"
 
     if fmt_norm == "json":
+        data = [[_cell(v) for v in row] for row in rows]
         body = {
             "meta": _meta(df),
-            "data": [{c: _cell(v) for c, v in zip(cols, row)} for row in rows],
+            "data": [dict(zip(cols, row)) for row in data],
             "rows": len(rows),
-            "statistics": _stats(len(rows), elapsed),
+            "statistics": _stats(len(rows), elapsed, data),
         }
         return json.dumps(body, ensure_ascii=False).encode(), "application/json"
 

@@ -49,6 +49,14 @@ def execute_query(
     t0 = time.time()
     query, fmt_from_query = sanitize_query(query)
     fmt = fmt_from_query or fmt
+    if database and ("/" in database or database.endswith((".duckdb", ".db"))):
+        # reference main.py:284: path-valued `database` params ATTACH a
+        # DuckDB file. Bridge existing small files as a snapshot
+        # namespace (namespaces.attach_duckdb); anything else errors
+        # loudly there rather than quietly serving an empty namespace.
+        from quackflight_spark.serving.namespaces import attach_duckdb
+
+        database = attach_duckdb(spark, database)
     if database:
         spark = (sessions or SessionManager(spark)).for_namespace(database)
 

@@ -47,9 +47,10 @@ def ensure_namespace(spark: SparkSession, name: str) -> str:
     if not _SAFE_DB.match(name):
         raise ValueError(
             f"invalid namespace name: {name!r}. The `database` parameter "
-            "selects a managed namespace (bare identifier), not a database "
-            "file; attaching external .duckdb/.db files is not supported — "
-            "register the data as tables instead"
+            "selects a managed namespace (bare identifier) or the path of "
+            "an existing small .duckdb file (snapshot-imported via "
+            "attach_duckdb); live single-file mounts are not supported — "
+            "register big data as parquet tables instead"
         )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
     return name
@@ -93,3 +94,63 @@ class SessionManager:
                 s.catalog.setCurrentDatabase(namespace)
                 self._sessions[namespace] = s
             return self._sessions[namespace]
+
+
+ATTACH_MAX_ROWS = 5_000_000  # per attached FILE — dims/metadata, not facts
+
+
+def attach_duckdb(spark: SparkSession, path: str, alias: str | None = None) -> str:
+    """Bridge an external DuckDB database file into the Spark catalog —
+    the Spark analog of the reference's `ATTACH '{db}' AS db; USE db`
+    for path-valued `database` params (main.py:284, 326).
+
+    A distributed engine cannot mount a single-file database as a live
+    catalog, but the reference's actual use is small per-user/metadata
+    databases — those CAN be imported: every table in the file is read
+    through the embedded duckdb runtime into Arrow and landed as a
+    managed Spark table under namespace `alias` (default: sanitized file
+    stem). Semantics are SNAPSHOT-AT-ATTACH (documented deviation:
+    later writes to the file are invisible until re-attach); total size
+    is capped at ATTACH_MAX_ROWS so nobody attaches a fact table by
+    accident — past the cap, convert to parquet and register instead.
+    Re-attaching the same alias refreshes the snapshot."""
+    import os
+    import re as _re
+
+    import duckdb
+
+    if not os.path.isfile(path):
+        raise ValueError(f"database file not found: {path!r}")
+    if alias is None:
+        alias = "attached_" + _re.sub(r"[^A-Za-z0-9_]", "_", os.path.splitext(os.path.basename(path))[0])
+    if not _SAFE_DB.match(alias):
+        raise ValueError(f"invalid attach alias: {alias!r}")
+    con = duckdb.connect(path, read_only=True)
+    try:
+        tables = [
+            r[0]
+            for r in con.execute(
+                "SELECT table_name FROM information_schema.tables "
+                "WHERE table_schema = 'main' AND table_type = 'BASE TABLE'"
+            ).fetchall()
+        ]
+        total = 0
+        for t in tables:
+            total += con.execute(f'SELECT count(*) FROM "{t}"').fetchone()[0]
+        if total > ATTACH_MAX_ROWS:
+            raise ValueError(
+                f"refusing to attach {path!r}: {total} rows exceeds the "
+                f"{ATTACH_MAX_ROWS}-row snapshot cap; convert to parquet and "
+                "register as external tables instead"
+            )
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+        for t in tables:
+            if not _SAFE_DB.match(t):
+                raise ValueError(f"unsupported table name in attach: {t!r}")
+            pdf = con.execute(f'SELECT * FROM "{t}"').arrow().to_pandas()
+            spark.createDataFrame(pdf).write.mode("overwrite").saveAsTable(
+                f"{alias}.{t}"
+            )
+    finally:
+        con.close()
+    return alias

@@ -91,12 +91,21 @@ def compact_files(
     HALF-compacted table, though there is a brief window between the
     renames where the path is absent (a production table format would
     commit via its metadata log instead; see sources/merge.py for the
-    per-partition variant of the same swap).
+    per-partition variant of the same swap). A crash between the renames
+    leaves the data intact at `<path>__old`; the next compact_files call
+    on the same path detects the leftover and restores it before doing
+    anything else (r3 advice — recovery used to be absent).
     """
     import math
     import os
     import shutil
 
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old) and not os.path.exists(path):
+        # previous run crashed between the two renames: finish its swap
+        # by restoring the old data (its staging dir, if complete, is
+        # re-derivable — the rewrite is idempotent)
+        os.rename(old, path)
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
@@ -108,7 +117,6 @@ def compact_files(
     if sort_col is not None:
         out = out.sortWithinPartitions(sort_col)
     out.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + "__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(staging, path)

@@ -32,8 +32,18 @@ NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 
 def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write nation once per (sf_dir, fmt) as csv/ndjson; reused across
-    calls (build-once staging, like the ingest landing zone it models)."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    calls (build-once staging, like the ingest landing zone it models).
+    The cache tag fingerprints the SOURCE parquet (mtime + size), so
+    regenerated fixtures at the same path invalidate the staging instead
+    of silently serving stale rows, and concurrent sessions staging
+    different fixture generations write to different dirs (r3 advice)."""
+    src = os.path.join(sf_dir, "nation.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
     path = f"{STAGE_ROOT}/{fmt}_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         n = load_table(spark, sf_dir, "nation")

@@ -68,7 +68,13 @@ def running_totals_exact(
         n, cents = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # round half AWAY FROM ZERO to match the oracle's DECIMAL(18,2)
+        # cast — pandas .round() is banker's half-even, which diverges on
+        # any exact half at the third decimal (r3 advice)
+        import numpy as np
+
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents += int(np.trunc(v + np.copysign(0.5, v)).astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}

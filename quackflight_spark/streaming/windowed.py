@@ -858,6 +858,50 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_TOP_K = 3
+
+
+@query("topk_per_group", oracle=f"""
+    WITH c AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+               ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT day, event_type, n, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {GROUP_TOP_K}
+""")
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (here: the {GROUP_TOP_K} busiest event types per
+    day) — the grouped companion of the fused global top-k
+    (orderby_desc_limit). Scale shape: the heavy lifting is ONE
+    partial-aggregated count shuffle on (day, event_type); the rank
+    window then partitions by day over the already-tiny per-day
+    aggregate — every partition sorts |event_types| rows, never raw
+    events, and there is no single-partition stage."""
+    from pyspark.sql import Window as W
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = W.partitionBy("day").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_TOP_K)
+        .select("day", "event_type", "n", "rn")
+    )
+
+
 RFM_BUCKETS = 4
 
 

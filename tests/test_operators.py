@@ -52,18 +52,21 @@ def test_registry_contract():
 
 def test_gate_priority_ordering():
     """The driver's correctness gate truncates at ~50 keys per round and
-    walks queries() in dict order: the first 50 keys must be exactly the
-    GATE_PRIORITY head (8 r2-fixed + 42 never-driver-checked oracle keys),
-    every priority key must exist, and none may be listed twice."""
+    walks queries() in dict order: the head must be exactly the
+    GATE_PRIORITY list (r4 rotation: 44 never-driver-checked oracle keys,
+    then the 13 rows-only keys, then the already-green rotation), every
+    priority key must exist, and none may be listed twice."""
     from quackflight_spark.registry import GATE_PRIORITY
 
     q = list(_queries())
     assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY)
     assert set(GATE_PRIORITY) <= set(q)
     assert q[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # every key in the gate-budget window carries a full value oracle
+    # the oracle-backed block fills the budget window before any
+    # rows-only key spends it
     o = _oracles()
-    assert all(k in o for k in q[:50])
+    assert all(k in o for k in q[:44])
+    assert all(k not in o for k in q[44:57])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):

@@ -29,7 +29,9 @@ def small_df(spark):
 def test_jsoncompact_envelope(small_df):
     payload, ctype = format_result(small_df, "JSONCompact", elapsed=0.01)
     body = json.loads(payload)
-    assert set(body) == {"meta", "data", "rows", "statistics"}
+    assert set(body) == {
+        "meta", "data", "rows", "rows_before_limit_at_least", "statistics"
+    }
     assert body["meta"] == [
         {"name": "k", "type": "Int32"},
         {"name": "name", "type": "String"},
@@ -86,13 +88,58 @@ def test_user_namespace_hashing():
     assert a != user_namespace("alice", "other")
 
 
-def test_path_like_database_param_rejected_loudly(client):
+def test_path_like_database_param_missing_file_rejected(client):
     """The reference ATTACHes the `database` param as a DuckDB file path
-    (main.py:284); we have no file to attach, so a path-like value must
-    produce an explicit 400, not a namespace quietly named like a path."""
+    (main.py:284). Existing small files are bridged as a snapshot
+    namespace (test_attach_duckdb_*); a path to a file that does NOT
+    exist must produce an explicit 400, not a namespace quietly named
+    like a path."""
     r = client.get("/?query=SELECT 1&database=/data/mydb.duckdb")
     assert r.status_code == 400
-    assert b"not supported" in r.data and b"namespace" in r.data
+    assert b"not found" in r.data
+
+
+def _make_duckdb_file(path):
+    import duckdb
+
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE dim_color (id BIGINT, name VARCHAR)")
+    con.execute("INSERT INTO dim_color VALUES (1, 'red'), (2, 'blue')")
+    con.execute("CREATE TABLE dim_size (id BIGINT, label VARCHAR)")
+    con.execute("INSERT INTO dim_size VALUES (10, 'S'), (20, 'M'), (30, 'L')")
+    con.close()
+
+
+def test_attach_duckdb_snapshot(spark, tmp_path):
+    """ATTACH analog for external .duckdb files (reference main.py:284,
+    326): every table in the file lands as a managed Spark table under
+    the alias namespace, snapshot-at-attach semantics."""
+    from quackflight_spark.serving.namespaces import attach_duckdb
+
+    db = str(tmp_path / "meta.duckdb")
+    _make_duckdb_file(db)
+    alias = attach_duckdb(spark, db)
+    assert alias == "attached_meta"
+    rows = {
+        (r["id"], r["name"])
+        for r in spark.table("attached_meta.dim_color").collect()
+    }
+    assert rows == {(1, "red"), (2, "blue")}
+    assert spark.table("attached_meta.dim_size").count() == 3
+    spark.sql("DROP DATABASE attached_meta CASCADE")
+
+
+def test_attach_duckdb_via_http_database_param(client, spark, tmp_path):
+    """End-to-end: the HTTP `database` param pointing at a real .duckdb
+    file attaches it and the query runs against the snapshot."""
+    db = str(tmp_path / "meta2.duckdb")
+    _make_duckdb_file(db)
+    r = client.get(
+        "/?query=SELECT name FROM dim_color ORDER BY id&database=" + db
+    )
+    assert r.status_code == 200, r.data
+    assert b"red" in r.data and b"blue" in r.data
+    spark.sql("DROP DATABASE attached_meta2 CASCADE")
 
 
 # --- HTTP app ---------------------------------------------------------------
@@ -329,3 +376,153 @@ def test_flight_bearer_auth_namespace(flight_client, spark):
     from quackflight_spark.serving.namespaces import user_namespace
 
     spark.sql(f"DROP DATABASE IF EXISTS {user_namespace('erin','pw')} CASCADE")
+
+
+def test_flight_concurrent_insert_and_poll(spark):
+    """The reference's flagship concurrency scenario (ST1/ST2,
+    examples/flight_insert.py:40-95 + flight_watch.py:38-76) as a real
+    two-client integration test: one gRPC client appends INSERT VALUES
+    batches while a second concurrently polls COUNT(*) + a random sample.
+    Asserts: no read errors, observed counts monotonically nondecreasing,
+    final count = rows inserted."""
+    fl = pytest.importorskip("pyarrow.flight")
+    import threading
+    import time as _time
+
+    from quackflight_spark.serving.flight_server import SparkFlightServer
+
+    server = SparkFlightServer(spark, "grpc://127.0.0.1:0")
+    t = threading.Thread(target=server.serve, daemon=True)
+    t.start()
+    writer = fl.connect(f"grpc://127.0.0.1:{server.port}")
+    monitor = fl.connect(f"grpc://127.0.0.1:{server.port}")
+
+    def run_sql(client, sql):
+        return client.do_get(fl.Ticket(sql.encode())).read_all()
+
+    run_sql(writer, "DROP TABLE IF EXISTS concurrent_test")
+    run_sql(
+        writer,
+        "CREATE TABLE IF NOT EXISTS concurrent_test "
+        "(batch_id BIGINT, value DOUBLE, category STRING) USING PARQUET",
+    )
+    errors: list = []
+    counts: list = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                tbl = run_sql(
+                    monitor, "SELECT COUNT(*) AS total FROM concurrent_test"
+                )
+                counts.append(tbl["total"][0].as_py())
+                sample = run_sql(
+                    monitor,
+                    "SELECT * FROM concurrent_test ORDER BY RANDOM() LIMIT 1",
+                )
+                assert sample.num_rows <= 1
+            except Exception as e:  # noqa: BLE001 — recorded and asserted empty
+                errors.append(e)
+            _time.sleep(0.05)
+
+    mt = threading.Thread(target=poll)
+    mt.start()
+    n_batches, rows_per_batch = 6, 25
+    try:
+        for b in range(n_batches):
+            vals = ",".join(
+                f"({b}, {b}.{i}, '{'ABCD'[i % 4]}')" for i in range(rows_per_batch)
+            )
+            run_sql(writer, f"INSERT INTO concurrent_test VALUES {vals}")
+    finally:
+        stop.set()
+        mt.join(timeout=30)
+    final = run_sql(writer, "SELECT COUNT(*) AS total FROM concurrent_test")
+    assert final["total"][0].as_py() == n_batches * rows_per_batch
+    assert errors == [], errors
+    assert len(counts) > 0
+    assert counts == sorted(counts), counts  # appends never go backwards
+    run_sql(writer, "DROP TABLE concurrent_test")
+    server.shutdown()
+
+
+# --- Golden-bytes format envelopes (r3 verdict item 5) ----------------------
+# Pin the EXACT serialized bytes of every ClickHouse format over a fixed
+# frame, so protocol parity survives refactors. Shapes follow reference
+# main.py:135-193 (JSONCompact meta/data/rows/rows_before_limit_at_least/
+# statistics field order, JSON without rows_before_limit, str()-length
+# bytes_read); TSV/CSV pin OUR documented deviations (escaped TSV, quoted
+# CSV — the reference's bare str() join is a recorded bug, SURVEY §7).
+
+
+@pytest.fixture(scope="module")
+def golden_df(spark):
+    return spark.sql(
+        "SELECT * FROM VALUES (1, 'plain', 0.5), (2, 'tab\there', 2.25), "
+        "(3, CAST(NULL AS STRING), CAST('NaN' AS DOUBLE)) AS t(k, s, x)"
+    )
+
+
+def test_golden_bytes_jsoncompact(golden_df):
+    payload, ctype = format_result(golden_df, "JSONCompact", elapsed=0.001234)
+    assert ctype == "application/json"
+    assert payload == (
+        b'{"meta": [{"name": "k", "type": "Int32"}, {"name": "s", "type": "String"},'
+        b' {"name": "x", "type": "Float64"}],'
+        b' "data": [[1, "plain", 0.5], [2, "tab\\there", 2.25], [3, null, null]],'
+        b' "rows": 3, "rows_before_limit_at_least": 3,'
+        b' "statistics": {"elapsed": 0.001234, "rows_read": 3, "bytes_read": 31}}'
+    ), payload
+
+
+def test_golden_bytes_json(golden_df):
+    payload, _ = format_result(golden_df, "JSON", elapsed=0.001234)
+    assert payload == (
+        b'{"meta": [{"name": "k", "type": "Int32"}, {"name": "s", "type": "String"},'
+        b' {"name": "x", "type": "Float64"}],'
+        b' "data": [{"k": 1, "s": "plain", "x": 0.5},'
+        b' {"k": 2, "s": "tab\\there", "x": 2.25}, {"k": 3, "s": null, "x": null}],'
+        b' "rows": 3,'
+        b' "statistics": {"elapsed": 0.001234, "rows_read": 3, "bytes_read": 31}}'
+    ), payload
+
+
+def test_golden_bytes_jsoneachrow(golden_df):
+    payload, ctype = format_result(golden_df, "JSONEachRow")
+    assert ctype == "application/x-ndjson"
+    assert payload == (
+        b'{"k": 1, "s": "plain", "x": 0.5}\n'
+        b'{"k": 2, "s": "tab\\there", "x": 2.25}\n'
+        b'{"k": 3, "s": null, "x": null}\n'
+    ), payload
+
+
+def test_golden_bytes_tsv(golden_df):
+    payload, ctype = format_result(golden_df, "TSV")
+    assert ctype == "text/tab-separated-values"
+    assert payload == (
+        b"k\ts\tx\n"
+        b"1\tplain\t0.5\n"
+        b"2\ttab\\there\t2.25\n"
+        b"3\t\\N\tNone\n"
+    ), payload
+
+
+def test_golden_bytes_csv(golden_df):
+    payload, ctype = format_result(golden_df, "CSV")
+    assert ctype == "text/csv"
+    assert payload == (
+        b"k,s,x\n"
+        b"1,plain,0.5\n"
+        b"2,tab\there,2.25\n"
+        b"3,,\n"
+    ), payload
+
+
+def test_golden_bytes_default(golden_df):
+    payload, ctype = format_result(golden_df, None)
+    assert ctype == "application/json"
+    assert payload == (
+        b'[[1, "plain", 0.5], [2, "tab\\there", 2.25], [3, null, null]]'
+    ), payload
