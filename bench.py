@@ -104,6 +104,8 @@ BENCH_KEYS = [
     "join_asof_tolerance",
     "topk_per_group",
     "mm_image_phash",
+    "win_ntile",
+    "basket_pair_lift",
 ]
 
 

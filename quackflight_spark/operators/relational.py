@@ -339,7 +339,14 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def join_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POSITIONAL (zip-by-row) join — DuckDB extension semantics re-expressed
-    as row_number over a deterministic order + equi-join (SURVEY §2.3 J7)."""
+    as row_number over a deterministic order + equi-join (SURVEY §2.3 J7).
+
+    SCALE CAVEAT: the unpartitioned row_number is a single-task sort —
+    inherent to zip-by-row semantics (a global row ordinal IS a global
+    order). Point this only at bounded frames (here: region×nation,
+    5/25 rows); for a large frame needing global ordinals use the
+    distributed rank machinery (streaming/windowed._ntile_distributed's
+    range-partition + offset pattern) instead."""
     from pyspark.sql import Window as W
 
     r = load_table(spark, sf_dir, "region").withColumn(

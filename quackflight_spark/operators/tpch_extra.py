@@ -214,3 +214,70 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+BASKET_MIN_CO = 2  # pairs must co-occur in >= 2 orders
+
+
+@query("basket_pair_lift", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
+    pc AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) * (SELECT n FROM tot)
+                 / (ca.c * cb.c), 8) AS lift
+    FROM pairs
+    JOIN pc ca ON ca.p = part_a
+    JOIN pc cb ON cb.p = part_b
+    WHERE n_ab >= {BASKET_MIN_CO}
+""")
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs bought together
+    in ≥ BASKET_MIN_CO orders, lift = P(a,b) / (P(a)·P(b)) — the
+    association-rule primitive (recommenders, cross-sell analytics).
+
+    Scale shape: the self-join keys on l_orderkey, so pair expansion per
+    order is bounded by basket size (TPC-H ≤ 7 items — quadratic only
+    within a basket, the standard market-basket bound; a pathological
+    mega-basket is the skew to salt). One distinct + one pair-count
+    shuffle; the order total rides a 1-row broadcast cross join; per-part
+    counts join on the pair keys (AQE picks broadcast when the part dim
+    fits). All-integer counts; lift rounds the identical double
+    expression both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    tot = op.agg(F.countDistinct("o").cast("bigint").alias("n"))
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_CO)
+    )
+    ca = pc.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+    cb = pc.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                8,
+            ).alias("lift"),
+        )
+    )

@@ -179,3 +179,32 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+NTILE_BUCKETS = 10
+
+
+@query("win_ntile", oracle=f"""
+    SELECT c_custkey,
+           CAST(ntile({NTILE_BUCKETS}) OVER (
+             ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey) AS INT)
+             AS decile
+    FROM customer
+""")
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global NTILE (customer account-balance deciles) as a first-class
+    window operator — implemented with the DISTRIBUTED exact ntile
+    (range-partition + parallel per-partition rank + broadcast offsets,
+    streaming/windowed._ntile_distributed), NOT `W.orderBy(...)`: the
+    bare global window funnels every row through one reducer sort, the
+    single-task scale-killer the r3 verdict flagged on events_rfm. The
+    oracle is the plain SQL window; output is bit-identical because the
+    c_custkey tie-break makes the order total."""
+    from quackflight_spark.streaming.windowed import _ntile_distributed
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    return _ntile_distributed(
+        c, ["bal", "c_custkey"], "decile", NTILE_BUCKETS
+    ).select("c_custkey", "decile")

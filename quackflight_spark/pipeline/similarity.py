@@ -138,9 +138,17 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     corpus = emb.select(F.col("vec_id").alias("neighbor_id"), "e")
+    # asNondeterministic: the threshold filter references the same kernel
+    # output as the projection; a deterministic UDF gets pushed below the
+    # Project and DUPLICATED (two ArrowEvalPython nodes = 2× the dominant
+    # kernel cost). The nondeterministic marker pins one evaluation — the
+    # kernel is pure, only optimizer freedom changes.
+    from quackflight_spark.pipeline.veckernels import cos_dot
+
+    dot_once = cos_dot.asNondeterministic()
     return (
         corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("e")), 6))
+        .withColumn("cos_sim", F.round(dot_once(F.col("qe"), F.col("e")), 6))
         .filter(F.col("cos_sim") >= RANGE_THRESHOLD)
         .select("query_id", "neighbor_id", "cos_sim")
     )

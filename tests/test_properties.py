@@ -163,7 +163,7 @@ def test_ntile_distributed_matches_window_ntile(spark):
 
     from quackflight_spark.streaming.windowed import _ntile_distributed
 
-    for n, b in [(1, 4), (3, 4), (97, 4), (1000, 7), (64, 64)]:
+    for n, b in [(0, 4), (1, 4), (3, 4), (97, 4), (1000, 7), (64, 64)]:
         df = (
             spark.range(n)
             .select(

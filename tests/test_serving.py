@@ -526,3 +526,20 @@ def test_golden_bytes_default(golden_df):
     assert payload == (
         b'[[1, "plain", 0.5], [2, "tab\\there", 2.25], [3, null, null]]'
     ), payload
+
+
+def test_attach_duckdb_row_cap(spark, tmp_path, monkeypatch):
+    """Attaching a file past ATTACH_MAX_ROWS must refuse loudly (the cap
+    is what keeps 'attach' an import of small metadata, not an accidental
+    driver-side collect of a fact table)."""
+    import duckdb
+
+    from quackflight_spark.serving import namespaces
+
+    db = str(tmp_path / "big.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT * FROM range(100)")
+    con.close()
+    monkeypatch.setattr(namespaces, "ATTACH_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="snapshot cap"):
+        namespaces.attach_duckdb(spark, db)
