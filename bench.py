@@ -106,6 +106,7 @@ BENCH_KEYS = [
     "mm_image_phash",
     "win_ntile",
     "basket_pair_lift",
+    "join_fuzzy_names",
 ]
 
 

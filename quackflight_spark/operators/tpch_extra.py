@@ -249,27 +249,40 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts join on the pair keys (AQE picks broadcast when the part dim
     fits). All-integer counts; lift rounds the identical double
     expression both engines."""
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    op = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        # three consumers (total, both self-join sides): without pinning,
+        # each branch re-scans lineitem and re-runs the distinct (the
+        # lineage-per-branch pitfall — 13 exchanges planned)
+        .localCheckpoint()
+    )
     tot = op.agg(F.countDistinct("o").cast("bigint").alias("n"))
-    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    a, b = op.alias("a"), op.alias("b")
+    # per-part order count attaches BEFORE pairing (one window shuffle on
+    # p), so it rides the self-join and the pair aggregation as a
+    # per-part constant — no post-aggregation join against a part-count
+    # table (which at 10^8 parts would be two more keyed shuffles)
+    opc = op.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("p")).cast("bigint")
+    )
+    a, b = opc.alias("a"), opc.alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(
             F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.max(F.col("a.c")).alias("ca"),
+            F.max(F.col("b.c")).alias("cb"),
+        )
         .filter(F.col("n_ab") >= BASKET_MIN_CO)
     )
-    ca = pc.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
-    cb = pc.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
     return (
         pairs.crossJoin(F.broadcast(tot))
-        .join(ca, "part_a")
-        .join(cb, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -280,4 +293,47 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 8,
             ).alias("lift"),
         )
+    )
+
+
+FUZZY_MAX_DIST = 3
+
+
+@query("join_fuzzy_names", oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM n a JOIN n b
+      ON a.p_name < b.p_name
+     AND split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1)
+     AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+""")
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (entity resolution / record linkage):
+    distinct part names pairing within edit distance ≤ {FUZZY_MAX_DIST},
+    blocked on the final token (the product noun) — the canonical
+    linkage recipe: never all-pairs Levenshtein, always block on a
+    cheap exact key first, run the quadratic metric only inside blocks.
+
+    Scale shape: the entity dimension is deduped first (one distinct
+    shuffle, tiny relative to the fact table it came from); the
+    self-join keys on the blocking token, so the Levenshtein work is
+    quadratic only within a block — choose blocking keys so blocks stay
+    bounded (here: noun vocabulary × descriptor variants). The distance
+    predicate is part of the OPERATOR's definition, so the DuckDB
+    oracle is exact, not approximate."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    return (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (last("name_a") == last("name_b")),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )

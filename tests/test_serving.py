@@ -543,3 +543,19 @@ def test_attach_duckdb_row_cap(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(namespaces, "ATTACH_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="snapshot cap"):
         namespaces.attach_duckdb(spark, db)
+
+
+def test_attach_detach_sql_statements(client, spark, tmp_path):
+    """SQL-statement ATTACH '<file>' AS alias / DETACH alias through the
+    HTTP path (the reference forwards both verbatim to DuckDB,
+    main.py:284) — attach imports the snapshot, queries see it
+    qualified, detach drops the namespace."""
+    db = str(tmp_path / "meta3.duckdb")
+    _make_duckdb_file(db)
+    r = client.post("/", data=f"ATTACH '{db}' AS meta3".encode())
+    assert r.status_code == 200, r.data
+    r = client.get("/?query=SELECT count() AS c FROM meta3.dim_size")
+    assert r.status_code == 200 and b"3" in r.data
+    r = client.post("/", data=b"DETACH meta3")
+    assert r.status_code == 200, r.data
+    assert not any(d.name == "meta3" for d in spark.catalog.listDatabases())

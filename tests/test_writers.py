@@ -408,3 +408,32 @@ def test_minhash_bucketed_verify_array_side_no_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE qf_test_minhash_hsh")
+
+
+def test_minhash_bucketed_path_end_to_end(spark, sf_dir, monkeypatch):
+    """Force the REAL dedup_minhash_lsh down the past-broadcast-limit
+    path (limit monkeypatched to 0) and require byte-identical pairs to
+    the broadcast path — the full pipeline integration of the bucketed
+    verify, not just the synthetic-join unit above."""
+    from quackflight_spark.pipeline import dedup
+    from quackflight_spark.pipeline.frame_cache import clear_frames
+
+    broadcast_rows = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(dedup, "BROADCAST_DOC_LIMIT", 0)
+    clear_frames()
+    spark.sql("DROP TABLE IF EXISTS " +
+              "qf_minhash_hsh_" + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:10])
+    try:
+        bucketed_rows = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS " +
+                  "qf_minhash_hsh_" + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:10])
+        clear_frames()
+    assert bucketed_rows == broadcast_rows
+    assert len(bucketed_rows) > 0
