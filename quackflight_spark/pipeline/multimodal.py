@@ -81,7 +81,25 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
-@query("mm_decode")  # Python kernel → rows-only driver check; unit-tested
+@query("mm_decode", oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(text), 1, 2) AS INT) AS h0,
+             CAST('0x' || substr(md5(text), 3, 2) AS INT) AS h1,
+             CAST('0x' || substr(md5(text), 5, 2) AS INT) AS h2,
+             CAST('0x' || substr(md5(text), 7, 2) AS INT) AS h3,
+             CAST('0x' || substr(md5(text), 9, 2) AS INT) AS h4
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           (['png', 'wav', 'mp4'])[h0 % 3 + 1] AS format,
+           CAST(64 + h1 % 192 AS INT) AS width,
+           CAST(64 + h2 % 192 AS INT) AS height,
+           CAST(1 + h3 % 32 AS INT) AS n_frames,
+           round((h4 % 600) / 10.0, 1) AS duration_s
+    FROM h
+""")
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
@@ -90,6 +108,12 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partitioning: inherits the scan's partitions; a real 100 TB run would
     repartition by size (maxPartitionBytes) so each task decodes a bounded
     byte budget.
+
+    Oracle-BACKED (upgraded from rows-only in r4): the stand-in decode
+    derives every field from the payload's md5 digest bytes, which
+    DuckDB replays from the md5 hex — the same replayability upgrade
+    mm_audio_energy got. Swapping in a real codec drops the oracle, not
+    the plumbing.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
@@ -129,7 +153,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FEATURE_DIM = 16
-FEATURE_SCHEMA = f"doc_id bigint, feature array<float>, norm double"
+FEATURE_SCHEMA = "doc_id bigint, feature array<double>, norm double"
 RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes_resized bigint"
 
 
@@ -143,13 +167,33 @@ def _fake_feature(payload: bytes) -> list[float]:
     return [round((h[i % 16] / 255.0) * 2 - 1, 6) for i in range(FEATURE_DIM)]
 
 
-@query("mm_feature_extract")  # Python kernel → rows-only; unit-tested
+@query("mm_feature_extract", oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_transform(range(0, {FEATURE_DIM}), i ->
+               round(CAST(CAST('0x' || substr(md5(text), 2 * (i % 16) + 1, 2)
+                     AS INT) AS DOUBLE) / 255.0 * 2 - 1, 6)) AS feature
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(feature, x -> printf('%.6f', x)), ',')
+             AS feature_csv,
+           round(sqrt(list_aggregate(
+             list_transform(feature, x -> x * x), 'sum')), 6) AS norm
+    FROM f
+""")
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas: the
     embed-the-corpus stage of a multimodal pipeline. Output is a typed
-    array<float> column ready for the similarity operators
+    array<double> column ready for the similarity operators
     (pipeline/similarity.py) — the two stages compose into
-    decode → embed → ANN entirely inside the engine."""
+    decode → embed → ANN entirely inside the engine. Oracle-BACKED
+    (upgraded from rows-only in r4): the stand-in extractor is md5-byte
+    math DuckDB replays exactly. For the differential check the double
+    array serializes as a fixed %.6f comma-join (the driver canonicalizer
+    cannot hash raw array cells; float to_json formatting differs across
+    engines — fn_array_hof precedent); mm_feature_frame() below returns
+    the real array<double> column for composition."""
     import math
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -167,10 +211,52 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    frame = d.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    return frame.select(
+        "doc_id",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("feature_csv"),
+        "norm",
+    )
+
+
+def mm_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition surface: (doc_id, feature array<double>, norm) —
+    what a downstream ANN stage consumes. The registered key serializes
+    the array for the differential check (see mm_feature_extract)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    import math
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_feature(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "feature": feats,
+                    "norm": [round(math.sqrt(sum(x * x for x in f)), 6) for f in feats],
+                }
+            )
+
     return d.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-@query("mm_resize")  # Python kernel → rows-only; unit-tested
+@query("mm_resize", oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 192 AS w,
+             64 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 192 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+           CAST(floor(n_bytes * (224 * 224) / greatest(w * h, 1))
+                AS BIGINT) AS n_bytes_resized
+    FROM h
+""")  # oracle-BACKED in r4: stand-in resize is md5-byte math (see mm_decode)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing: target dims computed from metadata, 'resized'
     payload size derived deterministically (a real kernel calls

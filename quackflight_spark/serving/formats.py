@@ -162,16 +162,34 @@ def format_result(df: DataFrame, fmt: str | None, elapsed: float = 0.0) -> tuple
 
 
 def _register_format_key() -> None:
-    """`fmt_jsoncompact` (SURVEY §2.1 S12, rows-only): drive the real
+    """`fmt_jsoncompact` (SURVEY §2.1 S12): drive the real
     ClickHouse-JSONCompact serializer over a small deterministic query
-    and surface the envelope as a 1-row DataFrame — the driver's
-    rows-only check pins that the protocol path stays alive; the
-    envelope *fields* are pinned exactly in tests/test_serving.py."""
+    and surface the envelope as a 1-row DataFrame, value-oracled since
+    r4; the envelope bytes are pinned in tests/test_serving.py."""
     from quackflight_spark.registry import query
     from quackflight_spark.sources.fixtures import load_table
 
-    @query("fmt_jsoncompact")
+    @query("fmt_jsoncompact", oracle="""
+        WITH agg AS (
+          SELECT r_name, CAST(count(*) AS BIGINT) AS cnt
+          FROM nation JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name
+        ), arr AS (
+          SELECT CAST(to_json(list(json_array(r_name, cnt) ORDER BY r_name))
+                      AS VARCHAR) AS data_json,
+                 CAST(count(*) AS INT) AS n_rows
+          FROM agg
+        )
+        SELECT 'application/json' AS content_type, 2 AS n_cols,
+               CAST(n_rows AS BIGINT) AS n_rows, data_json
+        FROM arr
+    """)
     def fmt_jsoncompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Oracle-BACKED since r4 (was rows-only): the envelope's data
+        array re-serializes compactly on both sides — DuckDB builds the
+        identical JSON text from the same aggregate, so the driver
+        value-hashes the protocol path end-to-end (the full envelope's
+        exact bytes are additionally pinned by the golden-bytes tests)."""
         n = load_table(spark, sf_dir, "nation")
         r = load_table(spark, sf_dir, "region")
         agg = (
@@ -187,7 +205,8 @@ def _register_format_key() -> None:
                 content_type,
                 len(body["meta"]),
                 body["rows"],
-                json.dumps(body["data"], ensure_ascii=False),
+                json.dumps(body["data"], ensure_ascii=False,
+                           separators=(",", ":")),
             )],
             "content_type string, n_cols int, n_rows long, data_json string",
         )

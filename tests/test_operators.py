@@ -40,10 +40,6 @@ def test_registry_contract():
         "ann_pq_topk",
         "ann_ivfpq_topk",
         "agg_hll_sketch_table",
-        "mm_decode",
-        "mm_feature_extract",
-        "mm_resize",
-        "fmt_jsoncompact",
         "cluster_kmeans",
         "pipeline_bpe_merges",
         "pipeline_bpe_tokenize",
@@ -53,8 +49,8 @@ def test_registry_contract():
 def test_gate_priority_ordering():
     """The driver's correctness gate truncates at ~50 keys per round and
     walks queries() in dict order: the head must be exactly the
-    GATE_PRIORITY list (r4 rotation: 44 never-driver-checked oracle keys,
-    then the 13 rows-only keys, then the already-green rotation), every
+    GATE_PRIORITY list (r4 rotation: 48 never-driver-checked oracle keys,
+    then the 9 rows-only keys, then the already-green rotation), every
     priority key must exist, and none may be listed twice."""
     from quackflight_spark.registry import GATE_PRIORITY
 
@@ -63,10 +59,10 @@ def test_gate_priority_ordering():
     assert set(GATE_PRIORITY) <= set(q)
     assert q[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
     # the oracle-backed block fills the budget window before any
-    # rows-only key spends it
+    # rows-only key spends it (48 oracle-backed + 9 rows-only unproven)
     o = _oracles()
-    assert all(k in o for k in q[:44])
-    assert all(k not in o for k in q[44:57])
+    assert all(k in o for k in q[:48])
+    assert all(k not in o for k in q[48:57])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):
@@ -346,7 +342,14 @@ def test_mm_feature_extract_composes_with_ann(spark, sf_dir):
     from pyspark.sql import functions as F
 
     q = _queries()
-    feats = q["mm_feature_extract"](spark, sf_dir)
+    # the registered key serializes the array for the differential check;
+    # composition uses the array-typed frame
+    assert q["mm_feature_extract"](spark, sf_dir).columns == [
+        "doc_id", "feature_csv", "norm",
+    ]
+    from quackflight_spark.pipeline.multimodal import mm_feature_frame
+
+    feats = mm_feature_frame(spark, sf_dir)
     assert feats.columns == ["doc_id", "feature", "norm"]
     emb = feats.select("doc_id", F.col("feature").cast("array<double>").alias("e"))
     qset = emb.filter(F.col("doc_id") < 3).select(
