@@ -448,7 +448,14 @@ def run_script(spark: SparkSession, script: str) -> DataFrame | None:
     tickets like 'CREATE TABLE t AS ...; SELECT * FROM t;'
     (examples/flight_read.py:7)."""
     result: DataFrame | None = None
+    from quackflight_spark.serving.namespaces import maybe_handle_attach
+
     for stmt in split_statements(script):
+        if maybe_handle_attach(spark, stmt):
+            # ATTACH '<file>' AS x / DETACH x — namespace-bridge analog of
+            # the reference's verbatim DuckDB forwarding (main.py:284)
+            result = None
+            continue
         toks = tokenize(stmt)
         sig = _significant(toks)
         words = [toks[i].text.upper() for i in sig[:3]]

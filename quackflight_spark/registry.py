@@ -43,12 +43,13 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # locally via tools/check.py (and by the r3 judge's independent full-
 # harness run). Block A: the 44 oracle-backed never-checked keys (added
 # during r3, plus the three mm_* keys whose stand-ins gained full value
-# oracles in r4, and fmt_jsoncompact whose envelope re-serializes
-# identically in DuckDB) — full value-hash rows. Block B: the 9 rows-
-# only-by-design keys (nondeterministic / estimator-mismatch / iterative
-# ops; parity asserted in tests/) — weaker driver rows, so they spend
-# budget after the oracle keys. A+B = 57, so a 50-key window covers all
-# 48 of A plus 2 of B. Block Z: keys already driver-green in r1-r3, rotated to the
+# oracles in r4, fmt_jsoncompact whose envelope re-serializes
+# identically in DuckDB, and stream_watermark_late whose batch emulation
+# is a deterministic window) — full value-hash rows. Block B: the 8
+# rows-only-by-design keys (nondeterministic / estimator-mismatch /
+# iterative ops; parity asserted in tests/) — weaker driver rows, so
+# they spend budget after the oracle keys. A+B = 57, so a 50-key window
+# covers all 49 of A plus 1 of B. Block Z: keys already driver-green in r1-r3, rotated to the
 # back in their original order so a larger budget re-verifies rather
 # than starves the unproven ones.
 GATE_PRIORITY: tuple[str, ...] = (
@@ -70,11 +71,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (mm_decode / mm_feature_extract / mm_resize were rows-only until r4
     # upgraded their md5-replayable stand-ins to full value oracles)
     "mm_decode", "mm_feature_extract", "mm_resize", "fmt_jsoncompact",
+    "stream_watermark_late",
     # -- Block B: never driver-checked, rows-only by design --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "ann_pq_topk",
     "ann_ivfpq_topk", "cluster_kmeans",
-    "stream_watermark_late", "pipeline_bpe_merges",
-    "pipeline_bpe_tokenize",
+    "pipeline_bpe_merges", "pipeline_bpe_tokenize",
     # -- Block C: oracle-backed keys ADDED during r4 (queue right after
     # the r3 backlog; a >57-key budget or the r5 gate reaches them) --
     "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",

@@ -32,13 +32,6 @@ from quackflight_spark.serving.formats import format_result
 from quackflight_spark.serving.namespaces import SessionManager, user_namespace
 
 _INSERT_RE = re.compile(r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
-_ATTACH_RE = re.compile(
-    r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'(?:\s+AS\s+([A-Za-z_]\w*))?\s*$",
-    re.IGNORECASE,
-)
-_DETACH_RE = re.compile(
-    r"^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*$", re.IGNORECASE
-)
 
 
 def execute_query(
@@ -73,20 +66,13 @@ def execute_query(
         return (f"{n}\n".encode(), "text/plain")
 
     result = None
+    from quackflight_spark.serving.namespaces import maybe_handle_attach
+
     for stmt in split_statements(query):
         # SQL-statement ATTACH/DETACH (the reference forwards these to
         # DuckDB verbatim, main.py:284): bridge as a snapshot namespace /
         # drop it — same semantics as the path-valued `database` param.
-        m_att = _ATTACH_RE.match(stmt)
-        if m_att:
-            from quackflight_spark.serving.namespaces import attach_duckdb
-
-            attach_duckdb(spark, m_att.group(1), m_att.group(2))
-            result = None
-            continue
-        m_det = _DETACH_RE.match(stmt)
-        if m_det:
-            spark.sql(f"DROP DATABASE IF EXISTS {m_det.group(1)} CASCADE")
+        if maybe_handle_attach(spark, stmt):
             result = None
             continue
         result = spark.sql(transpile(stmt))

@@ -154,3 +154,30 @@ def attach_duckdb(spark: SparkSession, path: str, alias: str | None = None) -> s
     finally:
         con.close()
     return alias
+
+
+import re as _re2
+
+_ATTACH_STMT = _re2.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'(?:\s+AS\s+([A-Za-z_]\w*))?\s*$",
+    _re2.IGNORECASE,
+)
+_DETACH_STMT = _re2.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*$", _re2.IGNORECASE
+)
+
+
+def maybe_handle_attach(spark: SparkSession, stmt: str) -> bool:
+    """If stmt is an ATTACH/DETACH statement (reference main.py:284
+    forwards these to DuckDB verbatim), execute the namespace-bridge
+    analog and return True; otherwise return False so the caller sends
+    the statement to spark.sql. Shared by the HTTP and Flight paths."""
+    m = _ATTACH_STMT.match(stmt)
+    if m:
+        attach_duckdb(spark, m.group(1), m.group(2))
+        return True
+    m = _DETACH_STMT.match(stmt)
+    if m:
+        spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
+        return True
+    return False

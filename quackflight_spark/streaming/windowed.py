@@ -106,14 +106,31 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")  # streaming-semantics op: rows-only check;
-# equivalence with an actual withWatermark streaming run is asserted in tests
+@query("stream_watermark_late", oracle="""
+    WITH m AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             max(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY event_type ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+      FROM events
+    ),
+    ot AS (
+      SELECT * FROM m
+      WHERE max_seen IS NULL OR ts >= max_seen - INTERVAL 10 MINUTE
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n
+    FROM ot GROUP BY 1, 2
+""")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data handling: tumbling window count that *drops* events
     arriving later than the 10-minute watermark would allow. Batch
     emulation: an event is late if an event ≥10min newer was already seen
     (by event_id arrival order) in its key's stream; real streaming run in
-    tests/test_streaming.py matches this semantics under availableNow."""
+    tests/test_streaming.py matches this semantics under availableNow.
+    Oracle-BACKED since r4 (was rows-only): the batch emulation is a
+    deterministic window + filter DuckDB replays exactly — the weaker
+    rows-only check was an oversight, not a necessity."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")

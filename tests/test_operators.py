@@ -33,7 +33,6 @@ def test_registry_contract():
     assert set(q) - set(o) == {
         "sample_random",
         "sample_percent",
-        "stream_watermark_late",
         "ann_lsh_topk",
         "ann_ivf_topk",
         "ann_ivf_pruned",
@@ -49,8 +48,8 @@ def test_registry_contract():
 def test_gate_priority_ordering():
     """The driver's correctness gate truncates at ~50 keys per round and
     walks queries() in dict order: the head must be exactly the
-    GATE_PRIORITY list (r4 rotation: 48 never-driver-checked oracle keys,
-    then the 9 rows-only keys, then the already-green rotation), every
+    GATE_PRIORITY list (r4 rotation: 49 never-driver-checked oracle keys,
+    then the 8 rows-only keys, then the already-green rotation), every
     priority key must exist, and none may be listed twice."""
     from quackflight_spark.registry import GATE_PRIORITY
 
@@ -59,10 +58,10 @@ def test_gate_priority_ordering():
     assert set(GATE_PRIORITY) <= set(q)
     assert q[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
     # the oracle-backed block fills the budget window before any
-    # rows-only key spends it (48 oracle-backed + 9 rows-only unproven)
+    # rows-only key spends it (49 oracle-backed + 8 rows-only unproven)
     o = _oracles()
-    assert all(k in o for k in q[:48])
-    assert all(k not in o for k in q[48:57])
+    assert all(k in o for k in q[:49])
+    assert all(k not in o for k in q[49:57])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):

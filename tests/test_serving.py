@@ -559,3 +559,17 @@ def test_attach_detach_sql_statements(client, spark, tmp_path):
     r = client.post("/", data=b"DETACH meta3")
     assert r.status_code == 200, r.data
     assert not any(d.name == "meta3" for d in spark.catalog.listDatabases())
+
+
+def test_attach_sql_via_flight(spark, flight_client, tmp_path):
+    """ATTACH/DETACH statements also work in Flight tickets (run_script
+    shares the namespace-bridge handler with the HTTP path)."""
+    import pyarrow.flight as fl
+
+    db = str(tmp_path / "meta4.duckdb")
+    _make_duckdb_file(db)
+    sql = f"ATTACH '{db}' AS meta4; SELECT count(*) AS c FROM meta4.dim_color;"
+    table = flight_client.do_get(fl.Ticket(sql.encode())).read_all()
+    assert table["c"][0].as_py() == 2
+    flight_client.do_get(fl.Ticket(b"DETACH meta4")).read_all()
+    assert not any(d.name == "meta4" for d in spark.catalog.listDatabases())
