@@ -251,14 +251,18 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression both engines."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        # three consumers (total, both self-join sides): without pinning,
-        # each branch re-scans lineitem and re-runs the distinct (the
-        # lineage-per-branch pitfall — 13 exchanges planned)
-        .localCheckpoint()
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    # three consumers (total, both self-join sides): without pinning, each
+    # branch re-scans lineitem and re-runs the distinct (the lineage-per-
+    # branch pitfall — 13 exchanges planned). Built once per corpus like
+    # every other staging frame (frame_cache).
+    op = shared_frame(
+        "basket_op",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct(),
     )
     tot = op.agg(F.countDistinct("o").cast("bigint").alias("n"))
     # per-part order count attaches BEFORE pairing (one window shuffle on
