@@ -107,6 +107,7 @@ BENCH_KEYS = [
     "win_ntile",
     "basket_pair_lift",
     "join_fuzzy_names",
+    "events_ab_test",
 ]
 
 

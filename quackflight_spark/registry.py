@@ -80,7 +80,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the r3 backlog; a >57-key budget or the r5 gate reaches them) --
     "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",
     "topk_per_group", "mm_image_phash", "win_ntile", "basket_pair_lift",
-    "join_fuzzy_names",
+    "join_fuzzy_names", "events_ab_test",
     # -- Block Z: driver-green in r1-r3, rotated behind the unproven set --
     "fn_cast_ch", "fn_date_ch", "fn_url_ip",
     "fn_array_hof", "fn_array_ops", "fn_map_access",

@@ -1014,3 +1014,89 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _ntile_distributed(scored, ["freq", "user_id"], "f_score", RFM_BUCKETS)
     scored = _ntile_distributed(scored, ["monetary", "user_id"], "m_score", RFM_BUCKETS)
     return scored.select("user_id", "r_score", "f_score", "m_score", "freq", "monetary")
+
+
+@query("events_ab_test", oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 8) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 8) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM s
+""")
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic 50/50 user split (md5
+    bucket — the same hash-the-key idiom as split_train_test, so
+    assignment is reproducible on any cluster with zero RNG state),
+    conversion = user had ≥1 purchase event, two-proportion pooled
+    z-score. The experimentation primitive every growth pipeline runs.
+
+    Scale shape: one user_id agg shuffle (map-side combined), then a
+    global conditional-sum aggregate whose partials reduce to ONE row —
+    no pivot join, no second pass over events. All counts integer; the
+    rate/z arithmetic is the identical double expression in both
+    engines."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2,
+        )
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(p_a, 8).alias("rate_a"),
+        F.round(p_b, 8).alias("rate_b"),
+        F.round(
+            (p_a - p_b)
+            / F.sqrt(
+                p_pool * (1 - p_pool)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            6,
+        ).alias("z_score"),
+    )
