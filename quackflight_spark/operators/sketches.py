@@ -115,18 +115,20 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg_hll_sketch_table) and every question here merges a handful of
     KB.
 
-    Oracle exactness: below the sketch's nominal entries (4096 > the
-    fixture's 1500 customers) a theta sketch retains every hash, so
-    estimates are EXACT and the DuckDB oracle is the exact set algebra
-    — the same query run at 10^6× scale degrades gracefully to ~1-2%
-    relative error."""
+    Oracle exactness: below the sketch's nominal entries (lgK=15 →
+    32768, above every local fixture's customer count incl. sf0.1's
+    15000 — verified: the default 4096 went into estimate mode at sf0.1
+    with ~1.5% error, exactly the documented degradation) a theta
+    sketch retains every hash, so estimates are EXACT and the DuckDB
+    oracle is the exact set algebra — the same query at 10^6× scale
+    degrades gracefully to ~1-2% relative error."""
     orders = load_table(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("_theta_orders")
     # Materialize the sketch table once: the SQL below reads it from five
     # branches, and an inlined CTE would re-aggregate the fact table per
     # branch — the sketch TABLE being built once IS the pattern's point.
     sk = spark.sql(
-        "SELECT o_orderpriority, theta_sketch_agg(o_custkey) AS s "
+        "SELECT o_orderpriority, theta_sketch_agg(o_custkey, 15) AS s "
         "FROM _theta_orders GROUP BY o_orderpriority"
     ).localCheckpoint()
     sk.createOrReplaceTempView("_theta_sk")
@@ -140,7 +142,7 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         un AS (
           SELECT 'union:all' AS measure,
-                 CAST(theta_sketch_estimate(theta_union_agg(s)) AS BIGINT) AS est
+                 CAST(theta_sketch_estimate(theta_union_agg(s, 15)) AS BIGINT) AS est
           FROM sk
         ),
         ab AS (
