@@ -6,11 +6,15 @@
   per-partition top-k via window. Oracle = DuckDB list_cosine_similarity.
 - ann_lsh_topk: random-hyperplane LSH variant. Buckets candidates by
   sign-bit sketch (hyperplanes derived deterministically from md5, no
-  engine RNG), reranks candidates exactly. Rows-only driver check; tests
-  assert recall ≥ 0.8 vs brute force.
+  engine RNG), reranks candidates exactly. Oracle-backed since r5: the
+  oracle regenerates the planes from DuckDB md5() and rebuilds the same
+  buckets (sequential-dim dots are bit-identical across engines); tests
+  additionally assert recall ≥ 0.8 vs brute force.
 - ann_ivf_topk: IVF (k-means cells + multi-probe) variant — the scale
   path that still prunes on weakly-clustered corpora. Deterministic
-  training, candidates via equi-join on cell id.
+  training, candidates via equi-join on cell id. Oracle-backed since r5:
+  fixed-iteration Lloyd unrolls into CTEs, so DuckDB replays training,
+  assignment, probing, and rerank bit-exactly.
 
 All dense vector math (norms, dots, sketches, centroid distances) runs in
 Arrow-batched numpy kernels — see pipeline/veckernels.py for why Catalyst
@@ -177,7 +181,52 @@ def _hyperplanes(n_tables: int = LSH_TABLES, n_planes: int = LSH_PLANES,
     return np.array(rows, dtype=np.float64)
 
 
-@query("ann_lsh_topk")  # rows-only: recall asserted in tests vs brute force
+# Shared oracle fragment: the L2-normalized corpus. Bit-exact vs the
+# l2_normalize Arrow kernel — DuckDB's list_dot_product fold and the
+# kernel's dim-order accumulation produce identical doubles (verified
+# bit-for-bit on the fixture corpus, all 500×64 values).
+_EN_SQL = """
+    en AS (
+      SELECT vec_id, list_transform(e, x -> x / nrm) AS e FROM (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+    )"""
+
+
+@query("ann_lsh_topk", oracle=f"""
+    WITH planes AS (
+      SELECT t, p, list(v ORDER BY d) AS plane FROM (
+        SELECT t, p, d,
+          (CAST(('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ':'
+                                || d::VARCHAR), 1, 8)) AS BIGINT)
+            / 2147483647.0) - 1.0 AS v
+        FROM range({LSH_TABLES}) r1(t), range({LSH_PLANES}) r2(p),
+             range({DIM}) r3(d)
+      ) GROUP BY t, p
+    ),{_EN_SQL},
+    sk AS (
+      SELECT en.vec_id, planes.t AS tbl,
+             CAST(sum(CASE WHEN list_dot_product(en.e, planes.plane) >= 0
+                           THEN 1 << planes.p ELSE 0 END) AS INT) AS sk
+      FROM en CROSS JOIN planes GROUP BY en.vec_id, planes.t
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sk c JOIN sk q ON c.tbl = q.tbl AND c.sk = q.sk
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qe.e, ne.e), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY round(list_dot_product(qe.e, ne.e), 6) DESC,
+                        cand.neighbor_id) AS rn
+      FROM cand JOIN en qe ON qe.vec_id = cand.query_id
+                JOIN en ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+""")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: the scale path.
 
@@ -186,6 +235,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch with the query in any table; exact rerank on candidates.
     Shuffles on (table, sketch) buckets only — corpus never crosses the
     cluster unbucketed, queries broadcast.
+
+    Oracle-backed (upgraded from rows-only in r5): the kernel computes
+    every plane dot with dim-order sequential accumulation (seq=True),
+    which is bit-identical to DuckDB's list_dot_product fold, and the
+    hyperplanes themselves are md5-derived — so the oracle regenerates
+    the exact same planes from DuckDB's md5() and rebuilds the exact
+    same (table, sketch) buckets. No tolerance anywhere: bucket ids are
+    integers, rerank scores round identically.
     """
     from quackflight_spark.pipeline.frame_cache import shared_frame
     from quackflight_spark.pipeline.veckernels import lsh_sketch_udf
@@ -195,7 +252,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-running the kernel over the full corpus
     def build_sk() -> DataFrame:
         emb = _emb_normed(spark, sf_dir)
-        sketch = lsh_sketch_udf(_hyperplanes(), LSH_TABLES, LSH_PLANES)
+        sketch = lsh_sketch_udf(_hyperplanes(), LSH_TABLES, LSH_PLANES, seq=True)
         return emb.withColumn("skl", sketch(F.col("e")))
 
     sk = shared_frame("lsh_sketch", sf_dir, build_sk)
@@ -267,8 +324,23 @@ def _train_centroids(emb) -> list[list[float]]:
     IVF_LLOYD_ITERS Lloyd rounds run in numpy. IVF indexes are always
     trained on a sample (FAISS-style); the full corpus only flows through
     the distributed *assignment*, never the training loop, so at 100 TB
-    training cost is constant while the seeds stay deterministic."""
+    training cost is constant while the seeds stay deterministic.
+
+    SQL-replayable (r5): distances accumulate sequentially over dims
+    (bit-identical to DuckDB's ``-2*list_dot_product(x,c) +
+    list_dot_product(c,c)``), argmin ties break to the lowest cid (both
+    engines), and each Lloyd mean is rounded with duck_round6 — the
+    binary-value half-away rounding DuckDB's ``round(avg(..), 6)``
+    applies — so sum-order drift between numpy's pairwise mean and
+    DuckDB's unordered SUM (≈1e-13 relative) is absorbed before it can
+    flip a later argmin. The IVF oracles below unroll these exact
+    rounds as CTEs; centroids verified bit-identical across engines on
+    the fixture corpus."""
     import numpy as np
+
+    from quackflight_spark.pipeline.veckernels import (
+        duck_round6, seq_cross_dot, seq_sq_norms,
+    )
 
     sample = (
         emb.orderBy("vec_id").select("e").limit(IVF_TRAIN_SAMPLE).collect()
@@ -276,13 +348,89 @@ def _train_centroids(emb) -> list[list[float]]:
     x = np.array([r["e"] for r in sample], dtype=np.float64)
     centroids = x[:IVF_CELLS].copy()
     for _ in range(IVF_LLOYD_ITERS):
-        d = -2.0 * (x @ centroids.T) + (centroids * centroids).sum(axis=1)
+        d = -2.0 * seq_cross_dot(x, centroids) + seq_sq_norms(centroids)[None, :]
         cell = d.argmin(axis=1)
         for cid in range(IVF_CELLS):
             members = x[cell == cid]
             if len(members):
-                centroids[cid] = members.mean(axis=0)
+                centroids[cid] = duck_round6(members.mean(axis=0))
     return [list(c) for c in centroids]
+
+
+def _ivf_oracle_prefix() -> str:
+    """CTE chain replaying _train_centroids in DuckDB: normalized corpus
+    (en), bounded training sample (s), seed centroids (c0 = first
+    IVF_CELLS sample vectors), then IVF_LLOYD_ITERS unrolled Lloyd
+    rounds (a{{i}} = tie-broken argmin assignment, c{{i}} = per-dim
+    round(avg, 6) means, empty cells keeping the previous centroid).
+    Ends with `cfinal` = trained centroids. Shared by the ann_ivf_topk /
+    ann_ivf_pruned / cluster_kmeans oracles so all three replay the one
+    geometry _centroids_for serves to the Spark side."""
+    parts = [f"""{_EN_SQL},
+    s AS (SELECT vec_id, e FROM en ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE}),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e
+           FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT {IVF_CELLS}))"""]
+    for i in range(1, IVF_LLOYD_ITERS + 1):
+        p = i - 1
+        parts.append(f"""
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY -2.0 * list_dot_product(s.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM s, c{p} c) WHERE rk = 1
+    ),
+    c{i} AS (
+      SELECT c{p}.cid, COALESCE(m.ce, c{p}.e) AS e
+      FROM c{p} LEFT JOIN (
+        SELECT cid, list(v ORDER BY d) AS ce FROM (
+          SELECT a.cid, r.d, round(avg(s.e[r.d]), 6) AS v
+          FROM a{i} a JOIN s USING (vec_id), range(1, {DIM + 1}) r(d)
+          GROUP BY a.cid, r.d) GROUP BY cid
+      ) m ON m.cid = c{p}.cid
+    )""")
+    parts.append(f"""
+    cfinal AS (SELECT cid, e FROM c{IVF_LLOYD_ITERS})""")
+    return ",".join(parts)
+
+
+# full-corpus nearest-cell assignment + query probe set, on top of the
+# training prefix (distance form identical to ivf_assign_udf/_probe)
+_IVF_SEARCH_SQL = f"""
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c WHERE en.vec_id < {N_QUERIES})
+      WHERE rk <= {IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM cells c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qe.e, ne.e), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY round(list_dot_product(qe.e, ne.e), 6) DESC,
+                        cand.neighbor_id) AS rn
+      FROM cand JOIN en qe ON qe.vec_id = cand.query_id
+                JOIN en ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {TOP_K}"""
 
 
 def _probe_cells(centroids: list[list[float]]):
@@ -302,9 +450,15 @@ def _centroids_for(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _IVF_INDEX[sf_dir]
 
 
-@query("ann_ivf_topk")  # rows-only: recall asserted in tests vs brute force
+@query("ann_ivf_topk", oracle=f"""
+    WITH {_ivf_oracle_prefix()},
+    {_IVF_SEARCH_SQL}
+""")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic k-means cells + multi-probe search.
+    Oracle-backed (r5): the oracle replays k-means training itself as
+    unrolled CTEs — see _train_centroids for the bit-exactness contract
+    (sequential-dim distances, duck_round6 means, lowest-cid ties).
 
     Index build: 3 Lloyd rounds, each a distributed assignment + groupBy
     mean (only K×DIM floats cross the driver). Search: queries probe
@@ -366,7 +520,17 @@ def ivf_build_index(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
 
-    path = f"{IVF_LAYOUT_ROOT}/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    # Cache key folds in the source parquet's identity (mtime+size) AND a
+    # kernel-geometry version tag: regenerated fixtures at the same path,
+    # or a change to the assignment math (r5: BLAS → sequential-dim
+    # distances), must not silently serve a stale cell layout.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:seq-v2"
+    except OSError:
+        ident = f"{sf_dir}:seq-v2"
+    path = f"{IVF_LAYOUT_ROOT}/{hashlib.md5(ident.encode()).hexdigest()[:12]}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         centroids = _centroids_for(spark, sf_dir)
         emb = _emb_normed(spark, sf_dir)
@@ -381,10 +545,15 @@ def ivf_build_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-@query("ann_ivf_pruned")  # rows-only: equality with ann_ivf_topk asserted in tests
+@query("ann_ivf_pruned", oracle=f"""
+    WITH {_ivf_oracle_prefix()},
+    {_IVF_SEARCH_SQL}
+""")
 def ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over the materialized cell-partitioned index — the
-    read-side 100 TB contract of ann_ivf_topk made literal.
+    read-side 100 TB contract of ann_ivf_topk made literal. Same oracle
+    as ann_ivf_topk (r5): identical centroids, probes, and rerank, so
+    the layout path must reproduce the in-memory path exactly.
 
     The probed cell set (N_QUERIES × IVF_PROBES ids, driver-side tiny)
     becomes a partition filter on the layout scan, so directories for
@@ -582,7 +751,21 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cluster_kmeans")  # rows-only: assignment verified vs numpy argmin in tests
+@query("cluster_kmeans", oracle=f"""
+    WITH {_ivf_oracle_prefix()},
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c) WHERE rk = 1
+    ),
+    sizes AS (SELECT cluster, count(*) AS cluster_size
+              FROM assigned GROUP BY cluster)
+    SELECT vec_id, CAST(cluster AS INT) AS cluster, cluster_size
+    FROM assigned JOIN sizes USING (cluster)
+""")
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus topic clustering: assign every embedding to its nearest of
     IVF_CELLS deterministic k-means centroids, with the cluster size
@@ -596,10 +779,10 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     annotation is a map-side-combinable count over K<<n rows, broadcast
     back — no shuffle ever carries the vectors themselves.
 
-    No SQL oracle: k-means is not expressible in DuckDB SQL; instead
-    tests/test_pipeline.py recomputes the argmin assignment in plain numpy
-    at fixture scale and asserts exact equality, plus determinism across
-    sessions."""
+    Oracle-backed (r5 upgrade): fixed-iteration Lloyd unrolls into plain
+    CTEs (_ivf_oracle_prefix), so the oracle replays training AND
+    assignment exactly; tests/test_pipeline.py additionally recomputes
+    the assignment in plain numpy and asserts cross-session determinism."""
     centroids = _centroids_for(spark, sf_dir)
     emb = _emb_normed(spark, sf_dir)
     assigned = emb.select(

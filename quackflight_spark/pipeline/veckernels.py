@@ -43,6 +43,36 @@ def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return acc
 
 
+def duck_round6(x: np.ndarray) -> np.ndarray:
+    """Mirror of DuckDB ``round(x, 6)`` on doubles: round-half-away-from-
+    zero applied to the BINARY value (std::round(x*1e6)/1e6) — NOT
+    np.round (banker's) and NOT Python round (shortest-decimal). Used
+    wherever a driver-side float (k-means centroid mean) must be
+    bit-replayable by a DuckDB oracle."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def seq_cross_dot(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) × (k, dim) → (n, k) dots, accumulated sequentially over
+    dims (vectorized over rows AND planes) — bit-identical to DuckDB's
+    list_dot_product fold for every (row, plane) pair, unlike a BLAS
+    matmul's pairwise summation. Verified bit-exact against DuckDB on
+    the fixture corpus (see similarity.py oracle notes)."""
+    acc = np.zeros((m.shape[0], planes.shape[0]), dtype=np.float64)
+    for i in range(m.shape[1]):
+        acc += m[:, i:i + 1] * planes[None, :, i]
+    return acc
+
+
+def seq_sq_norms(planes: np.ndarray) -> np.ndarray:
+    """Per-row ||p||² with dim-order accumulation (fold-identical)."""
+    acc = np.zeros(planes.shape[0], dtype=np.float64)
+    for i in range(planes.shape[1]):
+        acc = acc + planes[:, i] * planes[:, i]
+    return acc
+
+
 @F.pandas_udf(ArrayType(DoubleType()))
 def l2_normalize(emb: pd.Series) -> pd.Series:
     """x / ||x||₂ with the norm accumulated in dim order."""
@@ -91,18 +121,26 @@ def minhash_sig_udf(n_perm: int, prime: int):
     return _sig
 
 
-def lsh_sketch_udf(planes: np.ndarray, n_tables: int, n_planes: int):
+def lsh_sketch_udf(planes: np.ndarray, n_tables: int, n_planes: int,
+                   seq: bool = False):
     """Pandas UDF: embedding → array<int> of per-table sign-bit sketches.
 
     ``planes`` is (n_tables * n_planes, dim); row t*n_planes+p is plane p
-    of table t. Signs come from a BLAS matmul — rank/sign decisions only,
-    no value-checked output, so pairwise summation drift is acceptable.
+    of table t. With ``seq=False`` signs come from a BLAS matmul —
+    rank/sign decisions only, pairwise summation drift acceptable (the
+    dedup_embedding path, whose oracle is all-pairs ground truth). With
+    ``seq=True`` each plane dot accumulates sequentially over dims, so
+    every sign decision is bit-identical to DuckDB's list_dot_product
+    fold and the resulting BUCKETS are SQL-replayable — the ann_lsh_topk
+    path, whose oracle rebuilds the same buckets from the same
+    md5-derived planes.
     """
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _sketch(emb: pd.Series) -> pd.Series:
         m = _mat(emb)
-        bits = (m @ planes.T >= 0).astype(np.int32)  # (n, T*P)
+        dots = seq_cross_dot(m, planes) if seq else m @ planes.T
+        bits = (dots >= 0).astype(np.int32)  # (n, T*P)
         weights = 1 << np.arange(n_planes, dtype=np.int32)
         sk = bits.reshape(len(m), n_tables, n_planes) @ weights  # (n, T)
         return pd.Series(list(sk.astype(np.int32)))
@@ -111,25 +149,35 @@ def lsh_sketch_udf(planes: np.ndarray, n_tables: int, n_planes: int):
 
 
 def ivf_assign_udf(centroids: np.ndarray):
-    """Pandas UDF: embedding → nearest-centroid cell id (argmin L2)."""
+    """Pandas UDF: embedding → nearest-centroid cell id (argmin L2,
+    ties → lowest cid via argmin first-hit).
+
+    Distances use dim-order sequential accumulation (seq_cross_dot /
+    seq_sq_norms), bit-identical to the DuckDB fold
+    ``-2*list_dot_product(x,c) + list_dot_product(c,c)`` — so the cell
+    assignment is SQL-replayable and ann_ivf_topk / ann_ivf_pruned /
+    cluster_kmeans carry full value oracles. ||x||² is dropped: constant
+    per row, argmin-invariant in both engines."""
 
     @F.pandas_udf(IntegerType())
     def _assign(emb: pd.Series) -> pd.Series:
         m = _mat(emb)
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row for argmin
-        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        d = -2.0 * seq_cross_dot(m, centroids) + seq_sq_norms(centroids)[None, :]
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return _assign
 
 
 def ivf_probe_udf(centroids: np.ndarray, n_probes: int):
-    """Pandas UDF: embedding → array<int> of the n_probes nearest cells."""
+    """Pandas UDF: embedding → array<int> of the n_probes nearest cells
+    (stable argsort: distance ties keep ascending cid — matches the
+    oracle's ORDER BY dist, cid). Same sequential-dim distance as
+    ivf_assign_udf, so the probed cell set is SQL-replayable."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _probe(emb: pd.Series) -> pd.Series:
         m = _mat(emb)
-        d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)
+        d = -2.0 * seq_cross_dot(m, centroids) + seq_sq_norms(centroids)[None, :]
         order = np.argsort(d, axis=1, kind="stable")[:, :n_probes]
         return pd.Series(list(order.astype(np.int32)))
 

@@ -30,16 +30,15 @@ def test_registry_contract():
     # every oracle key has a query
     assert set(o) <= set(q)
     # the non-oracle keys are the documented non-SQL-expressible set
+    # (r5 shrank it: LSH buckets / IVF training+assignment / k-means
+    # clustering became SQL-replayable via sequential-dim kernels +
+    # unrolled Lloyd CTEs — see pipeline/similarity.py)
     assert set(q) - set(o) == {
         "sample_random",
         "sample_percent",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "ann_ivf_pruned",
         "ann_pq_topk",
         "ann_ivfpq_topk",
         "agg_hll_sketch_table",
-        "cluster_kmeans",
         "pipeline_bpe_merges",
         "pipeline_bpe_tokenize",
     }
@@ -48,20 +47,21 @@ def test_registry_contract():
 def test_gate_priority_ordering():
     """The driver's correctness gate truncates at ~50 keys per round and
     walks queries() in dict order: the head must be exactly the
-    GATE_PRIORITY list (r4 rotation: 49 never-driver-checked oracle keys,
-    then the 8 rows-only keys, then the already-green rotation), every
-    priority key must exist, and none may be listed twice."""
+    GATE_PRIORITY list (r5 rotation: the 9 never-driver-checked oracle
+    keys from r4, then the keys upgraded/reworked in r5, then the
+    already-green rotation oldest-evidence-first, rows-only dead last),
+    every priority key must exist, and none may be listed twice."""
     from quackflight_spark.registry import GATE_PRIORITY
 
     q = list(_queries())
     assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY)
     assert set(GATE_PRIORITY) <= set(q)
     assert q[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # the oracle-backed block fills the budget window before any
-    # rows-only key spends it (49 oracle-backed + 8 rows-only unproven)
+    # every key in the 50-key gate window is oracle-backed, and the
+    # rows-only keys sit at the very end of the walk
     o = _oracles()
-    assert all(k in o for k in q[:49])
-    assert all(k not in o for k in q[49:57])
+    assert all(k in o for k in q[:50])
+    assert all(k not in o for k in q[len(q) - 7:])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):
