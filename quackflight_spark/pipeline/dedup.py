@@ -358,10 +358,21 @@ def minhash_hash_table_bucketed(
     verify join then reads the arrays straight from bucketed files: the
     stream (candidate-pair) side shuffles its (long, long) rows into the
     bucketing, the array side plans NO Exchange (bucketed scan satisfies
-    the join's hash distribution). Write-once, read-per-band-config."""
+    the join's hash distribution). Write-once, read-per-band-config.
+    The table name fingerprints the SOURCE parquet (mtime_ns + size, the
+    same freshness key textformats._staged uses), so regenerated
+    fixtures at the same path rebuild the hash table instead of silently
+    serving stale arrays."""
     import hashlib
+    import os
 
-    table = "qf_minhash_hsh_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = sf_dir
+    table = "qf_minhash_hsh_" + hashlib.md5(fp.encode()).hexdigest()[:10]
     if not spark.catalog.tableExists(table):
         from quackflight_spark.sources.writers import write_bucketed
 

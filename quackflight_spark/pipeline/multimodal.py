@@ -193,25 +193,11 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     array serializes as a fixed %.6f comma-join (the driver canonicalizer
     cannot hash raw array cells; float to_json formatting differs across
     engines — fn_array_hof precedent); mm_feature_frame() below returns
-    the real array<double> column for composition."""
-    import math
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [_fake_feature(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].values,
-                    "feature": feats,
-                    "norm": [round(math.sqrt(sum(x * x for x in f)), 6) for f in feats],
-                }
-            )
-
-    frame = d.mapInPandas(extract, schema=FEATURE_SCHEMA)
+    the real array<double> column for composition. Implemented AS a
+    projection of mm_feature_frame — one extract kernel, so the
+    registered key can never drift from the composition surface (r5
+    de-dup; the two copies previously duplicated the kernel verbatim)."""
+    frame = mm_feature_frame(spark, sf_dir)
     return frame.select(
         "doc_id",
         F.array_join(
@@ -389,14 +375,20 @@ def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query("mm_image_phash", oracle=f"""
     WITH d AS (
-      SELECT doc_id, text, CAST(length(text) // {PHASH_BITS} AS INT) AS c
-      FROM documents WHERE length(text) >= {PHASH_BITS}
+      -- UTF-8 BYTES, not characters: the kernel hashes np.frombuffer of
+      -- the encoded payload, so the oracle indexes hex(encode(text))
+      -- two-digit byte groups — identical for any unicode content, not
+      -- just ASCII fixtures (r5 fix; was substr/unicode on codepoints)
+      SELECT doc_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) // {PHASH_BITS} AS INT) AS c
+      FROM documents WHERE octet_length(encode(text)) >= {PHASH_BITS}
     ),
     cells AS MATERIALIZED (
       SELECT doc_id,
              list_transform(range(0, {PHASH_BITS}), i ->
-               list_aggregate(list_transform(range(1, c + 1),
-                 j -> CAST(unicode(substr(text, i * c + j, 1)) AS BIGINT)),
+               list_aggregate(list_transform(range(0, c),
+                 j -> CAST(CAST('0x' || substr(hx, 2 * (i * c + j) + 1, 2)
+                      AS INT) AS BIGINT)),
                  'sum')) AS s
       FROM d
     ),

@@ -98,6 +98,27 @@ class SessionManager:
 
 ATTACH_MAX_ROWS = 5_000_000  # per attached FILE — dims/metadata, not facts
 
+# Attach bookkeeping: alias -> {"path": abspath, "fp": (mtime_ns, size)}.
+# Serves two safety properties (both found as defects in r4 review):
+# 1. DETACH only ever drops namespaces that attach_duckdb CREATED — in
+#    the reference DETACH merely unmounts (no data loss), so mapping
+#    DETACH of a *managed* namespace to DROP DATABASE CASCADE would
+#    permanently delete user tables.
+# 2. Repeat attaches of an unchanged file (the HTTP path re-attaches the
+#    `database` param on EVERY request) become no-ops instead of a full
+#    re-read + non-atomic overwrite of every table, and concurrent
+#    refreshes of one alias serialize on a per-alias lock.
+import threading as _threading
+
+_ATTACHED: dict[str, dict] = {}
+_ATTACH_LOCKS: dict[str, _threading.Lock] = {}
+_ATTACH_LOCKS_GUARD = _threading.Lock()
+
+
+def _alias_lock(alias: str) -> _threading.Lock:
+    with _ATTACH_LOCKS_GUARD:
+        return _ATTACH_LOCKS.setdefault(alias, _threading.Lock())
+
 
 def attach_duckdb(spark: SparkSession, path: str, alias: str | None = None) -> str:
     """Bridge an external DuckDB database file into the Spark catalog —
@@ -125,35 +146,66 @@ def attach_duckdb(spark: SparkSession, path: str, alias: str | None = None) -> s
         alias = "attached_" + _re.sub(r"[^A-Za-z0-9_]", "_", os.path.splitext(os.path.basename(path))[0])
     if not _SAFE_DB.match(alias):
         raise ValueError(f"invalid attach alias: {alias!r}")
-    con = duckdb.connect(path, read_only=True)
-    try:
-        tables = [
-            r[0]
-            for r in con.execute(
-                "SELECT table_name FROM information_schema.tables "
-                "WHERE table_schema = 'main' AND table_type = 'BASE TABLE'"
-            ).fetchall()
-        ]
-        total = 0
-        for t in tables:
-            total += con.execute(f'SELECT count(*) FROM "{t}"').fetchone()[0]
-        if total > ATTACH_MAX_ROWS:
-            raise ValueError(
-                f"refusing to attach {path!r}: {total} rows exceeds the "
-                f"{ATTACH_MAX_ROWS}-row snapshot cap; convert to parquet and "
-                "register as external tables instead"
-            )
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
-        for t in tables:
-            if not _SAFE_DB.match(t):
-                raise ValueError(f"unsupported table name in attach: {t!r}")
-            pdf = con.execute(f'SELECT * FROM "{t}"').arrow().to_pandas()
-            spark.createDataFrame(pdf).write.mode("overwrite").saveAsTable(
-                f"{alias}.{t}"
-            )
-    finally:
-        con.close()
+    abspath = os.path.abspath(path)
+    st = os.stat(abspath)
+    fp = (st.st_mtime_ns, st.st_size)
+    with _alias_lock(alias):
+        rec = _ATTACHED.get(alias)
+        if (
+            rec
+            and rec["path"] == abspath
+            and rec["fp"] == fp
+            # a DROP DATABASE issued outside detach_namespace invalidates
+            # the bookkeeping — re-import rather than serve a ghost
+            and spark.catalog.databaseExists(alias)
+        ):
+            return alias  # snapshot already current — skip the re-import
+        con = duckdb.connect(path, read_only=True)
+        try:
+            tables = [
+                r[0]
+                for r in con.execute(
+                    "SELECT table_name FROM information_schema.tables "
+                    "WHERE table_schema = 'main' AND table_type = 'BASE TABLE'"
+                ).fetchall()
+            ]
+            total = 0
+            for t in tables:
+                total += con.execute(f'SELECT count(*) FROM "{t}"').fetchone()[0]
+            if total > ATTACH_MAX_ROWS:
+                raise ValueError(
+                    f"refusing to attach {path!r}: {total} rows exceeds the "
+                    f"{ATTACH_MAX_ROWS}-row snapshot cap; convert to parquet and "
+                    "register as external tables instead"
+                )
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {alias}")
+            for t in tables:
+                if not _SAFE_DB.match(t):
+                    raise ValueError(f"unsupported table name in attach: {t!r}")
+                pdf = con.execute(f'SELECT * FROM "{t}"').arrow().to_pandas()
+                spark.createDataFrame(pdf).write.mode("overwrite").saveAsTable(
+                    f"{alias}.{t}"
+                )
+        finally:
+            con.close()
+        _ATTACHED[alias] = {"path": abspath, "fp": fp}
     return alias
+
+
+def detach_namespace(spark: SparkSession, alias: str) -> None:
+    """DETACH an attach_duckdb namespace: drop the snapshot tables and
+    forget the alias. Refuses for namespaces NOT created by attach —
+    the reference's DETACH merely unmounts (main.py:284, no data loss),
+    so dropping a managed namespace here would destroy real tables."""
+    if alias not in _ATTACHED:
+        raise ValueError(
+            f"cannot DETACH {alias!r}: not an ATTACHed namespace. DETACH "
+            "only unmounts attach_duckdb snapshots; to remove a managed "
+            "namespace use DROP DATABASE explicitly"
+        )
+    with _alias_lock(alias):
+        spark.sql(f"DROP DATABASE IF EXISTS {alias} CASCADE")
+        _ATTACHED.pop(alias, None)
 
 
 import re as _re2
@@ -178,6 +230,6 @@ def maybe_handle_attach(spark: SparkSession, stmt: str) -> bool:
         return True
     m = _DETACH_STMT.match(stmt)
     if m:
-        spark.sql(f"DROP DATABASE IF EXISTS {m.group(1)} CASCADE")
+        detach_namespace(spark, m.group(1))
         return True
     return False

@@ -376,6 +376,44 @@ def test_mm_resize_schema_and_determinism(spark, sf_dir):
     assert len(a) == 500
 
 
+def test_mm_image_phash_unicode_parity(spark, tmp_path):
+    """The phash kernel hashes UTF-8 BYTES (np.frombuffer of the encoded
+    payload); the oracle must index bytes too (hex(encode(text))), not
+    codepoints — non-ASCII text is exactly where the two diverge, and
+    the sf fixtures are pure ASCII so the differential gate can't catch
+    a codepoint-indexed oracle (r5 ADVICE fix)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": [
+                "héllo wörld ünïcode ✓ zwölf größe straße " * 4,
+                "héllo wörld ünïcode ✓ zwölf größe straße " * 4,
+                "日本語のテキストで、バイト単位の検査を行います。" * 6,
+                "plain ascii text for contrast, padded out to length " * 3,
+            ],
+        }
+    )
+    d = str(tmp_path / "sfu")
+    os.makedirs(d)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+    from quackflight_spark.registry import ORACLES
+
+    sdf = _queries()["mm_image_phash"](spark, d)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(ORACLES["mm_image_phash"]).fetchall())
+    assert srows == drows
+    assert (1, 2, 0) in srows  # byte-identical docs pair at hamming 0
+
+
 def test_split_stable_under_repartitioning(spark, sf_dir):
     """The split assignment depends only on doc_id — reshuffling the input
     must not move any row between splits (the reproducibility contract

@@ -545,6 +545,54 @@ def test_attach_duckdb_row_cap(spark, tmp_path, monkeypatch):
         namespaces.attach_duckdb(spark, db)
 
 
+def test_detach_managed_namespace_refused(spark):
+    """DETACH must NOT drop a namespace that was not created by ATTACH —
+    the reference's DETACH merely unmounts (no data loss), so mapping it
+    to DROP DATABASE CASCADE on a managed namespace would permanently
+    delete user tables through both the HTTP and Flight paths."""
+    from quackflight_spark.serving.namespaces import maybe_handle_attach
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS precious_ns")
+    spark.sql("CREATE TABLE IF NOT EXISTS precious_ns.t AS SELECT 1 AS x")
+    try:
+        with pytest.raises(ValueError, match="not an ATTACHed namespace"):
+            maybe_handle_attach(spark, "DETACH precious_ns")
+        assert spark.catalog.databaseExists("precious_ns")
+        assert spark.table("precious_ns.t").count() == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS precious_ns CASCADE")
+
+
+def test_attach_unchanged_file_skips_reimport(spark, tmp_path, monkeypatch):
+    """Re-attaching an unchanged file must be a no-op (the HTTP path
+    re-attaches the `database` param on EVERY request — a full re-read +
+    non-atomic table overwrite per request races with in-flight
+    readers). Freshness key = (path, mtime_ns, size)."""
+    import os
+
+    import duckdb
+
+    from quackflight_spark.serving import namespaces
+
+    db = str(tmp_path / "meta5.duckdb")
+    _make_duckdb_file(db)
+    alias = namespaces.attach_duckdb(spark, db)
+    try:
+        # prove the second attach never re-opens the file
+        def boom(*a, **k):
+            raise AssertionError("re-import attempted for unchanged file")
+
+        monkeypatch.setattr(duckdb, "connect", boom)
+        assert namespaces.attach_duckdb(spark, db) == alias
+        monkeypatch.undo()
+        # touching the file invalidates the snapshot -> real re-import
+        os.utime(db, ns=(os.stat(db).st_mtime_ns + 1, os.stat(db).st_mtime_ns + 1))
+        assert namespaces.attach_duckdb(spark, db) == alias
+        assert spark.table(f"{alias}.dim_color").count() == 2
+    finally:
+        namespaces.detach_namespace(spark, alias)
+
+
 def test_attach_detach_sql_statements(client, spark, tmp_path):
     """SQL-statement ATTACH '<file>' AS alias / DETACH alias through the
     HTTP path (the reference forwards both verbatim to DuckDB,
