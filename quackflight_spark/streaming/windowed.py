@@ -971,6 +971,64 @@ def _ntile_distributed(df: DataFrame, cols: list, out_col: str, buckets: int) ->
     )
 
 
+def _ntile_distributed_long(long: DataFrame, buckets: int) -> DataFrame:
+    """Exact NTILE over a LONG-format frame — one bucket assignment per
+    (metric_id, row), every metric in ONE barrier.
+
+    Same construction as _ntile_distributed, fused across metrics (the
+    r4-verdict events_rfm optimization): one range partition on
+    (metric_id, value, user_id), one localCheckpoint to pin partition
+    identity, one bounded ≤P×M-row counts collect; offsets and totals
+    are computed PER METRIC (a metric's rows may span several range
+    partitions, and a partition may straddle two metrics — the window
+    below partitions by (_pid, metric_id) so both cases rank
+    correctly). Bucket formula identical to _ntile_distributed with n
+    the per-metric total carried on the broadcast row."""
+    spark = long.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window as W
+
+    part = (
+        long.repartitionByRange(
+            p,
+            F.col("metric_id").asc(), F.col("value").asc(), F.col("user_id").asc(),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    rows = sorted(
+        ((r["metric_id"], r["_pid"]), r["_c"])
+        for r in part.groupBy("_pid", "metric_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )  # ≤ P × n_metrics rows — bounded collect
+    totals: dict[int, int] = {}
+    for (m, _), c in rows:
+        totals[m] = totals.get(m, 0) + c
+    offs, acc = [], {}
+    for (m, pid), c in rows:
+        offs.append((pid, m, acc.get(m, 0), totals[m]))
+        acc[m] = acc.get(m, 0) + c
+    off_df = spark.createDataFrame(
+        offs, "`_pid` INT, `metric_id` INT, `_off` BIGINT, `_n` BIGINT"
+    )
+    r = F.col("_off") + F.row_number().over(
+        W.partitionBy("_pid", "metric_id").orderBy("value", "user_id")
+    )
+    q = F.floor(F.col("_n") / buckets)
+    rem = F.col("_n") % buckets
+    qs = F.greatest(q, F.lit(1))  # q=0 only when n<buckets; then the
+    #                               when() branch below never divides
+    bucket = F.when(
+        r <= rem * (q + 1), F.floor((r + q) / (q + 1))
+    ).otherwise(rem + F.floor((r - rem * (q + 1) + qs - 1) / qs))
+    return (
+        part.join(F.broadcast(off_df), ["_pid", "metric_id"])
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("_pid", "_off", "_n")
+    )
+
+
 @query("events_rfm", oracle=f"""
     WITH agg AS (
       SELECT user_id,
@@ -992,13 +1050,18 @@ def _ntile_distributed(df: DataFrame, cols: list, out_col: str, buckets: int) ->
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary quartile
     scores — the classic customer-value matrix. One aggregate shuffle on
-    user_id, then three DISTRIBUTED ntile passes over the user-level
-    frame via `_ntile_distributed` (range-partition + parallel
-    per-partition rank + broadcast offsets) — no Exchange
-    SinglePartition / single-task Sort anywhere, so the plan survives
-    10^9 users. user_id tie-breaks make every assignment deterministic
-    and bit-identical to the oracle's global-window ntile; the monetary
-    sum is decimal-exact."""
+    user_id, then ONE fused distributed ntile pass (r5; previously three
+    sequential _ntile_distributed rounds = three checkpoint barriers):
+    the three metrics stack long-format as (metric_id, value double,
+    user_id) — epoch-micros for recency, the exact-in-double bigint for
+    frequency, the decimal-exact sum for monetary; all three conversions
+    are order-preserving and injective below 2^53, and ntile depends
+    only on per-metric ORDER, so fused assignments stay bit-identical to
+    the oracle's global-window ntile — then one range partition + one
+    checkpoint + one ≤P×3-row offsets collect scores every metric
+    (_ntile_distributed_long), and a map-side-combinable user_id pivot
+    folds the scores back to wide. No Exchange SinglePartition /
+    single-task Sort anywhere, so the plan survives 10^9 users."""
     agg = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -1010,10 +1073,35 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary"),
         )
     )
-    scored = _ntile_distributed(agg, ["last_ts", "user_id"], "r_score", RFM_BUCKETS)
-    scored = _ntile_distributed(scored, ["freq", "user_id"], "f_score", RFM_BUCKETS)
-    scored = _ntile_distributed(scored, ["monetary", "user_id"], "m_score", RFM_BUCKETS)
-    return scored.select("user_id", "r_score", "f_score", "m_score", "freq", "monetary")
+    long = agg.select(
+        "user_id",
+        "freq",
+        "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("metric_id"),
+                    F.unix_micros(F.col("last_ts")).cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit(1).alias("metric_id"),
+                    F.col("freq").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit(2).alias("metric_id"),
+                    F.col("monetary").alias("value"),
+                ),
+            )
+        ).alias("mv"),
+    ).select("user_id", "freq", "monetary", F.col("mv.metric_id").alias("metric_id"), F.col("mv.value").alias("value"))
+    scored = _ntile_distributed_long(long, RFM_BUCKETS)
+    return scored.groupBy("user_id").agg(
+        F.max(F.when(F.col("metric_id") == 0, F.col("bucket"))).alias("r_score"),
+        F.max(F.when(F.col("metric_id") == 1, F.col("bucket"))).alias("f_score"),
+        F.max(F.when(F.col("metric_id") == 2, F.col("bucket"))).alias("m_score"),
+        F.max("freq").alias("freq"),
+        F.max("monetary").alias("monetary"),
+    ).select("user_id", "r_score", "f_score", "m_score", "freq", "monetary")
 
 
 @query("events_ab_test", oracle="""

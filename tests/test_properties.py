@@ -184,3 +184,46 @@ def test_ntile_distributed_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, (n, b)
+
+
+def test_ntile_distributed_long_matches_window_ntile(spark):
+    """The fused long-format variant (one barrier for ALL metrics — the
+    r5 events_rfm optimization) must assign per-metric buckets
+    bit-identical to a per-metric global-window NTILE. Metrics get
+    different sizes and value distributions so per-metric offsets/totals
+    are genuinely distinct, and the range partitioning straddles metric
+    boundaries."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.streaming.windowed import _ntile_distributed_long
+
+    for b in (4, 7):
+        # metric 0: 97 rows, metric 1: 500 rows, metric 2: 3 rows (n < b)
+        long = (
+            spark.range(600)
+            .select(
+                F.when(F.col("id") < 97, 0)
+                .when(F.col("id") < 597, 1)
+                .otherwise(2)
+                .alias("metric_id"),
+                ((F.col("id") * 37) % 101).cast("double").alias("value"),
+                F.col("id").alias("user_id"),
+            )
+            .repartition(8)
+        )
+        got = {
+            (r["metric_id"], r["user_id"]): r["bucket"]
+            for r in _ntile_distributed_long(long, b).collect()
+        }
+        want = {
+            (r["metric_id"], r["user_id"]): r["b"]
+            for r in long.select(
+                "metric_id",
+                "user_id",
+                F.ntile(b)
+                .over(W.partitionBy("metric_id").orderBy("value", "user_id"))
+                .alias("b"),
+            ).collect()
+        }
+        assert got == want, b
