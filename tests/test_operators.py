@@ -376,6 +376,21 @@ def test_mm_resize_schema_and_determinism(spark, sf_dir):
     assert len(a) == 500
 
 
+def test_recursive_cte_native_plan_and_fixpoint_parity(spark, sf_dir):
+    """On Spark >=4.0 recursive_cte runs the NATIVE WITH RECURSIVE
+    (UnionLoop operator — recursion engine-side, no driver round-trips);
+    the driver-side fixpoint fallback must produce the identical row
+    multiset."""
+    from quackflight_spark.operators.recursive import fixpoint_recursive_cte
+
+    native = _queries()["recursive_cte"](spark, sf_dir)
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan, plan
+    a = sorted(tuple(r) for r in native.collect())
+    b = sorted(tuple(r) for r in fixpoint_recursive_cte(spark, sf_dir).collect())
+    assert a == b
+
+
 def test_fuzzy_join_length_banding_is_lossless(spark):
     """Length-band blocking must not lose any qualifying pair: lev <= d
     forces |Δlen| <= d, so with band width d+1 every pair is same-band
