@@ -149,6 +149,15 @@ def main() -> None:
 
         clear_frames()
         spark.catalog.clearCache()
+        # Release Python-side DataFrame/RDD wrappers deterministically:
+        # ContextCleaner only frees JVM blocks/shuffles once the Python
+        # handle is collected, so without this the freeing is at the
+        # whim of the cyclic GC (r5 degradation diagnostic,
+        # tools/bench_degradation.py — solo sessions measured flat
+        # per-run times either way; this pins the invariant).
+        import gc
+
+        gc.collect()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver keeps only the last 2000 chars of stdout and parses the

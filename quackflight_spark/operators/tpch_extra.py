@@ -219,6 +219,48 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 BASKET_MIN_CO = 2  # pairs must co-occur in >= 2 orders
 
 
+def basket_pair_lift_core(op: DataFrame, min_co: int = BASKET_MIN_CO) -> DataFrame:
+    """Pair-lift pipeline over a deduped (o, p) basket frame — shared by
+    the registered key and tools/scale_curve_basket.py so the measured
+    curve exercises the exact operator shape."""
+    from pyspark.sql import Window as W
+
+    tot = op.agg(F.countDistinct("o").cast("bigint").alias("n"))
+    # per-part order count attaches BEFORE pairing (one window shuffle on
+    # p), so it rides the self-join and the pair aggregation as a
+    # per-part constant — no post-aggregation join against a part-count
+    # table (which at 10^8 parts would be two more keyed shuffles)
+    opc = op.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("p")).cast("bigint")
+    )
+    a, b = opc.alias("a"), opc.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
+            F.max(F.col("a.c")).alias("ca"),
+            F.max(F.col("b.c")).alias("cb"),
+        )
+        .filter(F.col("n_ab") >= min_co)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                8,
+            ).alias("lift"),
+        )
+    )
+
+
 @query("basket_pair_lift", oracle=f"""
     WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM op),
@@ -244,13 +286,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the self-join keys on l_orderkey, so pair expansion per
     order is bounded by basket size (TPC-H ≤ 7 items — quadratic only
     within a basket, the standard market-basket bound; a pathological
-    mega-basket is the skew to salt). One distinct + one pair-count
-    shuffle; the order total rides a 1-row broadcast cross join; per-part
-    counts join on the pair keys (AQE picks broadcast when the part dim
-    fits). All-integer counts; lift rounds the identical double
-    expression both engines."""
-    from pyspark.sql import Window as W
-
+    mega-basket is the skew to salt — the Σ(basket²) cost law and the
+    mega-basket hazard are both MEASURED in tools/scale_curve_basket.py
+    / PERF.md). One distinct + one pair-count shuffle; the order total
+    rides a 1-row broadcast cross join; per-part counts attach BEFORE
+    pairing (one window shuffle on p) so they ride the self-join as a
+    per-part constant. All-integer counts; lift rounds the identical
+    double expression both engines."""
     from quackflight_spark.pipeline.frame_cache import shared_frame
 
     # three consumers (total, both self-join sides): without pinning, each
@@ -264,40 +306,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct(),
     )
-    tot = op.agg(F.countDistinct("o").cast("bigint").alias("n"))
-    # per-part order count attaches BEFORE pairing (one window shuffle on
-    # p), so it rides the self-join and the pair aggregation as a
-    # per-part constant — no post-aggregation join against a part-count
-    # table (which at 10^8 parts would be two more keyed shuffles)
-    opc = op.withColumn(
-        "c", F.count(F.lit(1)).over(W.partitionBy("p")).cast("bigint")
-    )
-    a, b = opc.alias("a"), opc.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_ab"),
-            F.max(F.col("a.c")).alias("ca"),
-            F.max(F.col("b.c")).alias("cb"),
-        )
-        .filter(F.col("n_ab") >= BASKET_MIN_CO)
-    )
-    return (
-        pairs.crossJoin(F.broadcast(tot))
-        .select(
-            "part_a",
-            "part_b",
-            "n_ab",
-            F.round(
-                F.col("n_ab").cast("double") * F.col("n")
-                / (F.col("ca") * F.col("cb")),
-                8,
-            ).alias("lift"),
-        )
-    )
+    return basket_pair_lift_core(op)
 
 
 FUZZY_MAX_DIST = 3
