@@ -608,8 +608,18 @@ def _train_pq(emb) -> "np.ndarray":
     """Deterministic per-subspace k-means on a bounded driver-side sample
     (same FAISS-style contract as _train_centroids): returns (M, K, dsub)
     codebooks. Training cost is constant in corpus size; only the
-    distributed ENCODE pass touches the full corpus."""
+    distributed ENCODE pass touches the full corpus.
+
+    SQL-replayable (r5): same bit-exactness contract as
+    _train_centroids — sequential-dim distances, lowest-cid argmin
+    ties, duck_round6 Lloyd means — so the per-subspace k-means unrolls
+    into CTEs and ann_pq_topk / ann_ivfpq_topk carry full value
+    oracles (_pq_oracle_prefix below)."""
     import numpy as np
+
+    from quackflight_spark.pipeline.veckernels import (
+        duck_round6, seq_cross_dot, seq_sq_norms,
+    )
 
     sample = emb.orderBy("vec_id").select("e").limit(PQ_TRAIN_SAMPLE).collect()
     x = np.array([r["e"] for r in sample], dtype=np.float64)
@@ -619,12 +629,12 @@ def _train_pq(emb) -> "np.ndarray":
         xs = x[:, m * dsub:(m + 1) * dsub]
         c = xs[:PQ_K].copy()
         for _ in range(PQ_ITERS):
-            d = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)
+            d = -2.0 * seq_cross_dot(xs, c) + seq_sq_norms(c)[None, :]
             assign = d.argmin(axis=1)
             for k in range(PQ_K):
                 members = xs[assign == k]
                 if len(members):
-                    c[k] = members.mean(axis=0)
+                    c[k] = duck_round6(members.mean(axis=0))
         books[m] = c
     return books
 

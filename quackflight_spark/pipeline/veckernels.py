@@ -189,7 +189,10 @@ def pq_encode_udf(codebooks: np.ndarray):
 
     ``codebooks`` is (M, K, dsub): vector x is split into M contiguous
     dsub-dim subvectors; code m = argmin_k ||x_m - codebooks[m, k]||².
-    Rank decision only (argmin), so BLAS matmuls are fine."""
+    Distances use sequential-dim accumulation (r5) so every code is
+    bit-identical to the oracle's ``-2*list_dot_product(x_m, cb) +
+    list_dot_product(cb, cb)`` fold; argmin ties break to the lowest
+    code in both engines."""
 
     n_sub, _, dsub = codebooks.shape
 
@@ -200,7 +203,7 @@ def pq_encode_udf(codebooks: np.ndarray):
         for s in range(n_sub):
             xs = m[:, s * dsub:(s + 1) * dsub]
             cb = codebooks[s]
-            d = -2.0 * (xs @ cb.T) + (cb * cb).sum(axis=1)
+            d = -2.0 * seq_cross_dot(xs, cb) + seq_sq_norms(cb)[None, :]
             codes[:, s] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -215,8 +218,11 @@ def pq_adc_score_udf(codebooks: np.ndarray):
     Queries repeat across the corpus rows of a batch, so the per-query
     lookup table is computed once per distinct query in the batch (keyed
     by the raw vector bytes) and applied with one fancy-index gather.
-    Approximate scores only feed a rank cut (top-C before exact rerank) —
-    BLAS summation drift is acceptable."""
+    The LUT dots and the across-subspace accumulation run in sequential
+    (dim, then subspace) order (r5), matching the oracle's
+    Σ_m list_dot_product(q_m, cb[m, code_m]); the consumers round the
+    score to 6 decimals before ranking, which also absorbs DuckDB's
+    unordered 8-term SUM."""
 
     n_sub, _, dsub = codebooks.shape
 
@@ -231,14 +237,18 @@ def pq_adc_score_udf(codebooks: np.ndarray):
         groups: dict[bytes, list[int]] = {}
         for i, v in enumerate(qe.to_numpy()):
             groups.setdefault(np.asarray(v, dtype=np.float64).tobytes(), []).append(i)
-        col = np.arange(n_sub)[None, :]
         for key, idxs in groups.items():
             q = np.frombuffer(key, dtype=np.float64)
             lut = np.empty((n_sub, codebooks.shape[1]), dtype=np.float64)
             for s in range(n_sub):
-                lut[s] = codebooks[s] @ q[s * dsub:(s + 1) * dsub]
+                lut[s] = seq_cross_dot(
+                    codebooks[s], q[s * dsub:(s + 1) * dsub][None, :]
+                )[:, 0]
             rows = np.asarray(idxs)
-            out[rows] = lut[col, code_mat[rows]].sum(axis=1)
+            acc = np.zeros(len(rows), dtype=np.float64)
+            for s in range(n_sub):
+                acc += lut[s, code_mat[rows, s]]
+            out[rows] = acc
         return pd.Series(out)
 
     return _score
