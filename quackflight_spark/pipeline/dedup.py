@@ -363,6 +363,28 @@ def minhash_hash_table_bucketed(
     same freshness key textformats._staged uses), so regenerated
     fixtures at the same path rebuild the hash table instead of silently
     serving stale arrays."""
+    import os
+    import shutil
+
+    table = minhash_table_name(sf_dir)
+    if not spark.catalog.tableExists(table):
+        # An orphaned warehouse directory (table written by a previous
+        # session whose in-memory catalog is gone) blocks the managed
+        # write with LOCATION_ALREADY_EXISTS — it is a rebuildable
+        # cache, so clear it rather than fail.
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), table)
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        from quackflight_spark.sources.writers import write_bucketed
+
+        write_bucketed(doc_shingle_hashes(spark, sf_dir), table, ["doc_id"], n_buckets)
+    return spark.table(table)
+
+
+def minhash_table_name(sf_dir: str) -> str:
+    """Fingerprinted cache-table name for the bucketed hash-array table
+    (shared with tests so cleanup always targets the live name)."""
     import hashlib
     import os
 
@@ -372,12 +394,7 @@ def minhash_hash_table_bucketed(
         fp = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         fp = sf_dir
-    table = "qf_minhash_hsh_" + hashlib.md5(fp.encode()).hexdigest()[:10]
-    if not spark.catalog.tableExists(table):
-        from quackflight_spark.sources.writers import write_bucketed
-
-        write_bucketed(doc_shingle_hashes(spark, sf_dir), table, ["doc_id"], n_buckets)
-    return spark.table(table)
+    return "qf_minhash_hsh_" + hashlib.md5(fp.encode()).hexdigest()[:10]
 
 
 def minhash_verify(

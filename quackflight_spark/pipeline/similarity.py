@@ -652,8 +652,106 @@ def _pq_books_for(spark: SparkSession, sf_dir: str) -> "np.ndarray":
 # key as the product path.
 PQ_FULL_SCAN = "ablation"
 
+_PQ_DSUB = DIM // PQ_M
 
-@query("ann_pq_topk")  # rows-only: recall vs brute force asserted in tests
+
+def _pq_oracle_prefix() -> str:
+    """CTE chain replaying _train_pq in DuckDB — the per-subspace analog
+    of _ivf_oracle_prefix, all PQ_M subspaces trained at once by adding
+    a subspace column m (slices via DuckDB's 1-based inclusive list
+    indexing). Ends with `pq{PQ_ITERS}` = (m, cid, cb) codebooks and
+    `codes` = (vec_id, m, code) full-corpus encodes. Requires the `en`
+    and `s` CTEs from _ivf_oracle_prefix (shared sample)."""
+    parts = [f"""
+    xs AS (SELECT m, vec_id, e[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS x
+           FROM s, range({PQ_M}) r(m)),
+    pq0 AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+                     AS INT) AS cid, x AS cb
+            FROM (SELECT m, vec_id, x FROM xs
+                  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id)
+                          <= {PQ_K}))"""]
+    for i in range(1, PQ_ITERS + 1):
+        p = i - 1
+        parts.append(f"""
+    pa{i} AS (
+      SELECT m, vec_id, cid FROM (
+        SELECT xs.m, xs.vec_id, c.cid,
+               row_number() OVER (PARTITION BY xs.m, xs.vec_id
+                 ORDER BY -2.0 * list_dot_product(xs.x, c.cb)
+                          + list_dot_product(c.cb, c.cb), c.cid) AS rk
+        FROM xs JOIN pq{p} c ON c.m = xs.m) WHERE rk = 1
+    ),
+    pq{i} AS (
+      SELECT pq{p}.m, pq{p}.cid, COALESCE(mm.cb, pq{p}.cb) AS cb
+      FROM pq{p} LEFT JOIN (
+        SELECT m, cid, list(v ORDER BY d) AS cb FROM (
+          SELECT a.m, a.cid, r.d, round(avg(xs.x[r.d]), 6) AS v
+          FROM pa{i} a JOIN xs ON xs.m = a.m AND xs.vec_id = a.vec_id,
+               range(1, {_PQ_DSUB + 1}) r(d)
+          GROUP BY a.m, a.cid, r.d) GROUP BY m, cid
+      ) mm ON mm.m = pq{p}.m AND mm.cid = pq{p}.cid
+    )""")
+    parts.append(f"""
+    books AS (SELECT m, cid, cb FROM pq{PQ_ITERS}),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT sl.vec_id, sl.m, c.cid,
+               row_number() OVER (PARTITION BY sl.m, sl.vec_id
+                 ORDER BY -2.0 * list_dot_product(sl.x, c.cb)
+                          + list_dot_product(c.cb, c.cb), c.cid) AS rk
+        FROM (SELECT vec_id, m,
+                     e[m * {_PQ_DSUB} + 1 : m * {_PQ_DSUB} + {_PQ_DSUB}] AS x
+              FROM en, range({PQ_M}) r(m)) sl
+        JOIN books c ON c.m = sl.m) WHERE rk = 1
+    )""")
+    return ",".join(parts)
+
+
+# ADC shortlist + exact rerank, shared by the two PQ oracles. `cand`
+# must exist upstream as (query_id, neighbor_id) — the full cross set
+# for ann_pq_topk, the IVF cell-pruned set for ann_ivfpq_topk.
+_PQ_SEARCH_SQL = f"""
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum(list_dot_product(
+               qe.e[cd.m * {_PQ_DSUB} + 1 : cd.m * {_PQ_DSUB} + {_PQ_DSUB}],
+               b.cb)), 6) AS adc
+      FROM cand c
+      JOIN en qe ON qe.vec_id = c.query_id
+      JOIN codes cd ON cd.vec_id = c.neighbor_id
+      JOIN books b ON b.m = cd.m AND b.cid = cd.code
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc DESC, neighbor_id) AS rk
+        FROM adc) WHERE rk <= {PQ_RERANK}
+    ),
+    scored AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             round(list_dot_product(qe.e, ne.e), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY sl.query_id
+               ORDER BY round(list_dot_product(qe.e, ne.e), 6) DESC,
+                        sl.neighbor_id) AS rn
+      FROM shortlist sl JOIN en qe ON qe.vec_id = sl.query_id
+                        JOIN en ne ON ne.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {TOP_K}"""
+
+
+@query("ann_pq_topk", oracle=f"""
+    WITH {_ivf_oracle_prefix()},
+    {_pq_oracle_prefix()},
+    cand AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id
+      FROM en q, en t
+      WHERE q.vec_id < {N_QUERIES} AND t.vec_id <> q.vec_id
+    ),
+    {_PQ_SEARCH_SQL}
+""")
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 5-bit × PQ_M codes per vector (8 bytes
     stored as int array; ~50× smaller than the raw 64-dim float64) + asymmetric-distance scan, exact
@@ -687,7 +785,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         codes.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", pq_adc_score_udf(books)(F.col("qe"), F.col("codes")))
+        # round-6 before the rank cut (r5): both engines rank the same
+        # rounded score, so the 256-candidate shortlist is SQL-replayable
+        .withColumn(
+            "adc", F.round(pq_adc_score_udf(books)(F.col("qe"), F.col("codes")), 6)
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
     shortlist = (
@@ -708,7 +810,33 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivfpq_topk")  # rows-only: recall vs brute force asserted in tests
+@query("ann_ivfpq_topk", oracle=f"""
+    WITH {_ivf_oracle_prefix()},
+    {_pq_oracle_prefix()},
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c WHERE en.vec_id < {N_QUERIES})
+      WHERE rk <= {IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM cells c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    {_PQ_SEARCH_SQL}
+""")
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full FAISS-style IVF-PQ: IVF cells prune WHICH vectors are scored
     (read ≤ nprobe/K of the corpus), PQ codes compress WHAT is scored
@@ -740,7 +868,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         index.join(F.broadcast(queries), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc", pq_adc_score_udf(books)(F.col("qe"), F.col("codes")))
+        .withColumn(
+            "adc", F.round(pq_adc_score_udf(books)(F.col("qe"), F.col("codes")), 6)
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
     shortlist = (

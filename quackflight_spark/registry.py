@@ -56,6 +56,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_fuzzy_names", "events_ab_test",
     # -- Block N: keys upgraded to oracle-backed / reworked during r5 --
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans",
+    "ann_pq_topk", "ann_ivfpq_topk",
     "events_rfm", "recursive_cte",
     # -- Block Z1: driver-green in r1-r3 (stalest evidence re-verified
     # first) --
@@ -111,7 +112,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fmt_jsoncompact", "stream_watermark_late",
     # -- Block B: rows-only by design, dead last (no value oracle; each
     # costs a gate slot for a weaker rows-only row) --
-    "ann_pq_topk", "ann_ivfpq_topk",
     "pipeline_bpe_merges", "pipeline_bpe_tokenize",
     "agg_hll_sketch_table", "sample_random", "sample_percent",
 )

@@ -30,14 +30,13 @@ def test_registry_contract():
     # every oracle key has a query
     assert set(o) <= set(q)
     # the non-oracle keys are the documented non-SQL-expressible set
-    # (r5 shrank it: LSH buckets / IVF training+assignment / k-means
-    # clustering became SQL-replayable via sequential-dim kernels +
-    # unrolled Lloyd CTEs — see pipeline/similarity.py)
+    # (r5 shrank it 11 -> 5: LSH buckets / IVF+PQ training, assignment,
+    # encode and ADC ranking / k-means clustering all became
+    # SQL-replayable via sequential-dim kernels + unrolled Lloyd CTEs —
+    # see pipeline/similarity.py)
     assert set(q) - set(o) == {
         "sample_random",
         "sample_percent",
-        "ann_pq_topk",
-        "ann_ivfpq_topk",
         "agg_hll_sketch_table",
         "pipeline_bpe_merges",
         "pipeline_bpe_tokenize",
@@ -61,7 +60,7 @@ def test_gate_priority_ordering():
     # rows-only keys sit at the very end of the walk
     o = _oracles()
     assert all(k in o for k in q[:50])
-    assert all(k not in o for k in q[len(q) - 7:])
+    assert all(k not in o for k in q[len(q) - 5:])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):

@@ -424,16 +424,14 @@ def test_minhash_bucketed_path_end_to_end(spark, sf_dir, monkeypatch):
     }
     monkeypatch.setattr(dedup, "BROADCAST_DOC_LIMIT", 0)
     clear_frames()
-    spark.sql("DROP TABLE IF EXISTS " +
-              "qf_minhash_hsh_" + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:10])
+    spark.sql("DROP TABLE IF EXISTS " + dedup.minhash_table_name(sf_dir))
     try:
         bucketed_rows = {
             (r["doc_a"], r["doc_b"], r["jaccard"])
             for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
         }
     finally:
-        spark.sql("DROP TABLE IF EXISTS " +
-                  "qf_minhash_hsh_" + __import__("hashlib").md5(sf_dir.encode()).hexdigest()[:10])
+        spark.sql("DROP TABLE IF EXISTS " + dedup.minhash_table_name(sf_dir))
         clear_frames()
     assert bucketed_rows == broadcast_rows
     assert len(bucketed_rows) > 0
