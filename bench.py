@@ -108,6 +108,7 @@ BENCH_KEYS = [
     "basket_pair_lift",
     "join_fuzzy_names",
     "events_ab_test",
+    "dedup_semantic",
 ]
 
 

@@ -450,6 +450,27 @@ def _centroids_for(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _IVF_INDEX[sf_dir]
 
 
+def _ivf_corpus_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(neighbor_id, ce, cell) — the full corpus with its nearest-cell
+    assignment. Cell assignment is part of the INDEX, not the query:
+    built once per corpus and persisted (the in-memory analog of
+    ivf_build_index's partitioned layout; before this every invocation
+    re-ran the Arrow kernel over the whole corpus — r2 bench showed
+    5 s/run vs 1.2 s amortized). Shared by ann_ivf_topk and
+    dedup_semantic so both read one cell geometry."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    centroids = _centroids_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    return shared_frame(
+        "ivf_corpus_cells",
+        sf_dir,
+        lambda: emb.withColumn("cell", _assign_cell(centroids)).select(
+            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cell"
+        ),
+    )
+
+
 @query("ann_ivf_topk", oracle=f"""
     WITH {_ivf_oracle_prefix()},
     {_IVF_SEARCH_SQL}
@@ -469,22 +490,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/K of the corpus — the pruning ANN path that, unlike
     sign-LSH, still prunes on weakly-clustered data.
     """
-    from quackflight_spark.pipeline.frame_cache import shared_frame
-
+    corpus = _ivf_corpus_cells(spark, sf_dir)
     centroids = _centroids_for(spark, sf_dir)
     emb = _emb_normed(spark, sf_dir)
-    # cell assignment is part of the INDEX, not the query: built once per
-    # corpus (the in-memory analog of ivf_build_index's partitioned
-    # layout). Before this, every invocation re-ran the Arrow kernel over
-    # the whole corpus — r2 bench showed 5 s/run vs 1.2 s for the
-    # layout-backed variant that amortizes exactly this step.
-    corpus = shared_frame(
-        "ivf_corpus_cells",
-        sf_dir,
-        lambda: emb.withColumn("cell", _assign_cell(centroids)).select(
-            F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cell"
-        ),
-    )
     queries = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("cell", F.explode(_probe_cells(centroids)))
@@ -933,6 +941,76 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.join(F.broadcast(sizes), on="cluster").select(
         "vec_id", "cluster", "cluster_size"
+    )
+
+
+SEMDEDUP_TAU = 0.35  # fixture embeddings are near-orthogonal (top-pair
+#                      cos ≈ 0.5); real corpora run τ ≈ 0.9+. Config knob.
+
+
+@query("dedup_semantic", oracle=f"""
+    WITH {_ivf_oracle_prefix()},
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c) WHERE rk = 1
+    ),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN en ea ON ea.vec_id = a.vec_id
+      JOIN en eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.e, eb.e), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+           CAST(d.vec_id IS NULL AS BOOLEAN) AS is_kept
+    FROM assigned s LEFT JOIN drops d ON d.vec_id = s.vec_id
+""")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the shared k-means geometry, then inside each
+    cluster drop every vector that has a LOWER-id vector within cosine
+    ≥ SEMDEDUP_TAU — keep-lowest-id pruning of semantic near-duplicates.
+    The paper's greedy per-ε-ball variant is order-sequential; this
+    formulation (drop b iff ∃ a < b, same cluster, cos ≥ τ) is
+    order-free, so it runs as ONE within-cluster self-join with no
+    sequential dependency — a documented, deterministic deviation that
+    keeps at least one representative per duplicate neighborhood.
+
+    Scale shape: the candidate stage is quadratic only WITHIN a cluster
+    (SemDeDup's own design: K grows with the corpus so cluster sizes
+    stay bounded); the τ filter runs inside the join stage; the corpus
+    shuffles once on the cluster key and the verdict anti-joins back.
+    Exact cosine via the bit-exact sequential-dim kernel, so the oracle
+    replays training, assignment AND the drop set exactly."""
+    cells = _ivf_corpus_cells(spark, sf_dir)
+    a = cells.select(
+        F.col("neighbor_id").alias("vec_a"), F.col("ce").alias("ea"), "cell"
+    )
+    b = cells.select(
+        F.col("neighbor_id").alias("vec_b"), F.col("ce").alias("eb"), "cell"
+    )
+    drops = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(_dot(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cos_sim") >= SEMDEDUP_TAU)
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        cells.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("cell").cast("int").alias("cluster"),
+        )
+        .join(drops, F.col("vec_id") == F.col("vec_b"), "left")
+        .select(
+            "vec_id", "cluster", F.col("vec_b").isNull().alias("is_kept")
+        )
     )
 
 

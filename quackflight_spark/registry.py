@@ -54,7 +54,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",
     "topk_per_group", "mm_image_phash", "win_ntile", "basket_pair_lift",
     "join_fuzzy_names", "events_ab_test",
-    # -- Block N: keys upgraded to oracle-backed / reworked during r5 --
+    # -- Block N: keys added / upgraded to oracle-backed / reworked in r5 --
+    "dedup_semantic",
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans",
     "ann_pq_topk", "ann_ivfpq_topk",
     "events_rfm", "recursive_cte",
