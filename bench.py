@@ -109,6 +109,7 @@ BENCH_KEYS = [
     "join_fuzzy_names",
     "events_ab_test",
     "dedup_semantic",
+    "events_attribution",
 ]
 
 

@@ -1104,6 +1104,78 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "r_score", "f_score", "m_score", "freq", "monetary")
 
 
+@query("events_attribution", oracle="""
+    WITH t AS (
+      SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events
+    ),
+    p AS (SELECT * FROM t WHERE event_type = 'purchase')
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions,
+           CAST(sum(v) AS DOUBLE) AS revenue
+    FROM (
+      SELECT 'first_touch' AS model,
+             COALESCE(first_touch, '(direct)') AS channel, v FROM p
+      UNION ALL
+      SELECT 'last_touch', COALESCE(last_touch, '(direct)'), v FROM p
+    ) GROUP BY model, channel
+""")
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (new r5): for every purchase, credit the
+    user's FIRST prior non-purchase touch and the LAST prior
+    non-purchase touch (the two classic single-touch models), rolled up
+    to (model, channel) with conversion counts and decimal-exact
+    revenue. Purchases with no prior touch credit '(direct)'.
+
+    Scale shape: ONE window shuffle on user_id computes both touch
+    channels in the same ordered pass (frame = rows preceding the
+    purchase, ignorenulls first/last — no per-purchase lookback join,
+    no self-join on the events table); the rollup is a
+    map-side-combinable agg over |models|×|channels| rows. (ts,
+    event_id) ordering makes every credit deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    t = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    long = t.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce("first_touch", F.lit("(direct)")).alias("channel"),
+        "v",
+    ).unionAll(
+        t.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce("last_touch", F.lit("(direct)")).alias("channel"),
+            "v",
+        )
+    )
+    return long.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("conversions"),
+        F.sum("v").cast("double").alias("revenue"),
+    )
+
+
 @query("events_ab_test", oracle="""
     WITH u AS (
       SELECT user_id,
