@@ -110,6 +110,8 @@ BENCH_KEYS = [
     "events_ab_test",
     "dedup_semantic",
     "events_attribution",
+    "events_top_paths",
+    "merge_scd2",
 ]
 
 

@@ -55,7 +55,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "topk_per_group", "mm_image_phash", "win_ntile", "basket_pair_lift",
     "join_fuzzy_names", "events_ab_test",
     # -- Block N: keys added / upgraded to oracle-backed / reworked in r5 --
-    "dedup_semantic", "events_attribution",
+    "dedup_semantic", "events_attribution", "events_top_paths", "merge_scd2",
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans",
     "ann_pq_topk", "ann_ivfpq_topk",
     "events_rfm", "recursive_cte",

@@ -248,3 +248,122 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return spark.read.parquet(path).select(*_COLS)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    eff_date: str,
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 merge: given a versioned
+    dimension (tracked columns + valid_from/valid_to/is_current) and a
+    change-set carrying new tracked values per key, CLOSE every current
+    row whose tracked values actually change (valid_to = eff_date,
+    is_current = false) and APPEND the new open version
+    (valid_from = eff_date). No-op updates (identical tracked values,
+    null-safe compare) create no version; history rows pass through
+    untouched.
+
+    Scale shape: ONE keyed join of the CURRENT slice against the
+    change-set (broadcast when the change-set is small — the usual
+    case); the history slice never joins anything, so with the table
+    partitioned on is_current (or valid_to IS NULL) the merge reads and
+    rewrites only the current partition — the same
+    touched-partitions-only contract as merge_upsert_cow."""
+    cur = dim.filter(F.col("is_current"))
+    hist = dim.filter(~F.col("is_current"))
+    u = updates.select(
+        *keys, *[F.col(c).alias(f"_u_{c}") for c in tracked], F.lit(True).alias("_hit")
+    )
+    joined = cur.join(F.broadcast(u), keys, "left")
+    changed = F.coalesce(F.col("_hit"), F.lit(False)) & ~functools_reduce_and(
+        [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked]
+    )
+    passthrough = joined.filter(~changed).select(*dim.columns)
+    closed = (
+        joined.filter(changed)
+        .withColumn("valid_to", F.lit(eff_date).cast("date"))
+        .withColumn("is_current", F.lit(False))
+        .select(*dim.columns)
+    )
+    opened = (
+        joined.filter(changed)
+        .select(
+            *[c for c in dim.columns if c not in tracked
+              and c not in ("valid_from", "valid_to", "is_current")],
+            *[F.col(f"_u_{c}").alias(c) for c in tracked],
+            F.lit(eff_date).cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(*dim.columns)
+    )
+    return hist.unionByName(passthrough).unionByName(closed).unionByName(opened)
+
+
+def functools_reduce_and(cols):
+    import functools
+
+    return functools.reduce(lambda a, b: a & b, cols)
+
+
+SCD2_EFF = "1995-06-17"
+
+
+@query("merge_scd2", oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ),
+    upd AS (SELECT c_custkey, bal + 500.00 AS bal FROM dim
+            WHERE c_custkey % 10 = 3)
+    SELECT d.c_custkey, d.c_name, CAST(d.bal AS DOUBLE) AS acctbal,
+           DATE '1990-01-01' AS valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL THEN DATE '{SCD2_EFF}' END
+             AS valid_to,
+           u.c_custkey IS NULL AS is_current
+    FROM dim d LEFT JOIN upd u USING (c_custkey)
+    UNION ALL
+    SELECT u.c_custkey, d.c_name, CAST(u.bal AS DOUBLE),
+           DATE '{SCD2_EFF}', CAST(NULL AS DATE), TRUE
+    FROM upd u JOIN dim d USING (c_custkey)
+""")
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 versioning (new r5): seed customer as a versioned
+    dimension (one open row per key since 1990-01-01), apply a
+    deterministic balance change to every key ≡ 3 (mod 10) effective
+    {SCD2_EFF} via scd2_merge, and return the full version table —
+    changed keys carry a closed old row + an open new row; unchanged
+    keys keep their original open row. Balances travel as
+    DECIMAL(12,2) (exact +500.00) and surface as DOUBLE, so both
+    engines agree bit-for-bit."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    )
+    dim = base.select(
+        "c_custkey",
+        "c_name",
+        "bal",
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        (F.col("bal") + F.lit(500.00).cast("decimal(12,2)"))
+        .cast("decimal(12,2)")  # keep the dim's exact type through the union
+        .alias("bal"),
+    )
+    out = scd2_merge(dim, updates, ["c_custkey"], ["bal"], SCD2_EFF)
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.col("bal").cast("double").alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

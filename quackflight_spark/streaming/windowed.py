@@ -1104,6 +1104,70 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "r_score", "f_score", "m_score", "freq", "monetary")
 
 
+PATH_LEN = 3      # leading events per user forming the path signature
+PATH_TOP_K = 20
+
+
+@query("events_top_paths", oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= {PATH_LEN} GROUP BY user_id
+    ),
+    counts AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+               FROM paths GROUP BY path)
+    SELECT path, n_users,
+           CAST(row_number() OVER (ORDER BY n_users DESC, path) AS INT) AS rn
+    FROM counts QUALIFY rn <= {PATH_TOP_K}
+""")
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journey paths (new r5): each user's first PATH_LEN
+    events (ordered by ts, event_id — deterministic) join into a
+    'view>click>signup' path signature; the PATH_TOP_K most common
+    paths ranked — the path-analysis primitive behind onboarding-flow
+    and drop-off dashboards.
+
+    Scale shape: ONE user-keyed window shuffle (the path agg reuses the
+    same partitioning, so no second wide exchange); the counts frame is
+    bounded by the event-type VOCABULARY (≤ |types|^PATH_LEN rows —
+    independent of user count), so the final rank runs on a tiny frame
+    and the top-k 'global window' never sees raw data. collect_list is
+    order-free in Spark, so the path string sorts (rn, type) structs
+    before joining — deterministic under any partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    # top-k first via the fused TakeOrderedAndProject (no global-sort
+    # exchange), THEN rank the ≤PATH_TOP_K survivors — the single-
+    # partition window only ever sees k rows
+    top = counts.orderBy(F.desc("n_users"), "path").limit(PATH_TOP_K)
+    wr = W.orderBy(F.desc("n_users"), "path")
+    return top.withColumn("rn", F.row_number().over(wr)).select(
+        "path", "n_users", "rn"
+    )
+
+
 @query("events_attribution", oracle="""
     WITH t AS (
       SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v,
