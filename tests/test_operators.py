@@ -375,6 +375,38 @@ def test_mm_resize_schema_and_determinism(spark, sf_dir):
     assert len(a) == 500
 
 
+def test_scd2_merge_semantics(spark):
+    """Type-2 contract: changed keys close the old version and open a
+    new one; NO-OP updates (identical tracked values) create no
+    version; existing history rows pass through untouched."""
+    import datetime
+
+    from quackflight_spark.sources.merge import scd2_merge
+
+    d0 = datetime.date(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, d0, None, True),           # will change
+            (2, 20.0, d0, None, True),           # no-op update
+            (3, 30.0, d0, None, True),           # not in change-set
+            (1, 5.0, datetime.date(2019, 1, 1), d0, False),  # history row
+        ],
+        "k bigint, v double, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame([(1, 11.0), (2, 20.0)], "k bigint, v double")
+    out = scd2_merge(dim, upd, ["k"], ["v"], "2021-06-01")
+    rows = {(r.k, r.v, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in out.collect()}
+    eff = "2021-06-01"
+    assert rows == {
+        (1, 5.0, "2019-01-01", "2020-01-01", False),   # history untouched
+        (1, 10.0, "2020-01-01", eff, False),           # closed old version
+        (1, 11.0, eff, "None", True),                  # new open version
+        (2, 20.0, "2020-01-01", "None", True),         # no-op: unchanged
+        (3, 30.0, "2020-01-01", "None", True),         # untouched key
+    }
+
+
 def test_recursive_cte_native_plan_and_fixpoint_parity(spark, sf_dir):
     """On Spark >=4.0 recursive_cte runs the NATIVE WITH RECURSIVE
     (UnionLoop operator — recursion engine-side, no driver round-trips);
