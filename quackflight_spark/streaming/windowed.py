@@ -1223,18 +1223,28 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
         F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
     ).filter(F.col("event_type") == "purchase")
+    # explode, not union: a UNION of two projections of `t` makes
+    # Catalyst recompute the window pass per branch (two event scans,
+    # 4 exchanges); the 2-element explode keeps ONE window pass and one
+    # agg shuffle (2 exchanges total, plan-audited in PLANS.md)
     long = t.select(
-        F.lit("first_touch").alias("model"),
-        F.coalesce("first_touch", F.lit("(direct)")).alias("channel"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first_touch").alias("model"),
+                    F.coalesce("first_touch", F.lit("(direct)")).alias("channel"),
+                ),
+                F.struct(
+                    F.lit("last_touch").alias("model"),
+                    F.coalesce("last_touch", F.lit("(direct)")).alias("channel"),
+                ),
+            )
+        ).alias("mc"),
         "v",
-    ).unionAll(
-        t.select(
-            F.lit("last_touch").alias("model"),
-            F.coalesce("last_touch", F.lit("(direct)")).alias("channel"),
-            "v",
-        )
     )
-    return long.groupBy("model", "channel").agg(
+    return long.groupBy(
+        F.col("mc.model").alias("model"), F.col("mc.channel").alias("channel")
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("conversions"),
         F.sum("v").cast("double").alias("revenue"),
     )
