@@ -112,6 +112,7 @@ BENCH_KEYS = [
     "events_attribution",
     "events_top_paths",
     "merge_scd2",
+    "graph_pagerank",
 ]
 
 

@@ -76,6 +76,117 @@ def fixpoint_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closure.select("start", "reach", F.col("depth").cast("int").alias("depth"))
 
 
+PR_ITERS = 3
+PR_SCALE = 10**12      # fixed-point rank scale (bigint-exact in both engines)
+PR_DAMP_NUM = 85       # damping 0.85 as an integer 85/100 multiply-divide
+
+
+def _pr_edges_sql() -> str:
+    """Edge list of the customer→nation→region FK graph (same disjoint
+    id offsets as recursive_cte)."""
+    return """
+    edges AS (
+      SELECT c_custkey + 100000 AS src, CAST(c_nationkey AS BIGINT) AS dst
+      FROM customer
+      UNION ALL
+      SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey + 1000 AS BIGINT)
+      FROM nation
+    ),
+    nodes AS (
+      SELECT DISTINCT v FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src)"""
+
+
+def _pr_oracle() -> str:
+    # `//` everywhere: DuckDB's `/` on BIGINTs is FLOAT division; the
+    # fixed-point contract needs integer division in both engines
+    n_expr = "(SELECT count(*) FROM nodes)"
+    base = f"CAST({PR_SCALE} AS BIGINT) // {n_expr}"
+    parts = [f"""WITH {_pr_edges_sql()},
+    r0 AS (SELECT v, {base} AS r FROM nodes)"""]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts.append(f""",
+    r{i} AS (
+      SELECT n.v,
+             (15 * ({base})) // 100
+             + (85 * COALESCE(m.contrib, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS v, CAST(sum(pr.r // d.outdeg) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN r{p} pr ON pr.v = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) m ON m.v = n.v
+    )""")
+    parts.append(f"""
+    SELECT v AS node, r AS rank_scaled,
+           round(CAST(r AS DOUBLE) / {PR_SCALE}, 9) AS rank
+    FROM r{PR_ITERS}""")
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pr_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer→nation→region FK graph
+    (new r5) — the iterative-graph-analytics primitive, built the same
+    way the r5 ANN oracles were made exact: a FIXED iteration count
+    unrolls into plain relational algebra, and the rank arithmetic is
+    INTEGER fixed-point (scale 10^12, damping as an 85/100
+    multiply-divide, integer division throughout), so the result is
+    bit-identical in any engine and under any partitioning — no float
+    summation order anywhere. Dangling mass follows the simplified
+    PageRank convention (dropped, consistent in both engines).
+
+    Scale shape: each iteration is one rank⋈edges equi-join shuffle +
+    one dst-keyed partial-agg — the textbook distributed PageRank step;
+    iterations compose in ONE Catalyst plan (no driver loop, no
+    materialization between rounds at this depth). At true graph scale
+    the per-round localCheckpoint pattern of dedup_clusters applies
+    unchanged."""
+    c = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 100000).alias("src"),
+        F.col("c_nationkey").cast("bigint").alias("dst"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("src"),
+        (F.col("n_regionkey") + 1000).cast("bigint").alias("dst"),
+    )
+    edges = c.unionByName(n)
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    n_nodes = nodes.count()  # one scalar job; node count is metadata-scale
+    base = PR_SCALE // n_nodes
+    teleport = (15 * base) // 100  # exact Python int == the oracle's // chain
+    ranks = nodes.withColumn("r", F.lit(base).cast("bigint"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("v", "src"), "src")
+            .join(F.broadcast(deg), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.expr("r DIV outdeg")).cast("bigint").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "v", "left").select(
+            "v",
+            (
+                F.lit(teleport).cast("bigint")
+                + F.expr("(85 * COALESCE(contrib, CAST(0 AS BIGINT))) DIV 100")
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("v").alias("node"),
+        F.col("r").alias("rank_scaled"),
+        F.round(F.col("r").cast("double") / PR_SCALE, 9).alias("rank"),
+    )
+
+
 @query("recursive_cte", oracle=_RECURSIVE_SQL)
 def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the customer→nation→region FK hierarchy

@@ -56,6 +56,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_fuzzy_names", "events_ab_test",
     # -- Block N: keys added / upgraded to oracle-backed / reworked in r5 --
     "dedup_semantic", "events_attribution", "events_top_paths", "merge_scd2",
+    "graph_pagerank",
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans",
     "ann_pq_topk", "ann_ivfpq_topk",
     "events_rfm", "recursive_cte",
