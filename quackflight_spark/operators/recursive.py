@@ -147,21 +147,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization between rounds at this depth). At true graph scale
     the per-round localCheckpoint pattern of dedup_clusters applies
     unchanged."""
-    c = load_table(spark, sf_dir, "customer").select(
-        (F.col("c_custkey") + 100000).alias("src"),
-        F.col("c_nationkey").cast("bigint").alias("dst"),
-    )
-    n = load_table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").cast("bigint").alias("src"),
-        (F.col("n_regionkey") + 1000).cast("bigint").alias("dst"),
-    )
-    edges = c.unionByName(n)
-    nodes = (
-        edges.select(F.col("src").alias("v"))
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        c = load_table(spark, sf_dir, "customer").select(
+            (F.col("c_custkey") + 100000).alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("bigint").alias("src"),
+            (F.col("n_regionkey") + 1000).cast("bigint").alias("dst"),
+        )
+        return c.unionByName(n)
+
+    # pin the static graph structures once (persisted): without this,
+    # every unrolled iteration re-derives edges/nodes/deg from the scan
+    # and the plan balloons (23 exchanges measured) — with it, each
+    # round is exactly one rank⋈edges shuffle + one dst-keyed agg
+    edges = shared_frame("pagerank_edges", sf_dir, build_edges)
+    nodes = shared_frame(
+        "pagerank_nodes",
+        sf_dir,
+        lambda: edges.select(F.col("src").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
+        .distinct(),
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    deg = shared_frame(
+        "pagerank_deg",
+        sf_dir,
+        lambda: edges.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("outdeg")
+        ),
+    )
     n_nodes = nodes.count()  # one scalar job; node count is metadata-scale
     base = PR_SCALE // n_nodes
     teleport = (15 * base) // 100  # exact Python int == the oracle's // chain
