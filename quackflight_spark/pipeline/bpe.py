@@ -17,9 +17,15 @@ the reference algorithm ("aaa" + merge(a,a) -> ["aa","a"]). No RNG, no
 engine hash — the merge table is a pure function of the corpus, verified
 against an independent pure-Python implementation in tests.
 
-Iterative argmax is not expressible as one SQL statement, so the key is
-rows-only in the driver gate; the Python cross-check is the correctness
-authority.
+Oracle-backed since r5: a FIXED merge count unrolls into SQL like the
+r5 ANN/k-means conversions — per round, a pair-count CTE, a tie-broken
+argmax CTE, and a recursive-CTE fold that replays the left-to-right
+non-overlapping merge EXACTLY (same acc/last-symbol semantics as
+_apply_merge, one recursion step per symbol position). Per-round CTEs
+are MATERIALIZED: each round is referenced twice (pair counts + fold),
+so un-materialized inlining doubles the chain per round — 2^K scans
+(measured: "too many open files" at K=8). The independent pure-Python
+cross-check in tests remains.
 """
 
 from __future__ import annotations
@@ -107,16 +113,91 @@ def train_bpe_merges(
     return merges
 
 
-@query("pipeline_bpe_merges")  # rows-only: iterative argmax, not one SQL
+def _bpe_oracle_prefix(k: int = BPE_MERGES) -> str:
+    """WITH RECURSIVE chain replaying train_bpe_merges in DuckDB: word
+    frequencies (one corpus pass), then per round i: pair counts p{i},
+    tie-broken argmax m{i} (count DESC, left ASC, right ASC — binary
+    string order in both engines), and an EXACT left-to-right fold f{i}
+    (recursive CTE: one step per symbol position, merging the trailing
+    accumulator symbol exactly like _apply_merge). MATERIALIZED per
+    round — each round is referenced twice, so plain inlining doubles
+    the evaluation chain per round (2^K corpus scans)."""
+    parts = [r"""
+wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents) GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                                    i -> word[i]), '""" + END_MARK + """') AS syms
+  FROM wf
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)), j ->
+      struct_pack(a := syms[j], b := syms[j + 1]))) AS pr
+    FROM w{p}) GROUP BY pr.a, pr.b
+),
+m{i} AS MATERIALIZED (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+f{i} AS (
+  SELECT word, freq, syms, 1 AS pos, [syms[1]] AS acc FROM w{p}
+  UNION ALL
+  SELECT word, freq, syms, pos + 1,
+    CASE WHEN acc[-1] = (SELECT a FROM m{i})
+              AND syms[pos + 1] = (SELECT b FROM m{i})
+         THEN list_append(acc[1:len(acc) - 1], (SELECT a || b FROM m{i}))
+         ELSE list_append(acc, syms[pos + 1]) END
+  FROM f{i} WHERE pos < len(syms)
+),
+w{i} AS MATERIALIZED (SELECT word, freq, acc AS syms FROM f{i}
+                      WHERE pos = len(syms))""")
+    return "".join(parts)
+
+
+_BPE_MERGES_SELECT = " UNION ALL ".join(
+    f'SELECT {i} AS rank, a AS "left", b AS "right", n FROM m{i}'
+    for i in range(1, BPE_MERGES + 1)
+)
+
+
+@query("pipeline_bpe_merges", oracle=f"""
+    WITH RECURSIVE {_bpe_oracle_prefix()}
+    SELECT CAST(rank AS INT) AS rank, "left", "right", n
+    FROM ({_BPE_MERGES_SELECT})
+""")
 def pipeline_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned merge table as a DataFrame (rank, left, right, n)."""
+    """The learned merge table as a DataFrame (rank, left, right, n).
+    Oracle-backed since r5 — the fixed-K training loop unrolls into the
+    WITH RECURSIVE chain above, bit-identical tie-breaks included."""
     rows = train_bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         rows, "rank int, left string, right string, n bigint"
     )
 
 
-@query("pipeline_bpe_tokenize")  # rows-only: depends on learned merges
+@query("pipeline_bpe_tokenize", oracle=f"""
+    WITH RECURSIVE {_bpe_oracle_prefix()},
+    wordstats AS MATERIALIZED (
+      SELECT w0.word, len(w0.syms) AS n_before, len(w{BPE_MERGES}.syms) AS n_after
+      FROM w0 JOIN w{BPE_MERGES} USING (word)
+    ),
+    dw AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> x <> '')) AS word
+      FROM documents
+    )
+    SELECT doc_id, CAST(sum(n_before) AS BIGINT) AS symbols_raw,
+           CAST(sum(n_after) AS BIGINT) AS symbols_bpe,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM dw JOIN wordstats USING (word) GROUP BY doc_id
+""")
 def pipeline_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned merge table to the corpus: per document, the
     subword token count before/after merging and the mean symbols per

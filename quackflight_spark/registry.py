@@ -42,7 +42,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # remainder was 9 oracle-backed keys (added during r4) + 11
 # rows-only-by-design keys, of which r5 converted 6 (LSH/IVF/PQ ANN +
 # k-means) to oracle-backed and added 5 new oracle-backed operators
-# (207 keys, 202 oracle-backed, 5 rows-only). Block A: the 9 r4 keys —
+# (207 keys, 204 oracle-backed, 3 rows-only after the BPE conversion). Block A: the 9 r4 keys —
 # full value-hash rows, highest leverage. Block N: keys added /
 # upgraded / reworked in r5 (in the same gate window so one pass proves
 # them). Block Z1: keys last driver-checked in r1-r3 (oldest evidence
@@ -58,7 +58,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_fuzzy_names", "events_ab_test",
     # -- Block N: keys added / upgraded to oracle-backed / reworked in r5 --
     "dedup_semantic", "events_attribution", "events_top_paths", "merge_scd2",
-    "graph_pagerank",
+    "graph_pagerank", "pipeline_bpe_merges", "pipeline_bpe_tokenize",
     "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans",
     "ann_pq_topk", "ann_ivfpq_topk",
     "events_rfm", "recursive_cte",
@@ -116,7 +116,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fmt_jsoncompact", "stream_watermark_late",
     # -- Block B: rows-only by design, dead last (no value oracle; each
     # costs a gate slot for a weaker rows-only row) --
-    "pipeline_bpe_merges", "pipeline_bpe_tokenize",
     "agg_hll_sketch_table", "sample_random", "sample_percent",
 )
 

@@ -30,16 +30,15 @@ def test_registry_contract():
     # every oracle key has a query
     assert set(o) <= set(q)
     # the non-oracle keys are the documented non-SQL-expressible set
-    # (r5 shrank it 11 -> 5: LSH buckets / IVF+PQ training, assignment,
-    # encode and ADC ranking / k-means clustering all became
-    # SQL-replayable via sequential-dim kernels + unrolled Lloyd CTEs —
-    # see pipeline/similarity.py)
+    # (r5 shrank it 11 -> 3: LSH buckets / IVF+PQ training, assignment,
+    # encode and ADC ranking / k-means clustering became SQL-replayable
+    # via sequential-dim kernels + unrolled Lloyd CTEs, and fixed-K BPE
+    # training via unrolled pair-count/argmax/recursive-fold rounds —
+    # see pipeline/similarity.py, pipeline/bpe.py)
     assert set(q) - set(o) == {
         "sample_random",
         "sample_percent",
         "agg_hll_sketch_table",
-        "pipeline_bpe_merges",
-        "pipeline_bpe_tokenize",
     }
 
 
@@ -60,7 +59,7 @@ def test_gate_priority_ordering():
     # rows-only keys sit at the very end of the walk
     o = _oracles()
     assert all(k in o for k in q[:50])
-    assert all(k not in o for k in q[len(q) - 5:])
+    assert all(k not in o for k in q[len(q) - 3:])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):
