@@ -946,6 +946,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU = 0.35  # fixture embeddings are near-orthogonal (top-pair
 #                      cos ≈ 0.5); real corpora run τ ≈ 0.9+. Config knob.
+SEMDEDUP_CLUSTER_CAP = 100_000  # loud-fail bound on the quadratic stage
 
 
 @query("dedup_semantic", oracle=f"""
@@ -985,9 +986,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SemDeDup's own design: K grows with the corpus so cluster sizes
     stay bounded); the τ filter runs inside the join stage; the corpus
     shuffles once on the cluster key and the verdict anti-joins back.
+    Because K is a config constant, a corpus that outgrows it would go
+    quadratic silently — so cluster sizes are checked against
+    SEMDEDUP_CLUSTER_CAP with an unprunable raise_error filter (the
+    same loud-fail guard as join_fuzzy_names' block cap): oversized
+    clusters abort with their id and the instruction to raise K.
     Exact cosine via the bit-exact sequential-dim kernel, so the oracle
     replays training, assignment AND the drop set exactly."""
     cells = _ivf_corpus_cells(spark, sf_dir)
+    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cluster_n"))
+    cells = cells.join(F.broadcast(sizes), "cell").filter(
+        F.when(
+            F.col("cluster_n") > SEMDEDUP_CLUSTER_CAP,
+            F.raise_error(
+                F.format_string(
+                    "dedup_semantic cluster %d has %d members, exceeding "
+                    "the cap of " + str(SEMDEDUP_CLUSTER_CAP) + " — raise "
+                    "IVF_CELLS (K must grow with the corpus) or the cap",
+                    F.col("cell"), F.col("cluster_n"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
     a = cells.select(
         F.col("neighbor_id").alias("vec_a"), F.col("ce").alias("ea"), "cell"
     )
