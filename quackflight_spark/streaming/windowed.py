@@ -971,6 +971,85 @@ def _ntile_distributed(df: DataFrame, cols: list, out_col: str, buckets: int) ->
     )
 
 
+def _ntile_distributed_arrow(df: DataFrame, cols: list, out_col: str,
+                             buckets: int) -> DataFrame:
+    """The r4-verdict stretch variant of _ntile_distributed: ranks are
+    computed IN the materialization pass instead of by a Window
+    afterwards. repartitionByRange → sortWithinPartitions (JVM sort) →
+    mapInArrow appends (_pid, _r) with a per-partition running counter
+    (order-preserving batch iteration; ~zero-cost Python: one arange
+    per Arrow batch) → localCheckpoint pins the assignment. The later
+    offsets join then needs NO sort at all — the post-checkpoint stage
+    is a broadcast join + map, where the Window form re-sorts every
+    partition after the checkpoint.
+
+    Same bucket arithmetic and tie-break contract as
+    _ntile_distributed (property-tested bit-identical). MEASURED
+    OUTCOME (PERF.md r5 stretch note): parity at 1M rows (1.31 vs
+    1.36 s) but 34% SLOWER at 10M (3.50 vs 2.62 s, local[32]) — the
+    JVM→Arrow→JVM round-trip through Python costs more than the saved
+    post-checkpoint Window re-sort. The Window form stays the default;
+    this variant is kept as the documented investigation result and a
+    template for engines where the checkpoint pass is the bottleneck."""
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from pyspark.sql import Window as W
+
+    def add_rank(batches):
+        pid = None
+        seen = 0
+        for batch in batches:
+            if pid is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+            n = batch.num_rows
+            arrs = batch.columns + [
+                pa.array([pid] * n, pa.int32()),
+                pa.array(range(seen + 1, seen + n + 1), pa.int64()),
+            ]
+            seen += n
+            yield pa.RecordBatch.from_arrays(
+                arrs, names=batch.schema.names + ["_pid", "_r"]
+            )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField("_pid", IntegerType()), StructField("_r", LongType())]
+    )
+    part = (
+        df.repartitionByRange(p, *[F.col(c).asc() for c in cols])
+        .sortWithinPartitions(*cols)
+        .mapInArrow(add_rank, schema=schema)
+        .localCheckpoint()
+    )
+    rows = sorted(
+        (r["_pid"], r["_c"])
+        for r in part.groupBy("_pid").agg(F.max("_r").alias("_c")).collect()
+    )  # ≤P rows; max(_r) = partition count since _r is 1..count
+    n = sum(c for _, c in rows)
+    offs, acc = [], 0
+    for pid, c in rows:
+        offs.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offs, "`_pid` INT, `_off` BIGINT")
+    q, rem = divmod(n, buckets)
+    qs = max(q, 1)
+    r = F.col("_off") + F.col("_r")
+    bucket = F.when(
+        r <= rem * (q + 1), F.floor((r + F.lit(q)) / F.lit(q + 1))
+    ).otherwise(rem + F.floor((r - rem * (q + 1) + qs - 1) / F.lit(qs)))
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, bucket.cast("int"))
+        .drop("_pid", "_off", "_r")
+    )
+
+
 def _ntile_distributed_long(long: DataFrame, buckets: int) -> DataFrame:
     """Exact NTILE over a LONG-format frame — one bucket assignment per
     (metric_id, row), every metric in ONE barrier.

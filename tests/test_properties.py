@@ -186,6 +186,35 @@ def test_ntile_distributed_matches_window_ntile(spark):
         assert got == want, (n, b)
 
 
+def test_ntile_distributed_arrow_matches_window_ntile(spark):
+    """The mapInArrow rank-in-materialization variant (r4-verdict
+    stretch investigation — measured slower than the Window form at
+    scale, kept as documented evidence) must still be bit-identical to
+    the global-window NTILE across bucket counts and frame sizes."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.streaming.windowed import _ntile_distributed_arrow
+
+    for n, b in [(0, 4), (3, 4), (97, 4), (1000, 7)]:
+        df = (
+            spark.range(n)
+            .select(F.col("id").alias("k"), (F.col("id") % 11).alias("v"))
+            .repartition(8)
+        )
+        got = {
+            r["k"]: r["b"]
+            for r in _ntile_distributed_arrow(df, ["v", "k"], "b", b).collect()
+        }
+        want = {
+            r["k"]: r["b"]
+            for r in df.select(
+                "k", F.ntile(b).over(W.orderBy("v", "k")).alias("b")
+            ).collect()
+        }
+        assert got == want, (n, b)
+
+
 def test_ntile_distributed_long_matches_window_ntile(spark):
     """The fused long-format variant (one barrier for ALL metrics — the
     r5 events_rfm optimization) must assign per-metric buckets
