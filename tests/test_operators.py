@@ -374,6 +374,18 @@ def test_mm_resize_schema_and_determinism(spark, sf_dir):
     assert len(a) == 500
 
 
+def test_dedup_semantic_cluster_cap_fires(spark, sf_dir, monkeypatch):
+    """The cluster-size cap must raise loudly (bounded driver-side
+    check, memoized per corpus) when a cluster outgrows it — K is a
+    config constant, so an oversized cluster means K must grow."""
+    from quackflight_spark.pipeline import similarity
+
+    monkeypatch.setattr(similarity, "SEMDEDUP_CLUSTER_CAP", 2)
+    monkeypatch.setattr(similarity, "_SEMDEDUP_CHECKED", set())
+    with pytest.raises(ValueError, match="raise IVF_CELLS"):
+        _queries()["dedup_semantic"](spark, sf_dir)
+
+
 def test_scd2_merge_semantics(spark):
     """Type-2 contract: changed keys close the old version and open a
     new one; NO-OP updates (identical tracked values) create no
