@@ -106,6 +106,9 @@ def timed_pairs(cells) -> float:
     return round(best, 2)
 
 
+TIME_BOUND = 150_000_000  # skip wall-clock above this pair bound (hours)
+
+
 def main() -> None:
     spark = get_spark(app_name="semantic-scale")
     for n in [20_000, 80_000, 320_000]:
@@ -113,17 +116,19 @@ def main() -> None:
         # (a) fixed K=16: pair bound grows ~quadratically with n
         fixed = kmeans_assign(emb, 16).localCheckpoint()
         mx_f, sq_f = pair_bound(fixed)
-        t_f = timed_pairs(fixed)
+        t_f = timed_pairs(fixed) if sq_f <= TIME_BOUND else None
         # (b) K grown with the corpus (n/1250): bound ~linear
         k = max(16, n // 1250)
         grown = kmeans_assign(emb, k).localCheckpoint()
         mx_g, sq_g = pair_bound(grown)
-        t_g = timed_pairs(grown)
+        t_g = timed_pairs(grown) if sq_g <= TIME_BOUND else None
         print(json.dumps({
             "n": n,
-            "fixed_k16": {"max_cluster": mx_f, "pair_bound": sq_f, "sec": t_f},
+            "fixed_k16": {"max_cluster": mx_f, "pair_bound": sq_f,
+                          "sec": t_f if t_f is not None else "skipped>150M"},
             "grown_k": k,
-            "grown": {"max_cluster": mx_g, "pair_bound": sq_g, "sec": t_g},
+            "grown": {"max_cluster": mx_g, "pair_bound": sq_g,
+                      "sec": t_g if t_g is not None else "skipped>150M"},
         }))
         emb.unpersist(); fixed.unpersist(); grown.unpersist()
 
