@@ -112,8 +112,8 @@ def _pr_oracle() -> str:
         parts.append(f""",
     r{i} AS (
       SELECT n.v,
-             (15 * ({base})) // 100
-             + (85 * COALESCE(m.contrib, 0)) // 100 AS r
+             ({100 - PR_DAMP_NUM} * ({base})) // 100
+             + ({PR_DAMP_NUM} * COALESCE(m.contrib, 0)) // 100 AS r
       FROM nodes n LEFT JOIN (
         SELECT e.dst AS v, CAST(sum(pr.r // d.outdeg) AS BIGINT) AS contrib
         FROM edges e
@@ -147,6 +147,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization between rounds at this depth). At true graph scale
     the per-round localCheckpoint pattern of dedup_clusters applies
     unchanged."""
+    from pyspark.sql import Window as W
+
     from quackflight_spark.pipeline.frame_cache import shared_frame
 
     def build_edges() -> DataFrame:
@@ -158,10 +160,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").cast("bigint").alias("src"),
             (F.col("n_regionkey") + 1000).cast("bigint").alias("dst"),
         )
-        return c.unionByName(n)
+        # outdeg rides ON the edge rows (one src-keyed window at build
+        # time, pinned with the frame) — deg is node-cardinality, so
+        # joining (let alone broadcasting) it per iteration would ship
+        # a |V|-sized table every round at graph scale
+        return c.unionByName(n).withColumn(
+            "outdeg", F.count(F.lit(1)).over(W.partitionBy("src")).cast("bigint")
+        )
 
     # pin the static graph structures once (persisted): without this,
-    # every unrolled iteration re-derives edges/nodes/deg from the scan
+    # every unrolled iteration re-derives edges/nodes from the scan
     # and the plan balloons (23 exchanges measured) — with it, each
     # round is exactly one rank⋈edges shuffle + one dst-keyed agg
     edges = shared_frame("pagerank_edges", sf_dir, build_edges)
@@ -172,21 +180,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("v")))
         .distinct(),
     )
-    deg = shared_frame(
-        "pagerank_deg",
-        sf_dir,
-        lambda: edges.groupBy("src").agg(
-            F.count(F.lit(1)).cast("bigint").alias("outdeg")
-        ),
-    )
     n_nodes = nodes.count()  # one scalar job; node count is metadata-scale
     base = PR_SCALE // n_nodes
-    teleport = (15 * base) // 100  # exact Python int == the oracle's // chain
+    # exact Python ints == the oracle's integer-division chain
+    teleport = ((100 - PR_DAMP_NUM) * base) // 100
     ranks = nodes.withColumn("r", F.lit(base).cast("bigint"))
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(ranks.withColumnRenamed("v", "src"), "src")
-            .join(F.broadcast(deg), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.expr("r DIV outdeg")).cast("bigint").alias("contrib"))
         )
@@ -194,7 +195,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             (
                 F.lit(teleport).cast("bigint")
-                + F.expr("(85 * COALESCE(contrib, CAST(0 AS BIGINT))) DIV 100")
+                + F.expr(
+                    f"({PR_DAMP_NUM} * COALESCE(contrib, CAST(0 AS BIGINT))) DIV 100"
+                )
             ).alias("r"),
         )
     return ranks.select(

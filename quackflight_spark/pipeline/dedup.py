@@ -362,7 +362,11 @@ def minhash_hash_table_bucketed(
     The table name fingerprints the SOURCE parquet (mtime_ns + size, the
     same freshness key textformats._staged uses), so regenerated
     fixtures at the same path rebuild the hash table instead of silently
-    serving stale arrays."""
+    serving stale arrays. Caveats (single-host warehouse assumption):
+    superseded fingerprints leave their directories behind (bounded by
+    fixture regenerations — rare), and the orphan cleanup consults only
+    THIS session's catalog, so a warehouse shared by concurrent
+    independent sessions would need a shared metastore instead."""
     import os
     import shutil
 

@@ -947,7 +947,22 @@ def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.35  # fixture embeddings are near-orthogonal (top-pair
 #                      cos ≈ 0.5); real corpora run τ ≈ 0.9+. Config knob.
 SEMDEDUP_CLUSTER_CAP = 100_000  # loud-fail bound on the quadratic stage
-_SEMDEDUP_CHECKED: set[str] = set()  # corpora whose clusters passed the cap
+# corpora whose clusters passed the cap, keyed by (path, mtime_ns, size)
+# of the source parquet — a regenerated corpus at the same path must be
+# re-checked, not silently trusted (same freshness contract as the
+# minhash/IVF cache fingerprints)
+_SEMDEDUP_CHECKED: set[tuple] = set()
+
+
+def _semdedup_memo_key(sf_dir: str) -> tuple:
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir,)
 
 
 @query("dedup_semantic", oracle=f"""
@@ -998,7 +1013,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact cosine via the bit-exact sequential-dim kernel, so the oracle
     replays training, assignment AND the drop set exactly."""
     cells = _ivf_corpus_cells(spark, sf_dir)
-    if sf_dir not in _SEMDEDUP_CHECKED:
+    memo = _semdedup_memo_key(sf_dir)
+    if memo not in _SEMDEDUP_CHECKED:
         worst = (
             cells.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1011,7 +1027,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"members, exceeding the cap of {SEMDEDUP_CLUSTER_CAP} — "
                 "raise IVF_CELLS (K must grow with the corpus) or the cap"
             )
-        _SEMDEDUP_CHECKED.add(sf_dir)
+        _SEMDEDUP_CHECKED.add(memo)
     a = cells.select(
         F.col("neighbor_id").alias("vec_a"), F.col("ce").alias("ea"), "cell"
     )

@@ -197,13 +197,16 @@ def detach_namespace(spark: SparkSession, alias: str) -> None:
     forget the alias. Refuses for namespaces NOT created by attach —
     the reference's DETACH merely unmounts (main.py:284, no data loss),
     so dropping a managed namespace here would destroy real tables."""
-    if alias not in _ATTACHED:
-        raise ValueError(
-            f"cannot DETACH {alias!r}: not an ATTACHed namespace. DETACH "
-            "only unmounts attach_duckdb snapshots; to remove a managed "
-            "namespace use DROP DATABASE explicitly"
-        )
     with _alias_lock(alias):
+        # membership check INSIDE the lock: a concurrent re-attach of the
+        # same alias holds it, so this detach observes the post-refresh
+        # state instead of racing a check-then-act drop against it
+        if alias not in _ATTACHED:
+            raise ValueError(
+                f"cannot DETACH {alias!r}: not an ATTACHed namespace. DETACH "
+                "only unmounts attach_duckdb snapshots; to remove a managed "
+                "namespace use DROP DATABASE explicitly"
+            )
         spark.sql(f"DROP DATABASE IF EXISTS {alias} CASCADE")
         _ATTACHED.pop(alias, None)
 

@@ -266,20 +266,56 @@ def scd2_merge(
     null-safe compare) create no version; history rows pass through
     untouched.
 
+    The change-set must carry at most one row per key (standard MERGE
+    multiple-matches contract) — duplicates would fan the current row
+    out into corrupted double versions, so they fail loudly via a
+    bounded one-row aggregate check. Change-set keys ABSENT from the
+    dimension are rejected the same way: SCD2 inserts are a separate
+    concern (give them an explicit seed version) and silently dropping
+    them — what a bare left join does — is the worst outcome.
+
     Scale shape: ONE keyed join of the CURRENT slice against the
-    change-set (broadcast when the change-set is small — the usual
-    case); the history slice never joins anything, so with the table
-    partitioned on is_current (or valid_to IS NULL) the merge reads and
-    rewrites only the current partition — the same
-    touched-partitions-only contract as merge_upsert_cow."""
+    change-set (no forced broadcast — Catalyst/AQE picks broadcast when
+    the change-set fits, sort-merge when a backfill doesn't); the
+    history slice never joins anything, so with the table partitioned
+    on is_current (or valid_to IS NULL) the merge reads and rewrites
+    only the current partition — the same touched-partitions-only
+    contract as merge_upsert_cow."""
+    import functools
+    import operator
+
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
     u = updates.select(
         *keys, *[F.col(c).alias(f"_u_{c}") for c in tracked], F.lit(True).alias("_hit")
     )
-    joined = cur.join(F.broadcast(u), keys, "left")
-    changed = F.coalesce(F.col("_hit"), F.lit(False)) & ~functools_reduce_and(
-        [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked]
+    # loud preconditions, one 1-row aggregate over the change-set joined
+    # to the current slice: no duplicate keys, no unmatched keys
+    chk = (
+        u.join(cur.select(*keys, F.lit(True).alias("_cur")), keys, "left")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("_cur").alias("_m"))
+        .agg(
+            F.max("_n").alias("max_dup"),
+            F.sum(F.when(F.col("_m").isNull(), 1).otherwise(0)).alias("unmatched"),
+        )
+        .first()
+    )
+    if chk and (chk["max_dup"] or 0) > 1:
+        raise ValueError(
+            "scd2_merge: change-set has duplicate keys (max multiplicity "
+            f"{chk['max_dup']}) — one row per key required"
+        )
+    if chk and (chk["unmatched"] or 0) > 0:
+        raise ValueError(
+            f"scd2_merge: {chk['unmatched']} change-set key(s) have no "
+            "current dimension row — seed new keys explicitly instead of "
+            "relying on the merge to invent versions"
+        )
+    joined = cur.join(u, keys, "left")
+    changed = F.coalesce(F.col("_hit"), F.lit(False)) & ~functools.reduce(
+        operator.and_,
+        [F.col(c).eqNullSafe(F.col(f"_u_{c}")) for c in tracked],
     )
     passthrough = joined.filter(~changed).select(*dim.columns)
     closed = (
@@ -301,12 +337,6 @@ def scd2_merge(
         .select(*dim.columns)
     )
     return hist.unionByName(passthrough).unionByName(closed).unionByName(opened)
-
-
-def functools_reduce_and(cols):
-    import functools
-
-    return functools.reduce(lambda a, b: a & b, cols)
 
 
 SCD2_EFF = "1995-06-17"

@@ -995,7 +995,6 @@ def _ntile_distributed_arrow(df: DataFrame, cols: list, out_col: str,
 
     spark = df.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    from pyspark.sql import Window as W
 
     def add_rank(batches):
         pid = None
@@ -1147,11 +1146,14 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("monetary"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary_dec"),
         )
+        .withColumn("monetary", F.col("monetary_dec").cast("double"))
     )
+    # stacked sort key is DECIMAL(18,2), not double: epoch-micros
+    # (< 10^16) and per-user counts fit its 16 integer digits exactly,
+    # and the monetary sum is decimal-native — so metric order is exact
+    # at ANY magnitude, with no 2^53 double-injectivity caveat
     long = agg.select(
         "user_id",
         "freq",
@@ -1160,15 +1162,17 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.struct(
                     F.lit(0).alias("metric_id"),
-                    F.unix_micros(F.col("last_ts")).cast("double").alias("value"),
+                    F.unix_micros(F.col("last_ts"))
+                    .cast("decimal(18,2)")
+                    .alias("value"),
                 ),
                 F.struct(
                     F.lit(1).alias("metric_id"),
-                    F.col("freq").cast("double").alias("value"),
+                    F.col("freq").cast("decimal(18,2)").alias("value"),
                 ),
                 F.struct(
                     F.lit(2).alias("metric_id"),
-                    F.col("monetary").alias("value"),
+                    F.col("monetary_dec").cast("decimal(18,2)").alias("value"),
                 ),
             )
         ).alias("mv"),

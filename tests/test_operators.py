@@ -418,6 +418,27 @@ def test_scd2_merge_semantics(spark):
     }
 
 
+def test_scd2_merge_preconditions_fail_loudly(spark):
+    """Duplicate change-set keys would corrupt the dimension (fanned-out
+    double versions) and unmatched keys would silently vanish in the
+    left join — both must raise instead (r5 review finding)."""
+    import datetime
+
+    from quackflight_spark.sources.merge import scd2_merge
+
+    d0 = datetime.date(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, 10.0, d0, None, True)],
+        "k bigint, v double, valid_from date, valid_to date, is_current boolean",
+    )
+    dup = spark.createDataFrame([(1, 11.0), (1, 12.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        scd2_merge(dim, dup, ["k"], ["v"], "2021-06-01")
+    new_key = spark.createDataFrame([(99, 5.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="no .* current dimension row|no\ncurrent|have no"):
+        scd2_merge(dim, new_key, ["k"], ["v"], "2021-06-01")
+
+
 def test_recursive_cte_native_plan_and_fixpoint_parity(spark, sf_dir):
     """On Spark >=4.0 recursive_cte runs the NATIVE WITH RECURSIVE
     (UnionLoop operator — recursion engine-side, no driver round-trips);

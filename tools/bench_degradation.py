@@ -12,8 +12,10 @@ wrapper is collected — so storage/GC pressure climbs across runs.
 
 Protocol: for each suspect key, N_REPS timed runs under (a) baseline
 (bench.py behavior), (b) gc.collect() after every run. Records per-run
-wall-clock plus JVM storage-memory-used and executor GC-time deltas.
-Prints one JSON line per (key, mode) and a summary verdict.
+wall-clock plus a JVM heap-used snapshot after each run (enough to see
+monotone storage growth; full GC-time accounting isn't exposed without
+a listener). Prints one JSON line per (key, mode) and a summary
+verdict.
 
 Usage: python tools/bench_degradation.py [sf_dir]
 """
