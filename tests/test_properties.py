@@ -256,3 +256,92 @@ def test_ntile_distributed_long_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, b
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),   # descriptor length
+            st.integers(min_value=0, max_value=2),    # noun id
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzzy_banding_lossless_property(spark, specs):
+    """Hypothesis form of the banding proof: for arbitrary name
+    populations (repeated-character descriptors of adversarial lengths
+    over a tiny noun vocabulary — maximal band-boundary pressure), the
+    banded fuzzy join must equal the unbanded token-blocked ground
+    truth exactly."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.operators.tpch_extra import (
+        FUZZY_MAX_DIST, fuzzy_name_pairs,
+    )
+
+    names = list({f"{'x' * d} noun{t}" for d, t in specs})
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {tuple(r) for r in fuzzy_name_pairs(df, block_cap=10**9).collect()}
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    a = df.select(F.col("p_name").alias("name_a"))
+    b = df.select(F.col("p_name").alias("name_b"))
+    want = {
+        tuple(r)
+        for r in (
+            a.join(b, (F.col("name_a") < F.col("name_b")) & (last("name_a") == last("name_b")))
+            .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+            .filter(F.col("dist") <= FUZZY_MAX_DIST)
+            .collect()
+        )
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # key
+            st.floats(min_value=-1e4, max_value=1e4,
+                      allow_nan=False, allow_infinity=False),  # new value
+        ),
+        min_size=0,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_scd2_merge_invariants_property(spark, upd):
+    """Hypothesis invariants for scd2_merge over a fixed 5-key dimension:
+    exactly one is_current row per key, closed rows carry the effective
+    date, version counts grow only for keys whose tracked value actually
+    changed, and no rows are lost."""
+    import datetime
+
+    from quackflight_spark.sources.merge import scd2_merge
+
+    d0 = datetime.date(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [(k, float(k) * 10, d0, None, True) for k in range(1, 6)],
+        "k bigint, v double, valid_from date, valid_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(k, v) for k, v in upd], "k bigint, v double"
+    ) if upd else spark.createDataFrame([], "k bigint, v double")
+    out = scd2_merge(dim, updates, ["k"], ["v"], "2021-06-01").collect()
+    changed = {k for k, v in upd if v != float(k) * 10}
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(range(1, 6))  # no key lost
+    for k, rows in by_key.items():
+        current = [r for r in rows if r.is_current]
+        assert len(current) == 1  # exactly one open version
+        if k in changed:
+            assert len(rows) == 2
+            closed = next(r for r in rows if not r.is_current)
+            assert str(closed.valid_to) == "2021-06-01"
+            assert str(current[0].valid_from) == "2021-06-01"
+        else:
+            assert len(rows) == 1 and current[0].v == float(k) * 10
