@@ -1350,12 +1350,14 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT n_a, conv_a, n_b, conv_b,
-           round(CAST(conv_a AS DOUBLE) / n_a, 8) AS rate_a,
-           round(CAST(conv_b AS DOUBLE) / n_b, 8) AS rate_b,
-           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
-                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+           round(CAST(conv_a AS DOUBLE) / nullif(n_a, 0), 8) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / nullif(n_b, 0), 8) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / nullif(n_a, 0)
+                  - CAST(conv_b AS DOUBLE) / nullif(n_b, 0))
+                 / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                         * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+                        * (1.0 / nullif(n_a, 0) + 1.0 / nullif(n_b, 0))), 0),
+                 6) AS z_score
     FROM s
 """)
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,10 +1398,15 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_b"),
     )
-    p_a = F.col("conv_a").cast("double") / F.col("n_a")
-    p_b = F.col("conv_b").cast("double") / F.col("n_b")
-    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide everywhere: on a fully-converting corpus p_pool = 1 so
+    # the pooled-variance term is exactly 0 — the z-score must be NULL
+    # (matching DuckDB's divide-by-zero NULL), not a DIVIDE_BY_ZERO
+    # error under an ANSI-enabled session (Spark 4's default).
+    p_a = F.try_divide(F.col("conv_a").cast("double"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b").cast("double"), F.col("n_b"))
+    p_pool = F.try_divide(
+        (F.col("conv_a") + F.col("conv_b")).cast("double"),
+        F.col("n_a") + F.col("n_b"),
     )
     return s.select(
         "n_a",
@@ -1409,10 +1416,15 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_a, 8).alias("rate_a"),
         F.round(p_b, 8).alias("rate_b"),
         F.round(
-            (p_a - p_b)
-            / F.sqrt(
-                p_pool * (1 - p_pool)
-                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            F.try_divide(
+                p_a - p_b,
+                F.sqrt(
+                    p_pool * (1 - p_pool)
+                    * (
+                        F.try_divide(F.lit(1.0), F.col("n_a"))
+                        + F.try_divide(F.lit(1.0), F.col("n_b"))
+                    )
+                ),
             ),
             6,
         ).alias("z_score"),

@@ -7,7 +7,17 @@ names, and order-insensitive values (column-name-sorted, like the driver).
 Usage:
     python tools/check.py                 # all keys at sf0.01
     python tools/check.py filter_eq win_rank   # subset
+    python tools/check.py --ansi          # ANSI-on leg (driver parity)
     SF_DIR=/root/testdata/sf0.001 python tools/check.py
+
+The --ansi flag (or ANSI=1 env) sets spark.sql.ansi.enabled=true at
+runtime — the DRIVER grades under Spark 4's default ANSI-on session,
+while the package session factory pins ANSI off to match DuckDB's
+permissive overflow/cast behavior. Every key must pass BOTH legs: the
+ANSI-off leg proves value parity with the oracle, the ANSI-on leg
+proves no expression hard-errors in the session the driver actually
+uses (r5 post-mortem: events_ab_test DIVIDE_BY_ZERO was invisible to
+the ANSI-off-only harness).
 """
 
 from __future__ import annotations
@@ -98,12 +108,22 @@ def main(keys: list[str]) -> int:
 
     from quackflight_spark.session import get_spark
 
+    ansi = os.environ.get("ANSI", "") == "1"
+    if "--ansi" in keys:
+        keys = [k for k in keys if k != "--ansi"]
+        ansi = True
+
     queries = e.queries()
     oracles = e.oracle_sql()
     if keys:
         queries = {k: queries[k] for k in keys}
 
     spark = get_spark(app_name="check", master="local[8]")
+    if ansi:
+        # Runtime-settable: flips this session to the driver's grading
+        # config without touching the package default.
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("[check] ANSI-on leg (spark.sql.ansi.enabled=true)")
 
     con = duckdb.connect()
     for t in TABLES:
