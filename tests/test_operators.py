@@ -375,15 +375,39 @@ def test_mm_resize_schema_and_determinism(spark, sf_dir):
 
 
 def test_dedup_semantic_cluster_cap_fires(spark, sf_dir, monkeypatch):
-    """The cluster-size cap must raise loudly (bounded driver-side
-    check, memoized per corpus) when a cluster outgrows it — K is a
-    config constant, so an oversized cluster means K must grow."""
+    """The cluster-size backstop must still raise loudly (bounded
+    driver-side check, memoized per corpus) when a cluster outgrows it
+    even at the policy-chosen K — e.g. degenerate geometry."""
     from quackflight_spark.pipeline import similarity
 
     monkeypatch.setattr(similarity, "SEMDEDUP_CLUSTER_CAP", 2)
     monkeypatch.setattr(similarity, "_SEMDEDUP_CHECKED", set())
     with pytest.raises(ValueError, match="raise IVF_CELLS"):
         _queries()["dedup_semantic"](spark, sf_dir)
+
+
+def test_semdedup_k_grows_with_corpus(spark):
+    """r6: K is no longer a config constant — it follows SemDeDup's own
+    n/1250 law above the IVF_CELLS floor, and the grown-K trainer
+    actually yields that many centroids from its widened sample."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.similarity import (
+        IVF_CELLS, SEMDEDUP_K_PER, _train_centroids, semdedup_k,
+    )
+
+    assert semdedup_k(500) == IVF_CELLS
+    assert semdedup_k(IVF_CELLS * SEMDEDUP_K_PER) == IVF_CELLS
+    assert semdedup_k(100_000) == 80
+    assert semdedup_k(1_000_000) == 800
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 11).cast("double")
+        ).alias("e"),
+    )
+    cents = _train_centroids(emb, k=40)
+    assert len(cents) == 40 and all(len(c) == 2 for c in cents)
 
 
 def test_scd2_merge_semantics(spark):
@@ -465,13 +489,19 @@ def test_fuzzy_join_length_banding_is_lossless(spark):
     names = spark.createDataFrame(
         [(f"{'x' * k} widget",) for k in range(1, 41)], ["p_name"]
     )
-    rows = {tuple(r) for r in fuzzy_name_pairs(names).collect()}
     expect = {
         (f"{'x' * i} widget", f"{'x' * j} widget", j - i)
         for i in range(1, 41)
         for j in range(i + 1, min(i + 3, 40) + 1)
     }
+    # band_threshold=0 forces every block down the banded branch — the
+    # boundary-pair shapes this population builds are exactly what the
+    # ±1 band probe could drop if it were wrong
+    rows = {tuple(r) for r in fuzzy_name_pairs(names, band_threshold=0).collect()}
     assert rows == expect
+    # adaptive default (this 40-name block skips banding) must agree
+    rows_adaptive = {tuple(r) for r in fuzzy_name_pairs(names).collect()}
+    assert rows_adaptive == expect
 
 
 def test_fuzzy_join_block_cap_fails_loudly(spark):
@@ -484,6 +514,29 @@ def test_fuzzy_join_block_cap_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="exceeding the cap"):
         fuzzy_name_pairs(names, block_cap=10).collect()
+
+
+def test_basket_mega_basket_fails_loudly(spark):
+    """A basket past BASKET_SIZE_CAP must raise with its order key, not
+    silently expand k² pairs into one join partition — the PERF.md-
+    measured skew hazard, enforced (r5 verdict task). A well-formed
+    basket population under the same cap must pass untouched."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.operators.tpch_extra import basket_pair_lift_core
+
+    # order 1: 30-item mega-basket; orders 2,3: the same normal pair
+    mega = spark.range(30).select(
+        F.lit(1).alias("o"), F.col("id").cast("int").alias("p")
+    )
+    normal = spark.createDataFrame(
+        [(2, 100), (2, 101), (3, 100), (3, 101)], ["o", "p"]
+    )
+    op = mega.unionByName(normal.select(F.col("o").cast("bigint"), "p"))
+    with pytest.raises(Exception, match="pair expansion is quadratic"):
+        basket_pair_lift_core(op, basket_cap=10).collect()
+    rows = {tuple(r) for r in basket_pair_lift_core(op, basket_cap=50).collect()}
+    assert (100, 101, 2) in {(a, b, n) for a, b, n, _ in rows}
 
 
 def test_mm_image_phash_unicode_parity(spark, tmp_path):

@@ -283,7 +283,13 @@ def test_fuzzy_banding_lossless_property(spark, specs):
 
     names = list({f"{'x' * d} noun{t}" for d, t in specs})
     df = spark.createDataFrame([(n,) for n in names], ["p_name"])
-    got = {tuple(r) for r in fuzzy_name_pairs(df, block_cap=10**9).collect()}
+    # band_threshold=0 forces the banded branch (the adaptive default
+    # would route these tiny blocks down the plain token join, which is
+    # definitionally identical to the ground truth below)
+    got = {
+        tuple(r)
+        for r in fuzzy_name_pairs(df, block_cap=10**9, band_threshold=0).collect()
+    }
     last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
     a = df.select(F.col("p_name").alias("name_a"))
     b = df.select(F.col("p_name").alias("name_b"))

@@ -59,11 +59,15 @@ def synth_baskets(spark, n_orders: int, basket: int, mega: int = 0):
 
 
 def timed(op, reps: int = 2) -> float:
+    # cap_checked=True: this curve MEASURES the mega-basket hazard the
+    # r6 plan-time cap now refuses (check_basket_cap raises on the
+    # synthetic 50k basket), and the timed section must not include the
+    # stat job either
     best = float("inf")
-    basket_pair_lift_core(op).count()  # warm-up
+    basket_pair_lift_core(op, cap_checked=True).count()  # warm-up
     for _ in range(reps):
         t0 = time.perf_counter()
-        basket_pair_lift_core(op).count()
+        basket_pair_lift_core(op, cap_checked=True).count()
         best = min(best, time.perf_counter() - t0)
     return round(best, 2)
 

@@ -105,10 +105,10 @@ def main() -> None:
         # correctness cross-check at the smallest size (token-only is the
         # unbanded ground truth for the same distance predicate)
         if n == SIZES[0]:
-            a = {tuple(r) for r in fuzzy_name_pairs(names, block_cap=10**9).collect()}
+            a = {tuple(r) for r in fuzzy_name_pairs(names, block_cap=10**9, band_threshold=0, has_oversized=True).collect()}
             b = {tuple(r) for r in token_only_pairs(names).collect()}
             assert a == b, f"banded != token-only at n={n}"
-        t_band = timed(lambda: fuzzy_name_pairs(names, block_cap=10**9).count())
+        t_band = timed(lambda: fuzzy_name_pairs(names, block_cap=10**9, band_threshold=0, has_oversized=True).count())
         t_tok = timed(lambda: token_only_pairs(names).count())
         rec = {
             "n_names": n,

@@ -117,8 +117,11 @@ def main() -> None:
         fixed = kmeans_assign(emb, 16).localCheckpoint()
         mx_f, sq_f = pair_bound(fixed)
         t_f = timed_pairs(fixed) if sq_f <= TIME_BOUND else None
-        # (b) K grown with the corpus (n/1250): bound ~linear
-        k = max(16, n // 1250)
+        # (b) K grown with the corpus — the OPERATOR'S own policy
+        # (similarity.semdedup_k, r6): bound ~linear
+        from quackflight_spark.pipeline.similarity import semdedup_k
+
+        k = semdedup_k(n)
         grown = kmeans_assign(emb, k).localCheckpoint()
         mx_g, sq_g = pair_bound(grown)
         t_g = timed_pairs(grown) if sq_g <= TIME_BOUND else None
