@@ -375,11 +375,20 @@ def minhash_hash_table_bucketed(
         # An orphaned warehouse directory (table written by a previous
         # session whose in-memory catalog is gone) blocks the managed
         # write with LOCATION_ALREADY_EXISTS — it is a rebuildable
-        # cache, so clear it rather than fail.
+        # cache, so clear it rather than fail. Guarded to LOCAL
+        # filesystem warehouses only (r5 advisory): for hdfs://
+        # s3a://-style URIs os.path can't see the directory (the check
+        # was a silent no-op) and an os-level rmtree of an
+        # equally-named local path would delete the wrong thing —
+        # there, drop through the catalog instead, which knows the
+        # real location.
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(wh.removeprefix("file:"), table)
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        if "://" in wh and not wh.startswith("file:"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}")
+        else:
+            loc = os.path.join(wh.removeprefix("file:"), table)
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
         from quackflight_spark.sources.writers import write_bucketed
 
         write_bucketed(doc_shingle_hashes(spark, sf_dir), table, ["doc_id"], n_buckets)

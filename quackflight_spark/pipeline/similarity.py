@@ -329,16 +329,22 @@ def _train_centroids(emb, k: int = IVF_CELLS,
     the distributed *assignment*, never the training loop, so at 100 TB
     training cost is constant while the seeds stay deterministic.
 
-    SQL-replayable (r5): distances accumulate sequentially over dims
-    (bit-identical to DuckDB's ``-2*list_dot_product(x,c) +
+    SQL-replayable (r5, hardened r6): distances accumulate sequentially
+    over dims (bit-identical to DuckDB's ``-2*list_dot_product(x,c) +
     list_dot_product(c,c)``), argmin ties break to the lowest cid (both
-    engines), and each Lloyd mean is rounded with duck_round6 — the
-    binary-value half-away rounding DuckDB's ``round(avg(..), 6)``
-    applies — so sum-order drift between numpy's pairwise mean and
-    DuckDB's unordered SUM (≈1e-13 relative) is absorbed before it can
-    flip a later argmin. The IVF oracles below unroll these exact
-    rounds as CTEs; centroids verified bit-identical across engines on
-    the fixture corpus."""
+    engines), and each Lloyd mean is computed with math.fsum — the
+    EXACT (correctly-rounded) sum, so this side carries zero
+    summation-order error — then divided and rounded with duck_round6,
+    the binary-value half-away rounding DuckDB's ``round(avg(..), 6)``
+    applies. Residual cross-engine hazard (r5 advisory, documented, not
+    fully closable): DuckDB's AVG accumulates in engine-chosen order
+    with ~n·ulp error, so a true mean within ~1e-13 of a 0.5e-6
+    rounding boundary can still round apart; the fsum side at least
+    guarantees the drift has only ONE source. The IVF oracles below
+    unroll these exact rounds as CTEs; centroids verified bit-identical
+    across engines on the fixture corpus."""
+    import math
+
     import numpy as np
 
     from quackflight_spark.pipeline.veckernels import (
@@ -360,7 +366,10 @@ def _train_centroids(emb, k: int = IVF_CELLS,
         for cid in range(len(centroids)):
             members = x[cell == cid]
             if len(members):
-                centroids[cid] = duck_round6(members.mean(axis=0))
+                exact_mean = np.array(
+                    [math.fsum(members[:, d]) for d in range(members.shape[1])]
+                ) / len(members)
+                centroids[cid] = duck_round6(exact_mean)
     return [list(c) for c in centroids]
 
 

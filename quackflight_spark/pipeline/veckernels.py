@@ -48,9 +48,21 @@ def duck_round6(x: np.ndarray) -> np.ndarray:
     zero applied to the BINARY value (std::round(x*1e6)/1e6) — NOT
     np.round (banker's) and NOT Python round (shortest-decimal). Used
     wherever a driver-side float (k-means centroid mean) must be
-    bit-replayable by a DuckDB oracle."""
+    bit-replayable by a DuckDB oracle.
+
+    std::round(y) is the nearest integer of the double y with ties away
+    from zero, computed EXACTLY — the naive floor(|y| + 0.5) emulation
+    diverges when |y| + 0.5 rounds UP to an integer in FP (|y| one ulp
+    under n + 0.5 → floor sees exactly n + 0.5 and claims n + 1, r5
+    advisory). Comparing the fractional part avoids the addition
+    entirely: both floor(|y|) and |y| - floor(|y|) are exact for
+    |y| < 2^52, the magnitude where doubles still have sub-integer
+    resolution (beyond it y is already an integer and frac = 0)."""
     x = np.asarray(x, dtype=np.float64)
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+    y = np.abs(x) * 1e6
+    fl = np.floor(y)
+    r = fl + (y - fl >= 0.5)
+    return np.sign(x) * r / 1e6
 
 
 def seq_cross_dot(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -36,68 +36,51 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 # Keys the driver's budget-limited correctness gate should reach FIRST,
 # in order. The gate walks queries() in dict order and truncates at 50
-# keys (observed every round). Rotated each round so the budget lands on
-# keys that have never had a driver CORRECTNESS row. After r4 the
-# cumulative driver-green set was 182/202; the never-driver-proven
-# remainder was 9 oracle-backed keys (added during r4) + 11
-# rows-only-by-design keys, of which r5 converted 6 (LSH/IVF/PQ ANN +
-# k-means) to oracle-backed and added 5 new oracle-backed operators
-# (207 keys, 204 oracle-backed, 3 rows-only after the BPE conversion). Block A: the 9 r4 keys —
-# full value-hash rows, highest leverage. Block N: keys added /
-# upgraded / reworked in r5 (in the same gate window so one pass proves
-# them). Block Z1: keys last driver-checked in r1-r3 (oldest evidence
-# first — the remaining slots of a 50-key window re-verify the stalest
-# greens). Block Z2: keys checked in r4 (freshest evidence). Block B
-# dead last: rows-only keys — each costs a gate slot for an
+# keys (observed every round). Rotated each round: keys whose behavior
+# changed this round go first (r6: the events_ab_test ANSI fix — the
+# project's only-ever red row — plus the fuzzy/basket perf reworks, the
+# grown-K semantic dedup, and the two sampling keys upgraded from
+# rows-only to deterministic-hash value oracles: 207 keys, 206
+# oracle-backed, 1 rows-only), then the stalest driver evidence (the
+# r1-r3-checked keys the r5 window never reached — 44 of them fill the
+# rest of a 50-key window), then r4-checked, then r5-checked (freshest).
+# Block B dead last: rows-only keys — each costs a gate slot for an
 # `err:"no_oracle"` row (r4's ann_lsh_topk slot proved that), so they
 # must never sit ahead of an unproven oracle key.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block A: never driver-checked, oracle-backed (added in r4) --
-    "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",
-    "topk_per_group", "mm_image_phash", "win_ntile", "basket_pair_lift",
-    "join_fuzzy_names", "events_ab_test",
-    # -- Block N: keys added / upgraded to oracle-backed / reworked in r5 --
-    "dedup_semantic", "events_attribution", "events_top_paths", "merge_scd2",
-    "graph_pagerank", "pipeline_bpe_merges", "pipeline_bpe_tokenize",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans",
-    "ann_pq_topk", "ann_ivfpq_topk",
-    "events_rfm", "recursive_cte",
-    # -- Block Z1: driver-green in r1-r3 (stalest evidence re-verified
-    # first) --
-    "fn_cast_ch", "fn_date_ch", "fn_url_ip", "fn_array_hof", "fn_array_ops",
-    "fn_map_access", "tpch_q12", "agg_list", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding", "dedup_clusters", "ann_bruteforce_topk",
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_vocab_topk", "text_repetition", "pipeline_pack_sequences",
-    "pipeline_decontaminate", "pipeline_corpus_prep", "mm_binary_meta",
-    "mm_frame_sample", "split_train_test", "sample_stratified",
-    "sample_quota", "merge_upsert", "delete_where", "stream_tumbling",
-    "stream_sliding", "stream_session", "stream_dedup",
-    "stream_interval_join", "stream_upsert_sink", "rollup_time_partitioned",
-    "timeseries_gapfill", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21",
-    "tpch_q22", "join_asof", "win_rank", "win_percent",
-    "win_lag", "win_firstlast", "win_agg_frame", "win_range_frame",
-    "win_qualify", "cte_with", "subquery_scalar", "subquery_correlated",
-    "subquery_in", "pivot", "unpivot", "join_range_bucket", "exists_agg",
-    "set_union_all", "set_union", "set_union_byname", "set_intersect",
-    "set_intersect_all", "set_except", "set_except_all", "fn_string_basic",
-    "fn_regexp", "fn_date_parts", "fn_date_arith", "fn_math", "fn_unnest",
-    "fn_generate_series", "fn_struct", "fn_json_extract", "fn_cast",
-    "fn_conditional", "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q14",
-    "tpch_q18", "tpch_q2", "tpch_q7", "scan_parquet", "scan_table",
-    "project_cols", "filter_eq", "filter_conj", "filter_param",
-    "filter_between_in", "filter_like_regex", "filter_null_case",
-    "join_using", "join_inner_on", "join_left", "join_right", "join_full",
-    "join_cross", "join_semi", "join_anti", "join_theta", "join_lateral",
-    "join_positional", "agg_count_star", "agg_groupby", "agg_basic",
-    "agg_distinct", "agg_grouping_sets", "agg_rollup", "agg_cube",
-    "agg_filter", "agg_argminmax", "agg_quantile", "agg_stats",
-    "agg_approx", "agg_having", "agg_distinct_rows", "agg_distinct_on",
-    "orderby_desc_limit", "orderby_multi", "limit_offset", "tpch_q1",
-    "tpch_q3", "tpch_q5",
-    # -- Block Z2: driver-green in r4 (freshest evidence) --
+    # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
+    # two perf reworks, grown-K semantic, and the two sampling keys
+    # converted from rows-only to deterministic-hash value oracles) --
+    "events_ab_test", "basket_pair_lift", "join_fuzzy_names",
+    "dedup_semantic", "sample_random", "sample_percent",
+    # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
+    # the r5 gate window ended before reaching these) --
+    "split_train_test", "sample_stratified", "sample_quota", "merge_upsert",
+    "delete_where", "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup", "stream_interval_join", "stream_upsert_sink",
+    "rollup_time_partitioned", "timeseries_gapfill", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22", "join_asof", "win_rank",
+    "win_percent", "win_lag", "win_firstlast", "win_agg_frame",
+    "win_range_frame", "win_qualify", "cte_with", "subquery_scalar",
+    "subquery_correlated", "subquery_in", "pivot", "unpivot",
+    "join_range_bucket", "exists_agg", "set_union_all", "set_union",
+    "set_union_byname", "set_intersect", "set_intersect_all", "set_except",
+    "set_except_all", "fn_string_basic", "fn_regexp", "fn_date_parts",
+    "fn_date_arith", "fn_math", "fn_unnest", "fn_generate_series",
+    "fn_struct", "fn_json_extract", "fn_cast", "fn_conditional", "tpch_q4",
+    "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q2", "tpch_q7",
+    "scan_parquet", "scan_table", "project_cols", "filter_eq",
+    "filter_conj", "filter_param", "filter_between_in", "filter_like_regex",
+    "filter_null_case", "join_using", "join_inner_on", "join_left",
+    "join_right", "join_full", "join_cross", "join_semi", "join_anti",
+    "join_theta", "join_lateral", "join_positional", "agg_count_star",
+    "agg_groupby", "agg_basic", "agg_distinct", "agg_grouping_sets",
+    "agg_rollup", "agg_cube", "agg_filter", "agg_argminmax", "agg_quantile",
+    "agg_stats", "agg_approx", "agg_having", "agg_distinct_rows",
+    "agg_distinct_on", "orderby_desc_limit", "orderby_multi",
+    "limit_offset", "tpch_q1", "tpch_q3", "tpch_q5",
+    # -- Block Z2: last driver-checked in r4 --
     "dedup_incremental", "dedup_lines", "events_sessionize",
     "retention_cohorts", "events_funnel", "text_pii_scrub",
     "text_bigram_topk", "text_unigram_logprob", "pipeline_mix_domains",
@@ -111,12 +94,29 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_enrich_join", "agg_histogram", "mm_audio_energy",
     "win_time_range", "pipeline_quality_audit", "join_asof_forward",
     "agg_grouping_id", "pipeline_overlap_matrix", "events_dau_wau",
-    "events_transition_matrix", "fn_edit_distance",
-    "agg_bitmap_distinct", "mm_decode", "mm_feature_extract", "mm_resize",
-    "fmt_jsoncompact", "stream_watermark_late",
-    # -- Block B: rows-only by design, dead last (no value oracle; each
-    # costs a gate slot for a weaker rows-only row) --
-    "agg_hll_sketch_table", "sample_random", "sample_percent",
+    "events_transition_matrix", "fn_edit_distance", "agg_bitmap_distinct",
+    "mm_decode", "mm_feature_extract", "mm_resize", "fmt_jsoncompact",
+    "stream_watermark_late",
+    # -- Block F: freshest evidence (driver-checked r5) --
+    "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",
+    "topk_per_group", "mm_image_phash", "win_ntile", "events_attribution",
+    "events_top_paths", "merge_scd2", "graph_pagerank",
+    "pipeline_bpe_merges", "pipeline_bpe_tokenize", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans", "ann_pq_topk",
+    "ann_ivfpq_topk", "events_rfm", "recursive_cte", "fn_cast_ch",
+    "fn_date_ch", "fn_url_ip", "fn_array_hof", "fn_array_ops",
+    "fn_map_access", "tpch_q12", "agg_list", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_embedding", "dedup_clusters", "ann_bruteforce_topk",
+    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+    "text_vocab_topk", "text_repetition", "pipeline_pack_sequences",
+    "pipeline_decontaminate", "pipeline_corpus_prep", "mm_binary_meta",
+    "mm_frame_sample",
+    # -- Block B: rows-only by design, dead last (agg_hll_sketch_table
+    # is the ONE remaining no-oracle key — estimator-incompatible across
+    # engines; each rows-only key would burn a gate slot on a weaker
+    # check) --
+    "agg_hll_sketch_table",
 )
 
 

@@ -186,6 +186,14 @@ def attach_duckdb(spark: SparkSession, path: str, alias: str | None = None) -> s
                 spark.createDataFrame(pdf).write.mode("overwrite").saveAsTable(
                     f"{alias}.{t}"
                 )
+            # a refresh must also DROP snapshot tables the source no
+            # longer has (or that came from a different file previously
+            # attached under this alias) — overwrite-only refresh would
+            # keep serving ghosts (r5 advisory)
+            fresh = {t.lower() for t in tables}
+            for existing in spark.catalog.listTables(alias):
+                if existing.name.lower() not in fresh:
+                    spark.sql(f"DROP TABLE IF EXISTS {alias}.{existing.name}")
         finally:
             con.close()
         _ATTACHED[alias] = {"path": abspath, "fp": fp}

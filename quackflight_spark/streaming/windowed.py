@@ -1112,7 +1112,7 @@ def _ntile_distributed_long(long: DataFrame, buckets: int) -> DataFrame:
       SELECT user_id,
              max(CAST(ts AS TIMESTAMP)) AS last_ts,
              CAST(count(*) AS BIGINT) AS freq,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+             sum(CAST(value AS DECIMAL(18,2))) AS monetary_dec
       FROM events GROUP BY user_id
     )
     SELECT user_id,
@@ -1120,9 +1120,9 @@ def _ntile_distributed_long(long: DataFrame, buckets: int) -> DataFrame:
                AS r_score,
            CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY freq, user_id) AS INT)
                AS f_score,
-           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary, user_id) AS INT)
+           CAST(ntile({RFM_BUCKETS}) OVER (ORDER BY monetary_dec, user_id) AS INT)
                AS m_score,
-           freq, monetary
+           freq, CAST(monetary_dec AS DOUBLE) AS monetary
     FROM agg
 """)
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,10 +1150,15 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("monetary", F.col("monetary_dec").cast("double"))
     )
-    # stacked sort key is DECIMAL(18,2), not double: epoch-micros
-    # (< 10^16) and per-user counts fit its 16 integer digits exactly,
-    # and the monetary sum is decimal-native — so metric order is exact
-    # at ANY magnitude, with no 2^53 double-injectivity caveat
+    # stacked sort key is DECIMAL(28,2) — the sum's NATIVE precision
+    # (Spark: sum of decimal(18,2) is decimal(28,2)), so the monetary
+    # metric is never downcast (a narrower cast would overflow to NULL
+    # silently with ANSI off — r5 advisory) — and epoch-micros (< 10^16)
+    # and per-user counts fit its 26 integer digits exactly: metric
+    # order is exact at ANY magnitude, with no 2^53 double-injectivity
+    # caveat. The oracle ranks by the same exact decimal (DuckDB's
+    # DECIMAL(38,2) sum), not its double projection, so two distinct
+    # decimals can never collapse into one double and bucket apart.
     long = agg.select(
         "user_id",
         "freq",
@@ -1163,16 +1168,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit(0).alias("metric_id"),
                     F.unix_micros(F.col("last_ts"))
-                    .cast("decimal(18,2)")
+                    .cast("decimal(28,2)")
                     .alias("value"),
                 ),
                 F.struct(
                     F.lit(1).alias("metric_id"),
-                    F.col("freq").cast("decimal(18,2)").alias("value"),
+                    F.col("freq").cast("decimal(28,2)").alias("value"),
                 ),
                 F.struct(
                     F.lit(2).alias("metric_id"),
-                    F.col("monetary_dec").cast("decimal(18,2)").alias("value"),
+                    F.col("monetary_dec").cast("decimal(28,2)").alias("value"),
                 ),
             )
         ).alias("mv"),

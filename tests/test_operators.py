@@ -30,25 +30,20 @@ def test_registry_contract():
     # every oracle key has a query
     assert set(o) <= set(q)
     # the non-oracle keys are the documented non-SQL-expressible set
-    # (r5 shrank it 11 -> 3: LSH buckets / IVF+PQ training, assignment,
-    # encode and ADC ranking / k-means clustering became SQL-replayable
-    # via sequential-dim kernels + unrolled Lloyd CTEs, and fixed-K BPE
-    # training via unrolled pair-count/argmax/recursive-fold rounds —
-    # see pipeline/similarity.py, pipeline/bpe.py)
-    assert set(q) - set(o) == {
-        "sample_random",
-        "sample_percent",
-        "agg_hll_sketch_table",
-    }
+    # (r5 shrank it 11 -> 3 via sequential-dim kernels + unrolled Lloyd
+    # CTEs and unrolled BPE rounds; r6 shrank it to 1 by replacing the
+    # sampling keys' RNG with deterministic md5-hash draws — only the
+    # HLL sketch remains, estimator-incompatible across engines by
+    # nature)
+    assert set(q) - set(o) == {"agg_hll_sketch_table"}
 
 
 def test_gate_priority_ordering():
     """The driver's correctness gate truncates at ~50 keys per round and
     walks queries() in dict order: the head must be exactly the
-    GATE_PRIORITY list (r5 rotation: the 9 never-driver-checked oracle
-    keys from r4, then the keys upgraded/reworked in r5, then the
-    already-green rotation oldest-evidence-first, rows-only dead last),
-    every priority key must exist, and none may be listed twice."""
+    GATE_PRIORITY list (r6 rotation: keys changed/upgraded this round,
+    then stalest-evidence keys first, rows-only dead last), every
+    priority key must exist, and none may be listed twice."""
     from quackflight_spark.registry import GATE_PRIORITY
 
     q = list(_queries())
@@ -59,7 +54,7 @@ def test_gate_priority_ordering():
     # rows-only keys sit at the very end of the walk
     o = _oracles()
     assert all(k in o for k in q[:50])
-    assert all(k not in o for k in q[len(q) - 3:])
+    assert all(k not in o for k in q[len(q) - 1:])
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):

@@ -129,6 +129,28 @@ def test_attach_duckdb_snapshot(spark, tmp_path):
     spark.sql("DROP DATABASE attached_meta CASCADE")
 
 
+def test_attach_duckdb_refresh_drops_ghost_tables(spark, tmp_path):
+    """Re-attaching after the source dropped a table must NOT keep
+    serving the stale snapshot table (r5 advisory): the refresh diffs
+    the namespace against the source's table list and drops ghosts."""
+    import duckdb
+
+    from quackflight_spark.serving.namespaces import attach_duckdb
+
+    db = str(tmp_path / "ghost.duckdb")
+    _make_duckdb_file(db)
+    alias = attach_duckdb(spark, db)
+    assert spark.catalog.tableExists(f"{alias}.dim_size")
+    con = duckdb.connect(db)
+    con.execute("DROP TABLE dim_size")
+    con.execute("INSERT INTO dim_color VALUES (3, 'green')")
+    con.close()
+    attach_duckdb(spark, db)  # refresh (file fingerprint changed)
+    assert not spark.catalog.tableExists(f"{alias}.dim_size")
+    assert spark.table(f"{alias}.dim_color").count() == 3
+    spark.sql(f"DROP DATABASE {alias} CASCADE")
+
+
 def test_attach_duckdb_via_http_database_param(client, spark, tmp_path):
     """End-to-end: the HTTP `database` param pointing at a real .duckdb
     file attaches it and the query runs against the snapshot."""
