@@ -113,6 +113,9 @@ BENCH_KEYS = [
     "events_top_paths",
     "merge_scd2",
     "graph_pagerank",
+    "text_entropy",
+    "graph_triangles",
+    "sample_reservoir",
 ]
 
 
@@ -122,6 +125,13 @@ def main() -> None:
     from quackflight_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
+    if os.environ.get("SPARK_GRAFT_ANSI") == "1":
+        # A/B leg for the driver-conf experiment (PERF.md): the driver's
+        # CORRECTNESS harness runs Spark 4's default ANSI-on; flip this
+        # session to measure whether ANSI evaluation overhead explains
+        # any cross-round drift. (The driver's BENCH run executes this
+        # script itself, so its bench session IS this session.)
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     queries = e.queries()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -221,3 +221,97 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(_RECURSIVE_SQL)
     except Exception:  # pragma: no cover - Spark <4.0 fallback
         return fixpoint_recursive_cte(spark, sf_dir)
+
+
+TRI_MIN_CO = 2  # co-purchase support threshold (same as BASKET_MIN_CO)
+
+
+@query("graph_triangles", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {TRI_MIN_CO}
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+""")
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph (new r6):
+    parts are nodes, an edge links parts co-bought in ≥ TRI_MIN_CO
+    orders (the basket_pair_lift support rule), and a triangle is three
+    mutually co-bought parts — the local-clustering primitive behind
+    community detection and recommender neighborhoods.
+
+    Scale shape: the standard DEGREE-ORDERED orientation — each
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher, so every triangle materializes exactly once as
+    (x→y, x→z, y→z) with x ≺ y ≺ z, and the 2-path fan-out per middle
+    node is bounded by its FORWARD degree, O(√m) on any graph
+    (arboricity bound) — a degree-10^6 hub contributes almost no
+    2-paths because nearly all its edges point INTO it. Two equi-join
+    shuffles (2-path build, closing-edge semi-check) over the oriented
+    edge frame; per-node counts are one explode + map-side-combinable
+    agg. The triangle SET is orientation-invariant, so the oracle's
+    plain id-ordered SQL counts the identical triangles.
+
+    Reference parity: beyond-reference analytics add-on (SURVEY §2.12),
+    same family as graph_pagerank."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    op = shared_frame(
+        "basket_op",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct(),
+    )
+
+    def build_oriented() -> DataFrame:
+        a, b = op.alias("a"), op.alias("b")
+        und = (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= TRI_MIN_CO)
+            .select("u", "v")
+        )
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+        # orient toward the higher (deg, id) endpoint; deg is
+        # node-cardinality (bounded by the part dimension) so AQE
+        # broadcasts it at fixture scale and key-shuffles past that
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+        fwd = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        return und.join(du, "u").join(dv, "v").select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+
+    oriented = shared_frame("tri_oriented_edges", sf_dir, build_oriented)
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"], "left_semi")
+        .select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+    )
+    return tri.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))

@@ -230,29 +230,22 @@ BASKET_SIZE_CAP = 10_000
 
 
 def check_basket_cap(op: DataFrame, cap: int) -> None:
-    """Plan-time mega-basket check: one bounded aggregation job over the
-    basket frame; raises with the worst offender's order key if any
-    basket exceeds cap. Plan-time rather than in-plan because the
+    """Plan-time mega-basket check (shared bounded-block contract,
+    pipeline/blocking.py): raises with the worst offender's order key if
+    any basket exceeds cap. Plan-time rather than in-plan because the
     in-plan alternative (a basket-size window on the probe side) was
     measured at +0.8 s/run at sf0.1 — a per-run tax on every healthy
     corpus — while this stat runs once per corpus (the registered key
     memoizes it, like join_fuzzy_names' oversized-block stat) and fails
     BEFORE the quadratic expansion is even scheduled."""
-    offender = (
-        op.groupBy("o")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") > cap)
-        .orderBy(F.desc("k"))
-        .limit(1)
-        .collect()
+    from quackflight_spark.pipeline.blocking import assert_block_cap
+
+    assert_block_cap(
+        op, ["o"], cap,
+        what="basket",
+        fix="pair expansion is quadratic per basket; truncate to top-k "
+            "items per basket or raise BASKET_SIZE_CAP",
     )
-    if offender:
-        raise ValueError(
-            f"basket {offender[0]['o']} has {offender[0]['k']} distinct "
-            f"items — pair expansion is quadratic per basket and this "
-            f"exceeds the cap of {cap}; truncate to top-k items per "
-            f"basket or raise BASKET_SIZE_CAP"
-        )
 
 
 def basket_pair_lift_core(op: DataFrame, min_co: int = BASKET_MIN_CO,
@@ -396,17 +389,14 @@ def token_blocks_oversized(names: DataFrame, col: str = "p_name",
     replanning. Callers memoize per corpus (the fixture dirs are
     immutable), so a bench/driver session pays this once per corpus,
     not per invocation."""
+    from quackflight_spark.pipeline.blocking import any_block_over
+
     thr = min(
         FUZZY_BAND_THRESHOLD if band_threshold is None else band_threshold,
         FUZZY_BLOCK_CAP if block_cap is None else block_cap,
     )
     tok = F.element_at(F.split(F.col(col), " "), -1)
-    return not (
-        names.groupBy(tok.alias("tok"))
-        .agg(F.count(F.lit(1)).alias("tok_n"))
-        .filter(F.col("tok_n") > thr)
-        .isEmpty()
-    )
+    return any_block_over(names.select(tok.alias("tok")), ["tok"], thr)
 
 
 def fuzzy_name_pairs(names: DataFrame, col: str = "p_name",

@@ -126,6 +126,33 @@ def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_K = 100  # fixed-size sample (eval subsets, spot-check panels)
+
+
+@query("sample_reservoir", oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {RESERVOIR_K}
+""")
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample (r6): the k lowest md5(key) rows — the
+    deterministic equivalent of reservoir sampling. sample_percent gives
+    a fixed RATE (its output grows with the corpus); eval subsets,
+    human-review panels and canary sets need exactly k rows regardless
+    of corpus size, reproducibly. Ranking by the key's hash is uniform
+    over keys, stable across runs/partitionings/engines, and — unlike a
+    true reservoir — needs no sequential state: it distributes as a
+    per-partition top-k + k-row reduce (TakeOrderedAndProject), one
+    pass, no global sort, no driver bottleneck beyond the k-row result
+    itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(RESERVOIR_K)
+        .select("doc_id", "lang", "source")
+    )
+
+
 MIX_WEIGHTS = {"src0": 4, "src1": 2}  # relative target weight; others 1
 MIX_BUDGET_DIV = 2                    # total budget = corpus size // 2
 MIX_BP = 10_000                       # keep-rate resolution (basis points)

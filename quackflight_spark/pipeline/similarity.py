@@ -1079,21 +1079,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversized cluster still raises with its id.
     Exact cosine via the bit-exact sequential-dim kernel, so the oracle
     replays training, assignment AND the drop set exactly."""
+    from quackflight_spark.pipeline.blocking import assert_block_cap
+
     cells = _semdedup_cells(spark, sf_dir)
     memo = _semdedup_memo_key(sf_dir)
     if memo not in _SEMDEDUP_CHECKED:
-        worst = (
-            cells.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"))
-            .first()
+        assert_block_cap(
+            cells, ["cell"], SEMDEDUP_CLUSTER_CAP,
+            what="dedup_semantic cluster",
+            fix="raise IVF_CELLS (K must grow with the corpus) or the cap",
         )
-        if worst and worst["n"] > SEMDEDUP_CLUSTER_CAP:
-            raise ValueError(
-                f"dedup_semantic cluster {worst['cell']} has {worst['n']} "
-                f"members, exceeding the cap of {SEMDEDUP_CLUSTER_CAP} — "
-                "raise IVF_CELLS (K must grow with the corpus) or the cap"
-            )
         _SEMDEDUP_CHECKED.add(memo)
     a = cells.select(
         F.col("neighbor_id").alias("vec_a"), F.col("ce").alias("ea"), "cell"

@@ -500,6 +500,57 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_entropy", oracle=r"""
+    WITH chars AS (
+      SELECT doc_id, unnest(list_filter(split(text, ''), x -> x <> '')) AS ch
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+    FROM hist GROUP BY doc_id
+""")
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic cheap quality/gibberish signal (new r6): natural prose sits
+    ~4 bits/char, base64 blobs and key-mash near the alphabet ceiling,
+    template boilerplate and repeated-char runs far below. Computed as
+    H = log2(n) − Σ c·log2(c) / n over the per-doc character histogram,
+    which needs only per-(doc, char) counts — no per-character log.
+
+    Scale shape: the explode never crosses the wire raw — the
+    (doc_id, char) groupBy's map-side partial aggregation collapses
+    each partition's characters to its local histogram, so the shuffled
+    volume is bounded by docs × alphabet, not corpus characters; the
+    per-doc reduce is a second map-side-combinable agg on doc_id. The
+    log arithmetic is the identical double expression in both engines
+    with the same round-6 absorption the unigram-logprob key uses."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return hist.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log2(F.col("c").cast("double")))
+            / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )
+
+
 WINNOW_K = 3  # tokens per k-gram
 WINNOW_W = 4  # winnowing window (grams per window)
 

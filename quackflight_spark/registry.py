@@ -40,19 +40,22 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # changed this round go first (r6: the events_ab_test ANSI fix — the
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
-# rows-only to deterministic-hash value oracles: 207 keys, 206
-# oracle-backed, 1 rows-only), then the stalest driver evidence (the
-# r1-r3-checked keys the r5 window never reached — 44 of them fill the
-# rest of a 50-key window), then r4-checked, then r5-checked (freshest).
+# rows-only to deterministic-hash value oracles, plus three new
+# operators: 210 keys, 209 oracle-backed, 1 rows-only), then the
+# stalest driver evidence (the r1-r3-checked keys the r5 window never
+# reached fill the rest of a 50-key window), then r4-checked, then
+# r5-checked (freshest).
 # Block B dead last: rows-only keys — each costs a gate slot for an
 # `err:"no_oracle"` row (r4's ann_lsh_topk slot proved that), so they
 # must never sit ahead of an unproven oracle key.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
-    # two perf reworks, grown-K semantic, and the two sampling keys
-    # converted from rows-only to deterministic-hash value oracles) --
+    # two perf reworks, grown-K semantic, the two sampling keys
+    # converted from rows-only to deterministic-hash value oracles, and
+    # the three new r6 operators) --
     "events_ab_test", "basket_pair_lift", "join_fuzzy_names",
     "dedup_semantic", "sample_random", "sample_percent",
+    "text_entropy", "graph_triangles", "sample_reservoir",
     # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
     # the r5 gate window ended before reaching these) --
     "split_train_test", "sample_stratified", "sample_quota", "merge_upsert",
