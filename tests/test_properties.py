@@ -351,3 +351,108 @@ def test_scd2_merge_invariants_property(spark, upd):
             assert str(current[0].valid_from) == "2021-06-01"
         else:
             assert len(rows) == 1 and current[0].v == float(k) * 10
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abcz ", min_size=1, max_size=30),
+        min_size=1, max_size=10,
+    )
+)
+def test_text_entropy_bounds_and_python_parity(spark, texts):
+    """Shannon-entropy invariants on arbitrary texts: 0 ≤ H ≤ log2 of
+    the doc's distinct-char count (equality iff uniform), and the
+    histogram-based Spark formula must match a direct Python
+    computation to the same 6-decimal rounding."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    chars = sdf.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), ""), lambda x: x != "")).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        r["doc_id"]: (r["n"], r["h"])
+        for r in hist.groupBy("doc_id").agg(
+            F.sum("c").alias("n"),
+            F.round(
+                F.log2(F.sum("c").cast("double"))
+                - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / F.sum("c"),
+                6,
+            ).alias("h"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        cnt = Counter(t)
+        n = sum(cnt.values())
+        if n == 0:
+            assert i not in got  # empty text yields no histogram row
+            continue
+        h = math.log2(n) - sum(c * math.log2(c) for c in cnt.values()) / n
+        want_n, want_h = n, round(h, 6)
+        assert got[i][0] == want_n
+        assert abs(got[i][1] - want_h) <= 1e-6, (t, got[i], want_h)
+        assert -1e-9 <= got[i][1] <= math.log2(max(len(cnt), 1)) + 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=0, max_size=24,
+    )
+)
+def test_triangle_orientation_invariance(spark, raw_edges):
+    """Degree-ordered orientation must count exactly the triangles a
+    brute-force enumeration finds, on arbitrary small graphs (the
+    boundary shapes: multi-edges collapse, self-loops drop, hubs force
+    ties in the degree order)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    edges = {(min(u, v), max(u, v)) for u, v in raw_edges if u != v}
+    nodes = sorted({x for e in edges for x in e})
+    want = Counter()
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= edges:
+            want[a] += 1; want[b] += 1; want[c] += 1
+    if not edges:
+        return
+    und = spark.createDataFrame(sorted(edges), ["u", "v"])
+    deg_rows = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg_rows.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg_rows.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = und.join(du, "u").join(dv, "v").select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = oriented.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"], "left_semi")
+        .select(F.explode(F.array("x", "y", "z")).alias("node"))
+    )
+    got = {
+        r["node"]: r["n"]
+        for r in tri.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == dict(want), (sorted(edges), got, dict(want))
