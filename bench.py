@@ -116,6 +116,7 @@ BENCH_KEYS = [
     "text_entropy",
     "graph_triangles",
     "sample_reservoir",
+    "events_cuped",
 ]
 
 

@@ -1435,3 +1435,125 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+CUPED_CUTOFF = "2024-01-16 00:00:00"  # pre/post split of the fixture month
+
+
+@query("events_cuped", oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                AND CAST(ts AS TIMESTAMP) < TIMESTAMP '{CUPED_CUTOFF}'
+                               THEN CAST(value AS DECIMAL(18,2)) END),
+                      0) AS x,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                                AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '{CUPED_CUTOFF}'
+                               THEN CAST(value AS DECIMAL(18,2)) END),
+                      0) AS y
+      FROM events GROUP BY user_id
+    ),
+    pool AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx / n AS xbar,
+             (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0) AS theta
+      FROM pool
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_post,
+           round(CAST(sum(y) AS DOUBLE) / count(*)
+                 - th.theta * (CAST(sum(x) AS DOUBLE) / count(*) - th.xbar),
+                 6) AS mean_adj,
+           round(th.theta, 6) AS theta
+    FROM u CROSS JOIN th
+    GROUP BY variant, th.theta, th.xbar
+""")
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (new r6, Deng et al. 2013 —
+    the industry-standard experimentation estimator): per-user
+    pre-period revenue x (before CUPED_CUTOFF) is the covariate,
+    post-period revenue y the metric; θ = cov(x,y)/var(x) pooled over
+    all users, and each variant's adjusted mean is
+    mean(y) − θ·(mean(x) − x̄). Same deterministic md5 50/50 user split
+    as events_ab_test.
+
+    Exactness contract: x and y are DECIMAL(18,2)-exact per-user sums;
+    the moment sums Σx, Σy, Σx², Σxy stay in exact decimal (products of
+    two (18,2)s are (37,4)-exact) and only their FINAL values cast to
+    double, so both engines compute θ from the identical IEEE inputs
+    with the identical expression tree — no summation-order drift
+    anywhere. Divisions are try_divide/nullif (a zero-variance covariate
+    yields NULL θ under ANSI too, not an error).
+
+    Scale shape: one user-keyed agg shuffle (map-side combined; the
+    pre/post conditional sums ride the same pass), ONE 5-value pooled
+    row broadcast back, and a 2-row variant agg — the whole estimator
+    adds zero extra passes over events compared with the naive A/B
+    readout."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    dec = F.col("value").cast("decimal(18,2)")
+    is_p = F.col("event_type") == "purchase"
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_p & (F.col("ts") < cutoff), dec)), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(is_p & (F.col("ts") >= cutoff), dec)), F.lit(0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2,
+        )
+    )
+    pool = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    ).select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        ).alias("theta"),
+    )
+    return (
+        u.crossJoin(F.broadcast(pool))
+        .groupBy("variant", "theta", "xbar")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("y").cast("double").alias("sy_v"),
+            F.sum("x").cast("double").alias("sx_v"),
+        )
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("sy_v") / F.col("n_users"), 6).alias("mean_post"),
+            F.round(
+                F.col("sy_v") / F.col("n_users")
+                - F.col("theta")
+                * (F.col("sx_v") / F.col("n_users") - F.col("xbar")),
+                6,
+            ).alias("mean_adj"),
+            F.round("theta", 6).alias("theta"),
+        )
+    )
