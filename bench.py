@@ -117,6 +117,7 @@ BENCH_KEYS = [
     "graph_triangles",
     "sample_reservoir",
     "events_cuped",
+    "events_pattern_match",
 ]
 
 

@@ -1557,3 +1557,75 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("theta", 6).alias("theta"),
         )
     )
+
+
+# single-char codes keep the per-user sequence string compact and the
+# pattern regex readable in BOTH engines
+PATTERN_CODES = {"view": "v", "click": "c", "signup": "s",
+                 "purchase": "p", "error": "e"}
+PATTERN_RE = "c[^p]*p"  # click leading (eventually) to purchase
+_CODE_SQL = " ".join(
+    f"WHEN event_type = '{t}' THEN '{c}'" for t, c in PATTERN_CODES.items()
+)
+
+
+@query("events_pattern_match", oracle=f"""
+    WITH coded AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE {_CODE_SQL} ELSE '?' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           regexp_matches(seq, '{PATTERN_RE}') AS matched,
+           CASE WHEN regexp_matches(seq, '{PATTERN_RE}')
+                THEN regexp_extract(seq, '{PATTERN_RE}', 0) ELSE '' END
+             AS first_match
+    FROM seqs
+""")
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence pattern matching (new r6): each
+    user's event history folds to a compact single-char code string in
+    deterministic (ts, event_id) order, and a regex runs over it —
+    here '{PATTERN_RE}': a click eventually followed by a purchase with
+    no purchase in between, the row-pattern shape SQL:2016
+    MATCH_RECOGNIZE expresses and Spark SQL lacks. Output: whether each
+    user's history matches and the leftmost matching subsequence (both
+    engines' regex engines are leftmost-first on this pattern class).
+
+    Scale shape: ONE user-keyed agg shuffle; the per-user sequence is
+    bounded by events-per-user (the same bound sessionize/funnel/paths
+    already rely on), collect_list is order-free so the struct array is
+    array_sort-ed before folding — deterministic under any
+    partitioning. Regex evaluation is JVM-side per row (no UDF). A
+    pathological power-user's history lands on one executor row — the
+    standard per-entity bound of every sequence operator in this
+    module."""
+    code_col = None
+    for t, c in PATTERN_CODES.items():
+        branch = code_col if code_col is not None else F
+        code_col = branch.when(F.col("event_type") == t, F.lit(c))
+    code_col = code_col.otherwise(F.lit("?"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.struct("ts", "event_id", code_col.alias("code")).alias("st")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("st")), lambda x: x.code), ""
+        ).alias("seq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    matched = F.col("seq").rlike(PATTERN_RE)
+    return seqs.select(
+        "user_id",
+        "n_events",
+        matched.alias("matched"),
+        F.when(matched, F.regexp_extract(F.col("seq"), PATTERN_RE, 0))
+        .otherwise(F.lit(""))
+        .alias("first_match"),
+    )
