@@ -118,6 +118,7 @@ BENCH_KEYS = [
     "sample_reservoir",
     "events_cuped",
     "events_pattern_match",
+    "layout_zorder",
 ]
 
 

@@ -123,3 +123,67 @@ def compact_files(
     shutil.rmtree(old)
     after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     return before, after
+
+
+def _morton_sql(a: str, b: str) -> str:
+    """SQL expression interleaving the low 16 bits of two integer
+    expressions into a 32-bit Morton (Z-order) code — the standard
+    magic-number bit spread, written as ENGINE-NEUTRAL SQL so the exact
+    same text runs in Spark and DuckDB (both have &, |, <<, % on
+    BIGINT). The queryable sibling of _interleave above: that form
+    rank-buckets arbitrary distributions first (the write-path layout
+    tool); this form is the raw bit interleave on already-integer keys,
+    exact enough to carry a bit-identical cross-engine oracle."""
+    def spread(x: str) -> str:
+        s = f"(CAST({x} AS BIGINT) % 65536)"
+        s = f"(({s} | ({s} << 8)) & 16711935)"        # 0x00FF00FF
+        s = f"(({s} | ({s} << 4)) & 252645135)"       # 0x0F0F0F0F
+        s = f"(({s} | ({s} << 2)) & 858993459)"       # 0x33333333
+        s = f"(({s} | ({s} << 1)) & 1431655765)"      # 0x55555555
+        return s
+
+    return f"({spread(a)} | ({spread(b)} << 1))"
+
+
+from quackflight_spark.registry import query  # noqa: E402
+from quackflight_spark.sources.fixtures import load_table  # noqa: E402
+
+ZORDER_TOP = 500
+
+
+@query("layout_zorder", oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_morton_sql('l_partkey', 'l_suppkey')} AS zcode
+    FROM lineitem
+    ORDER BY zcode, l_orderkey, l_linenumber
+    LIMIT {ZORDER_TOP}
+""")
+def layout_zorder(spark, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key as a QUERYABLE operator (new r6)
+    — the multi-dimensional data-layout primitive behind Delta's
+    OPTIMIZE ZORDER BY and lakehouse file-skipping: interleave the bits
+    of two filter columns and SORT by the code before writing, so
+    parquet row-group min/max statistics stay tight on BOTH columns and
+    a predicate on EITHER prunes most files (a plain sort on one column
+    randomizes the other — quantified in tests/test_writers.py::
+    test_zorder_clusters_both_dimensions). The full write-path recipe
+    with quantile rank-bucketing for arbitrary value distributions is
+    write_zordered above; this key exposes the code computation and the
+    clustered order with a bit-identical cross-engine oracle.
+
+    Scale shape: the z-code is a pure per-row bit-twiddling projection
+    (whole-stage-codegen arithmetic, no UDF, no shuffle); the
+    clustering sort is the one range-partition exchange every layout
+    rewrite pays by definition — here top-N-fused at fixture scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.expr(_morton_sql("l_partkey", "l_suppkey")).alias("zcode"),
+        )
+        .orderBy("zcode", "l_orderkey", "l_linenumber")
+        .limit(ZORDER_TOP)
+    )

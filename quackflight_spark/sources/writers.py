@@ -84,3 +84,4 @@ def two_phase_skew_agg(df: DataFrame, key: str, value: str, n_salts: int = 16) -
         partial.groupBy(key)
         .agg(F.sum("__partial").cast("double").alias("total"))
     )
+

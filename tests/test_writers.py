@@ -435,3 +435,39 @@ def test_minhash_bucketed_path_end_to_end(spark, sf_dir, monkeypatch):
         clear_frames()
     assert bucketed_rows == broadcast_rows
     assert len(bucketed_rows) > 0
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """The z-order claim, quantified: chunk the sorted output into
+    row-group-sized blocks and measure each block's (max-min) key range
+    — the exact quantity parquet footer pruning depends on. Sorting by
+    one column leaves the OTHER column's per-block range near the full
+    domain (no pruning); the Morton order must keep the WORST of the
+    two ranges well under that."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.layout import _morton_sql
+
+    dom, chunk = 64, 128
+    n = dom * dom  # the full (a, b) grid, each cell exactly once
+    df = spark.range(n).select(
+        (F.col("id") % dom).alias("a"),
+        (F.col("id") / dom).cast("long").alias("b"),
+    )
+
+    def worst_chunk_range(ordered_cols):
+        rows = df.orderBy(*ordered_cols).collect()
+        worst = 0
+        for i in range(0, n, chunk):
+            blk = rows[i:i + chunk]
+            ra = max(r["a"] for r in blk) - min(r["a"] for r in blk)
+            rb = max(r["b"] for r in blk) - min(r["b"] for r in blk)
+            worst = max(worst, max(ra, rb))
+        return worst
+
+    single = worst_chunk_range(["a", "b"])
+    z = worst_chunk_range([F.expr(_morton_sql("a", "b"))])
+    # single-column sort leaves b's per-block range ~ the whole domain;
+    # z-order must cut the worst dimension's block range at least in half
+    assert single >= dom - 2, single
+    assert z <= single / 2, (z, single)
