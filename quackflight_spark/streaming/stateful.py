@@ -161,3 +161,129 @@ def stream_running_totals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .filter("rn = 1")
         .select("user_id", "n", "total")
     )
+
+
+PATTERN_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, matched boolean"
+PATTERN_STATE_SCHEMA = "matched boolean, pending boolean, n bigint"
+
+
+def pattern_automaton(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming row-pattern matcher for 'c[^p]*p' (click eventually
+    converting to purchase with no purchase in between) as a 2-bit
+    AUTOMATON per user — `pending` = saw a click since the last
+    purchase, `matched` = sticky accept — NOT an accumulated history
+    string. The state is O(1) per key regardless of how many events a
+    user ever produces; this is the scale difference between streaming
+    MATCH_RECOGNIZE and replaying the batch fold (the batch sibling,
+    events_pattern_match, folds the whole coded history because batch
+    can afford to see it at once)."""
+    if state.exists:
+        matched, pending, n = state.get
+    else:
+        matched, pending, n = False, False, 0
+    for pdf in pdfs:
+        # event-time order within the batch: the fold is order-sensitive
+        # by definition (a purchase before a click must not match), and
+        # rows inside a micro-batch arrive unordered
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n += len(pdf)
+        if not matched:
+            for et in pdf["event_type"]:
+                if et == "click":
+                    pending = True
+                elif et == "purchase":
+                    if pending:
+                        matched = True
+                        break
+                    pending = False
+    state.update((matched, pending, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "matched": [matched]}
+    )
+
+
+@query("stream_pattern_match", oracle="""
+    WITH coded AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN event_type = 'click' THEN 'c'
+                  WHEN event_type = 'purchase' THEN 'p'
+                  ELSE '.' END AS code
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(code, '' ORDER BY ts, event_id) AS seq,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM coded GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           regexp_matches(seq, 'c[^p]*p') AS matched
+    FROM seqs
+""")
+def stream_pattern_match(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming MATCH_RECOGNIZE-lite (new r6): the events feed drains
+    through an applyInPandasWithState automaton that tracks, per user,
+    whether a click-then-purchase pattern has completed — the streaming
+    sibling of events_pattern_match with O(1) state per key (2 booleans
+    + a count in the executor-local state store; no history retained).
+    Because the automaton accepts exactly the language of the batch
+    regex, the final state equals the batch fold and the DuckDB oracle
+    is strict — proving no state is lost or reordered across
+    micro-batch boundaries.
+
+    Ordering contract: rows are event-time-sorted WITHIN each
+    micro-batch (the fold is order-sensitive); cross-batch order follows
+    source arrival order, correct for in-order feeds like this file
+    source — an out-of-order producer needs the watermark-and-reorder
+    front end of stream_watermark_late ahead of the automaton."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"qf_pattern_src_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = events_ts_normalized(
+        spark.readStream.schema(raw_schema).parquet(stage)
+    ).select("user_id", "ts", "event_id", "event_type")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        pattern_automaton,
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"pattern_match_{tag}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    snap = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "matched")
+    )
