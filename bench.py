@@ -119,7 +119,7 @@ BENCH_KEYS = [
     "events_cuped",
     "events_pattern_match",
     "layout_zorder",
-    "stream_pattern_match",
+    "join_ip_lpm",
 ]
 
 

@@ -400,3 +400,124 @@ def fn_url_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
         """
     )
+
+
+# prefix lengths present in the synthesized network dimension — the
+# probe side explodes to exactly these, so LPM is |plens| equi-join
+# probes, never a range scan
+LPM_PLENS = (8, 16, 24)
+_IP_NUM_SQL = """(((p_partkey * 9973) % 256) * 16777216
+             + ((p_partkey * 97) % 256) * 65536
+             + ((p_partkey * 13) % 256) * 256
+             + p_partkey % 256)"""
+
+
+@query("join_ip_lpm", oracle=f"""
+    WITH ips AS (
+      SELECT p_partkey, {_IP_NUM_SQL} AS ip FROM part
+    ),
+    nets AS (
+      SELECT DISTINCT (ip - ip % 16777216) AS net, 8 AS plen,
+             'AS' || CAST((ip - ip % 16777216) % 1009 AS VARCHAR) AS label
+      FROM ips
+      UNION
+      SELECT DISTINCT (ip - ip % 65536) AS net, 16 AS plen,
+             'AS' || CAST((ip - ip % 65536) % 1009 AS VARCHAR) AS label
+      FROM ips WHERE ((ip - ip % 65536) / 65536) % 2 = 0
+      UNION
+      SELECT DISTINCT (ip - ip % 256) AS net, 24 AS plen,
+             'AS' || CAST((ip - ip % 256) % 1009 AS VARCHAR) AS label
+      FROM ips WHERE ((ip - ip % 256) / 256) % 4 = 0
+    ),
+    probes AS (
+      SELECT p_partkey, ip, plen, ip - ip % (CASE plen
+               WHEN 8 THEN 16777216 WHEN 16 THEN 65536 ELSE 256 END) AS net
+      FROM ips, (SELECT unnest([8, 16, 24]) AS plen)
+    ),
+    hits AS (
+      SELECT p.p_partkey, p.ip, n.net, n.plen, n.label,
+             row_number() OVER (PARTITION BY p.p_partkey
+                                ORDER BY n.plen DESC) AS rn
+      FROM probes p JOIN nets n ON n.net = p.net AND n.plen = p.plen
+    )
+    SELECT p_partkey, ip AS ip_num, net, CAST(plen AS INT) AS plen, label
+    FROM hits WHERE rn = 1
+""")
+def join_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match IP enrichment join (new r6) — the geo/ASN
+    lookup primitive: each fact IP takes the attributes of the most
+    specific CIDR network containing it. A naive LPM is a range
+    predicate (net <= ip < net + 2^(32-plen)) — a non-equi join Spark
+    would nest-loop; the scalable rewrite EXPLODES each probe IP to one
+    masked candidate per prefix length present in the dimension
+    (LPM_PLENS — at most 32, here 3) and equi-joins on (network, plen),
+    then keeps the longest hit per fact. Join fan-out is |plens|, the
+    dimension broadcasts while it fits (AQE), and everything is integer
+    arithmetic identical in both engines.
+
+    The network dimension is synthesized deterministically from the
+    fixture's arithmetic IPs (fn_url_ip's synth): sampled /8s, /16s and
+    /24s with value-derived labels — so nested prefixes exist and the
+    longest-match rule is actually exercised (a /24 hit must shadow the
+    /16 and /8 over the same address)."""
+    from pyspark.sql import Window as W
+
+    ip = (
+        ((F.col("p_partkey") * 9973) % 256) * 16777216
+        + ((F.col("p_partkey") * 97) % 256) * 65536
+        + ((F.col("p_partkey") * 13) % 256) * 256
+        + F.col("p_partkey") % 256
+    )
+    ips = load_table(spark, sf_dir, "part").select(
+        "p_partkey", ip.alias("ip")
+    )
+
+    def nets_of(block: int, plen: int, keep_mod: int) -> DataFrame:
+        # sample by NETWORK value (not by source row) so not every block
+        # of a given width exists — facts then fall through to the next
+        # shorter prefix and the longest-match rule is really exercised
+        net = F.col("ip") - F.col("ip") % block
+        return (
+            ips.select(
+                net.alias("net"),
+                F.lit(plen).alias("plen"),
+                F.concat(F.lit("AS"), (net % 1009).cast("string")).alias("label"),
+            )
+            .filter((F.col("net") / block).cast("bigint") % keep_mod == 0)
+            .distinct()
+        )
+
+    nets = (
+        nets_of(16777216, 8, 1)
+        .unionByName(nets_of(65536, 16, 2))
+        .unionByName(nets_of(256, 24, 4))
+    )
+    blocks = {8: 16777216, 16: 65536, 24: 256}
+    probes = ips.select(
+        "p_partkey",
+        "ip",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("plen"),
+                        (F.col("ip") - F.col("ip") % blocks[p]).alias("net"),
+                    )
+                    for p in LPM_PLENS
+                ]
+            )
+        ).alias("c"),
+    ).select("p_partkey", "ip", F.col("c.plen").alias("plen"), F.col("c.net").alias("net"))
+    w = W.partitionBy("p_partkey").orderBy(F.desc("plen"))
+    return (
+        probes.join(nets, ["net", "plen"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("ip").alias("ip_num"),
+            "net",
+            F.col("plen").cast("int").alias("plen"),
+            "label",
+        )
+    )
