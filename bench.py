@@ -120,6 +120,7 @@ BENCH_KEYS = [
     "events_pattern_match",
     "layout_zorder",
     "join_ip_lpm",
+    "timeseries_holt",
 ]
 
 

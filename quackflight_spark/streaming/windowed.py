@@ -1629,3 +1629,93 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("first_match"),
     )
+
+
+@query("timeseries_holt", oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM daily
+    ),
+    st AS (
+      SELECT user_id, 1 AS i, cents AS lv, CAST(0 AS BIGINT) AS tr, n
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT s.user_id, s.i + 1,
+             CAST(floor((s.lv + s.tr + r.cents) / 2.0) AS BIGINT),
+             CAST(floor((s.tr
+                         + CAST(floor((s.lv + s.tr + r.cents) / 2.0) AS BIGINT)
+                         - s.lv) / 2.0) AS BIGINT),
+             s.n
+      FROM st s JOIN ranked r ON r.user_id = s.user_id AND r.i = s.i + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_days,
+           lv AS level_cents, tr AS trend_cents,
+           lv + tr AS forecast_cents
+    FROM st WHERE i = n
+""")
+def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (new r6) — level+trend
+    forecasting over each user's daily purchase-revenue series, the
+    classic operational-forecasting primitive. α = β = 1/2 in INTEGER
+    fixed-point (cents, floor-halving) so the inherently sequential
+    smoothing recursion is bit-exact in any engine and under any
+    partitioning — the same exactness trick as graph_pagerank and the
+    BPE fold. The one-step-ahead forecast is level + trend.
+
+    Engine note: the fold runs as ONE Catalyst higher-order `aggregate`
+    over each user's sorted day array — per-series sequential but
+    series-parallel across users, no UDF, no driver loop. The oracle
+    replays it as a recursive CTE advancing every user one observation
+    per iteration (DuckDB 1.0's list_reduce mis-evaluates multi-field
+    struct accumulators — traced during r6 — so the CTE unroll is the
+    reliable replay, the pipeline_bpe_tokenize idiom).
+
+    Scale shape: one (user, day) pre-agg shuffle (map-side combined),
+    one user-keyed collect_list agg; state per series is the bounded
+    day array. A series too long to hold as an array (years of
+    per-second points) shards the fold by time range and carries
+    (level, trend) across shard boundaries — the streaming sibling
+    would hold exactly that pair in applyInPandasWithState, the
+    stream_running_totals pattern."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "cents"))),
+            lambda x: x.cents,
+        ).alias("obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    fold = F.expr("""
+        aggregate(
+          slice(obs, 2, size(obs) - 1),
+          named_struct('lv', obs[0], 'tr', CAST(0 AS BIGINT)),
+          (a, x) -> named_struct(
+            'lv', CAST(floor((a.lv + a.tr + x) / 2.0) AS BIGINT),
+            'tr', CAST(floor((a.tr
+                              + CAST(floor((a.lv + a.tr + x) / 2.0) AS BIGINT)
+                              - a.lv) / 2.0) AS BIGINT)))
+    """)
+    return series.select(
+        "user_id",
+        "n_days",
+        fold.getField("lv").alias("level_cents"),
+        fold.getField("tr").alias("trend_cents"),
+        (fold.getField("lv") + fold.getField("tr")).alias("forecast_cents"),
+    )

@@ -456,3 +456,40 @@ def test_triangle_orientation_invariance(spark, raw_edges):
         for r in tri.groupBy("node").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == dict(want), (sorted(edges), got, dict(want))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1, max_size=20,
+    )
+)
+def test_holt_fold_matches_python(spark, obs):
+    """The Catalyst higher-order Holt fold must equal a direct Python
+    left fold for arbitrary non-negative integer series — including the
+    negative intermediate trends floor-halving produces on decreasing
+    series (the case DuckDB 1.0's list_reduce got wrong, which is why
+    the oracle replays via recursive CTE instead)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(obs,)], "obs array<bigint>")
+    fold = F.expr("""
+        aggregate(
+          slice(obs, 2, size(obs) - 1),
+          named_struct('lv', obs[0], 'tr', CAST(0 AS BIGINT)),
+          (a, x) -> named_struct(
+            'lv', CAST(floor((a.lv + a.tr + x) / 2.0) AS BIGINT),
+            'tr', CAST(floor((a.tr
+                              + CAST(floor((a.lv + a.tr + x) / 2.0) AS BIGINT)
+                              - a.lv) / 2.0) AS BIGINT)))
+    """)
+    got = df.select(fold.alias("st")).collect()[0]["st"]
+    lv, tr = obs[0], 0
+    for x in obs[1:]:
+        nl = math.floor((lv + tr + x) / 2)
+        tr = math.floor((tr + nl - lv) / 2)
+        lv = nl
+    assert (got["lv"], got["tr"]) == (lv, tr), (obs, got, (lv, tr))
