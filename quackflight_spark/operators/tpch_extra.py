@@ -321,9 +321,10 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a basket, the standard market-basket bound; the Σ(basket²)
     cost law and the mega-basket hazard are MEASURED in
     tools/scale_curve_basket.py / PERF.md, and since r6 ENFORCED: a
-    basket past BASKET_SIZE_CAP raises with its order key instead of
-    silently owning a join partition — the guard's window keys on o,
-    the join's own key, so it adds no shuffle). One distinct + one
+    basket past BASKET_SIZE_CAP raises with its order key at PLAN time
+    — a bounded stat job memoized per corpus, after an in-plan window
+    guard measured +0.8 s/run — so a pathological basket fails before
+    its k² expansion is ever scheduled). One distinct + one
     pair-count shuffle; the order total
     rides a 1-row broadcast cross join; per-part counts attach BEFORE
     pairing (one window shuffle on p) so they ride the self-join as a

@@ -287,3 +287,136 @@ def stream_pattern_match(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .filter("rn = 1")
         .select("user_id", "n_events", "matched")
     )
+
+
+HOLT_OUTPUT_SCHEMA = "user_id bigint, n bigint, level_cents bigint, trend_cents bigint"
+HOLT_STATE_SCHEMA = "lv bigint, tr bigint, n bigint"
+
+
+def holt_smoother(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming Holt double exponential smoothing: per-user (level,
+    trend) in integer cents, folded over purchase events in event-time
+    order — EXACTLY the pair the batch operator's shard-boundary note
+    promises (timeseries_holt docstring): state is two bigints however
+    long the series runs, and the integer floor-halving fold is
+    batch-order-exact, so the final state replays in SQL."""
+    import numpy as np
+
+    if state.exists:
+        lv, tr, n = state.get
+    else:
+        lv, tr, n = None, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents = np.trunc(v + np.copysign(0.5, v)).astype("int64")
+        for x in cents:
+            x = int(x)
+            n += 1
+            if lv is None:
+                lv = x
+                continue
+            # Python // is floor division for any sign — identical to
+            # the CAST(floor(x/2.0)) both engines' oracles use
+            nl = (lv + tr + x) // 2
+            tr = (tr + nl - lv) // 2
+            lv = nl
+    state.update((lv if lv is not None else 0, tr, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n": [n],
+            "level_cents": [lv if lv is not None else 0],
+            "trend_cents": [tr],
+        }
+    )
+
+
+@query("stream_holt", oracle="""
+    WITH RECURSIVE ranked AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE event_type = 'purchase'
+    ),
+    st AS (
+      SELECT user_id, 1 AS i, cents AS lv, CAST(0 AS BIGINT) AS tr, n
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT s.user_id, s.i + 1,
+             CAST(floor((s.lv + s.tr + r.cents) / 2.0) AS BIGINT),
+             CAST(floor((s.tr
+                         + CAST(floor((s.lv + s.tr + r.cents) / 2.0) AS BIGINT)
+                         - s.lv) / 2.0) AS BIGINT),
+             s.n
+      FROM st s JOIN ranked r ON r.user_id = s.user_id AND r.i = s.i + 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n, lv AS level_cents,
+           tr AS trend_cents
+    FROM st WHERE i = n
+""")
+def stream_holt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming Holt smoothing (new r6): each user's purchase-revenue
+    signal smoothed incrementally as events arrive — the
+    applyInPandasWithState realization of timeseries_holt's
+    shard-boundary contract: per-key state is exactly (level, trend, n)
+    in integer cents, O(1) forever, and the floor-halving fold is
+    bit-exact, so the final state after draining the feed equals the
+    batch recursion and the recursive-CTE oracle is strict. Same
+    ordering contract as stream_pattern_match: event-time sort within
+    each micro-batch, in-order feed across batches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"qf_holt_src_{tag}")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        events_ts_normalized(spark.readStream.schema(raw_schema).parquet(stage))
+        .filter("event_type = 'purchase'")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        holt_smoother,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_holt_{tag}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    snap = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n", "level_cents", "trend_cents")
+    )
