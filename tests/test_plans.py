@@ -215,3 +215,47 @@ def test_events_rfm_no_single_partition_window(spark, sf_dir, q):
     plan = _plan(q["events_rfm"](spark, sf_dir))
     assert "Exchange SinglePartition" not in plan, plan
     assert "ntile" not in plan, plan
+
+
+def test_layout_zorder_fuses_topk_no_exchange(spark, sf_dir, q):
+    """The Morton projection is pure codegen arithmetic and the
+    clustered-order LIMIT fuses to TakeOrderedAndProject — no shuffle,
+    no UDF, no global sort in the queryable key."""
+    plan = _plan(q["layout_zorder"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_join_ip_lpm_no_range_join(spark, sf_dir, q):
+    """LPM must run as masked equi-join probes, never the nest-loop
+    range join the naive containment predicate produces."""
+    plan = _plan(q["join_ip_lpm"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_triangles_no_cartesian(spark, sf_dir, q):
+    """2-path build and closing-edge check are keyed equi-joins (the
+    closing edge a left-semi); degree orientation must not introduce a
+    cartesian anywhere."""
+    plan = _plan(q["graph_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_timeseries_holt_single_fold_no_python(spark, sf_dir, q):
+    """The smoothing fold is ONE Catalyst higher-order aggregate over
+    each sorted series — no Python evaluation, no per-iteration joins."""
+    plan = _plan(q["timeseries_holt"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_events_pattern_match_single_user_exchange(spark, sf_dir, q):
+    """Sequence fold = one user-keyed agg; the regex evaluates JVM-side
+    on the folded string (no UDF)."""
+    plan = _plan(q["events_pattern_match"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
