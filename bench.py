@@ -121,6 +121,8 @@ BENCH_KEYS = [
     "layout_zorder",
     "join_ip_lpm",
     "timeseries_holt",
+    "fn_geohash",
+    "join_spatial_grid",
 ]
 
 

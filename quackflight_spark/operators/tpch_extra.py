@@ -557,3 +557,87 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_OVERSIZED: dict[str, bool] = {}
+
+
+SPATIAL_R_TENTHS = 20  # radius: 2.0 degrees, in integer deci-degrees
+
+
+@query("join_spatial_grid", oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(-900 + (c_custkey * 37 % 1800) AS BIGINT) AS lat_d,
+             CAST(-1800 + (c_custkey * 53 % 3600) AS BIGINT) AS lon_d
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           (a.lat_d - b.lat_d) * (a.lat_d - b.lat_d)
+           + (a.lon_d - b.lon_d) * (a.lon_d - b.lon_d) AS dist_sq
+    FROM pts a JOIN pts b
+      ON a.c_custkey < b.c_custkey
+     AND (a.lat_d - b.lat_d) * (a.lat_d - b.lat_d)
+         + (a.lon_d - b.lon_d) * (a.lon_d - b.lon_d)
+         <= {SPATIAL_R_TENTHS * SPATIAL_R_TENTHS}
+""")
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join via grid bucketing (new r6) — the canonical spatial
+    join: find all point pairs within distance r WITHOUT the all-pairs
+    product. Each point lands in a cell of side r; the probe side
+    explodes to its 3×3 cell neighborhood (any pair within r spans at
+    most adjacent cells — the 2-D analog of the fuzzy join's ±1 length
+    band, lossless by the same argument); the join is a pure equi-join
+    on the cell id and the exact distance predicate filters inside.
+    Candidate volume is Σ(cell²) over occupied cells — bounded by data
+    density, never n².
+
+    Exactness: coordinates are INTEGER deci-degrees (planar
+    small-area approximation, documented — a production geo join scales
+    cells by cos(lat) and verifies with haversine; the grid plumbing is
+    identical), so squared distances are exact integers in both
+    engines. The ORACLE is the naive quadratic form — the definition —
+    so the hash match proves the grid decomposition loses no pair.
+    Cells are offset to non-negative before the floor-div so Spark's
+    truncating DIV and DuckDB's flooring // agree."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(-900) + (F.col("c_custkey") * 37 % 1800)).cast("bigint").alias("lat_d"),
+        (F.lit(-1800) + (F.col("c_custkey") * 53 % 3600)).cast("bigint").alias("lon_d"),
+    )
+    r = SPATIAL_R_TENTHS
+    cx = ((F.col("lat_d") + 900) / r).cast("bigint")
+    cy = ((F.col("lon_d") + 1800) / r).cast("bigint")
+    build = pts.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    probe = pts.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cx + dx).alias("cx"), (cy + dy).alias("cy")
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "key_a", "lat_a", "lon_a",
+        F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+    )
+    dist_sq = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist_sq", dist_sq)
+        .filter(F.col("dist_sq") <= r * r)
+        .select("key_a", "key_b", "dist_sq")
+    )

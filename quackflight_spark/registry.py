@@ -41,7 +41,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
 # rows-only to deterministic-hash value oracles, plus three new
-# operators: 217 keys, 216 oracle-backed, 1 rows-only), then the
+# operators: 219 keys, 218 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -57,7 +57,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_semantic", "sample_random", "sample_percent",
     "text_entropy", "graph_triangles", "sample_reservoir", "events_cuped",
     "events_pattern_match", "layout_zorder", "stream_pattern_match",
-    "join_ip_lpm", "timeseries_holt", "stream_holt",
+    "join_ip_lpm", "timeseries_holt", "stream_holt", "fn_geohash", "join_spatial_grid",
     # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
     # the r5 gate window ended before reaching these) --
     "split_train_test", "sample_stratified", "sample_quota", "merge_upsert",

@@ -187,3 +187,85 @@ def layout_zorder(spark, sf_dir: str) -> DataFrame:
         .orderBy("zcode", "l_orderkey", "l_linenumber")
         .limit(ZORDER_TOP)
     )
+
+
+# geohash base32 alphabet (no a/i/l/o) — the standard encoding
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_CHARS = 6  # 30 bits = 15 bits per dimension, ~±0.6 km cells
+
+
+def _geohash_sql(lat: str, lon: str, chars: int = GEOHASH_CHARS) -> str:
+    """SQL expression computing a geohash string from latitude/longitude
+    double expressions — ENGINE-NEUTRAL like _morton_sql: the identical
+    text runs in Spark and DuckDB. Geohash IS a Morton code with the
+    LONGITUDE bit first, quantized against the world extent and encoded
+    5 bits per base32 character; all arithmetic is exact-integer after
+    one floor-quantization, so the oracle matches to the last
+    character."""
+    bits = chars * 5
+    bits_lon = (bits + 1) // 2
+    bits_lat = bits // 2
+    qlat = f"CAST(floor(({lat} + 90.0) / 180.0 * {1 << bits_lat}) AS BIGINT)"
+    qlon = f"CAST(floor(({lon} + 180.0) / 360.0 * {1 << bits_lon}) AS BIGINT)"
+    # clamp the north/east edge (lat=90 quantizes to 2^bits)
+    qlat = f"LEAST({qlat}, {(1 << bits_lat) - 1})"
+    qlon = f"LEAST({qlon}, {(1 << bits_lon) - 1})"
+    # interleave: bit i of lon -> bit 2i+1 counting from the TOP of the
+    # 30-bit code (geohash alternates lon, lat, lon, ... from the most
+    # significant bit); build by summing shifted single bits
+    terms = []
+    for i in range(bits_lon):
+        src_bit = bits_lon - 1 - i            # msb first
+        dst_bit = bits - 1 - (2 * i)          # even positions from top
+        terms.append(f"((({qlon}) >> {src_bit}) & 1) * {1 << dst_bit}")
+    for i in range(bits_lat):
+        src_bit = bits_lat - 1 - i
+        dst_bit = bits - 1 - (2 * i + 1)      # odd positions from top
+        terms.append(f"((({qlat}) >> {src_bit}) & 1) * {1 << dst_bit}")
+    code = "(" + " + ".join(terms) + ")"
+    chars_expr = " || ".join(
+        f"substr('{_GH32}', CAST((({code}) >> {bits - 5 * (c + 1)}) & 31 AS INT) + 1, 1)"
+        for c in range(chars)
+    )
+    return f"({chars_expr})"
+
+
+@query("fn_geohash", oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             -90.0 + (c_custkey * 37 % 1800) / 10.0 AS lat,
+             -180.0 + (c_custkey * 53 % 3600) / 10.0 AS lon
+      FROM customer
+    )
+    SELECT c_custkey, lat, lon,
+           {_geohash_sql('lat', 'lon')} AS geohash
+    FROM pts
+""")
+def fn_geohash(spark, sf_dir: str) -> DataFrame:
+    """Geohash encoding (new r6) — the spatial bucketing primitive:
+    quantize (lat, lon) against the world extent, Morton-interleave
+    with the longitude bit first (the geohash spec), emit base32. A
+    geohash prefix IS a spatial cell, so equality/prefix joins on the
+    hash are grid joins, and sorting by it is a 2-D clustered layout
+    (the spatial cousin of layout_zorder — same bit-spread family,
+    different alphabet and bit order).
+
+    Points are synthesized arithmetically from customer keys (0.1°
+    steps covering the full world extent, both edges included — the
+    lat=90/lon=180 edge clamps to the last cell, the spec's behavior).
+    Pure per-row codegen arithmetic + substr concat: zero exchanges,
+    no UDF; the SQL text is engine-neutral so the oracle matches to
+    the last character."""
+    from quackflight_spark.sources.fixtures import load_table as _lt
+
+    pts = _lt(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.lit(-90.0) + (F.col("c_custkey") * 37 % 1800) / 10.0).alias("lat"),
+        (F.lit(-180.0) + (F.col("c_custkey") * 53 % 3600) / 10.0).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.expr(_geohash_sql("lat", "lon")).alias("geohash"),
+    )
