@@ -259,3 +259,18 @@ def test_events_pattern_match_single_user_exchange(spark, sf_dir, q):
     plan = _plan(q["events_pattern_match"](spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 1, plan.count("Exchange")
+
+
+def test_fn_geohash_zero_exchange_no_python(spark, sf_dir, q):
+    """Geohash is pure per-row codegen arithmetic + substr concat."""
+    plan = _plan(q["fn_geohash"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_join_spatial_grid_equi_join_no_cartesian(spark, sf_dir, q):
+    """The radius join must run as a cell-keyed equi-join (3x3 probe
+    explode), never the cartesian the naive distance predicate plans."""
+    plan = _plan(q["join_spatial_grid"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

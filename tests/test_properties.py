@@ -493,3 +493,59 @@ def test_holt_fold_matches_python(spark, obs):
         tr = math.floor((tr + nl - lv) / 2)
         lv = nl
     assert (got["lv"], got["tr"]) == (lv, tr), (obs, got, (lv, tr))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-900, max_value=900),
+            st.integers(min_value=-1800, max_value=1800),
+        ),
+        min_size=1, max_size=20,
+    )
+)
+def test_spatial_grid_join_lossless(spark, pts):
+    """The r-cell + 3x3-neighbor-probe decomposition must find exactly
+    the pairs the quadratic definition finds, for arbitrary integer
+    point sets — including points ON cell boundaries and pairs
+    straddling the corner of four cells (the shapes the neighbor probe
+    could drop if the adjacency argument were wrong)."""
+    from pyspark.sql import functions as F
+
+    r = 20
+    uniq = sorted(set(pts))
+    want = {
+        (i, j, (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2)
+        for i, a in enumerate(uniq)
+        for j, b in enumerate(uniq)
+        if i < j and (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 <= r * r
+    }
+    df = spark.createDataFrame(
+        [(i, a[0], a[1]) for i, a in enumerate(uniq)], "k long, lat_d long, lon_d long"
+    )
+    cx = ((F.col("lat_d") + 900) / r).cast("bigint")
+    cy = ((F.col("lon_d") + 1800) / r).cast("bigint")
+    build = df.select(
+        F.col("k").alias("key_b"), F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"), cx.alias("cx"), cy.alias("cy"),
+    )
+    probe = df.select(
+        F.col("k").alias("key_a"), F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.explode(F.array(*[
+            F.struct((cx + dx).alias("cx"), (cy + dy).alias("cy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])).alias("c"),
+    ).select("key_a", "lat_a", "lon_a",
+             F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    d2 = (F.col("lat_a") - F.col("lat_b")) ** 2 + (F.col("lon_a") - F.col("lon_b")) ** 2
+    got = {
+        (r_["key_a"], r_["key_b"], int(r_["d2"]))
+        for r_ in probe.join(build, ["cx", "cy"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("d2", d2.cast("bigint"))
+        .filter(F.col("d2") <= r * r)
+        .collect()
+    }
+    assert got == want, (uniq, got ^ want)
