@@ -123,6 +123,13 @@ BENCH_KEYS = [
     "timeseries_holt",
     "fn_geohash",
     "join_spatial_grid",
+    "join_spatial_nn",
+    "join_interval_overlap",
+    "events_welch_ttest",
+    "timeseries_ohlc",
+    "text_readability",
+    "agg_cms_frequency",
+    "graph_jaccard",
 ]
 
 

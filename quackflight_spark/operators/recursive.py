@@ -315,3 +315,81 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tri.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+
+
+JACCARD_MIN_COMMON = 3  # emit pairs sharing at least this many neighbors
+
+
+@query("graph_jaccard", oracle=f"""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM sp GROUP BY s),
+    common AS (
+      SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON}
+    )
+    SELECT c.s_a, c.s_b, c.n_common,
+           CAST(da.d + db.d - c.n_common AS BIGINT) AS n_union,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (da.d + db.d - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN deg da ON da.s = c.s_a
+    JOIN deg db ON db.s = c.s_b
+""")
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity over the supplier–part bipartite
+    graph (new r6): similarity(s_a, s_b) = |parts(a) ∩ parts(b)| /
+    |parts(a) ∪ parts(b)| — the structural-equivalence primitive behind
+    co-occurrence recommenders, entity blocking, and graph dedup
+    (SimRank's first hop).
+
+    Scale shape — common-neighbor counting WITHOUT the all-pairs
+    product: the distinct edge list self-joins on the shared NEIGHBOR
+    (part) key, so candidate volume is Σ_p deg(p)² over parts, bounded
+    by neighborhood density, never |suppliers|². The per-part fan-out is
+    the hub hazard (one mega-degree part owns a join key at 100 TB) —
+    the same bounded-block contract as the fuzzy/basket/semantic
+    family; a production run pre-caps part degree or salts the hub
+    (join_skew_salted shows the recipe). Degrees join back broadcast
+    (|suppliers| « edges); intersection counts ≥ {JACCARD_MIN_COMMON}
+    keep the output the interesting-pair set rather than the noise
+    floor. All counts are integers; jaccard is the identical
+    int/int double division in both engines, round-6."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    # the distinct edge list feeds BOTH self-join sides and the degree
+    # frame — persist it once per corpus (the materialized staging-table
+    # pattern) so the fact table is scanned once, not three times
+    sp = shared_frame(
+        "jaccard_edges",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct(),
+    )
+    deg = sp.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = sp.select(F.col("s").alias("s_a"), "p")
+    b = sp.select(F.col("s").alias("s_b"), "p")
+    common = (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= JACCARD_MIN_COMMON)
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("d_b"))
+    n_union = F.col("d_a") + F.col("d_b") - F.col("n_common")
+    return (
+        common.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "n_common",
+            n_union.cast("bigint").alias("n_union"),
+            F.round(F.col("n_common").cast("double") / n_union, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

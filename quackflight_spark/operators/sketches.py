@@ -207,3 +207,115 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+CMS_WIDTH = 64   # counters per hash row — deliberately small so the
+                 # overestimate property is visible on the fixture
+CMS_DEPTH = 4    # independent hash rows; estimate = min over rows
+
+_CMS_IDX_SQL = (
+    "CAST('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' || item), 1, 8)"
+    f" AS BIGINT) % {CMS_WIDTH}"
+)
+
+
+@query("agg_cms_frequency", oracle=f"""
+    WITH rows_ AS (
+      SELECT p.p_type || '#' || p.p_size AS item FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    cells AS (
+      SELECT d.d AS depth, {_CMS_IDX_SQL.format(d='d.d')} AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM rows_, (SELECT unnest(range({CMS_DEPTH})) AS d) d
+      GROUP BY 1, 2
+    ),
+    items AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS true_count
+      FROM rows_ GROUP BY item
+    ),
+    probes AS (
+      SELECT i.item, i.true_count, d.d AS depth,
+             {_CMS_IDX_SQL.format(d='d.d')} AS idx
+      FROM items i, (SELECT unnest(range({CMS_DEPTH})) AS d) d
+    )
+    SELECT p.item, CAST(min(c.c) AS BIGINT) AS est_count,
+           p.true_count
+    FROM probes p JOIN cells c ON p.depth = c.depth AND p.idx = c.idx
+    GROUP BY p.item, p.true_count
+""")
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (new r6) — the mergeable
+    heavy-hitter counter (Cormode & Muthukrishnan 2005) every streaming
+    /pre-aggregation stack ships next to HLL (cardinality) and theta
+    (set ops): a depth×width grid of counters, item increments one
+    counter per hash row, estimate = min over rows — never an
+    underestimate, overestimates only on hash collision.
+
+    Demonstrated on (p_type, p_size) item frequencies over the
+    lineitem⋈part fact stream — ~300 distinct items against width
+    {CMS_WIDTH}, deliberately undersized so collisions occur and
+    est ≥ true is a REAL property on the fixture (asserted in tests),
+    not vacuous equality.
+
+    Exactness: the hash rows are md5-derived (the repo's deterministic
+    cross-engine idiom), so the sketch CELLS — not just the estimates —
+    are bit-identical in both engines and the whole pipeline is
+    SQL-replayable; the DuckDB oracle rebuilds the identical sketch and
+    probes it identically.
+
+    Scale shape: the sketch build is ONE groupBy over (depth, idx) —
+    map-side combined, output bounded at depth×width = {CMS_DEPTH}×{CMS_WIDTH}
+    rows regardless of corpus size (the mergeable-sketch property: per-
+    partition grids sum cellwise). The probe side joins the tiny
+    broadcast sketch; at 100 TB the sketch table is still {CMS_DEPTH * CMS_WIDTH}
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(F.col("p_type"), F.lit("#"), F.col("p_size").cast("string"))
+        .alias("item"),
+    )
+    rows = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select("item")
+
+    def idx(depth_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            depth_col.cast("string"), F.lit(":"), F.col("item")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+        )
+
+    depths = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("depth")
+    cells = (
+        rows.select("item", depths)
+        .select("depth", idx(F.col("depth")).alias("idx"))
+        .groupBy("depth", "idx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    items = rows.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    probes = items.select(
+        "item", "true_count", depths
+    ).select(
+        "item", "true_count", "depth", idx(F.col("depth")).alias("idx")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["depth", "idx"])
+        .groupBy("item", "true_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+        .select("item", "est_count", "true_count")
+    )

@@ -565,8 +565,10 @@ SPATIAL_R_TENTHS = 20  # radius: 2.0 degrees, in integer deci-degrees
 @query("join_spatial_grid", oracle=f"""
     WITH pts AS (
       SELECT c_custkey,
-             CAST(-900 + (c_custkey * 37 % 1800) AS BIGINT) AS lat_d,
-             CAST(-1800 + (c_custkey * 53 % 3600) AS BIGINT) AS lon_d
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2000 AS lat_d,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4)
+                  AS BIGINT) % 1999 AS lon_d
       FROM customer
     )
     SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
@@ -595,16 +597,24 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical), so squared distances are exact integers in both
     engines. The ORACLE is the naive quadratic form — the definition —
     so the hash match proves the grid decomposition loses no pair.
-    Cells are offset to non-negative before the floor-div so Spark's
-    truncating DIV and DuckDB's flooring // agree."""
+    The synthetic points are md5-hash-uniform over a 200°×200°
+    deci-degree region (the repo's deterministic-hash idiom — r6 fix:
+    the original `k*37 % 1800` LATTICE was anti-clustered, so NO pair
+    fell within radius at any fixture SF and the key was vacuously
+    true on empty-vs-empty; hash-uniform points give the Poisson pair
+    density a real radius join sees: 5 / 347 / 35k pairs at
+    sf0.001/0.01/0.1). Coordinates are
+    non-negative, so Spark's truncating div and DuckDB's flooring //
+    agree on the cell id."""
+    h = F.md5(F.col("c_custkey").cast("string"))
     pts = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
-        (F.lit(-900) + (F.col("c_custkey") * 37 % 1800)).cast("bigint").alias("lat_d"),
-        (F.lit(-1800) + (F.col("c_custkey") * 53 % 3600)).cast("bigint").alias("lon_d"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 2000).alias("lat_d"),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("bigint") % 1999).alias("lon_d"),
     )
     r = SPATIAL_R_TENTHS
-    cx = ((F.col("lat_d") + 900) / r).cast("bigint")
-    cy = ((F.col("lon_d") + 1800) / r).cast("bigint")
+    cx = (F.col("lat_d") / r).cast("bigint")
+    cy = (F.col("lon_d") / r).cast("bigint")
     build = pts.select(
         F.col("c_custkey").alias("key_b"),
         F.col("lat_d").alias("lat_b"),
@@ -640,4 +650,206 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist_sq", dist_sq)
         .filter(F.col("dist_sq") <= r * r)
         .select("key_a", "key_b", "dist_sq")
+    )
+
+
+@query("join_spatial_nn", oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2000 AS lat_d,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4)
+                  AS BIGINT) % 1999 AS lon_d
+      FROM customer
+    ),
+    cand AS (
+      SELECT a.c_custkey AS key_a, b.c_custkey AS nn_key,
+             (a.lat_d - b.lat_d) * (a.lat_d - b.lat_d)
+             + (a.lon_d - b.lon_d) * (a.lon_d - b.lon_d) AS dist_sq
+      FROM pts a JOIN pts b
+        ON a.c_custkey <> b.c_custkey
+       AND (a.lat_d - b.lat_d) * (a.lat_d - b.lat_d)
+           + (a.lon_d - b.lon_d) * (a.lon_d - b.lon_d)
+           <= {SPATIAL_R_TENTHS * SPATIAL_R_TENTHS}
+    ),
+    best AS (
+      SELECT key_a, min(ROW(dist_sq, nn_key)) AS m FROM cand GROUP BY key_a
+    )
+    SELECT key_a, CAST(m[2] AS BIGINT) AS nn_key,
+           CAST(m[1] AS BIGINT) AS nn_dist_sq
+    FROM best
+""")
+def join_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-within-radius spatial join (new r6): for every
+    point, its closest OTHER point within SPATIAL_R_TENTHS, ties broken
+    by smallest key — the "snap to nearest station" primitive
+    (geocoding, sensor fusion, POI matching). Points with no neighbor
+    inside the radius are dropped (a production variant left-joins them
+    back as unmatched).
+
+    Scale shape: identical grid decomposition to `join_spatial_grid`
+    (cell equi-join + 3×3 probe explode — bounded-radius NN needs no
+    ring expansion: every candidate within r lives in an adjacent
+    cell), then ONE min(struct(dist², key)) aggregate per probe point —
+    the lexicographic struct-min is the same shuffle-once argmin idiom
+    as pipeline_dedup_keep_best, no window, no global sort. The ORACLE
+    is the naive quadratic min — the definition — so the hash match
+    proves the grid finds every point's true nearest neighbor.
+
+    Reference parity: quackflight delegates spatial joins to engine SQL
+    (no native spatial operator, main.py's generic query path); this is
+    the Spark-native formulation of that capability."""
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 2000).alias("lat_d"),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("bigint") % 1999).alias("lon_d"),
+    )
+    r = SPATIAL_R_TENTHS
+    cx = (F.col("lat_d") / r).cast("bigint")
+    cy = (F.col("lon_d") / r).cast("bigint")
+    build = pts.select(
+        F.col("c_custkey").alias("nn_key"),
+        F.col("lat_d").alias("lat_b"),
+        F.col("lon_d").alias("lon_b"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    probe = pts.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("lat_d").alias("lat_a"),
+        F.col("lon_d").alias("lon_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct((cx + dx).alias("cx"), (cy + dy).alias("cy"))
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "key_a", "lat_a", "lon_a",
+        F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"),
+    )
+    dist_sq = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("key_a") != F.col("nn_key"))
+        .withColumn("dist_sq", dist_sq)
+        .filter(F.col("dist_sq") <= r * r)
+        .groupBy("key_a")
+        .agg(F.min(F.struct("dist_sq", "nn_key")).alias("m"))
+        .select(
+            "key_a",
+            F.col("m.nn_key").alias("nn_key"),
+            F.col("m.dist_sq").alias("nn_dist_sq"),
+        )
+    )
+
+
+# interval-overlap join: fixture intervals synthesized from orders —
+# [start, start+len) in epoch days; the two relations are the odd/even
+# o_orderkey thinnings so the join is a genuine two-table overlap
+INTERVAL_BUCKET_DAYS = 64
+INTERVAL_THIN = 50  # keep ~1/50 of orders per side
+
+
+def _interval_side(spark: SparkSession, sf_dir: str, residue: int) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % INTERVAL_THIN == residue
+    )
+    start = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    return o.select(
+        F.col("o_orderkey").alias("key"),
+        start.cast("bigint").alias("start_day"),
+        (start + (F.col("o_orderkey") % 30) + 1).cast("bigint").alias("end_day"),
+    )
+
+
+def _interval_side_sql(residue: int) -> str:
+    return f"""
+      SELECT o_orderkey AS key,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS start_day,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  + (o_orderkey % 30) + 1 AS BIGINT) AS end_day
+      FROM orders WHERE o_orderkey % {INTERVAL_THIN} = {residue}
+    """
+
+
+@query("join_interval_overlap", oracle=f"""
+    WITH a AS ({_interval_side_sql(0)}),
+         b AS ({_interval_side_sql(1)})
+    SELECT a.key AS key_a, b.key AS key_b,
+           CAST(least(a.end_day, b.end_day)
+                - greatest(a.start_day, b.start_day) AS BIGINT) AS overlap_days
+    FROM a JOIN b
+      ON a.start_day < b.end_day AND b.start_day < a.end_day
+""")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (new r6): all (a, b) pairs whose half-open
+    [start, end) day ranges intersect, plus the overlap length — the
+    temporal-alignment primitive (shift overlap, session concurrency,
+    exposure windows). The naive form is a non-equi theta join Spark
+    can only plan as a nested-loop cartesian.
+
+    Scale shape — the standard distributed interval join: every
+    interval explodes to the INTERVAL_BUCKET_DAYS-wide buckets it
+    covers (sequence(), bounded by interval length / bucket width, here
+    ≤ 1 extra bucket per interval since max len 30 < 64), the join is a
+    pure EQUI-join on bucket id, and each qualifying pair is emitted
+    EXACTLY once — only in the bucket containing max(start_a, start_b)
+    — so no distinct/dedup shuffle is ever needed. Candidate volume is
+    Σ per-bucket |a|·|b|, bounded by time density, never |a|·|b|
+    overall; a skewed bucket is AQE-splittable because the join is a
+    plain equi-join. The ORACLE is the naive theta join — the
+    definition — so the hash match proves the bucket decomposition
+    emits every overlapping pair exactly once."""
+    w = INTERVAL_BUCKET_DAYS
+    a = _interval_side(spark, sf_dir, 0)
+    b = _interval_side(spark, sf_dir, 1)
+    exploded_a = a.select(
+        F.col("key").alias("key_a"),
+        F.col("start_day").alias("sa"),
+        F.col("end_day").alias("ea"),
+        F.explode(
+            F.sequence(
+                (F.col("start_day") / w).cast("bigint"),
+                ((F.col("end_day") - 1) / w).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    exploded_b = b.select(
+        F.col("key").alias("key_b"),
+        F.col("start_day").alias("sb"),
+        F.col("end_day").alias("eb"),
+        F.explode(
+            F.sequence(
+                (F.col("start_day") / w).cast("bigint"),
+                ((F.col("end_day") - 1) / w).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        exploded_a.join(exploded_b, "bucket")
+        .filter(
+            (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+            # exactly-once: only the bucket that OWNS the overlap start
+            & (
+                (F.greatest(F.col("sa"), F.col("sb")) / w).cast("bigint")
+                == F.col("bucket")
+            )
+        )
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.least(F.col("ea"), F.col("eb"))
+                - F.greatest(F.col("sa"), F.col("sb"))
+            ).cast("bigint").alias("overlap_days"),
+        )
     )

@@ -722,3 +722,68 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP)
         .select("doc_id", "term", "tf", "df", "tfidf", "rn")
     )
+
+
+@query("text_readability", oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0)),
+                 4) AS reading_ease,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0))
+                 - 15.59, 4) AS fk_grade
+    FROM m
+""")
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch–Kincaid grade per document (new r6)
+    — the classic prose-complexity quality signal a pretraining corpus
+    filter runs alongside length/stopword ratios (`text_quality`).
+    Sentences = runs of terminal punctuation (floored at 1 for
+    fragment docs); syllables = vowel-group runs in the lowercased
+    text — the standard cheap heuristic (±10% of dictionary syllable
+    counts on English prose; exact parity matters here only between
+    engines, and both count the identical regex matches).
+
+    Scale shape: pure per-row Catalyst regexp_count/split arithmetic —
+    no shuffle, no Python, embarrassingly parallel; the three integer
+    counts feed the identical double expression in both engines, so
+    round-4 values hash-match exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        )
+    ).cast("bigint")
+    n_sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_syllables = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"[aeiouy]+")
+    ).cast("bigint")
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.try_divide(F.col("n_syllables").cast("double"), F.col("n_words"))
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("reading_ease"),
+        F.round(0.39 * wps + 11.8 * spw - F.lit(15.59), 4).alias("fk_grade"),
+    )

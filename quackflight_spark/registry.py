@@ -40,8 +40,8 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # changed this round go first (r6: the events_ab_test ANSI fix — the
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
-# rows-only to deterministic-hash value oracles, plus three new
-# operators: 219 keys, 218 oracle-backed, 1 rows-only), then the
+# rows-only to deterministic-hash value oracles, plus new operators:
+# 226 keys, 225 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -53,11 +53,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
     # the three new r6 operators) --
+    "join_spatial_grid",  # r6 late fix: vacuous-lattice coords replaced
+    "events_welch_ttest", "join_spatial_nn", "join_interval_overlap",
+    "text_readability", "agg_cms_frequency", "timeseries_ohlc",
+    "graph_jaccard",
     "events_ab_test", "basket_pair_lift", "join_fuzzy_names",
     "dedup_semantic", "sample_random", "sample_percent",
     "text_entropy", "graph_triangles", "sample_reservoir", "events_cuped",
     "events_pattern_match", "layout_zorder", "stream_pattern_match",
-    "join_ip_lpm", "timeseries_holt", "stream_holt", "fn_geohash", "join_spatial_grid",
+    "join_ip_lpm", "timeseries_holt", "stream_holt", "fn_geohash",
     # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
     # the r5 gate window ended before reaching these) --
     "split_train_test", "sample_stratified", "sample_quota", "merge_upsert",

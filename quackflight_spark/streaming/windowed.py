@@ -1719,3 +1719,190 @@ def timeseries_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.getField("tr").alias("trend_cents"),
         (fold.getField("lv") + fold.getField("tr")).alias("forecast_cents"),
     )
+
+
+@query("events_welch_ttest", oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,2)) END),
+                      0) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 0 THEN y END) AS DOUBLE) AS sy_a,
+             CAST(sum(CASE WHEN variant = 1 THEN y END) AS DOUBLE) AS sy_b,
+             CAST(sum(CASE WHEN variant = 0 THEN y * y END) AS DOUBLE) AS syy_a,
+             CAST(sum(CASE WHEN variant = 1 THEN y * y END) AS DOUBLE) AS syy_b
+      FROM u
+    ),
+    m AS (
+      SELECT n_a, n_b,
+             sy_a / n_a AS mean_a, sy_b / n_b AS mean_b,
+             (syy_a - sy_a * sy_a / n_a) / nullif(n_a - 1, 0) AS var_a,
+             (syy_b - sy_b * sy_b / n_b) / nullif(n_b - 1, 0) AS var_b
+      FROM s
+    )
+    SELECT n_a, n_b,
+           round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+           round((mean_a - mean_b)
+                 / nullif(sqrt(var_a / n_a + var_b / n_b), 0), 6) AS t_stat,
+           round(pow(var_a / n_a + var_b / n_b, 2)
+                 / nullif(pow(var_a / n_a, 2) / nullif(n_a - 1, 0)
+                          + pow(var_b / n_b, 2) / nullif(n_b - 1, 0), 0),
+                 4) AS df
+    FROM m
+""")
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user purchase revenue (new
+    r6) — the continuous-metric sibling of `events_ab_test`'s
+    two-proportion z and `events_cuped`'s variance-reduced mean: the
+    three readouts every experimentation platform ships. Same
+    deterministic md5 50/50 user split; t = (ȳ_A − ȳ_B) /
+    √(s²_A/n_A + s²_B/n_B) with Welch–Satterthwaite degrees of freedom.
+
+    Exactness contract (the events_cuped pattern): per-user revenue y is
+    a DECIMAL(18,2)-exact sum; the per-variant moment sums Σy and Σy²
+    stay exact decimal through the one-row conditional aggregate and
+    only their FINAL values cast to double, so both engines evaluate
+    mean/variance/t from identical IEEE inputs with the identical
+    expression tree — no summation-order drift. try_divide throughout:
+    a single-user arm (n−1 = 0) or two zero-variance arms yield NULL,
+    not an ANSI DIVIDE_BY_ZERO.
+
+    Scale shape: one user_id agg shuffle (map-side combined), then a
+    global conditional-sum aggregate reducing to ONE row — identical
+    pass structure to events_ab_test; the whole test adds no extra scan
+    of events no matter the corpus size."""
+    dec = F.col("value").cast("decimal(18,2)")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", dec)), F.lit(0)
+            ).alias("y")
+        )
+        .withColumn(
+            "variant",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2,
+        )
+    )
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    s = u.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("y"))).cast("double").alias("sy_a"),
+        F.sum(F.when(is_b, F.col("y"))).cast("double").alias("sy_b"),
+        F.sum(F.when(is_a, F.col("y") * F.col("y"))).cast("double").alias("syy_a"),
+        F.sum(F.when(is_b, F.col("y") * F.col("y"))).cast("double").alias("syy_b"),
+    )
+    mean_a = F.col("sy_a") / F.col("n_a")
+    mean_b = F.col("sy_b") / F.col("n_b")
+    var_a = F.try_divide(
+        F.col("syy_a") - F.col("sy_a") * F.col("sy_a") / F.col("n_a"),
+        F.col("n_a") - 1,
+    )
+    var_b = F.try_divide(
+        F.col("syy_b") - F.col("sy_b") * F.col("sy_b") / F.col("n_b"),
+        F.col("n_b") - 1,
+    )
+    se2 = var_a / F.col("n_a") + var_b / F.col("n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(F.try_divide(mean_a - mean_b, F.sqrt(se2)), 6).alias("t_stat"),
+        F.round(
+            F.try_divide(
+                F.pow(se2, 2),
+                F.try_divide(F.pow(var_a / F.col("n_a"), 2), F.col("n_a") - 1)
+                + F.try_divide(F.pow(var_b / F.col("n_b"), 2), F.col("n_b") - 1),
+            ),
+            4,
+        ).alias("df"),
+    )
+
+
+@query("timeseries_ohlc", oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    agg AS (
+      SELECT event_type, day,
+             min(ROW(ts, event_id, v)) AS o,
+             max(ROW(ts, event_id, v)) AS c,
+             min(v) AS low, max(v) AS high,
+             CAST(count(*) AS BIGINT) AS n_ticks,
+             sum(v) AS total
+      FROM pts GROUP BY event_type, day
+    )
+    SELECT event_type, day,
+           CAST(o[3] AS DECIMAL(18,2)) AS open,
+           high, low,
+           CAST(c[3] AS DECIMAL(18,2)) AS close,
+           n_ticks, CAST(total AS DECIMAL(28,2)) AS total
+    FROM agg
+""")
+def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (candlestick) downsampling per (series, day) — open/high/
+    low/close + tick count + volume, the canonical M4-style time-series
+    compaction every monitoring and market-data stack runs (new r6).
+    Open/close are the values at the FIRST/LAST tick of the bucket,
+    ties impossible because (ts, event_id) is unique.
+
+    Exactness: open/close ride the lexicographic min/max(struct(ts,
+    event_id, value)) — the shuffle-once argmin idiom (same as
+    pipeline_dedup_keep_best / join_spatial_nn), so there is no window
+    function and no per-bucket sort anywhere; high/low/total are plain
+    DECIMAL-exact aggregates. Every output column is integer/decimal —
+    nothing floats, both engines hash-match bit-for-bit.
+
+    Scale shape: ONE map-side-combinable groupBy on (series, bucket) —
+    the partial aggregates are constant-size per group, so 100 TB of
+    raw ticks reduce to |series|×|buckets| rows in a single shuffle;
+    repartitioning the sink by series keeps downstream chart scans
+    pruned."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    v = F.col("value").cast("decimal(18,2)")
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "ts",
+        "event_id",
+        v.alias("v"),
+    )
+    return (
+        pts.groupBy("event_type", "day")
+        .agg(
+            F.min(F.struct("ts", "event_id", "v")).alias("o"),
+            F.max(F.struct("ts", "event_id", "v")).alias("c"),
+            F.min("v").alias("low"),
+            F.max("v").alias("high"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.sum("v").cast("decimal(28,2)").alias("total"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("o.v").alias("open"),
+            "high",
+            "low",
+            F.col("c.v").alias("close"),
+            "n_ticks",
+            "total",
+        )
+    )

@@ -274,3 +274,64 @@ def test_join_spatial_grid_equi_join_no_cartesian(spark, sf_dir, q):
     plan = _plan(q["join_spatial_grid"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_spatial_nn_equi_join_argmin_no_window(spark, sf_dir, q):
+    """Bounded-radius NN = cell equi-join + min(struct) agg — no
+    cartesian, no window/sort-based argmin."""
+    plan = _plan(q["join_spatial_nn"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_join_interval_overlap_equi_join_no_nested_loop(spark, sf_dir, q):
+    """The overlap theta-predicate must ride a bucket EQUI-join; the
+    naive form plans a nested-loop product."""
+    plan = _plan(q["join_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_readability_zero_exchange_no_python(spark, sf_dir, q):
+    """Pure per-row regexp arithmetic: map-only, JVM-side."""
+    plan = _plan(q["text_readability"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_timeseries_ohlc_single_agg_no_window(spark, sf_dir, q):
+    """OHLC is ONE map-side-combinable groupBy: the open/close argmin
+    rides min/max(struct), never a window sort."""
+    plan = _plan(q["timeseries_ohlc"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1, plan.count("Exchange")
+    # struct-min/max plans as SortAggregate; the map-side combine is the
+    # partial_min/partial_max pass before the single exchange
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_agg_cms_frequency_broadcast_sketch_no_cartesian(spark, sf_dir, q):
+    """The sketch (bounded depth x width) must broadcast to the probe
+    side; the build is a partial-agg shuffle."""
+    plan = _plan(q["agg_cms_frequency"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_graph_jaccard_neighbor_keyed_join_broadcast_degrees(spark, sf_dir, q):
+    """Common-neighbor counting joins on the shared-neighbor key (equi),
+    and the degree frames come back broadcast."""
+    plan = _plan(q["graph_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_events_welch_ttest_two_exchanges_no_python(spark, sf_dir, q):
+    """User-keyed agg + one-row global conditional agg — the
+    events_ab_test pass structure; everything JVM-side."""
+    plan = _plan(q["events_welch_ttest"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")

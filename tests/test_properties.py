@@ -23,6 +23,13 @@ SETTINGS = dict(
 )
 
 
+@pytest.fixture(scope="module")
+def q():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
 def _both(spark, values: list, sql_body: str, dtype: str):
     """Run `SELECT <sql_body> FROM t(v)` in Spark and DuckDB, return both
     row lists (column-name-sorted like the driver compare)."""
@@ -549,3 +556,192 @@ def test_spatial_grid_join_lossless(spark, pts):
         .collect()
     }
     assert got == want, (uniq, got ^ want)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),   # start
+            st.integers(min_value=1, max_value=100),   # length
+        ),
+        min_size=2, max_size=24,
+    )
+)
+def test_interval_overlap_bucket_join_exactly_once(spark, ivs):
+    """The bucket decomposition must emit each overlapping pair EXACTLY
+    once (the owning-bucket filter), for arbitrary intervals — including
+    intervals longer than the bucket, pairs straddling bucket edges, and
+    identical intervals."""
+    from pyspark.sql import functions as F
+
+    w = 64
+    a = [(i, s, s + ln) for i, (s, ln) in enumerate(ivs[::2])]
+    b = [(i, s, s + ln) for i, (s, ln) in enumerate(ivs[1::2])]
+    want = sorted(
+        (ia, ib, min(ea, eb) - max(sa, sb))
+        for ia, sa, ea in a
+        for ib, sb, eb in b
+        if sa < eb and sb < ea
+    )
+    if not a or not b:
+        return
+
+    def side(rows, key, s, e):
+        df = spark.createDataFrame(rows, f"{key} long, {s} long, {e} long")
+        return df.select(
+            key, s, e,
+            F.explode(
+                F.sequence(
+                    (F.col(s) / w).cast("bigint"),
+                    ((F.col(e) - 1) / w).cast("bigint"),
+                )
+            ).alias("bucket"),
+        )
+
+    got = sorted(
+        (r["key_a"], r["key_b"], r["ov"])
+        for r in side(a, "key_a", "sa", "ea")
+        .join(side(b, "key_b", "sb", "eb"), "bucket")
+        .filter(
+            (F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea"))
+            & ((F.greatest(F.col("sa"), F.col("sb")) / w).cast("bigint")
+               == F.col("bucket"))
+        )
+        .select(
+            "key_a", "key_b",
+            (F.least(F.col("ea"), F.col("eb"))
+             - F.greatest(F.col("sa"), F.col("sb"))).alias("ov"),
+        )
+        .collect()
+    )
+    assert got == want, (a, b, got, want)
+
+
+def test_cms_never_underestimates(spark, sf_dir, q):
+    """The count-min guarantee: est >= true for EVERY item, and with
+    width << |items| the fixture must show at least one genuine
+    collision overestimate (otherwise the demo is vacuous)."""
+    rows = q["agg_cms_frequency"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    assert any(r["est_count"] > r["true_count"] for r in rows)
+
+
+def test_welch_ttest_matches_textbook_formula(spark, sf_dir, q):
+    """Recompute Welch's t from the raw per-user revenue in plain Python
+    (float accumulation over sorted users) and compare to 6 decimals."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = q["events_welch_ttest"](spark, sf_dir).collect()[0]
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("y")
+        )
+        .collect()
+    )
+    import hashlib
+
+    arms = {0: [], 1: []}
+    for r in per_user:
+        v = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:4], 16) % 2
+        arms[v].append(float(r["y"]))
+    ya, yb = arms[0], arms[1]
+    ma, mb = sum(ya) / len(ya), sum(yb) / len(yb)
+    va = sum((x - ma) ** 2 for x in ya) / (len(ya) - 1)
+    vb = sum((x - mb) ** 2 for x in yb) / (len(yb) - 1)
+    t = (ma - mb) / math.sqrt(va / len(ya) + vb / len(yb))
+    assert got["n_a"] == len(ya) and got["n_b"] == len(yb)
+    assert abs(got["mean_a"] - ma) < 1e-4
+    assert abs(got["t_stat"] - t) < 1e-4, (got["t_stat"], t)
+
+
+def test_ohlc_open_close_are_first_last_ticks(spark, sf_dir, q):
+    """open/close must equal the value at the chronologically first/last
+    (ts, event_id) tick of each bucket — checked by brute force."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in q["timeseries_ohlc"](spark, sf_dir).collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type IN ('purchase','click','view')")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    buckets = defaultdict(list)
+    for r in raw:
+        buckets[(r["event_type"], r["ts"].date())].append(
+            (r["ts"], r["event_id"], Decimal(str(round(r["value"], 2))))
+        )
+    assert set(got) == set(buckets)
+    for k, ticks in buckets.items():
+        ticks.sort()
+        assert got[k]["open"] == ticks[0][2], k
+        assert got[k]["close"] == ticks[-1][2], k
+        assert got[k]["n_ticks"] == len(ticks)
+
+
+def test_graph_jaccard_brute_force(spark, sf_dir, q):
+    """Jaccard pairs must match the brute-force set computation over the
+    distinct supplier->parts adjacency."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {
+        (r["s_a"], r["s_b"]): (r["n_common"], r["n_union"])
+        for r in q["graph_jaccard"](spark, sf_dir).collect()
+    }
+    adj = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .collect()
+    ):
+        adj.setdefault(r["l_suppkey"], set()).add(r["l_partkey"])
+    want = {}
+    ks = sorted(adj)
+    for i, sa in enumerate(ks):
+        for sb in ks[i + 1:]:
+            c = len(adj[sa] & adj[sb])
+            if c >= 3:
+                want[(sa, sb)] = (c, len(adj[sa] | adj[sb]))
+    assert got == want
+
+
+def test_readability_counts_match_python_re(spark, sf_dir, q):
+    """Word / sentence / syllable counts must equal an independent
+    Python re recomputation on every fixture document."""
+    import re as _re
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r["doc_id"]: r for r in q["text_readability"](spark, sf_dir).collect()}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        text = r["text"]
+        words = [t for t in _re.split(r"\s+", text.strip()) if t]
+        sents = max(len(_re.findall(r"[.!?]+", text)), 1)
+        syls = len(_re.findall(r"[aeiouy]+", text.lower()))
+        g = got[r["doc_id"]]
+        assert g["n_words"] == len(words), r["doc_id"]
+        assert g["n_sentences"] == sents, r["doc_id"]
+        assert g["n_syllables"] == syls, r["doc_id"]
