@@ -53,6 +53,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
     # the three new r6 operators) --
+    "agg_hll_portable",  # new r6: cross-engine-exact HLL
+    "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "join_spatial_grid",  # r6 late fix: vacuous-lattice coords replaced
     "events_welch_ttest", "join_spatial_nn", "join_interval_overlap",
     "text_readability", "agg_cms_frequency", "timeseries_ohlc",

@@ -16,7 +16,7 @@ ratios small (ours is 2×).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quackflight_spark.registry import query
@@ -1905,4 +1905,91 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
             "total",
         )
+    )
+
+
+@query("timeseries_cusum", oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    target AS (
+      SELECT event_type, sum(n_events) // count(*) AS k
+      FROM daily GROUP BY event_type
+    ),
+    c AS (
+      SELECT d.event_type, d.day, d.n_events, t.k,
+             sum(d.n_events - t.k) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS csum
+      FROM daily d JOIN target t USING (event_type)
+    ),
+    s AS (
+      SELECT event_type, day, n_events, k, csum,
+             least(0, min(csum) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)) AS runmin
+      FROM c
+    )
+    SELECT event_type, day, n_events,
+           CAST(csum - runmin AS BIGINT) AS cusum,
+           (csum - runmin > k // 2) AS is_alarm
+    FROM s
+""")
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over per-series daily volume (new
+    r6) — Page 1954's one-sided cumulative-sum control chart, the
+    standard drift/level-shift monitor next to the MAD spike detector
+    (events_anomaly_mad: point anomalies; CUSUM: sustained shifts).
+
+    The textbook statistic is the SEQUENTIAL recurrence
+    s_i = max(0, s_{i-1} + (x_i - k)) — seemingly a per-series loop.
+    It has an exact prefix-scan closed form:
+    s_i = csum_i - min(0, min_{j<=i} csum_j), so the whole monitor is
+    TWO running windows (cumulative sum + running min) over the daily
+    rollup — no recursion, no UDF, no driver loop; Spark and DuckDB
+    evaluate the identical integer algebra.
+
+    Exactness: the reference level k is the integer floor-mean
+    (sum DIV days), so every intermediate (dev, csum, runmin, cusum) is
+    exact BIGINT arithmetic — bit-identical cross-engine; the alarm
+    threshold k/2 is likewise integer. A property test replays the
+    naive sequential recurrence in Python and matches exactly.
+
+    Scale shape: the raw 100 TB event stream reduces in ONE map-side-
+    combinable groupBy to |series|x|days| rows; both windows then run
+    over that tiny rollup partitioned BY SERIES (series-parallel, no
+    single-partition sort). The floor-mean join is a broadcast of
+    |series| rows."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    target = daily.groupBy("event_type").agg(
+        F.expr("sum(n_events) DIV count(*)").alias("k")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        daily.join(F.broadcast(target), "event_type")
+        .withColumn("csum", F.sum(F.col("n_events") - F.col("k")).over(w))
+        .withColumn("runmin", F.least(F.lit(0), F.min("csum").over(w)))
+    )
+    return c.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("csum") - F.col("runmin")).cast("bigint").alias("cusum"),
+        ((F.col("csum") - F.col("runmin")) > F.expr("k DIV 2")).alias(
+            "is_alarm"
+        ),
     )

@@ -745,3 +745,38 @@ def test_readability_counts_match_python_re(spark, sf_dir, q):
         assert g["n_words"] == len(words), r["doc_id"]
         assert g["n_sentences"] == sents, r["doc_id"]
         assert g["n_syllables"] == syls, r["doc_id"]
+
+
+def test_hll_portable_accuracy_and_raw_range(spark, sf_dir, q):
+    """Portable-HLL contract: every fixture segment sits safely in the
+    raw-estimate range (true > 2.5m = 80, so the skipped linear-
+    counting branch is provably never exercised), and the estimate
+    lands within 3 sigma (~55% for m=32) of exact distinct."""
+    rows = q["agg_hll_portable"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["true_distinct"] > 80, r
+        rel = abs(r["est_distinct"] - r["true_distinct"]) / r["true_distinct"]
+        assert rel < 0.55, (r, rel)
+
+
+def test_cusum_matches_sequential_recurrence(spark, sf_dir, q):
+    """The prefix-min closed form must equal the textbook sequential
+    recurrence s_i = max(0, s_{i-1} + (x_i - k)) replayed in Python,
+    exactly (all-integer pipeline)."""
+    from collections import defaultdict
+
+    rows = q["timeseries_cusum"](spark, sf_dir).collect()
+    assert rows
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r)
+    for ev, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        total = sum(r["n_events"] for r in rs)
+        k = total // len(rs)
+        s = 0
+        for r in rs:
+            s = max(0, s + (r["n_events"] - k))
+            assert r["cusum"] == s, (ev, r, s)
+            assert r["is_alarm"] == (s > k // 2), (ev, r)
