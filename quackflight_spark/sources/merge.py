@@ -397,3 +397,76 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@query("merge_cdc_apply", oracle="""
+    WITH log_ AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    compacted AS (
+      SELECT user_id,
+             max(ROW(ts, event_id, op, v)) AS last_,
+             CAST(count(*) AS BIGINT) AS n_changes
+      FROM log_ GROUP BY user_id
+    )
+    SELECT user_id,
+           last_[3] AS last_op,
+           CAST(last_[4] AS DECIMAL(18,2)) AS last_value,
+           last_[1] AS last_ts,
+           n_changes
+    FROM compacted
+    WHERE last_[3] <> 'D'
+""")
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply / compaction (new r6) — the Debezium-shaped
+    I/U/D log collapsed to current table state, the streaming-table
+    duality every lakehouse ingestion path runs (Delta CDF apply, Hudi
+    deduped upsert, Kafka compacted topic materialization).
+
+    The events stream plays the changelog: signup=Insert, error=Delete
+    (tombstone), everything else=Update, keyed by user_id, totally
+    ordered per key by the unique (ts, event_id). Current state = the
+    LATEST op per key; a trailing tombstone erases the key entirely.
+
+    Shape: the naive window (row_number DESC, take 1) sorts every key
+    group; this is instead ONE map-side-combinable groupBy with
+    max(struct(ts, event_id, op, value)) — the shuffle-once argmax
+    idiom (same as merge_scd2's sibling ops) — then a tombstone filter.
+    max(struct) is associative, so per-microbatch partial compactions
+    merge incrementally: at 100 TB the changelog compacts per partition
+    BEFORE the shuffle, and a day's delta folds into yesterday's
+    compacted state without rescanning it (same contract as
+    dedup_incremental).
+
+    Parity: the reference reaches row-level upsert via DuckDB's
+    single-file ACID engine (README.md INSERT/ATTACH flows); this is
+    the distributed re-expression for immutable parquet."""
+    log_ = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    compacted = log_.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "op", "v")).alias("last_"),
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+    )
+    return (
+        compacted.filter(F.col("last_.op") != "D")
+        .select(
+            "user_id",
+            F.col("last_.op").alias("last_op"),
+            F.col("last_.v").alias("last_value"),
+            F.col("last_.ts").alias("last_ts"),
+            "n_changes",
+        )
+    )

@@ -1993,3 +1993,101 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_alarm"
         ),
     )
+
+
+@query("events_ks_test", oracle="""
+    WITH pts AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM pts GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             sum(c_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(c_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(c_a) OVER () AS n_a, sum(c_b) OVER () AS n_b
+      FROM g
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)) AS d_stat,
+           (CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+             / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)))
+           > (CAST(1.358 AS DOUBLE)
+              * sqrt(CAST(max(n_a) + max(n_b) AS DOUBLE)
+                     / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE))))
+             AS reject_h0
+    FROM cum
+""")
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on purchase-revenue
+    DISTRIBUTIONS across the md5-deterministic A/B arms (new r6) — the
+    nonparametric sibling of the Welch t (means) and z-test
+    (proportions): detects ANY distributional shift, not just location.
+
+    Exactness: D = max|F_a - F_b| is evaluated as the exact INTEGER
+    max|ca*n_b - cb*n_a| over the pooled support — no per-step float
+    division — then divided once by n_a*n_b; the alpha=0.05 rejection
+    threshold 1.358*sqrt((n_a+n_b)/(n_a*n_b)) uses only IEEE-exact
+    sqrt/*,/ (no libm), so both engines agree bit-for-bit.
+
+    Scale shape: revenue quantizes to the cents grid (DECIMAL(18,2)),
+    so the ECDF support is bounded by the PRICE DOMAIN, not the corpus
+    — 100 TB of purchases still roll up (one map-side-combinable
+    groupBy) to at most |distinct prices| rows, and the ordered scan
+    that takes the running maximum walks that bounded table. The same
+    rollup is what a t-digest would sketch; here the domain bound makes
+    the exact answer affordable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pts = ev.select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % 2
+        ).alias("variant"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    g = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        F.sum("c_a").over(w).alias("ca"),
+        F.sum("c_b").over(w).alias("cb"),
+        F.sum("c_a").over(Window.partitionBy()).alias("n_a"),
+        F.sum("c_b").over(Window.partitionBy()).alias("n_b"),
+    )
+    return cum.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+        .cast("bigint")
+        .alias("d_num"),
+        F.expr(
+            "CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)"
+            " / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE))"
+        ).alias("d_stat"),
+        F.expr(
+            "(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)"
+            " / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)))"
+            " > (CAST(1.358 AS DOUBLE)"
+            "    * sqrt(CAST(max(n_a) + max(n_b) AS DOUBLE)"
+            "           / (CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE))))"
+        ).alias("reject_h0"),
+    )

@@ -780,3 +780,71 @@ def test_cusum_matches_sequential_recurrence(spark, sf_dir, q):
             s = max(0, s + (r["n_events"] - k))
             assert r["cusum"] == s, (ev, r, s)
             assert r["is_alarm"] == (s > k // 2), (ev, r)
+
+
+def test_ks_test_matches_manual_ecdf(spark, sf_dir, q):
+    """Replay the two-sample KS statistic from the raw per-arm value
+    lists in Python (exact integer cross-multiplication over the pooled
+    support) and require exact agreement."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = q["events_ks_test"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("value").cast("decimal(18,2)").alias("v"))
+        .collect()
+    )
+    a, b = [], []
+    for r in rows:
+        h = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:4], 16) % 2
+        (a if h == 0 else b).append(r["v"])
+    n_a, n_b = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    d_num = max(
+        abs(
+            sum(1 for x in a if x <= v) * n_b
+            - sum(1 for x in b if x <= v) * n_a
+        )
+        for v in support
+    )
+    assert (got["n_a"], got["n_b"], got["d_num"]) == (n_a, n_b, d_num), got
+    assert got["d_stat"] == d_num / (n_a * n_b)
+
+
+def test_cdc_apply_matches_sequential_replay(spark, sf_dir, q):
+    """Replay the changelog row-by-row per key in (ts, event_id) order
+    (the naive stateful apply) and require the compacted state to match
+    exactly — including tombstoned keys being absent."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {
+        r["user_id"]: (r["last_op"], r["last_value"], r["last_ts"], r["n_changes"])
+        for r in q["merge_cdc_apply"](spark, sf_dir).collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .collect()
+    )
+    state, counts = {}, {}
+    for r in sorted(raw, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        op = {"signup": "I", "error": "D"}.get(r["event_type"], "U")
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+        state[r["user_id"]] = (op, r["v"], r["ts"])
+    want = {
+        k: (op, v, ts, counts[k])
+        for k, (op, v, ts) in state.items()
+        if op != "D"
+    }
+    assert got == want
+    assert len(want) < len(counts)  # some keys really tombstoned
