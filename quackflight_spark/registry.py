@@ -55,7 +55,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the three new r6 operators) --
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
-    "events_ks_test", "merge_cdc_apply",  # new r6
+    "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6
     "join_spatial_grid",  # r6 late fix: vacuous-lattice coords replaced
     "events_welch_ttest", "join_spatial_nn", "join_interval_overlap",
     "text_readability", "agg_cms_frequency", "timeseries_ohlc",
@@ -157,6 +157,7 @@ def load_all() -> None:
     import quackflight_spark.functions.modern  # noqa: F401
     import quackflight_spark.operators.sketches  # noqa: F401
     import quackflight_spark.operators.skew  # noqa: F401
+    import quackflight_spark.operators.bucketed  # noqa: F401
     import quackflight_spark.operators.tpch_extra  # noqa: F401
     import quackflight_spark.operators.tpch_full  # noqa: F401
     import quackflight_spark.pipeline.dedup  # noqa: F401

@@ -335,3 +335,24 @@ def test_events_welch_ttest_two_exchanges_no_python(spark, sf_dir, q):
     plan = _plan(q["events_welch_ttest"](spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_bucketed_join_is_colocated_no_exchange(spark, sf_dir, q):
+    """The operator's whole point: with broadcast disabled (forcing the
+    join strategy a 100 TB fact-fact join would use), both scans read
+    bucketed tables and the SortMergeJoin runs WITHOUT any Exchange —
+    the per-query shuffle is gone, paid once at ingest."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = _formatted(q["join_bucketed_colocated"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert out.count("Bucketed: true") == 2, out
+    assert "SortMergeJoin" in out
+    # exactly ONE Exchange in the whole plan: the tiny post-aggregation
+    # one. The join subtree (everything below SortMergeJoin) has none.
+    tree = out.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1, out
+    assert tree.index("Exchange") < tree.index("SortMergeJoin"), out
+    assert "SelectedBucketsCount: 16 out of 16" in out
