@@ -53,6 +53,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
     # the three new r6 operators) --
+    "layout_hilbert",  # new r6: Hilbert-curve clustering key
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6

@@ -189,6 +189,123 @@ def layout_zorder(spark, sf_dir: str) -> DataFrame:
     )
 
 
+HILBERT_BITS = 8  # 256x256 grid — one step per bit level
+HILBERT_TOP = 500
+
+
+def _hilbert_step_exprs(s: int, n: int) -> tuple[str, str, str]:
+    """One level of the standard Hilbert xy2d walk (the Wikipedia/
+    Warren formulation) as three ENGINE-NEUTRAL SQL expressions over
+    columns (x, y, d): returns (x_next, y_next, d_next) for quadrant
+    size `s` on an n×n grid.
+
+    The quadrant index (3*rx) XOR ry is rewritten arithmetically as
+    3*rx + ry - 2*rx*ry (identical on the {0,1}×{0,1} domain) so the
+    text avoids engine-specific XOR spellings; the rotation reflects
+    when rx=1 then swaps x/y when ry=0 — exactly the reference rot()."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    d_next = f"(d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}))"
+    x_next = (
+        f"(CASE WHEN {ry} = 1 THEN x"
+        f" WHEN {rx} = 1 THEN {n - 1} - y ELSE y END)"
+    )
+    y_next = (
+        f"(CASE WHEN {ry} = 1 THEN y"
+        f" WHEN {rx} = 1 THEN {n - 1} - x ELSE x END)"
+    )
+    return x_next, y_next, d_next
+
+
+def hilbert_xy2d(x: int, y: int, bits: int = HILBERT_BITS) -> int:
+    """Driver-side reference implementation (tests cross-check the SQL
+    chain against this and against the adjacency property)."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _hilbert_oracle_sql(bits: int = HILBERT_BITS) -> str:
+    """Chained-CTE oracle: one CTE per bit level, each rewriting
+    (x, y, d) — the iterative algorithm expressed as a linear SQL
+    pipeline instead of an exponentially nested expression."""
+    n = 1 << bits
+    keys = "l_orderkey, l_linenumber, l_partkey, l_suppkey"
+    ctes = [
+        f"h0 AS (SELECT {keys},"
+        f" CAST(l_partkey % {n} AS BIGINT) AS x,"
+        f" CAST(l_suppkey % {n} AS BIGINT) AS y,"
+        f" CAST(0 AS BIGINT) AS d FROM lineitem)"
+    ]
+    for lvl in range(bits):
+        s = n >> (lvl + 1)
+        xn, yn, dn = _hilbert_step_exprs(s, n)
+        ctes.append(
+            f"h{lvl + 1} AS (SELECT {keys}, {xn} AS x, {yn} AS y,"
+            f" {dn} AS d FROM h{lvl})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {keys}, d AS hcode FROM h{bits}"
+        + f"\nORDER BY hcode, l_orderkey, l_linenumber LIMIT {HILBERT_TOP}"
+    )
+
+
+@query("layout_hilbert", oracle=_hilbert_oracle_sql())
+def layout_hilbert(spark, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (new r6) — the locality-superior
+    sibling of layout_zorder and the curve behind Databricks liquid
+    clustering: unlike the Morton code, consecutive Hilbert codes are
+    ALWAYS grid-adjacent (no quadrant-boundary jumps), so sorting by it
+    gives each parquet file a tighter 2-D bounding box and strictly
+    better min/max skipping on both filter columns.
+
+    The iterative xy2d walk (one reflect/swap rotation per bit level)
+    is expressed as a chain of 8 narrow projections — each level is
+    pure whole-stage-codegen CASE/bit arithmetic rewriting (x, y, d),
+    so the plan is a single scan + 8 fused projections + the one
+    range-partition sort every layout rewrite pays by definition
+    (top-N-fused at fixture scale). The oracle runs the IDENTICAL
+    engine-neutral step expressions as a CTE chain; tests additionally
+    cross-check against the driver-side reference hilbert_xy2d and
+    assert the consecutive-codes-are-adjacent curve property."""
+    n = 1 << HILBERT_BITS
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_partkey") % n).cast("bigint").alias("x"),
+        (F.col("l_suppkey") % n).cast("bigint").alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    for lvl in range(HILBERT_BITS):
+        s = n >> (lvl + 1)
+        xn, yn, dn = _hilbert_step_exprs(s, n)
+        li = li.select(
+            *keys,
+            F.expr(xn).alias("x"),
+            F.expr(yn).alias("y"),
+            F.expr(dn).alias("d"),
+        )
+    return (
+        li.select(*keys, F.col("d").alias("hcode"))
+        .orderBy("hcode", "l_orderkey", "l_linenumber")
+        .limit(HILBERT_TOP)
+    )
+
+
 # geohash base32 alphabet (no a/i/l/o) — the standard encoding
 _GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 GEOHASH_CHARS = 6  # 30 bits = 15 bits per dimension, ~±0.6 km cells
