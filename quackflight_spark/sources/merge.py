@@ -399,6 +399,66 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("join_scd2_pointintime", oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      FROM customer
+    ),
+    ver AS (
+      SELECT c_custkey, CAST(bal AS DOUBLE) AS acctbal,
+             DATE '1990-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 3 THEN DATE '{SCD2_EFF}' END
+               AS valid_to
+      FROM dim
+      UNION ALL
+      SELECT c_custkey, CAST(bal + 500.00 AS DOUBLE),
+             DATE '{SCD2_EFF}', CAST(NULL AS DATE)
+      FROM dim WHERE c_custkey % 10 = 3
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, v.acctbal,
+           v.valid_to IS NULL AS joined_current_version
+    FROM orders o JOIN ver v ON o.o_custkey = v.c_custkey
+    WHERE o.o_orderdate >= v.valid_from
+      AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+""")
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join (new r6) — the READ side of SCD2
+    and the reason the version table exists: enrich each fact row with
+    the dimension attributes AS OF the fact's own date, not today's.
+    The fixture joins every order against the merge_scd2 version table
+    (same seed + {SCD2_EFF} balance change, built through the same
+    scd2_merge code path), picking the version whose half-open
+    [valid_from, valid_to) interval contains o_orderdate — orders
+    placed before the change see the old balance, orders after (and on)
+    it see the new one.
+
+    Scale shape: this is deliberately NOT a range join — it is ONE
+    equi-join on the dimension KEY (sort-merge or broadcast, Catalyst's
+    choice) with the interval predicate applied as a post-join filter.
+    The fan-out is bounded by versions-per-key (2 here; tens in any
+    real dimension), never by the fact row count, so the plan survives
+    a 100 TB fact table exactly as well as any keyed join; an
+    interval-keyed range join would buy nothing and cost a second sort.
+    """
+    dim = merge_scd2(spark, sf_dir).select(
+        "c_custkey", "acctbal", "valid_from", "valid_to"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = o.join(dim, o.o_custkey == dim.c_custkey)
+    return j.filter(
+        (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to")))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "acctbal",
+        F.col("valid_to").isNull().alias("joined_current_version"),
+    )
+
+
 @query("merge_cdc_apply", oracle="""
     WITH log_ AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -961,3 +961,33 @@ def test_bpe_tokenize_compresses(spark, sf_dir):
     assert total_bpe < total_raw
     for r in rows:
         assert r["symbols_bpe"] >= r["n_words"]
+
+
+def test_scd2_pointintime_join_semantics(spark, sf_dir):
+    """Point-in-time contract: every order matches EXACTLY one version
+    (no fan-out, no drops); orders before the effective date see the
+    seed balance, orders on/after it see the +500 balance for changed
+    keys; unchanged keys always join the (only) current version."""
+    import datetime
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.sources.merge import (
+        SCD2_EFF,
+        join_scd2_pointintime,
+    )
+
+    out = join_scd2_pointintime(spark, sf_dir)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert out.count() == n_orders  # exactly-one-version per fact row
+    eff = datetime.date.fromisoformat(SCD2_EFF)
+    for r in out.filter((F.col("o_custkey") % 10) == 3).collect():
+        od = r.o_orderdate
+        if isinstance(od, datetime.datetime):  # fixture stores timestamp
+            od = od.date()
+        assert r.joined_current_version == (od >= eff), r
+    assert (
+        out.filter((F.col("o_custkey") % 10) != 3)
+        .filter(~F.col("joined_current_version"))
+        .count()
+        == 0
+    )
