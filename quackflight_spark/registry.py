@@ -55,6 +55,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the three new r6 operators) --
     "layout_hilbert",  # new r6: Hilbert-curve clustering key
     "join_scd2_pointintime",  # new r6: temporal as-of-date dimension join
+    "dedup_containment",  # new r6: asymmetric subset-duplicate pairs
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6

@@ -991,3 +991,33 @@ def test_scd2_pointintime_join_semantics(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
+    """The asymmetry claim: a short doc embedded verbatim in a 10×
+    longer one must surface as a DIRECTED containment pair (C=1.0)
+    whose Jaccard sits far below the symmetric dedup threshold — and
+    the reverse direction must NOT appear."""
+    from quackflight_spark.pipeline import frame_cache
+    from quackflight_spark.pipeline.dedup import dedup_containment
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i+1}" for i in range(0, 80, 2))
+    rows = [
+        (1, short, "en", "web", len(short)),
+        (2, short + " " + filler, "en", "web", 10),
+        (3, "totally different words here entirely", "en", "web", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint"
+    )
+    d = str(tmp_path / "docs")
+    df.write.parquet(d + "/documents.parquet")
+    out = {
+        (r.doc_contained, r.doc_container): (r.containment, r.jaccard)
+        for r in dedup_containment(spark, d).collect()
+    }
+    assert (1, 2) in out
+    c, j = out[(1, 2)]
+    assert c == 1.0 and j < 0.5, (c, j)
+    assert (2, 1) not in out
