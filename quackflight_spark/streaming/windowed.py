@@ -1995,6 +1995,113 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("timeseries_autocorr", oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day,
+             CAST(t.n * d.x - t.s AS DECIMAL(38,0)) AS dv
+      FROM daily d JOIN stats t USING (event_type)
+    ),
+    l AS (
+      SELECT event_type, dv,
+             lead(dv, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+             lead(dv, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2,
+             lead(dv, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+      FROM dev
+    ),
+    a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(dv * dv) AS den,
+             sum(dv * l1) AS n1, sum(dv * l2) AS n2, sum(dv * l7) AS n7
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type, lag, n_days,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+    FROM (
+      SELECT event_type, 1 AS lag, n_days, n1 AS num, den FROM a
+      UNION ALL
+      SELECT event_type, 2, n_days, n2, den FROM a
+      UNION ALL
+      SELECT event_type, 7, n_days, n7, den FROM a
+    )
+""")
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (ACF) of per-series daily volume at lags
+    1, 2 and 7 (new r6) — the seasonality/persistence diagnostic behind
+    every forecasting pipeline (the lag-7 spike is how weekly
+    periodicity is detected before fitting Holt/seasonal models).
+
+    Exactness: the textbook r_k = sum((x_t-m)(x_{t+k}-m)) / sum((x_t-m)^2)
+    with the float mean m is a cross-engine summation-order trap, so
+    both engines compute the EQUIVALENT integer form scaled by n^2:
+    dev_t = n*x_t - S is an exact integer, num = sum(dev_t * dev_{t+k})
+    and den = sum(dev_t^2) are exact DECIMAL(38,0) sums, and acf is ONE
+    double division of two identical exact values — bit-for-bit equal.
+    All three lags ride a single window pass (three leads over one
+    sort) and one aggregate; the lag pivot is a projection-only union.
+
+    Scale shape: 100 TB of raw events reduce in one map-side-combinable
+    groupBy to |series|x|days| rows; the window and aggregate run over
+    that rollup partitioned BY SERIES. The stats join broadcasts
+    |series| rows. Calendar-bounded n keeps n*x inside DECIMAL(38,0)
+    headroom with ~10 digits to spare at 10^12 events/day; overflow is
+    a loud ANSI error, never a silent wrap."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)").alias("dv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    led = dev.select(
+        "event_type",
+        "dv",
+        F.lead("dv", 1).over(w).alias("l1"),
+        F.lead("dv", 2).over(w).alias("l2"),
+        F.lead("dv", 7).over(w).alias("l7"),
+    )
+    a = led.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.col("dv") * F.col("dv")).alias("den"),
+        F.sum(F.col("dv") * F.col("l1")).alias("n1"),
+        F.sum(F.col("dv") * F.col("l2")).alias("n2"),
+        F.sum(F.col("dv") * F.col("l7")).alias("n7"),
+    )
+    parts = [
+        a.select(
+            "event_type",
+            F.lit(lag).cast("int").alias("lag"),
+            "n_days",
+            (F.col(num).cast("double") / F.col("den").cast("double")).alias(
+                "acf"
+            ),
+        )
+        for lag, num in ((1, "n1"), (2, "n2"), (7, "n7"))
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
 @query("events_ks_test", oracle="""
     WITH pts AS (
       SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)

@@ -1021,3 +1021,33 @@ def test_containment_catches_subset_dup_jaccard_misses(spark, tmp_path):
     c, j = out[(1, 2)]
     assert c == 1.0 and j < 0.5, (c, j)
     assert (2, 1) not in out
+
+
+def test_autocorr_matches_numpy_reference(spark, sf_dir):
+    """The integer-scaled ACF must equal the textbook float formula
+    (computed in numpy at float64 on the same daily rollup) to ~1e-12,
+    and sit in [-1, 1]."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = {
+        (r.event_type, r.lag): r.acf
+        for r in _queries()["timeseries_autocorr"](spark, sf_dir).collect()
+    }
+    assert out and all(-1.0 <= v <= 1.0 for v in out.values())
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .count()
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r["count"])
+    for (et, lag), got in out.items():
+        x = np.asarray(series[et], dtype=np.float64)
+        d = x - x.mean()
+        want = float((d[:-lag] * d[lag:]).sum() / (d * d).sum())
+        assert abs(got - want) < 1e-9, (et, lag, got, want)
