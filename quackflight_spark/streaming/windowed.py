@@ -2102,6 +2102,105 @@ def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
+@query("timeseries_seasonal_decompose", oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, day, x,
+             ((CAST(day - DATE '1970-01-05' AS INT) % 7) + 7) % 7 AS dow,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    season AS (
+      SELECT event_type, dow,
+             CAST(sum(7 * x - s7) AS BIGINT) AS s_num,
+             CAST(7 * count(*) AS BIGINT) AS s_den
+      FROM ma WHERE c7 = 7 GROUP BY event_type, dow
+    )
+    SELECT m.event_type, m.day, m.x,
+           CASE WHEN m.c7 = 7
+                THEN CAST(m.s7 AS DOUBLE) / CAST(7 AS DOUBLE) END AS trend,
+           CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) AS seasonal,
+           CASE WHEN m.c7 = 7
+                THEN CAST(m.x AS DOUBLE)
+                     - CAST(m.s7 AS DOUBLE) / CAST(7 AS DOUBLE)
+                     - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE)
+           END AS residual
+    FROM ma m JOIN season s
+      ON m.event_type = s.event_type AND m.dow = s.dow
+""")
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (new r6) — the
+    moving-average decomposition behind statsmodels seasonal_decompose
+    and the first step of every forecasting/anomaly stack: per-series
+    daily volume splits into trend (centered 7-day moving average),
+    weekly seasonal index (mean detrended value per day-of-week over
+    full-window rows), and residual. Edge days without a full 7-day
+    window carry NULL trend/residual, the reference behavior.
+
+    Exactness: the detrended value x - s7/7 is held as the exact
+    integer 7x - s7, so the seasonal index is sum(7x - s7)/(7*cnt) —
+    exact BIGINT numerator and denominator with ONE double division;
+    trend is s7/7 the same way, and the residual subtracts the two
+    identical doubles in the same order in both engines. Day-of-week
+    is epoch-day arithmetic mod 7 (Monday=0), immune to engine DOW
+    numbering (Spark counts Sunday=1, DuckDB Sunday=0).
+
+    Scale shape: one map-side-combinable rollup to |series|x|days|
+    rows, one 7-row window partitioned BY SERIES over that rollup, one
+    |series|x7-row seasonal aggregate broadcast back. Nothing touches
+    raw-event grain after the first groupBy."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.pmod(F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), F.lit(7))
+        .cast("int")
+        .alias("dow"),
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    season = (
+        ma.filter(F.col("c7") == 7)
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(7 * F.col("x") - F.col("s7")).cast("bigint").alias("s_num"),
+            (7 * F.count(F.lit(1))).cast("bigint").alias("s_den"),
+        )
+    )
+    trend = F.when(
+        F.col("c7") == 7, F.col("s7").cast("double") / F.lit(7).cast("double")
+    )
+    seasonal = F.col("s_num").cast("double") / F.col("s_den").cast("double")
+    return ma.join(F.broadcast(season), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "x",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        F.when(
+            F.col("c7") == 7,
+            F.col("x").cast("double") - trend - seasonal,
+        ).alias("residual"),
+    )
+
+
 @query("events_ks_test", oracle="""
     WITH pts AS (
       SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)

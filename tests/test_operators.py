@@ -1051,3 +1051,24 @@ def test_autocorr_matches_numpy_reference(spark, sf_dir):
         d = x - x.mean()
         want = float((d[:-lag] * d[lag:]).sum() / (d * d).sum())
         assert abs(got - want) < 1e-9, (et, lag, got, want)
+
+
+def test_seasonal_decompose_invariants(spark, sf_dir):
+    """Decomposition contract: trend+seasonal+residual == x exactly on
+    full-window rows; edge rows (first/last 3 per series) carry NULL
+    trend/residual; seasonal indices per series sum to ~0 weighted by
+    their day-of-week counts (the mean-detrended-value construction)."""
+    rows = _queries()["timeseries_seasonal_decompose"](spark, sf_dir).collect()
+    assert rows
+    per_series = {}
+    for r in rows:
+        per_series.setdefault(r.event_type, []).append(r)
+    for et, rs in per_series.items():
+        rs.sort(key=lambda r: r.day)
+        for i, r in enumerate(rs):
+            edge = i < 3 or i >= len(rs) - 3
+            assert (r.trend is None) == edge, (et, r.day)
+            assert (r.residual is None) == edge
+            assert r.seasonal is not None
+            if not edge:
+                assert abs(r.trend + r.seasonal + r.residual - r.x) < 1e-9
