@@ -58,6 +58,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_containment",  # new r6: asymmetric subset-duplicate pairs
     "timeseries_autocorr",  # new r6: exact-integer ACF at lags 1/2/7
     "timeseries_seasonal_decompose",  # new r6: additive MA decomposition
+    "events_funnel_windowed",  # new r6: windowFunnel-compat 24h funnel
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6

@@ -517,6 +517,119 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # windowFunnel(24h)
+
+
+@query("events_funnel_windowed", oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (
+      SELECT *, max(CASE WHEN event_type = 'view' THEN t END) OVER
+        (PARTITION BY user_id ORDER BY t, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      FROM e
+    ),
+    s2 AS (
+      SELECT *, max(CASE WHEN event_type = 'click' THEN lv END) OVER
+        (PARTITION BY user_id ORDER BY t, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vc
+      FROM s1
+    ),
+    u AS (
+      SELECT user_id,
+        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+        max(CASE WHEN event_type = 'click'
+                  AND lv >= t - {FUNNEL_WINDOW_US} THEN 1 ELSE 0 END) AS l2,
+        max(CASE WHEN event_type = 'purchase'
+                  AND vc >= t - {FUNNEL_WINDOW_US} THEN 1 ELSE 0 END) AS l3
+      FROM s2 GROUP BY user_id
+    )
+    SELECT level, n_users FROM (
+      SELECT 1 AS level, CAST(sum(l1) AS BIGINT) AS n_users FROM u
+      UNION ALL SELECT 2, CAST(sum(l2) AS BIGINT) FROM u
+      UNION ALL SELECT 3, CAST(sum(l3) AS BIGINT) FROM u
+    )
+""")
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse windowFunnel-compatible TIME-CONSTRAINED funnel (new
+    r6) — unlike events_funnel (whose stages may be months apart), a
+    chain only counts if ALL its events fit inside a 24 h window
+    anchored at the chain's first event: level ≥ 2 needs a view<click
+    pair with click ≤ view+W, level ≥ 3 a view<click<purchase triple
+    with purchase ≤ view+W. Reference semantics: chsql/ClickHouse
+    windowFunnel(window)(ts, cond1, cond2, cond3).
+
+    The naive form is a per-user sliding search over candidate chain
+    starts; the exact closed form used here is two RUNNING MAXES over
+    the per-user event sequence: lv(row) = latest view strictly before
+    the row — the OPTIMAL chain start for any click at that row (later
+    start = larger allowed end) — and vc(row) = max over preceding
+    clicks of THEIR lv, the optimal (view, click) prefix for a purchase
+    at the row. A purchase completes a chain iff vc ≥ t − W; greediness
+    is exact because maximizing the chain-start timestamp maximizes the
+    window end. Equal-timestamp events order by event_id (the
+    ClickHouse spec leaves same-second order undefined; this pins it
+    deterministically in both engines). All comparisons are exact
+    epoch-microsecond BIGINTs.
+
+    Scale shape: both running maxes and the final flag-agg are
+    partitioned BY USER (two Window nodes sharing one sort + one
+    exchange — plan-asserted no Exchange SinglePartition); the level
+    pivot is three 1-row aggregates. 100 TB of events never leave
+    user-partitioned processing."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("t"),
+            "event_id",
+        )
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s1 = e.withColumn(
+        "lv",
+        F.max(F.when(F.col("event_type") == "view", F.col("t"))).over(wprev),
+    )
+    s2 = s1.withColumn(
+        "vc",
+        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(wprev),
+    )
+    w = F.lit(FUNNEL_WINDOW_US)
+    u = s2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("l1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("lv") >= F.col("t") - w),
+                1,
+            ).otherwise(0)
+        ).alias("l2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("vc") >= F.col("t") - w),
+                1,
+            ).otherwise(0)
+        ).alias("l3"),
+    )
+    rows = [
+        u.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.sum(col).cast("bigint").alias("n_users"),
+        )
+        for lvl, col in ((1, "l1"), (2, "l2"), (3, "l3"))
+    ]
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])
+
+
 @query("timeseries_interpolate", oracle=f"""
     WITH e AS (
       SELECT event_type, CAST(ts AS TIMESTAMP) AS t, value FROM events

@@ -1072,3 +1072,49 @@ def test_seasonal_decompose_invariants(spark, sf_dir):
             assert r.seasonal is not None
             if not edge:
                 assert abs(r.trend + r.seasonal + r.residual - r.x) < 1e-9
+
+
+def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
+    """The two-running-max closed form must equal a brute-force search
+    over all (view, click, purchase) chains per user, and levels must
+    be monotone non-increasing."""
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.windowed import FUNNEL_WINDOW_US
+
+    out = {
+        r.level: r.n_users
+        for r in _queries()["events_funnel_windowed"](spark, sf_dir).collect()
+    }
+    assert out[1] >= out[2] >= out[3]
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id")
+        .collect()
+    )
+    users = {}
+    for r in ev:
+        users.setdefault(r.user_id, []).append((r.t, r.event_id, r.event_type))
+    W = FUNNEL_WINDOW_US
+    want = {1: 0, 2: 0, 3: 0}
+    for seq in users.values():
+        seq.sort()
+        lvl = 0
+        for i, (t1, _, e1) in enumerate(seq):
+            if e1 != "view":
+                continue
+            lvl = max(lvl, 1)
+            for j in range(i + 1, len(seq)):
+                t2, _, e2 = seq[j]
+                if e2 != "click" or t2 > t1 + W:
+                    continue
+                lvl = max(lvl, 2)
+                for k in range(j + 1, len(seq)):
+                    t3, _, e3 = seq[k]
+                    if e3 == "purchase" and t3 <= t1 + W:
+                        lvl = max(lvl, 3)
+                        break
+        for m in range(1, lvl + 1):
+            want[m] += 1
+    assert out == want, (out, want)
