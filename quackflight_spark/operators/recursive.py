@@ -393,3 +393,82 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+WCC_MIN_CO = 3    # co-purchase support threshold for the WCC edge set
+WCC_MAX_ROUNDS = 20
+
+
+@query("graph_wcc", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {WCC_MIN_CO}
+    ),
+    edges AS (
+      SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+      ) SELECT a, b FROM r UNION SELECT a, a FROM edges
+    ),
+    comp AS (SELECT a AS node, min(b) AS component_id FROM reach GROUP BY a)
+    SELECT c.node, c.component_id, s.component_size
+    FROM comp c JOIN (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component_id
+    ) s USING (component_id)
+""")
+def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components (new r6) over the co-purchase part
+    graph (parts co-ordered with support ≥ {WCC_MIN_CO}) — the
+    general-graph sibling of dedup_clusters, exposed as a first-class
+    graph operator: community pre-segmentation, entity-resolution
+    grouping, reachability partitioning all start here. Returns every
+    node with its component id (the component's min node id — a
+    canonical, engine-independent labeling) and the component size.
+
+    Runs on the SHARED min-label-propagation kernel
+    (pipeline/dedup.py:min_label_components): path-halved pointer
+    jumping, O(log diameter) rounds, two keyed shuffles per round,
+    localCheckpoint lineage truncation, loud non-convergence. The
+    oracle is a DuckDB recursive-CTE transitive closure over the same
+    edge set — tractable because the support threshold keeps the
+    fixture closure tiny, while the Spark path needs no closure at all.
+
+    Scale shape: the edge build is the bounded pair-expansion self-join
+    (same family as basket_pair_lift, support-thresholded so hub
+    explosion is filtered in the HAVING); component sizes come from one
+    groupBy on the converged labels joined back — no window over the
+    full node set."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= WCC_MIN_CO)
+        .select("u", "v")
+    )
+    edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    from quackflight_spark.pipeline.dedup import min_label_components
+
+    labels = min_label_components(edges, WCC_MAX_ROUNDS, "graph_wcc")
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        "node",
+        F.col("lbl").alias("component_id"),
+        "component_size",
+    )

