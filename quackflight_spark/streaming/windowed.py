@@ -2108,6 +2108,191 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 200        # bootstrap replicates
+BOOT_LO, BOOT_HI = 5, 195   # 2.5% / 97.5% order statistics of B=200
+
+# Poisson(1) CDF scaled to the 48-bit md5 draw domain — computed ONCE
+# here and baked as integer literals into BOTH engine texts, so no libm
+# runs at query time anywhere.
+import math as _math  # noqa: E402
+
+_POIS_CDF = []
+_acc = 0.0
+for _k in range(8):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_CDF.append(int(_acc * (1 << 48)))
+
+
+def _poisson_w_sql(h: str) -> str:
+    """Engine-neutral CASE chain mapping a uniform 48-bit integer draw
+    to a Poisson(1) weight (capped at 8, tail mass ~1e-5)."""
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+@query("events_bootstrap_ci", oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END) * 100
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    base AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN variant = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+      FROM u
+    ),
+    drawn AS (
+      SELECT r.rep, u.variant, u.cents,
+             {_poisson_w_sql(
+                 "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||"
+                 " CAST(r.rep AS VARCHAR)), 1, 12) AS BIGINT)")} AS w
+      FROM u, (SELECT unnest(range(0, {BOOT_B})) AS rep) r
+    ),
+    reps AS (
+      SELECT rep,
+             CAST(sum(CASE WHEN variant = 0 THEN w * cents ELSE 0 END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN variant = 0 THEN w ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN variant = 1 THEN w * cents ELSE 0 END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN variant = 1 THEN w ELSE 0 END) AS BIGINT) AS nb
+      FROM drawn GROUP BY rep
+    ),
+    deltas AS (
+      SELECT CAST(sa AS DOUBLE) / nullif(na, 0)
+             - CAST(sb AS DOUBLE) / nullif(nb, 0) AS delta
+      FROM reps
+    ),
+    ranked AS (
+      SELECT delta, row_number() OVER (ORDER BY delta) AS rn
+      FROM deltas WHERE delta IS NOT NULL
+    )
+    SELECT b.n_a, b.n_b,
+           round(CAST(b.s_a AS DOUBLE) / nullif(b.n_a, 0)
+                 - CAST(b.s_b AS DOUBLE) / nullif(b.n_b, 0), 8) AS delta_cents,
+           round(min(CASE WHEN rn = {BOOT_LO} THEN delta END), 8) AS ci_lo,
+           round(min(CASE WHEN rn = {BOOT_HI} THEN delta END), 8) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_replicates
+    FROM ranked, base b
+    GROUP BY b.n_a, b.n_b, b.s_a, b.s_b
+""")
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the A/B revenue-per-
+    user delta (new r6) — the bootstrap variant that actually runs at
+    warehouse scale (each unit draws an independent Poisson(1) weight
+    per replicate, so NO resampling pass over the data is needed; the
+    technique behind large-scale experiment CIs at Google/Meta,
+    Chamandy et al. 2012). Complements the parametric readouts
+    (z-score, Welch t, CUPED, KS): distribution-free interval on the
+    metric delta itself.
+
+    Determinism: the per-(user, replicate) weight is a 48-bit md5 draw
+    compared against Poisson(1) CDF thresholds PRECOMPUTED into integer
+    literals — zero RNG state, zero libm at query time, bit-identical
+    in both engines (same idiom as split_train_test). All sums are
+    exact BIGINT cents; each replicate's delta is one double division
+    pair; the 95% CI is exact order statistics (ranks {BOOT_LO}/{BOOT_HI}
+    of {BOOT_B}) — no interpolated quantile estimator to disagree on.
+
+    Scale shape: the ×{BOOT_B} replicate explode happens on the USER-
+    GRAIN rollup (after the one map-side-combinable events shuffle),
+    never on raw events; replicate aggregation shuffles on rep ({BOOT_B}
+    groups, embarrassingly parallel). The final rank runs over {BOOT_B}
+    rows — bounded by construction, not by data."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "user_id",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+                .cast("int")
+                % 2
+            ).alias("variant"),
+            "cents",
+        )
+    )
+    base = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s_b"),
+    )
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':',"
+        " CAST(rep AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    drawn = u.select(
+        "user_id",
+        "variant",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
+    ).withColumn("w", F.expr(_poisson_w_sql(h)))
+    reps = drawn.groupBy("rep").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("w") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("variant") == 0, F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("variant") == 1, F.col("w") * F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("variant") == 1, F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    deltas = reps.select(
+        (
+            F.try_divide(F.col("sa").cast("double"), F.nullif(F.col("na").cast("double"), F.lit(0.0)))
+            - F.try_divide(F.col("sb").cast("double"), F.nullif(F.col("nb").cast("double"), F.lit(0.0)))
+        ).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    ranked = deltas.withColumn(
+        "rn", F.row_number().over(Window.orderBy("delta"))
+    )
+    ci = ranked.agg(
+        F.round(F.min(F.when(F.col("rn") == BOOT_LO, F.col("delta"))), 8).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("rn") == BOOT_HI, F.col("delta"))), 8).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    return base.crossJoin(ci).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.try_divide(F.col("s_a").cast("double"), F.nullif(F.col("n_a").cast("double"), F.lit(0.0)))
+            - F.try_divide(F.col("s_b").cast("double"), F.nullif(F.col("n_b").cast("double"), F.lit(0.0))),
+            8,
+        ).alias("delta_cents"),
+        "ci_lo",
+        "ci_hi",
+        "n_replicates",
+    )
+
+
 @query("timeseries_autocorr", oracle="""
     WITH daily AS (
       SELECT event_type,

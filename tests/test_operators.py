@@ -1148,3 +1148,26 @@ def test_min_label_components_chain_converges(spark):
     labels = min_label_components(edges, 20, "test_chain")
     rows = labels.collect()
     assert len(rows) == n and all(r.lbl == 0 for r in rows)
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """95% Poisson-bootstrap CI must bracket the full-sample delta,
+    be properly ordered, and use all replicates; the Poisson(1) draw
+    must average ~1 so replicate sample sizes are unbiased."""
+    from quackflight_spark.streaming.windowed import BOOT_B, _poisson_w_sql
+
+    r = _queries()["events_bootstrap_ci"](spark, sf_dir).collect()[0]
+    # at the 15-user smoke SF a replicate can draw an empty arm and be
+    # dropped (delta NULL) — allow a small deficit, never an excess
+    assert BOOT_B * 0.95 <= r.n_replicates <= BOOT_B
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.delta_cents <= r.ci_hi
+    # draw distribution: mean weight over 20k deterministic draws ≈ 1
+    h = "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    mean_w = (
+        spark.range(20000)
+        .selectExpr(f"{_poisson_w_sql(h)} AS w")
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert abs(mean_w - 1.0) < 0.05, mean_w
