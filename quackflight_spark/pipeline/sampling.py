@@ -221,6 +221,71 @@ def pipeline_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_BUDGET_DIV = 2  # temperature-mix budget = corpus size // 2
+
+
+@query("pipeline_mix_temperature", oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents
+      GROUP BY source
+    ),
+    wts AS (
+      SELECT source, cnt,
+             CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS sq
+      FROM counts
+    ),
+    rates AS (
+      SELECT source, cnt,
+             least({MIX_BP},
+               ({MIX_BP} * ((SELECT sum(cnt) FROM wts) // {TEMP_BUDGET_DIV})
+                * sq) // ((SELECT sum(sq) FROM wts) * cnt)) AS rate_bp
+      FROM wts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_duck_bucket('d.doc_id', MIX_BP)} < r.rate_bp
+""")
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing at α = 0.5 (new r6) — the
+    multilingual/multi-domain sampling recipe from mBERT/XLM-R/mT5:
+    instead of hand-set weights (pipeline_mix_domains), each source's
+    share of the budget is proportional to count^α, which UPSAMPLES the
+    tail relative to its natural share and damps the head — the
+    standard fix for web-crawl domination in training mixes.
+
+    Determinism without libm drift: α = 0.5 means the weight is
+    isqrt(count) — floor(sqrt(double)) where IEEE-754 sqrt is CORRECTLY
+    ROUNDED by spec, so both engines floor the identical value; from
+    there everything is the integer basis-point arithmetic of
+    mix_domains (exact // chains, md5-bucket keep decision per doc —
+    same-doc-same-decision on every run and any partitioning).
+
+    Scale shape: identical to mix_domains — one tiny per-source count
+    agg, the rate computation on |domains| rows, one broadcast join
+    back, filter as a pure map. The 100 TB scan happens exactly once;
+    no shuffle touches the wide rows."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    wts = counts.withColumn(
+        "sq", F.floor(F.sqrt(F.col("cnt").cast("double"))).cast("bigint")
+    )
+    rates = wts.select(
+        "source",
+        F.least(
+            F.lit(MIX_BP).cast("bigint"),
+            F.expr(
+                f"({MIX_BP} * (sum(cnt) OVER () div {TEMP_BUDGET_DIV}) * sq)"
+                f" div (sum(sq) OVER () * cnt)"
+            ),
+        ).alias("rate_bp"),
+    )
+    return (
+        d.join(F.broadcast(rates), on="source")
+        .filter(hash_bucket(F.col("doc_id"), MIX_BP) < F.col("rate_bp"))
+        .select("doc_id", "source")
+    )
+
+
 N_EVAL = 20  # fixture eval set = doc_id < 20
 
 

@@ -61,6 +61,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_funnel_windowed",  # new r6: windowFunnel-compat 24h funnel
     "graph_wcc",  # new r6: connected components on the shared CC kernel
     "events_bootstrap_ci",  # new r6: Poisson-bootstrap CI, zero-RNG draws
+    "pipeline_mix_temperature",  # new r6: isqrt temperature-scaled mixing
     "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints

@@ -1171,3 +1171,40 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
         .first()[0]
     )
     assert abs(mean_w - 1.0) < 0.05, mean_w
+
+
+def test_mix_temperature_flattens_distribution(spark, tmp_path):
+    """α=0.5 contract on a SKEWED synthetic corpus (the smoke fixture is
+    balanced, where temperature scaling is a no-op): the head/tail
+    representation ratio in the sampled mix must shrink vs the raw
+    corpus, and per-source sizes must track the isqrt quota."""
+    import math
+
+    from quackflight_spark.pipeline.sampling import pipeline_mix_temperature
+
+    sizes = {"head": 1600, "mid": 400, "tail": 100}
+    rows, i = [], 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", s, 10))
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r["count"]
+        for r in pipeline_mix_temperature(spark, str(tmp_path))
+        .groupBy("source").count().collect()
+    }
+    raw_ratio = sizes["head"] / sizes["tail"]            # 16
+    mix_ratio = out["head"] / out["tail"]                 # → ~4 at α=0.5
+    assert mix_ratio < raw_ratio / 2, (mix_ratio, raw_ratio)
+    # quota tracking: share ∝ isqrt(count), budget = corpus//2
+    total = sum(sizes.values())
+    sq = {s: math.isqrt(c) for s, c in sizes.items()}
+    for s, c in sizes.items():
+        quota = min(c, (total // 2) * sq[s] // sum(sq.values()))
+        assert abs(out.get(s, 0) - quota) <= max(10, 0.2 * quota), (
+            s, out.get(s, 0), quota,
+        )
