@@ -62,6 +62,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_wcc",  # new r6: connected components on the shared CC kernel
     "events_bootstrap_ci",  # new r6: Poisson-bootstrap CI, zero-RNG draws
     "pipeline_mix_temperature",  # new r6: isqrt temperature-scaled mixing
+    "stream_topk",  # new r6: streaming top-K leaderboard state contract
     "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints

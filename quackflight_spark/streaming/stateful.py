@@ -112,49 +112,30 @@ def stream_running_totals(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     (checkpointed, partitioned by the groupBy key) — no driver state;
     update-mode emits only keys touched per batch."""
     import hashlib
-    import os
-    import shutil
-    import tempfile
 
-    from quackflight_spark.sources.fixtures import events_ts_normalized, load_table
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"qf_state_src_{tag}")
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = events_ts_normalized(
-        spark.readStream.schema(raw_schema).parquet(stage)
+        stage_events_stream(spark, sf_dir, "state")
     ).select("user_id", "value")
     out = attach_exact(stream.groupBy("user_id"))
-    name = f"running_totals_{tag}"
     # The stateful shuffle instantiates one state store + one Python
     # worker per shuffle partition; for a 150-key state that fixed cost
     # dwarfs the work. 8 partitions is still executor-parallel; at real
     # scale (millions of keys) raise it back toward the core count.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    snap = drain_to_memory(
+        spark, out, f"running_totals_{tag}", "update", shuffle_partitions=8
+    )
     # update-mode memory sink may hold several emissions per key (one per
     # micro-batch that touched it); the final state per key is the row
     # with the highest n.
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
-
-    snap = spark.table(name)
     w = W.partitionBy("user_id").orderBy(F.desc("n"))
     return (
         snap.withColumn("rn", F.row_number().over(w))
@@ -239,20 +220,16 @@ def stream_pattern_match(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     source — an out-of-order producer needs the watermark-and-reorder
     front end of stream_watermark_late ahead of the automaton."""
     import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"qf_pattern_src_{tag}")
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = events_ts_normalized(
-        spark.readStream.schema(raw_schema).parquet(stage)
+        stage_events_stream(spark, sf_dir, "pattern")
     ).select("user_id", "ts", "event_id", "event_type")
     out = stream.groupBy("user_id").applyInPandasWithState(
         pattern_automaton,
@@ -261,26 +238,11 @@ def stream_pattern_match(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"pattern_match_{tag}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    snap = drain_to_memory(
+        spark, out, f"pattern_match_{tag}", "update", shuffle_partitions=8
+    )
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
-
-    snap = spark.table(name)
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         snap.withColumn("rn", F.row_number().over(w))
@@ -370,20 +332,16 @@ def stream_holt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
     ordering contract as stream_pattern_match: event-time sort within
     each micro-batch, in-order feed across batches."""
     import hashlib
-    import os
-    import shutil
-    import tempfile
 
     from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"qf_holt_src_{tag}")
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        events_ts_normalized(spark.readStream.schema(raw_schema).parquet(stage))
+        events_ts_normalized(stage_events_stream(spark, sf_dir, "holt"))
         .filter("event_type = 'purchase'")
         .select("user_id", "ts", "event_id", "value")
     )
@@ -394,26 +352,11 @@ def stream_holt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_holt_{tag}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    snap = drain_to_memory(
+        spark, out, f"stream_holt_{tag}", "update", shuffle_partitions=8
+    )
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
-
-    snap = spark.table(name)
     w = W.partitionBy("user_id").orderBy(F.desc("n"))
     return (
         snap.withColumn("rn", F.row_number().over(w))

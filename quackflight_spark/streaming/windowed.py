@@ -834,39 +834,24 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a slowly-changing broadcast), while the stream side never
     shuffles — the join is map-side in each micro-batch."""
     import hashlib
-    import os
-    import shutil
-    import tempfile
+
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
 
     dim = spark.createDataFrame(
         [(k, v) for k, v in SEVERITY.items()], "event_type string, severity int"
     )
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"qf_enrich_src_{tag}")
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stage)
+        stage_events_stream(spark, sf_dir, "enrich")
         .filter("event_id % 13 = 0")
         .select("event_id", "event_type", "value")
         .join(F.broadcast(dim), "event_type")
         .select("event_id", "event_type", "severity", "value")
     )
-    name = f"enrich_{tag}"
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return drain_to_memory(spark, stream, f"enrich_{tag}", "append")
 
 
 WAU_DAYS = 7
@@ -2105,6 +2090,80 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("csum") - F.col("runmin")) > F.expr("k DIV 2")).alias(
             "is_alarm"
         ),
+    )
+
+
+STREAM_TOPK_K = 5
+
+
+@query("stream_topk", oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day, user_id, cents,
+             CAST(row_number() OVER (PARTITION BY day
+               ORDER BY cents DESC, user_id) AS INT) AS rank
+      FROM daily
+    )
+    SELECT day, user_id, cents, rank FROM r WHERE rank <= {STREAM_TOPK_K}
+""")
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-K (new r6): the top-{STREAM_TOPK_K} revenue users
+    per day, maintained over a live stream — the leaderboard/trending
+    shape every real-time analytics surface runs. Architecture is the
+    canonical one: the STREAM maintains only the additive per-(day,
+    user) revenue state (a streaming aggregation — mergeable, bounded,
+    restart-safe); the RANK is computed at read time over the
+    aggregate snapshot, because top-K itself is not an incremental
+    aggregate (an eviction-based streaming rank can never re-admit a
+    key that later grows past an evicted one).
+
+    Exactness: integer-cents sums in streaming state; the final rank
+    orders (cents DESC, user_id) so ties are deterministic in both
+    engines. The drained snapshot equals the batch aggregate exactly —
+    the oracle is strict.
+
+    Scale shape: streaming state is |days|x|active users| additive
+    BIGINTs partitioned by group key; the read-time rank partitions BY
+    DAY (no global sort). The memory sink here is the fixture-scale
+    stand-in for a Delta/Kafka sink — the state contract is what the
+    key proves."""
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
+
+    stream = (
+        events_ts_normalized(stage_events_stream(spark, sf_dir, "topk"))
+        .filter("event_type = 'purchase'")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "user_id",
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    snap = drain_to_memory(
+        spark, stream, f"stream_topk_{tag}", "complete", shuffle_partitions=8
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("cents"), F.asc("user_id"))
+    return (
+        snap.select(
+            F.col("w.start").cast("date").alias("day"), "user_id", "cents"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STREAM_TOPK_K)
     )
 
 
