@@ -130,6 +130,19 @@ BENCH_KEYS = [
     "text_readability",
     "agg_cms_frequency",
     "graph_jaccard",
+    "agg_hll_portable",
+    "timeseries_cusum",
+    "events_ks_test",
+    "merge_cdc_apply",
+    "layout_hilbert",
+    "join_scd2_pointintime",
+    "dedup_containment",
+    "timeseries_autocorr",
+    "timeseries_seasonal_decompose",
+    "events_funnel_windowed",
+    "graph_wcc",
+    "events_bootstrap_ci",
+    "pipeline_mix_temperature",
 ]
 
 

@@ -177,3 +177,68 @@ def pipeline_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("shared") / F.col("nb"), 6).alias("containment_b"),
         )
     )
+
+
+CHUNK_K = 64   # window size (tokens)
+CHUNK_S = 48   # stride (tokens) — 16-token overlap between windows
+
+
+@query("pipeline_chunk_windows", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= {CHUNK_K} THEN 1
+                  ELSE (len(toks) - {CHUNK_K} + {CHUNK_S - 1}) // {CHUNK_S} + 1
+             END AS n_chunks
+      FROM t
+    ),
+    c AS (SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM t2)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(
+             toks[i * {CHUNK_S} + 1 : least(i * {CHUNK_S} + {CHUNK_K}, n)],
+             ' ') AS chunk_text,
+           CAST(least(i * {CHUNK_S} + {CHUNK_K}, n) - i * {CHUNK_S} AS BIGINT)
+             AS n_tokens
+    FROM c
+""")
+def pipeline_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided context-window chunking (new r6) — the BERT/RAG
+    long-document splitter: each document becomes overlapping
+    {CHUNK_K}-token windows at stride {CHUNK_S} (a {CHUNK_K - CHUNK_S}-
+    token overlap so no span falls entirely on a window boundary),
+    the standard prep for fixed-context encoders, embedding indexes,
+    and retrieval corpora. Chunk count = 1 if n ≤ K else
+    ceil((n-K)/S) + 1 — the grid that just covers the tail without
+    emitting windows already contained in the previous one.
+
+    Pure Catalyst: tokenize once, per-row posexplode over the
+    integer-arithmetic chunk count, slice + join per chunk — no UDF,
+    no shuffle at all (the plan is scan → generate → project), so it
+    streams over 100 TB of documents at scan speed and parallelism
+    follows input splits. Tokens/chunks are exact string and integer
+    ops; the oracle replays the identical slicing rules."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    d = d.withColumn("n", F.size("toks")).withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= CHUNK_K, F.lit(1)).otherwise(
+            F.expr(f"(n - {CHUNK_K} + {CHUNK_S - 1}) DIV {CHUNK_S} + 1")
+        ),
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("i") * CHUNK_S + 1, F.lit(CHUNK_K))
+    return c.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )

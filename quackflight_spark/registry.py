@@ -63,6 +63,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_bootstrap_ci",  # new r6: Poisson-bootstrap CI, zero-RNG draws
     "pipeline_mix_temperature",  # new r6: isqrt temperature-scaled mixing
     "stream_topk",  # new r6: streaming top-K leaderboard state contract
+    "scan_xml",  # new r6: Spark 4 native XML source, declared schema
+    "pipeline_chunk_windows",  # new r6: strided context-window chunking
     "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints

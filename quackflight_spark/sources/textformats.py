@@ -49,6 +49,10 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         n = load_table(spark, sf_dir, "nation")
         if fmt == "csv":
             n.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+        elif fmt == "xml":
+            n.coalesce(1).write.mode("overwrite").option("rowTag", "nation").xml(
+                path
+            )
         else:
             n.coalesce(1).write.mode("overwrite").json(path)
     return path
@@ -60,6 +64,18 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet truth (type-faithful round-trip, no inference pass)."""
     path = _staged(spark, sf_dir, "csv")
     return spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+
+
+@query("scan_xml", oracle="SELECT * FROM nation")
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan with declared schema (new r6) — Spark 4's NATIVE XML
+    source (the former spark-xml package, mainlined in 4.0): rowTag
+    element → row, child elements → columns, schema declared so there
+    is no inference pass (same 100 TB contract as scan_csv/scan_jsonl:
+    one read, no per-file type guessing). Rows must equal the parquet
+    truth — the staging write/read round-trip is type-faithful."""
+    path = _staged(spark, sf_dir, "xml")
+    return spark.read.schema(NATION_SCHEMA).option("rowTag", "nation").xml(path)
 
 
 @query("scan_jsonl", oracle="SELECT * FROM nation")

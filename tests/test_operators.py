@@ -1208,3 +1208,37 @@ def test_mix_temperature_flattens_distribution(spark, tmp_path):
         assert abs(out.get(s, 0) - quota) <= max(10, 0.2 * quota), (
             s, out.get(s, 0), quota,
         )
+
+
+def test_chunk_windows_cover_and_overlap(spark, sf_dir):
+    """Coverage contract: concatenating each doc's chunks with the
+    stride overlap removed reconstructs the token sequence exactly;
+    consecutive chunks overlap by K-S tokens; no chunk is empty."""
+    from quackflight_spark.pipeline.composite import (
+        CHUNK_K,
+        CHUNK_S,
+        pipeline_chunk_windows,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    chunks = {}
+    for r in pipeline_chunk_windows(spark, sf_dir).collect():
+        assert r.n_tokens > 0
+        chunks.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split(" ")
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert set(chunks) == set(docs)
+    for doc_id, by_idx in chunks.items():
+        toks = docs[doc_id]
+        seq = list(by_idx[0])
+        for i in range(1, len(by_idx)):
+            prev, cur = by_idx[i - 1], by_idx[i]
+            if len(prev) == CHUNK_K:  # full window: check the overlap
+                assert prev[CHUNK_S:] == cur[: CHUNK_K - CHUNK_S], doc_id
+            seq.extend(cur[CHUNK_K - CHUNK_S:] if len(prev) == CHUNK_K else [])
+        if len(by_idx) == 1:
+            assert seq == toks or len(toks) <= CHUNK_K
+        else:
+            assert seq == toks, doc_id
