@@ -65,6 +65,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_topk",  # new r6: streaming top-K leaderboard state contract
     "scan_xml",  # new r6: Spark 4 native XML source, declared schema
     "pipeline_chunk_windows",  # new r6: strided context-window chunking
+    "events_ltv_triangle",  # new r6: weekly-cohort cumulative LTV
     "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints

@@ -405,6 +405,99 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_ltv_triangle", oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                   - f.cohort_week) // 7 AS INT) AS age_week,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_week,
+             CAST(sum(cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort_week, c.age_week, s.cohort_size, c.cum_cents,
+           CAST(c.cum_cents AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+             AS ltv_cents_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+""")
+def events_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (new r6) — cumulative revenue per user by
+    (first-seen week, weeks-since-first) — the revenue sibling of
+    retention_cohorts and the table every growth-finance model (payback
+    window, LTV/CAC) is fit on. Cells are OBSERVED (cohort, age) pairs;
+    the running sum is over observed ages, so each emitted cell carries
+    the true cumulative value at that age.
+
+    Exactness: revenue is integer cents end-to-end; week buckets are
+    date_trunc('week') (Monday start in both engines) and ages exact
+    integer day-diffs // 7; the only double is the final per-user LTV —
+    one division of two identical exact integers.
+
+    Scale shape: one user-keyed first-seen agg (map-side combined), one
+    user-keyed join co-partitioned with it, one (cohort, age) rollup
+    that is calendar-bounded (|weeks|² cells regardless of corpus
+    size), and the running sum + size join run over that tiny triangle
+    partitioned by cohort."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(CAST(date_trunc('week', ts) AS DATE), cohort_week)")
+            .cast("int")
+            .alias("dd"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "cohort_week",
+            F.expr("dd DIV 7").cast("int").alias("age_week"),
+            "cents",
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w).cast("bigint"))
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "age_week",
+        "cohort_size",
+        "cum_cents",
+        (F.col("cum_cents").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("ltv_cents_per_user"),
+    )
+
+
 @query("retention_cohorts", oracle="""
     WITH firsts AS (
       SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id

