@@ -41,7 +41,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
 # rows-only to deterministic-hash value oracles, plus new operators:
-# 226 keys, 225 oracle-backed, 1 rows-only), then the
+# 244 keys, 243 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -52,7 +52,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
-    # the three new r6 operators) --
+    # every operator added during r6, newest first) --
     "layout_hilbert",  # new r6: Hilbert-curve clustering key
     "join_scd2_pointintime",  # new r6: temporal as-of-date dimension join
     "dedup_containment",  # new r6: asymmetric subset-duplicate pairs
