@@ -143,6 +143,8 @@ BENCH_KEYS = [
     "graph_wcc",
     "events_bootstrap_ci",
     "pipeline_mix_temperature",
+    "timeseries_forecast_snaive",
+    "join_nearest",
 ]
 
 

@@ -41,7 +41,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
 # rows-only to deterministic-hash value oracles, plus new operators:
-# 244 keys, 243 oracle-backed, 1 rows-only), then the
+# 246 keys, 245 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -66,6 +66,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scan_xml",  # new r6: Spark 4 native XML source, declared schema
     "pipeline_chunk_windows",  # new r6: strided context-window chunking
     "events_ltv_triangle",  # new r6: weekly-cohort cumulative LTV
+    "timeseries_forecast_snaive",  # new r6: seasonal-naive backtest
+    "join_nearest",  # new r6: two-sided nearest-key (merge_asof nearest)
     "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints

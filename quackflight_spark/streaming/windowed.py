@@ -2651,6 +2651,89 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("timeseries_forecast_snaive", oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, day, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS naive1,
+             max(day) OVER (PARTITION BY event_type) AS max_day
+      FROM daily
+    ),
+    test AS (
+      SELECT * FROM lagged
+      WHERE day > max_day - 7 AND yhat IS NOT NULL AND naive1 IS NOT NULL
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(abs(x - yhat)) AS BIGINT) AS sae_snaive,
+           CAST(sum(abs(x - naive1)) AS BIGINT) AS sae_naive1,
+           CAST(sum(abs(x - yhat)) AS DOUBLE) / count(*) AS mae_snaive,
+           CAST(sum(abs(x - naive1)) AS DOUBLE) / count(*) AS mae_naive1
+    FROM test GROUP BY event_type
+""")
+def timeseries_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (new r6) — the forecasting
+    BASELINE every model must beat (Hyndman's forecasting bible uses it
+    as the benchmark for seasonal series): predict day t with the value
+    from t-7, scored by MAE over the series' final week against the
+    1-day naive (persistence) baseline. This is the evaluation harness
+    shape of a forecasting pipeline: rollup → lag features → holdout
+    window → per-series error aggregate.
+
+    Exactness: counts, lags and absolute errors are pure BIGINTs; the
+    two MAEs are single divisions of identical exact integers. The
+    holdout predicate (day > max_day - 7) is date arithmetic, identical
+    in both engines.
+
+    Scale shape: one map-side-combinable rollup to |series|x|days|,
+    one window pass partitioned BY SERIES producing both lags and the
+    per-series max-day (no separate join), then a tiny per-series
+    aggregate. Nothing touches raw-event grain after the first
+    groupBy."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 7).over(w).alias("yhat"),
+        F.lag("x", 1).over(w).alias("naive1"),
+        F.max("day").over(Window.partitionBy("event_type")).alias("max_day"),
+    )
+    test = lagged.filter(
+        (F.col("day") > F.date_sub(F.col("max_day"), 7))
+        & F.col("yhat").isNotNull()
+        & F.col("naive1").isNotNull()
+    )
+    return test.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.abs(F.col("x") - F.col("yhat"))).cast("bigint").alias("sae_snaive"),
+        F.sum(F.abs(F.col("x") - F.col("naive1")))
+        .cast("bigint")
+        .alias("sae_naive1"),
+        (
+            F.sum(F.abs(F.col("x") - F.col("yhat"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_snaive"),
+        (
+            F.sum(F.abs(F.col("x") - F.col("naive1"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae_naive1"),
+    )
+
+
 @query("events_ks_test", oracle="""
     WITH pts AS (
       SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)

@@ -1258,3 +1258,52 @@ def test_ltv_triangle_monotone_cumulative(spark, sf_dir):
         rs.sort(key=lambda r: r.age_week)
         for a, b in zip(rs, rs[1:]):
             assert b.cum_cents >= a.cum_cents
+
+
+def test_join_nearest_semantics_and_ties(spark, sf_dir):
+    """Nearest-join contract on the fixture: the matched error has the
+    minimum |gap| among the user's errors; ties go to the earlier error
+    then the smaller id (pinned with a crafted equal-gap user)."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = _queries()["join_nearest"](spark, sf_dir).collect()
+    errs = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .collect()
+    ):
+        errs.setdefault(r.user_id, []).append((r.t, r.event_id))
+    for r in out:
+        cands = errs.get(r.user_id)
+        if not cands:
+            assert r.nearest_error_id is None
+            continue
+        best = min((abs(r.ts_us - t), t, eid) for t, eid in cands)
+        assert (r.gap_us, r.nearest_error_id) == (best[0], best[2]), r
+
+    # crafted ties: errors equidistant before/after, plus same-ts pair
+    rows = [
+        (1, 100, "view", 1000),
+        (2, 100, "error", 900),    # gap 100 before
+        (3, 100, "error", 1100),   # gap 100 after -> earlier (id 2) wins
+        (4, 200, "view", 1000),
+        (5, 200, "error", 1000),   # gap 0, same ts
+        (6, 200, "error", 1000),   # same ts -> smaller id (5) wins
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, __import__("datetime").datetime(2024, 1, 1, 0, 0, 0, ts))
+         for e, u, t, ts in rows],
+        "event_id: bigint, user_id: bigint, event_type: string, ts: timestamp",
+    )
+    import quackflight_spark.operators.asof as asof_mod
+
+    orig = asof_mod.load_table
+    asof_mod.load_table = lambda s, d, t: df
+    try:
+        got = {r.event_id: r.nearest_error_id
+               for r in asof_mod.join_nearest(spark, "ignored").collect()}
+    finally:
+        asof_mod.load_table = orig
+    assert got == {1: 2, 4: 5}, got
