@@ -145,6 +145,8 @@ BENCH_KEYS = [
     "pipeline_mix_temperature",
     "timeseries_forecast_snaive",
     "join_nearest",
+    "events_ab_srm",
+    "fn_format_ch",
 ]
 
 

@@ -24,6 +24,30 @@ from pyspark.sql import SparkSession
 # Used by the dialect frontend to rewrite call sites textually, and by
 # `register_chsql_functions` to create session-scoped SQL functions where
 # possible. Keeping this table data-driven makes the surface auditable.
+def _fmt_readable_sql(
+    x: str, div: str, base: int, suffixes: list[str]
+) -> str:
+    """CASE-ladder SQL for ClickHouse formatReadableSize/-Quantity,
+    parameterized on the integer-division token so the IDENTICAL logic
+    emits Spark SQL (`DIV`) and DuckDB SQL (`//`). Two decimals by
+    integer truncation — no float printf, no libm, deterministic on any
+    engine with BIGINT division. Input below 2^56 stays inside BIGINT
+    through the *100 scaling."""
+    branches = []
+    for k, suffix in enumerate(suffixes):
+        scale = base ** k
+        v100 = f"(({x}) * 100 {div} {scale})"
+        s = (
+            f"CONCAT(CAST({v100} {div} 100 AS STRING), '.', "
+            f"LPAD(CAST({v100} % 100 AS STRING), 2, '0'), '{suffix}')"
+        )
+        if k < len(suffixes) - 1:
+            branches.append(f"WHEN ({x}) < {base ** (k + 1)} THEN {s}")
+        else:
+            branches.append(f"ELSE {s}")
+    return "(CASE " + " ".join(branches) + " END)"
+
+
 CHSQL_REWRITES: dict[str, str] = {
     # type casts
     "toString": "CAST({0} AS STRING)",
@@ -92,6 +116,16 @@ CHSQL_REWRITES: dict[str, str] = {
         " + CAST(SPLIT({0}, '\\\\.')[2] AS BIGINT) * 256"
         " + CAST(SPLIT({0}, '\\\\.')[3] AS BIGINT))"
     ),
+    # human-readable formatting (ClickHouse formatReadable*). Contract:
+    # truncate-to-2-decimals integer arithmetic (no float printf), so the
+    # string is deterministic on every engine that can do BIGINT division.
+    "formatReadableSize": _fmt_readable_sql("{0}", "DIV", 1024,
+                                            [" B", " KiB", " MiB", " GiB",
+                                             " TiB", " PiB", " EiB"]),
+    "formatReadableQuantity": _fmt_readable_sql("{0}", "DIV", 1000,
+                                                ["", " thousand", " million",
+                                                 " billion", " trillion",
+                                                 " quadrillion"]),
     # JSON
     "JSONExtractString": "GET_JSON_OBJECT({0}, CONCAT('$.', {1}))",
     "JSONExtractInt": "CAST(GET_JSON_OBJECT({0}, CONCAT('$.', {1})) AS BIGINT)",
@@ -151,6 +185,8 @@ CHSQL_SIGNATURES: dict[str, tuple[tuple[str, ...], str]] = {
     "protocol": (("STRING",), "STRING"),
     "IPv4NumToString": (("BIGINT",), "STRING"),
     "IPv4StringToNum": (("STRING",), "BIGINT"),
+    "formatReadableSize": (("BIGINT",), "STRING"),
+    "formatReadableQuantity": (("BIGINT",), "STRING"),
     "JSONExtractString": (("STRING", "STRING"), "STRING"),
     "JSONExtractInt": (("STRING", "STRING"), "BIGINT"),
     "JSONExtractFloat": (("STRING", "STRING"), "DOUBLE"),

@@ -337,6 +337,64 @@ def fn_cast_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fmt_ch_oracle() -> str:
+    from quackflight_spark.functions.chsql import _fmt_readable_sql
+
+    size = _fmt_readable_sql(
+        "b", "//", 1024, [" B", " KiB", " MiB", " GiB", " TiB", " PiB", " EiB"]
+    )
+    qty = _fmt_readable_sql(
+        "q", "//", 1000,
+        ["", " thousand", " million", " billion", " trillion", " quadrillion"],
+    )
+    return f"""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               * (o_orderkey % 997 + 1) AS b,
+             CAST(o_orderkey AS BIGINT) * (o_custkey + 1) AS q
+      FROM orders
+    )
+    SELECT o_orderkey, b, q,
+           {size} AS size_readable,
+           {qty} AS qty_readable
+    FROM src
+    """
+
+
+@query("fn_format_ch", oracle=_fmt_ch_oracle())
+def fn_format_ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse formatReadableSize/formatReadableQuantity compat (new
+    r6) — the human-readable formatters chsql dashboards lean on,
+    registered as session SQL functions (pure-SQL bodies, codegen'd,
+    zero Python) and exercised through spark.sql to prove the
+    registration path, like fn_cast_ch. Contract: 2 decimals by integer
+    TRUNCATION (ClickHouse printf-rounds the double; this engine's
+    variant is integer-deterministic — documented divergence), binary
+    ladder for sizes (B..EiB), word ladder for quantities
+    (thousand..quadrillion). Synthesized magnitudes sweep B→TiB /
+    units→trillions from order keys. Pure per-row CASE/DIV/CONCAT:
+    zero exchanges, whole-stage codegen, the identical ladder emitted
+    with `//` runs as the DuckDB oracle."""
+    ensure_chsql_functions(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_fmt")
+    return spark.sql(
+        """
+        WITH src AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   * (o_orderkey % 997 + 1) AS b,
+                 CAST(o_orderkey AS BIGINT) * (o_custkey + 1) AS q
+          FROM orders_fmt
+        )
+        SELECT o_orderkey, b, q,
+               formatReadableSize(b) AS size_readable,
+               formatReadableQuantity(q) AS qty_readable
+        FROM src
+        """
+    )
+
+
 @query("fn_date_ch", oracle="""
     SELECT o_orderkey,
            CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS yyyymm,

@@ -2260,6 +2260,79 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_ab_srm", oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM u
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS chi2,
+           (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE)) > 3.841458820694124 AS srm_detected
+    FROM s
+""")
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) guardrail (new r6) — the FIRST check
+    every experimentation platform runs before reading an A/B result:
+    a chi-square goodness-of-fit of the observed arm sizes against the
+    designed 50/50 split. A failed SRM invalidates the experiment
+    regardless of the metric movement (assignment, logging, or
+    filtering is biased — Fabijan et al. 2019). For an even split the
+    chi-square statistic reduces EXACTLY to (n_a−n_b)²/(n_a+n_b).
+
+    Exactness: arm counts are integers, the statistic is one double
+    division of two exact integers, and the alpha=0.05 critical value
+    (chi², 1 df) is a shared literal — no distribution functions at
+    query time.
+
+    Scale shape: one user-grain rollup (map-side combined) and a 1-row
+    conditional-sum aggregate — the cheapest possible guardrail, worth
+    running before every readout at any scale."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+            ).alias("variant")
+        )
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    chi2 = (
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+            "double"
+        )
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841458820694124)).alias("srm_detected"),
+    )
+
+
 BOOT_B = 200        # bootstrap replicates
 BOOT_LO, BOOT_HI = 5, 195   # 2.5% / 97.5% order statistics of B=200
 
