@@ -147,6 +147,8 @@ BENCH_KEYS = [
     "join_nearest",
     "events_ab_srm",
     "fn_format_ch",
+    "agg_weighted_median",
+    "text_code_detect",
 ]
 
 

@@ -434,3 +434,67 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("brand_a", "brand_b").alias("lev_brand"),
         )
     )
+
+
+@query("agg_weighted_median", oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, v, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM pts
+    )
+    SELECT flag, CAST(max(tw) AS BIGINT) AS total_weight,
+           min(v) AS weighted_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY flag
+""")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median (new r6) — the order statistic every
+    fairness/pricing rollup needs when rows carry multiplicities:
+    median extended price weighted by quantity, per return flag. The
+    lower weighted median = the smallest value v whose cumulative
+    weight reaches half the total.
+
+    Exactness: weights are BIGINTs, values DECIMAL(12,2), and the
+    cumulative window uses a RANGE frame — all rows TIED on v
+    accumulate atomically, so cw at v is 'total weight ≤ v' regardless
+    of physical row order within ties; the threshold pick min(v | 2cw ≥
+    tw) is therefore partition-order-independent and bit-identical in
+    both engines (a ROWS frame here would make cw at a tied row depend
+    on shuffle order — the classic nondeterminism trap).
+
+    Scale shape: one exchange on the group key, one sort carrying both
+    windows, one filtered min-agg on top. Weighted quantiles at 100 TB
+    want the same plan with the filter threshold parameterized."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.partitionBy("flag")
+        .orderBy("v")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = pts.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(W.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+    )

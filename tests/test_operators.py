@@ -1340,3 +1340,51 @@ def test_ab_srm_detects_biased_split(spark, sf_dir):
     assert abs(chi2 - r.chi2) < 1e-12
     # biased: 700 vs 300 -> chi2 = 160 >> 3.84
     assert (700 - 300) ** 2 / 1000 > 3.84
+
+
+def test_weighted_median_matches_bruteforce(spark, sf_dir):
+    """Lower weighted median vs a Python expansion (each value repeated
+    by its integer weight, take element at ceil(W/2))."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = {r.flag: (r.total_weight, float(r.weighted_median))
+           for r in _queries()["agg_weighted_median"](spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            (float(r.l_extendedprice), int(r.l_quantity))
+        )
+    for flag, pts in groups.items():
+        pts.sort()
+        total = sum(w for _, w in pts)
+        cw = 0
+        for v, w in pts:
+            cw += w
+            if 2 * cw >= total:
+                assert out[flag] == (total, v), (flag, out[flag], (total, v))
+                break
+
+
+def test_code_detect_flags_code_not_prose(spark, tmp_path):
+    """A Python snippet must trip the two-signal rule; plain prose must
+    not."""
+    from quackflight_spark.pipeline.text_analysis import text_code_detect
+
+    code = (
+        "def main(argv):\n    import sys\n    x = [i for i in range(10)]\n"
+        "    if x:\n        return sum(x) + len(argv);\n"
+    )
+    prose = (
+        "The quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the river bank."
+    )
+    spark.createDataFrame(
+        [(1, code, "en", "web", len(code)), (2, prose, "en", "web", len(prose))],
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.looks_like_code
+           for r in text_code_detect(spark, str(tmp_path)).collect()}
+    assert got == {1: True, 2: False}, got
