@@ -149,6 +149,8 @@ BENCH_KEYS = [
     "fn_format_ch",
     "agg_weighted_median",
     "text_code_detect",
+    "agg_skew_kurtosis",
+    "events_time_to_convert",
 ]
 
 

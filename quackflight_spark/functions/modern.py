@@ -498,3 +498,101 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("weighted_median"),
         )
     )
+
+
+@query("agg_skew_kurtosis", oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s1
+      FROM pts GROUP BY flag
+    ),
+    m AS (
+      SELECT p.flag, s.n, s.s1 % s.n AS r,
+             sum(CAST((p.c - s.s1 // s.n) AS DECIMAL(38,0))
+                 * (p.c - s.s1 // s.n)) AS a2,
+             sum(CAST((p.c - s.s1 // s.n) AS DECIMAL(38,0))
+                 * (p.c - s.s1 // s.n) * (p.c - s.s1 // s.n)) AS a3
+      FROM pts p JOIN s ON p.flag = s.flag
+      GROUP BY p.flag, s.n, s.s1
+    )
+    SELECT flag, n,
+           round(
+             ((CAST(a3 AS DOUBLE)
+               - 3.0 * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                     * CAST(a2 AS DOUBLE)
+               + 2.0 * CAST(n AS DOUBLE)
+                     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+              / CAST(n AS DOUBLE))
+             / (((CAST(a2 AS DOUBLE)
+                  - CAST(n AS DOUBLE)
+                        * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / CAST(n AS DOUBLE))
+                * sqrt((CAST(a2 AS DOUBLE)
+                        - CAST(n AS DOUBLE)
+                              * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                       / CAST(n AS DOUBLE))),
+             8) AS skewness
+    FROM m
+""")
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness per group (new r6) WITHOUT the float-
+    summation-order trap that makes built-in skewness() unverifiable
+    across engines. Recipe: center on the integer FLOOR MEAN c0 = S÷n
+    (so per-row deviations are exact BIGINTs ≤ the value range, never
+    n-scaled), accumulate A2 = Σ(x−c0)² and A3 = Σ(x−c0)³ as exact
+    DECIMAL(38,0) sums — order-independent — then shift to the true
+    mean in ONE deterministic double expression using the exact
+    remainder r = S mod n (d = r/n < 1 cent): M2 = (A2 − n·d²)/n,
+    M3 = (A3 − 3dA2 + 2nd³)/n, g1 = M3/M2^1.5 with M2^1.5 = M2·√M2
+    (sqrt is IEEE-correctly-rounded; no pow, no libm). Identical exact
+    integers through identical double ops → bit-identical engines.
+
+    Headroom (the reason for floor-mean centering, not the n·x − S
+    form): deviations stay at value scale (~1e7 cents), so A3 ≤
+    n·dev³ ≈ 1e28 even at 10⁹ rows/group — 10 digits of DECIMAL(38)
+    spare; the n-scaled form overflows 38 digits at sf0.1 already.
+
+    Scale shape: one stats agg + one broadcast join back + one moment
+    agg, all map-side-combinable — two passes; the one-pass streaming
+    moment update trades this exactness for a pass, the wrong trade
+    when cross-engine verification is the point."""
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    s = pts.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+    )
+    dev = F.col("c") - F.expr("s1 DIV n")
+    m = (
+        pts.join(F.broadcast(s), "flag")
+        .groupBy("flag", "n", "s1")
+        .agg(
+            F.sum(dev.cast("decimal(38,0)") * dev).alias("a2"),
+            F.sum(dev.cast("decimal(38,0)") * dev * dev).alias("a3"),
+        )
+        .select("flag", "n", F.expr("s1 % n").alias("r"), "a2", "a3")
+    )
+    nd = F.col("n").cast("double")
+    d = F.col("r").cast("double") / nd
+    a2d = F.col("a2").cast("double")
+    a3d = F.col("a3").cast("double")
+    m2 = (a2d - nd * d * d) / nd
+    m3 = (a3d - F.lit(3.0) * d * a2d + F.lit(2.0) * nd * d * d * d) / nd
+    return m.select(
+        "flag",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 8).alias("skewness"),
+    )

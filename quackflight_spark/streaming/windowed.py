@@ -2260,6 +2260,101 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_time_to_convert", oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id,
+             (epoch_us(min(CAST(e.ts AS TIMESTAMP))) - epoch_us(f.v))
+               // 1000000 AS lat_s
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > f.v
+      GROUP BY e.user_id, f.v
+    ),
+    hist AS (
+      SELECT lat_s, CAST(count(*) AS BIGINT) AS c FROM conv GROUP BY lat_s
+    ),
+    cum AS (
+      SELECT lat_s, sum(c) OVER (ORDER BY lat_s ROWS UNBOUNDED PRECEDING)
+               AS cw,
+             sum(c) OVER () AS n, sum(lat_s * c) OVER () AS tot
+      FROM hist
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN 4 * cw >= n THEN lat_s END) AS BIGINT) AS p25_s,
+           CAST(min(CASE WHEN 2 * cw >= n THEN lat_s END) AS BIGINT) AS p50_s,
+           CAST(min(CASE WHEN 4 * cw >= 3 * n THEN lat_s END) AS BIGINT)
+             AS p75_s,
+           CAST(max(tot) AS DOUBLE) / CAST(max(n) AS DOUBLE) AS mean_s
+    FROM cum
+""")
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution (new r6) — first view → first
+    subsequent purchase per user, summarized as exact order-statistic
+    quartiles + mean: the funnel-LATENCY readout next to the funnel-
+    depth ones (events_funnel/_windowed) — 'how long does conversion
+    take', the metric behind payback and remarketing windows.
+
+    Exactness: latencies are integer seconds; the quartiles are LOWER
+    order statistics picked off a cumulative sum (min lat where
+    k·cw ≥ q·n — pure integer comparisons, no interpolated quantile
+    estimator for engines to disagree on); the mean is one double
+    division of exact integers.
+
+    Scale shape: two user-keyed aggs (map-side-combinable, the join
+    co-partitioned), then the distribution work runs on the LATENCY
+    rollup whose size is bounded by the latency DOMAIN in seconds —
+    corpus-independent, same domain-bound argument as events_ks_test —
+    so the single-partition cumulative window is over a bounded frame
+    by construction."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") > F.col("v"))
+        .groupBy("user_id", "v")
+        .agg(F.min("ts").alias("p"))
+        .select(
+            F.expr("(unix_micros(p) - unix_micros(v)) DIV 1000000").alias(
+                "lat_s"
+            )
+        )
+    )
+    hist = conv.groupBy("lat_s").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("lat_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "lat_s",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("lat_s") * F.col("c")).over(wall).alias("tot"),
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min(F.when(4 * F.col("cw") >= F.col("n"), F.col("lat_s")))
+        .cast("bigint")
+        .alias("p25_s"),
+        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("lat_s")))
+        .cast("bigint")
+        .alias("p50_s"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("n"), F.col("lat_s")))
+        .cast("bigint")
+        .alias("p75_s"),
+        (F.max("tot").cast("double") / F.max("n").cast("double")).alias(
+            "mean_s"
+        ),
+    )
+
+
 @query("events_ab_srm", oracle="""
     WITH u AS (
       SELECT user_id,

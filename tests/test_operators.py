@@ -1388,3 +1388,59 @@ def test_code_detect_flags_code_not_prose(spark, tmp_path):
     got = {r.doc_id: r.looks_like_code
            for r in text_code_detect(spark, str(tmp_path)).collect()}
     assert got == {1: True, 2: False}, got
+
+
+def test_skewness_matches_scipy_formula(spark, sf_dir):
+    """The floor-mean-centered moment algebra must equal the textbook
+    population skewness computed in numpy float64."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = {r.flag: r.skewness
+           for r in _queries()["agg_skew_kurtosis"](spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            round(float(r.l_extendedprice) * 100)
+        )
+    for flag, xs in groups.items():
+        x = np.asarray(xs, dtype=np.float64)
+        d = x - x.mean()
+        want = float((d ** 3).mean() / (d ** 2).mean() ** 1.5)
+        assert abs(out[flag] - want) < 1e-6, (flag, out[flag], want)
+
+
+def test_time_to_convert_quartiles_bruteforce(spark, sf_dir):
+    """Quartiles must equal numpy 'lower' order statistics of the
+    per-user latencies; mean exact."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    r = _queries()["events_time_to_convert"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    ).collect()
+    views, purchases = {}, {}
+    for x in ev:
+        if x.event_type == "view":
+            views[x.user_id] = min(views.get(x.user_id, x.t), x.t)
+        elif x.event_type == "purchase":
+            purchases.setdefault(x.user_id, []).append(x.t)
+    lats = sorted(
+        min(p for p in ps if p > views[u]) - views[u]
+        for u, ps in purchases.items()
+        if u in views and any(p > views[u] for p in ps)
+    )
+    lats = [x // 1_000_000 for x in lats]
+    import math
+
+    n = len(lats)
+    assert r.n_converted == n
+    pick = lambda q: lats[math.ceil(q * n) - 1]
+    assert (r.p25_s, r.p50_s, r.p75_s) == (
+        pick(0.25), pick(0.5), pick(0.75),
+    )
+    assert abs(r.mean_s - sum(lats) / n) < 1e-9
