@@ -41,7 +41,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
 # rows-only to deterministic-hash value oracles, plus new operators:
-# 253 keys, 252 oracle-backed, 1 rows-only), then the
+# 254 keys, 253 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -71,6 +71,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_ab_srm",  # new r6: sample-ratio-mismatch chi-square guardrail
     "fn_format_ch",  # new r6: formatReadable* integer-exact compat
     "scan_orc",  # new r6: native ORC source
+    "scan_binary_files",  # new r6: binaryFile raw-asset ingestion
     "agg_weighted_median",  # new r6: RANGE-frame exact weighted median
     "text_code_detect",  # new r6: code-vs-prose routing signals
     "agg_skew_kurtosis",  # new r6: overflow-safe exact-moment skewness

@@ -92,6 +92,60 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(NATION_SCHEMA).orc(path)
 
 
+def _staged_blobs(spark: SparkSession, sf_dir: str) -> str:
+    """One .bin file per region row (content = 'key|name' utf-8) —
+    the raw-asset landing zone a multimodal ingest reads (images/audio
+    arrive as FILES, not rows). Same mtime-fingerprint cache tag as
+    _staged."""
+    src = os.path.join(sf_dir, "region.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/blobs_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        os.makedirs(path, exist_ok=True)
+        for r in load_table(spark, sf_dir, "region").collect():
+            with open(f"{path}/r_{r.r_regionkey}.bin", "wb") as f:
+                f.write(f"{r.r_regionkey}|{r.r_name}".encode("utf-8"))
+        with open(f"{path}/_SUCCESS", "w"):
+            pass
+    return path
+
+
+@query("scan_binary_files", oracle="""
+    SELECT 'r_' || r_regionkey || '.bin' AS file_name,
+           CAST(octet_length(encode(r_regionkey || '|' || r_name)) AS BIGINT)
+             AS length,
+           md5(hex(encode(r_regionkey || '|' || r_name))) AS content_md5
+    FROM region
+""")
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-binary file source (new r6) — `spark.read.format
+    ("binaryFile")`: whole files become (path, length, content) rows,
+    the ingestion front door for the multimodal pipeline (mm_* keys
+    consume binary COLUMNS; this is how image/audio assets on disk
+    become those columns at 100 TB — directory-parallel, one task per
+    file group, no custom reader code). Content fidelity is proven by
+    hashing the RAW BYTES (md5 over the uppercase hex encoding — the
+    one byte-faithful spelling both engines share; DuckDB's
+    blob→VARCHAR cast escapes, so hex is the bridge) against the same
+    hash computed from the table truth the files were staged from."""
+    path = _staged_blobs(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(F.col("path").endswith(".bin"))
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("length"),
+            F.md5(F.hex(F.col("content"))).alias("content_md5"),
+        )
+    )
+
+
 @query("scan_jsonl", oracle="SELECT * FROM nation")
 def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines (JSONEachRow) scan with declared schema — the batch
