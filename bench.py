@@ -151,6 +151,8 @@ BENCH_KEYS = [
     "text_code_detect",
     "agg_skew_kurtosis",
     "events_time_to_convert",
+    "scan_binary_files",
+    "scan_time_travel",
 ]
 
 

@@ -41,7 +41,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
 # rows-only to deterministic-hash value oracles, plus new operators:
-# 254 keys, 253 oracle-backed, 1 rows-only), then the
+# 255 keys, 254 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -72,6 +72,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fn_format_ch",  # new r6: formatReadable* integer-exact compat
     "scan_orc",  # new r6: native ORC source
     "scan_binary_files",  # new r6: binaryFile raw-asset ingestion
+    "scan_time_travel",  # new r6: commit-log snapshots + MOR deletes
     "agg_weighted_median",  # new r6: RANGE-frame exact weighted median
     "text_code_detect",  # new r6: code-vs-prose routing signals
     "agg_skew_kurtosis",  # new r6: overflow-safe exact-moment skewness
@@ -196,6 +197,7 @@ def load_all() -> None:
     import quackflight_spark.sources.layout  # noqa: F401
     import quackflight_spark.sources.matview  # noqa: F401
     import quackflight_spark.sources.textformats  # noqa: F401
+    import quackflight_spark.sources.timetravel  # noqa: F401
     import quackflight_spark.serving.formats  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401

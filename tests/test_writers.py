@@ -535,3 +535,40 @@ def test_hilbert_beats_zorder_on_worst_block_range():
     h = worst_chunk_range(lambda c: hilbert_xy2d(c[0], c[1]))
     m = worst_chunk_range(morton)
     assert h <= m, (h, m)
+
+
+def test_time_travel_manifests_and_mor_delete(spark, sf_dir):
+    """The commit-log claims, checked at the FILE level: v1's manifest
+    reuses v0's physical files for every unchanged partition (CoW cost
+    proportional to changed data); v2 adds only a delete sidecar (zero
+    data files touched); v0 snapshot equals the raw fixture; v2 hides
+    exactly the keys in the deletion vector."""
+    import json
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.sources.timetravel import (
+        TT_DEL_KEY_MOD,
+        TT_UPD_NATION_MOD,
+        build_versioned_table,
+        read_version,
+    )
+
+    root = build_versioned_table(spark, sf_dir)
+    m = [json.load(open(f"{root}/manifest_{v}.json")) for v in (0, 1, 2)]
+    for nk, files in m[0]["files"].items():
+        if int(nk) % 5 == TT_UPD_NATION_MOD:
+            assert m[1]["files"][nk] != files, nk  # rewritten
+        else:
+            assert m[1]["files"][nk] == files, nk  # carried forward
+    assert m[2]["files"] == m[1]["files"]  # MOR delete touches no data
+    assert m[2]["deletes"] and not m[1]["deletes"]
+
+    cust = load_table(spark, sf_dir, "customer")
+    v0 = read_version(spark, root, 0)
+    assert v0.count() == cust.count()
+    v2 = read_version(spark, root, 2)
+    expected_deleted = cust.filter(
+        (F.col("c_custkey") % 7) == TT_DEL_KEY_MOD
+    ).count()
+    assert v2.count() == cust.count() - expected_deleted
+    assert v2.filter((F.col("c_custkey") % 7) == TT_DEL_KEY_MOD).count() == 0
