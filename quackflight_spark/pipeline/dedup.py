@@ -289,9 +289,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, sizes broadcast back; the direction split is a post-agg
     projection, free. Losslessness is unconditional: C ≥ 0.8 > 0
     implies ≥ 1 shared shingle, so every qualifying pair appears in the
-    index join. At 100 TB the hot-shingle skew is bounded the same way
-    as the Jaccard key (stopword-like shingles cap out by document
-    frequency — see pipeline/blocking.py)."""
+    index join. Hot-shingle skew bounds as in pipeline/blocking.py.
+    Measured (tools/scale_curve_containment.py, 5k/20k/80k docs with
+    linear pair structure): 2.4/8.6/66 s — linear to 20k, then shuffle-
+    sort pressure bends the 80k point; joining on the 60-bit shingle
+    HASH instead of the string was TRIED and measured SLOWER end-to-end
+    (98 s at 80k: the extra corpus-wide hashing pass costs more than
+    the narrower join key saves when the staging frame isn't amortized
+    across queries) — kept on strings, negative result in PERF.md."""
     d = doc_shingles(spark, sf_dir)
     sizes = d.select("doc_id", F.size("sh").alias("n_sh"))
     inv = d.select("doc_id", F.explode("sh").alias("shingle"))
