@@ -516,32 +516,29 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST((p.c - s.s1 // s.n) AS DECIMAL(38,0))
                  * (p.c - s.s1 // s.n)) AS a2,
              sum(CAST((p.c - s.s1 // s.n) AS DECIMAL(38,0))
-                 * (p.c - s.s1 // s.n) * (p.c - s.s1 // s.n)) AS a3
+                 * (p.c - s.s1 // s.n) * (p.c - s.s1 // s.n)) AS a3,
+             sum(CAST((p.c - s.s1 // s.n) AS DECIMAL(38,0))
+                 * (p.c - s.s1 // s.n) * (p.c - s.s1 // s.n)
+                 * (p.c - s.s1 // s.n)) AS a4
       FROM pts p JOIN s ON p.flag = s.flag
       GROUP BY p.flag, s.n, s.s1
+    ),
+    d AS (
+      SELECT flag, n, CAST(n AS DOUBLE) AS nd,
+             CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS dd,
+             CAST(a2 AS DOUBLE) AS a2d, CAST(a3 AS DOUBLE) AS a3d,
+             CAST(a4 AS DOUBLE) AS a4d
+      FROM m
     )
     SELECT flag, n,
-           round(
-             ((CAST(a3 AS DOUBLE)
-               - 3.0 * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-                     * CAST(a2 AS DOUBLE)
-               + 2.0 * CAST(n AS DOUBLE)
-                     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-                     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-                     * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
-              / CAST(n AS DOUBLE))
-             / (((CAST(a2 AS DOUBLE)
-                  - CAST(n AS DOUBLE)
-                        * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-                        * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
-                 / CAST(n AS DOUBLE))
-                * sqrt((CAST(a2 AS DOUBLE)
-                        - CAST(n AS DOUBLE)
-                              * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
-                              * (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
-                       / CAST(n AS DOUBLE))),
-             8) AS skewness
-    FROM m
+           round(((a3d - 3.0 * dd * a2d + 2.0 * nd * dd * dd * dd) / nd)
+                 / (((a2d - nd * dd * dd) / nd)
+                    * sqrt((a2d - nd * dd * dd) / nd)), 8) AS skewness,
+           round(((a4d - 4.0 * dd * a3d + 6.0 * dd * dd * a2d
+                   - 3.0 * nd * dd * dd * dd * dd) / nd)
+                 / (((a2d - nd * dd * dd) / nd)
+                    * ((a2d - nd * dd * dd) / nd)), 8) AS kurtosis
+    FROM d
 """)
 def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness per group (new r6) WITHOUT the float-
@@ -553,13 +550,15 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean in ONE deterministic double expression using the exact
     remainder r = S mod n (d = r/n < 1 cent): M2 = (A2 − n·d²)/n,
     M3 = (A3 − 3dA2 + 2nd³)/n, g1 = M3/M2^1.5 with M2^1.5 = M2·√M2
-    (sqrt is IEEE-correctly-rounded; no pow, no libm). Identical exact
-    integers through identical double ops → bit-identical engines.
+    (sqrt is IEEE-correctly-rounded; no pow, no libm), and population
+    kurtosis g2 = M4/M2² the same way (M4 = (A4 − 4dA3 + 6d²A2 −
+    3nd⁴)/n). Identical exact integers through identical double ops →
+    bit-identical engines.
 
     Headroom (the reason for floor-mean centering, not the n·x − S
-    form): deviations stay at value scale (~1e7 cents), so A3 ≤
-    n·dev³ ≈ 1e28 even at 10⁹ rows/group — 10 digits of DECIMAL(38)
-    spare; the n-scaled form overflows 38 digits at sf0.1 already.
+    form): deviations stay at value scale (~1e7 cents), so A4 ≤
+    n·dev⁴ ≈ 1e37 even at 10⁹ rows/group — inside DECIMAL(38); the
+    n-scaled form overflows 38 digits at sf0.1 already.
 
     Scale shape: one stats agg + one broadcast join back + one moment
     agg, all map-side-combinable — two passes; the one-pass streaming
@@ -582,17 +581,26 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dev.cast("decimal(38,0)") * dev).alias("a2"),
             F.sum(dev.cast("decimal(38,0)") * dev * dev).alias("a3"),
+            F.sum(dev.cast("decimal(38,0)") * dev * dev * dev).alias("a4"),
         )
-        .select("flag", "n", F.expr("s1 % n").alias("r"), "a2", "a3")
+        .select("flag", "n", F.expr("s1 % n").alias("r"), "a2", "a3", "a4")
     )
     nd = F.col("n").cast("double")
     d = F.col("r").cast("double") / nd
     a2d = F.col("a2").cast("double")
     a3d = F.col("a3").cast("double")
+    a4d = F.col("a4").cast("double")
     m2 = (a2d - nd * d * d) / nd
     m3 = (a3d - F.lit(3.0) * d * a2d + F.lit(2.0) * nd * d * d * d) / nd
+    m4 = (
+        a4d
+        - F.lit(4.0) * d * a3d
+        + F.lit(6.0) * d * d * a2d
+        - F.lit(3.0) * nd * d * d * d * d
+    ) / nd
     return m.select(
         "flag",
         "n",
         F.round(m3 / (m2 * F.sqrt(m2)), 8).alias("skewness"),
+        F.round(m4 / (m2 * m2), 8).alias("kurtosis"),
     )

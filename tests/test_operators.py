@@ -1397,7 +1397,7 @@ def test_skewness_matches_scipy_formula(spark, sf_dir):
 
     from quackflight_spark.sources.fixtures import load_table
 
-    out = {r.flag: r.skewness
+    out = {r.flag: (r.skewness, r.kurtosis)
            for r in _queries()["agg_skew_kurtosis"](spark, sf_dir).collect()}
     rows = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
@@ -1410,8 +1410,11 @@ def test_skewness_matches_scipy_formula(spark, sf_dir):
     for flag, xs in groups.items():
         x = np.asarray(xs, dtype=np.float64)
         d = x - x.mean()
-        want = float((d ** 3).mean() / (d ** 2).mean() ** 1.5)
-        assert abs(out[flag] - want) < 1e-6, (flag, out[flag], want)
+        want_g1 = float((d ** 3).mean() / (d ** 2).mean() ** 1.5)
+        want_g2 = float((d ** 4).mean() / (d ** 2).mean() ** 2)
+        got_g1, got_g2 = out[flag]
+        assert abs(got_g1 - want_g1) < 1e-6, (flag, got_g1, want_g1)
+        assert abs(got_g2 - want_g2) < 1e-6, (flag, got_g2, want_g2)
 
 
 def test_time_to_convert_quartiles_bruteforce(spark, sf_dir):
