@@ -153,6 +153,7 @@ BENCH_KEYS = [
     "events_time_to_convert",
     "scan_binary_files",
     "scan_time_travel",
+    "agg_gini",
 ]
 
 

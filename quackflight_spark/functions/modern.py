@@ -604,3 +604,82 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (m2 * F.sqrt(m2)), 8).alias("skewness"),
         F.round(m4 / (m2 * m2), 8).alias("kurtosis"),
     )
+
+
+@query("agg_gini", oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT flag, c,
+             CAST(row_number() OVER (PARTITION BY flag
+               ORDER BY c, l_orderkey, l_linenumber) AS BIGINT) AS i
+      FROM pts
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sx,
+             sum(CAST(i AS DECIMAL(38,0)) * c) AS six
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag, n,
+           round(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 8) AS gini
+    FROM s
+""")
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient per group (new r6) — the concentration /
+    inequality measure behind revenue-concentration, whale-user and
+    data-source-balance dashboards: G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n
+    over the ascending-sorted values.
+
+    Exactness: values are integer cents, ranks are exact row_numbers
+    (ties ordered by the unique line key — and Σi·x is tie-order
+    invariant anyway since equal x make i·x sum to x·Σi), the rank-
+    weighted sum is an exact DECIMAL(38,0) (headroom: i·x ≤ 10⁹·10⁷ =
+    10¹⁶ per row, 10²⁵ summed at 10⁹ rows/group), and G is one shared
+    double expression over the three exact aggregates.
+
+    Scale shape: one exchange on the group key, one per-group sort
+    (the window), one map-side-combinable aggregate. The sort is
+    inherent — Gini is an ORDER statistic functional; the
+    approximation that avoids it (binned Lorenz curve) is the same
+    rollup trick as events_time_to_convert if ever needed."""
+    from pyspark.sql import Window as W
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = pts.withColumn(
+        "i",
+        F.row_number()
+        .over(
+            W.partitionBy("flag").orderBy("c", "l_orderkey", "l_linenumber")
+        )
+        .cast("bigint"),
+    )
+    s = ranked.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("c")).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "flag",
+        "n",
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double") / (nd * F.col("sx").cast("double"))
+            - (nd + F.lit(1.0)) / nd,
+            8,
+        ).alias("gini"),
+    )

@@ -1447,3 +1447,28 @@ def test_time_to_convert_quartiles_bruteforce(spark, sf_dir):
         pick(0.25), pick(0.5), pick(0.75),
     )
     assert abs(r.mean_s - sum(lats) / n) < 1e-9
+
+
+def test_gini_matches_numpy_and_bounds(spark, sf_dir):
+    """Gini must match the sorted-rank formula in numpy and sit in
+    [0, 1); a perfectly equal synthetic group must give ~0."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    out = {r.flag: r.gini
+           for r in _queries()["agg_gini"](spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, []).append(
+            round(float(r.l_extendedprice) * 100)
+        )
+    for flag, xs in groups.items():
+        x = np.sort(np.asarray(xs, dtype=np.float64))
+        n = len(x)
+        want = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+        assert abs(out[flag] - want) < 1e-7, (flag, out[flag], want)  # output rounded to 8dp
+        assert 0 <= out[flag] < 1
