@@ -154,6 +154,7 @@ BENCH_KEYS = [
     "scan_binary_files",
     "scan_time_travel",
     "agg_gini",
+    "timeseries_anomaly_stl",
 ]
 
 

@@ -2819,6 +2819,131 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+STL_MAD_K = 4.4478  # 3 sigma × 1.4826 (normal-consistency MAD scale)
+
+
+@query("timeseries_anomaly_stl", oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ma AS (
+      SELECT event_type, day, x,
+             ((CAST(day - DATE '1970-01-05' AS INT) % 7) + 7) % 7 AS dow,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      FROM daily
+    ),
+    season AS (
+      SELECT event_type, dow,
+             CAST(sum(7 * x - s7) AS BIGINT) AS s_num,
+             CAST(7 * count(*) AS BIGINT) AS s_den
+      FROM ma WHERE c7 = 7 GROUP BY event_type, dow
+    ),
+    res AS (
+      SELECT m.event_type, m.day, m.x,
+             CAST(m.x AS DOUBLE)
+               - CAST(m.s7 AS DOUBLE) / CAST(7 AS DOUBLE)
+               - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) AS r
+      FROM ma m JOIN season s
+        ON m.event_type = s.event_type AND m.dow = s.dow
+      WHERE m.c7 = 7
+    ),
+    med AS (
+      SELECT event_type, min(r) FILTER (2 * rn >= n) AS med_r
+      FROM (SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY r, day) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM res)
+      GROUP BY event_type
+    ),
+    madt AS (
+      SELECT event_type, min(ad) FILTER (2 * rn >= n) AS mad
+      FROM (SELECT r.event_type, abs(r.r - m.med_r) AS ad,
+                   row_number() OVER (PARTITION BY r.event_type
+                     ORDER BY abs(r.r - m.med_r), r.day) AS rn,
+                   count(*) OVER (PARTITION BY r.event_type) AS n
+            FROM res r JOIN med m USING (event_type))
+      GROUP BY event_type
+    )
+    SELECT r.event_type, r.day, r.x,
+           round(r.r, 8) AS residual,
+           abs(r.r - m.med_r) > {STL_MAD_K} * t.mad AS is_anomaly
+    FROM res r JOIN med m USING (event_type) JOIN madt t USING (event_type)
+""")
+def timeseries_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition-residual anomaly detection (new r6) — the robust
+    monitor that events_anomaly_mad (raw volume) cannot be: anomalies
+    are scored on the RESIDUAL after removing trend and weekly
+    seasonality (timeseries_seasonal_decompose's output), so a busy
+    Monday is normal and a quiet Monday is an anomaly — the
+    STL-residual + MAD recipe (Cleveland; Twitter's AnomalyDetection).
+    Threshold = 3σ via the 1.4826 MAD consistency constant, a literal.
+
+    Determinism: residuals are the decompose key's bit-identical
+    doubles; the median and MAD are LOWER order statistics (rank picks
+    over identical double multisets — no interpolation), and the flag
+    compares identical doubles. Emits every full-window day with its
+    flag so the oracle checks the whole decision surface, not just the
+    positives.
+
+    Scale shape: everything after the one |series|x|days| rollup runs
+    per-series (windows partitioned by event_type); the two rank picks
+    are series-local sorts over the same tiny rollup."""
+    dec = timeseries_seasonal_decompose(spark, sf_dir).filter(
+        F.col("residual").isNotNull()
+    )
+    wcnt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("residual", "day")
+    ranked = dec.select(
+        "event_type",
+        "day",
+        "x",
+        "residual",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wcnt).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("rn") >= F.col("n"), F.col("residual"))).alias(
+            "med_r"
+        )
+    )
+    wad = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual") - F.col("med_r")), "day"
+    )
+    ranked2 = (
+        ranked.join(F.broadcast(med), "event_type")
+        .withColumn("rn2", F.row_number().over(wad))
+    )
+    mad = ranked2.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                2 * F.col("rn2") >= F.col("n"),
+                F.abs(F.col("residual") - F.col("med_r")),
+            )
+        ).alias("mad")
+    )
+    return (
+        ranked.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "x",
+            F.round(F.col("residual"), 8).alias("residual"),
+            (
+                F.abs(F.col("residual") - F.col("med_r"))
+                > F.lit(STL_MAD_K) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
 @query("timeseries_forecast_snaive", oracle="""
     WITH daily AS (
       SELECT event_type,

@@ -1472,3 +1472,38 @@ def test_gini_matches_numpy_and_bounds(spark, sf_dir):
         want = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
         assert abs(out[flag] - want) < 1e-7, (flag, out[flag], want)  # output rounded to 8dp
         assert 0 <= out[flag] < 1
+
+
+def test_stl_anomaly_matches_python_recompute(spark, sf_dir):
+    """Flags must equal a from-scratch Python recomputation (lower
+    medians, MAD, 4.4478 threshold) over the decompose residuals."""
+    from quackflight_spark.streaming.windowed import (
+        STL_MAD_K,
+        timeseries_seasonal_decompose,
+    )
+
+    got = {
+        (r.event_type, r.day): r.is_anomaly
+        for r in _queries()["timeseries_anomaly_stl"](spark, sf_dir).collect()
+    }
+    dec = [
+        r
+        for r in timeseries_seasonal_decompose(spark, sf_dir).collect()
+        if r.residual is not None
+    ]
+    series = {}
+    for r in dec:
+        series.setdefault(r.event_type, []).append(r)
+
+    def lower_median(vals):
+        s = sorted(vals)
+        import math
+        return s[math.ceil(len(s) / 2) - 1]
+
+    want = {}
+    for et, rs in series.items():
+        med = lower_median([r.residual for r in rs])
+        mad = lower_median([abs(r.residual - med) for r in rs])
+        for r in rs:
+            want[(et, r.day)] = abs(r.residual - med) > STL_MAD_K * mad
+    assert got == want
