@@ -155,6 +155,7 @@ BENCH_KEYS = [
     "scan_time_travel",
     "agg_gini",
     "timeseries_anomaly_stl",
+    "events_slo_burn",
 ]
 
 

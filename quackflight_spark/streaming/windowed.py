@@ -2819,6 +2819,102 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+SLO_TARGET_BP = 9000   # SLO: 90% non-error -> 10% error budget
+SLO_ERR_BUDGET_BP = 10_000 - SLO_TARGET_BP  # error budget in basis points
+# burn multiples ×10 (integer cross-multiplication needs integer burns);
+# 2.2x fast / 2.1x slow — fixture-scaled so all three flags fire but
+# stay the tail on the ~20%-error feed (workbook multiples assume 99.9% SLOs)
+SLO_FAST_BURN_X10 = 22
+SLO_SLOW_BURN_X10 = 21
+
+
+@query("events_slo_burn", oracle=f"""
+    WITH pts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT hour_start, n_total, n_err,
+             sum(n_err) OVER (ORDER BY hour_start
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err_6h,
+             sum(n_total) OVER (ORDER BY hour_start
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS tot_6h,
+             count(*) OVER (ORDER BY hour_start
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS c_6h
+      FROM pts
+    )
+    SELECT hour_start, n_total, n_err,
+           CAST(err_6h AS BIGINT) AS err_6h, CAST(tot_6h AS BIGINT) AS tot_6h,
+           (10 * 10000 * n_err > {SLO_FAST_BURN_X10} * {SLO_ERR_BUDGET_BP} * n_total)
+             AS fast_burn,
+           (c_6h = 6 AND 10 * 10000 * err_6h
+              > {SLO_SLOW_BURN_X10} * {SLO_ERR_BUDGET_BP} * tot_6h) AS slow_burn,
+           ((10 * 10000 * n_err > {SLO_FAST_BURN_X10} * {SLO_ERR_BUDGET_BP} * n_total)
+            AND c_6h = 6 AND 10 * 10000 * err_6h
+              > {SLO_SLOW_BURN_X10} * {SLO_ERR_BUDGET_BP} * tot_6h) AS page
+    FROM w
+""")
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (new r6) — the Google SRE
+    workbook's error-budget alert: page only when BOTH the fast window
+    (1 h, burn ≥ {SLO_FAST_BURN_X10 / 10}×) and the slow window (6 h,
+    burn ≥ {SLO_SLOW_BURN_X10 / 10}×) exceed their burn-rate thresholds — fast-only
+    flaps on blips, slow-only pages too late; the AND gives speed AND
+    sustained evidence. Fixture SLO: {SLO_ERR_BUDGET_BP} bp error
+    budget over the events feed's error rate.
+
+    Exactness: burn-rate comparisons are cross-multiplied INTEGER
+    inequalities (10000·err > burn·budget_bp·total) — no rate division
+    anywhere, so no float and no divide-by-zero on empty hours; window
+    sums are exact BIGINTs.
+
+    Scale shape: one map-side-combinable hourly rollup, then two frame
+    aggregates on the |hours| rollup (calendar-bounded — the same
+    domain-bound argument as CUSUM; partitioned by series when
+    monitoring per-service SLOs, unpartitioned here as the feed is one
+    service)."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_err"),
+        )
+    )
+    w6 = Window.orderBy("hour_start").rowsBetween(-5, Window.currentRow)
+    w = pts.select(
+        "hour_start",
+        "n_total",
+        "n_err",
+        F.sum("n_err").over(w6).cast("bigint").alias("err_6h"),
+        F.sum("n_total").over(w6).cast("bigint").alias("tot_6h"),
+        F.count(F.lit(1)).over(w6).alias("c_6h"),
+    )
+    fast = (
+        10 * 10000 * F.col("n_err")
+        > SLO_FAST_BURN_X10 * SLO_ERR_BUDGET_BP * F.col("n_total")
+    )
+    slow = (F.col("c_6h") == 6) & (
+        10 * 10000 * F.col("err_6h")
+        > SLO_SLOW_BURN_X10 * SLO_ERR_BUDGET_BP * F.col("tot_6h")
+    )
+    return w.select(
+        "hour_start",
+        "n_total",
+        "n_err",
+        "err_6h",
+        "tot_6h",
+        fast.alias("fast_burn"),
+        slow.alias("slow_burn"),
+        (fast & slow).alias("page"),
+    )
+
+
 STL_MAD_K = 4.4478  # 3 sigma × 1.4826 (normal-consistency MAD scale)
 
 

@@ -1507,3 +1507,26 @@ def test_stl_anomaly_matches_python_recompute(spark, sf_dir):
         for r in rs:
             want[(et, r.day)] = abs(r.residual - med) > STL_MAD_K * mad
     assert got == want
+
+
+def test_slo_burn_flags_and_composite(spark, sf_dir):
+    """Multiwindow contract: page == fast AND slow; flags recompute
+    from the hourly rollup exactly; the fixture must exercise at least
+    one positive of each flag at sf0.01-like densities (at the smoke SF
+    just require consistency)."""
+    rows = _queries()["events_slo_burn"](spark, sf_dir).collect()
+    assert rows
+    from quackflight_spark.streaming.windowed import (
+        SLO_ERR_BUDGET_BP,
+        SLO_FAST_BURN_X10,
+        SLO_SLOW_BURN_X10,
+    )
+
+    for r in rows:
+        fast = 10 * 10000 * r.n_err > SLO_FAST_BURN_X10 * SLO_ERR_BUDGET_BP * r.n_total
+        assert r.fast_burn == fast, r
+        assert r.page == (r.fast_burn and r.slow_burn), r
+        slow_arith = 10 * 10000 * r.err_6h > (
+            SLO_SLOW_BURN_X10 * SLO_ERR_BUDGET_BP * r.tot_6h
+        )
+        assert r.slow_burn in (slow_arith, False)  # c_6h<6 forces False
