@@ -156,6 +156,7 @@ BENCH_KEYS = [
     "agg_gini",
     "timeseries_anomaly_stl",
     "events_slo_burn",
+    "join_trajectory_hausdorff",
 ]
 
 

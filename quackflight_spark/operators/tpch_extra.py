@@ -853,3 +853,125 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("overlap_days"),
         )
     )
+
+
+TRAJ_PTS = 8       # points kept per user trajectory
+TRAJ_TAU = 300     # Hausdorff threshold (grid cell size = tau)
+TRAJ_TAU2 = TRAJ_TAU * TRAJ_TAU
+
+
+@query("join_trajectory_hausdorff", oracle=f"""
+    WITH pts AS (
+      SELECT user_id AS u,
+             CAST(event_id * 37 % 1000 AS BIGINT) AS x,
+             CAST(event_id * 53 % 1000 AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (SELECT u, x, y FROM pts WHERE rn <= {TRAJ_PTS}),
+    us AS (SELECT DISTINCT u FROM p),
+    pairs AS (SELECT a.u AS ua, b.u AS ub FROM us a, us b WHERE a.u < b.u),
+    cross_d AS (
+      SELECT c.ua, c.ub, pa.x AS ax, pa.y AS ay, pb.x AS bx, pb.y AS by_,
+             (pa.x - pb.x) * (pa.x - pb.x)
+             + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+      FROM pairs c JOIN p pa ON pa.u = c.ua JOIN p pb ON pb.u = c.ub
+    ),
+    da AS (SELECT ua, ub, ax, ay, min(d2) AS mind
+           FROM cross_d GROUP BY 1, 2, 3, 4),
+    db AS (SELECT ua, ub, bx, by_, min(d2) AS mind
+           FROM cross_d GROUP BY 1, 2, 3, 4),
+    h AS (SELECT ua, ub, max(mind) AS h2
+          FROM (SELECT ua, ub, mind FROM da
+                UNION ALL SELECT ua, ub, mind FROM db)
+          GROUP BY 1, 2)
+    SELECT ua AS user_a, ub AS user_b, CAST(h2 AS BIGINT) AS hausdorff_sq
+    FROM h WHERE h2 <= {TRAJ_TAU2}
+""")
+def join_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory-similarity join (new r6) — symmetric discrete
+    Hausdorff distance between per-user point sets under a threshold:
+    the set-distance sibling of join_spatial_grid and the relational
+    core of distributed trajectory similarity search (REPOSE ICDE'21 /
+    road-network trajectory join ICDE'19 in PAPERS.md — both block
+    candidates spatially, then verify exact distances; this key is
+    that shape on Spark). Trajectories are the first {TRAJ_PTS} points
+    per user (coordinates synthesized arithmetically from event ids,
+    same device as join_spatial_grid's fixture points).
+
+    Blocking is LOSSLESS by the Hausdorff definition: H(A,B) ≤ τ means
+    EVERY point of A has a B-point within τ, so A and B co-occupy some
+    3×3 neighborhood of the τ-sized grid — candidates are generated
+    from the (user, cell) OCCUPANCY table join (9 neighbor probes on
+    one side), never from all user pairs; the oracle computes the
+    naive all-pairs ground truth, so the differential check PROVES the
+    blocking drops no qualifying pair. Verification is exact integer
+    arithmetic: min squared distance per (pair, point) both directions
+    in ONE cross-distance pass, max per pair, threshold filter.
+
+    Scale shape: candidates ∝ grid-cell co-occupancy (sparse
+    trajectories block hard; fixture density keeps most pairs — the
+    worst case, still exact); the verify join fans out a BOUNDED
+    {TRAJ_PTS}×{TRAJ_PTS} per candidate. Same loud-cap contract as the
+    other blocked joins (pipeline/blocking.py) applies when cells run
+    hot."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").alias("u"),
+        (F.col("event_id") * 37 % 1000).cast("bigint").alias("x"),
+        (F.col("event_id") * 53 % 1000).cast("bigint").alias("y"),
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= TRAJ_PTS).drop("rn")
+    occ = pts.select(
+        "u",
+        F.expr(f"x DIV {TRAJ_TAU}").alias("cx"),
+        F.expr(f"y DIV {TRAJ_TAU}").alias("cy"),
+    ).distinct()
+    offs = F.explode(
+        F.expr("array(-1, 0, 1)")
+    )
+    probe = (
+        occ.select("u", "cx", "cy", offs.alias("dx"))
+        .select("u", "cx", "cy", "dx", offs.alias("dy"))
+        .select(
+            F.col("u").alias("ub"),
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    cands = (
+        occ.select(F.col("u").alias("ua"), "cx", "cy")
+        .join(probe, ["cx", "cy"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    pa = pts.select(F.col("u").alias("ua"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    pb = pts.select(F.col("u").alias("ub"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    cross = (
+        cands.join(pa, "ua")
+        .join(pb, "ub")
+        .withColumn(
+            "d2",
+            (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+            + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")),
+        )
+    )
+    da = cross.groupBy("ua", "ub", "ax", "ay").agg(F.min("d2").alias("mind"))
+    db = cross.groupBy("ua", "ub", "bx", "by").agg(F.min("d2").alias("mind"))
+    h = (
+        da.select("ua", "ub", "mind")
+        .unionByName(db.select("ua", "ub", "mind"))
+        .groupBy("ua", "ub")
+        .agg(F.max("mind").alias("h2"))
+    )
+    return h.filter(F.col("h2") <= TRAJ_TAU2).select(
+        F.col("ua").alias("user_a"),
+        F.col("ub").alias("user_b"),
+        F.col("h2").cast("bigint").alias("hausdorff_sq"),
+    )

@@ -1530,3 +1530,42 @@ def test_slo_burn_flags_and_composite(spark, sf_dir):
             SLO_SLOW_BURN_X10 * SLO_ERR_BUDGET_BP * r.tot_6h
         )
         assert r.slow_burn in (slow_arith, False)  # c_6h<6 forces False
+
+
+def test_trajectory_hausdorff_bruteforce(spark, sf_dir):
+    """Blocked threshold join must equal brute-force symmetric discrete
+    Hausdorff over the same synthesized trajectories."""
+    from quackflight_spark.operators.tpch_extra import (
+        TRAJ_PTS,
+        TRAJ_TAU2,
+        join_trajectory_hausdorff,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {
+        (r.user_a, r.user_b): r.hausdorff_sq
+        for r in join_trajectory_hausdorff(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    traj = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        pts = traj.setdefault(r.user_id, [])
+        if len(pts) < TRAJ_PTS:
+            pts.append((r.event_id * 37 % 1000, r.event_id * 53 % 1000))
+
+    def dh(a, b):
+        return max(
+            min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in b)
+            for ax, ay in a
+        )
+
+    want = {}
+    users = sorted(traj)
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            h2 = max(dh(traj[ua], traj[ub]), dh(traj[ub], traj[ua]))
+            if h2 <= TRAJ_TAU2:
+                want[(ua, ub)] = h2
+    assert got == want
