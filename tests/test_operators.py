@@ -1553,7 +1553,10 @@ def test_trajectory_hausdorff_bruteforce(spark, sf_dir):
     for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
         pts = traj.setdefault(r.user_id, [])
         if len(pts) < TRAJ_PTS:
-            pts.append((r.event_id * 37 % 1000, r.event_id * 53 % 1000))
+            pts.append((
+                (r.user_id // 3) * 9973 % 10000 + r.event_id * 37 % 300,
+                (r.user_id // 3) * 7919 % 10000 + r.event_id * 53 % 300,
+            ))
 
     def dh(a, b):
         return max(
