@@ -157,6 +157,7 @@ BENCH_KEYS = [
     "timeseries_anomaly_stl",
     "events_slo_burn",
     "join_trajectory_hausdorff",
+    "text_lang_confusion",
 ]
 
 

@@ -140,6 +140,59 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "lang", pred.alias("predicted_lang"))
 
 
+@query("text_lang_confusion", oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit'], lower(x)))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that'], lower(x)))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los','en'], lower(x)))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','de','et','est','que'], lower(x)))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和'], lower(x)))) AS s_zh
+      FROM t
+    ), pred AS (
+      SELECT doc_id, lang AS declared,
+             CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+               WHEN 0 THEN 'unknown'
+               WHEN s_de THEN 'de'
+               WHEN s_en THEN 'en'
+               WHEN s_es THEN 'es'
+               WHEN s_fr THEN 'fr'
+               ELSE 'zh' END AS detected
+      FROM scores
+    )
+    SELECT declared, detected, CAST(count(*) AS BIGINT) AS n_docs,
+           (declared <> detected) AS is_mismatch
+    FROM pred GROUP BY declared, detected
+""")
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix (new r6) — the
+    corpus-QA rollup a multilingual pipeline runs before trusting
+    upstream `lang` labels (mislabeled crawl segments poison per-
+    language mixes and eval sets): cross-tabulate the metadata label
+    against text_langid's marker-token detection, flagging off-diagonal
+    cells. The aggregate form of text_langid's per-doc output — tiny
+    (|langs|² cells), and the report a human actually reads.
+
+    Scale shape: the per-doc detection is the same zero-shuffle
+    Catalyst map as text_langid; the confusion rollup is one map-side-
+    combinable groupBy bounded by the language-pair vocabulary."""
+    per_doc = text_langid(spark, sf_dir)
+    return (
+        per_doc.groupBy(
+            F.col("lang").alias("declared"),
+            F.col("predicted_lang").alias("detected"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "is_mismatch", F.col("declared") != F.col("detected")
+        )
+    )
+
+
 @query("text_fingerprint", oracle=r"""
     SELECT doc_id,
            CAST(list_aggregate(

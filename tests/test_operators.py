@@ -1572,3 +1572,20 @@ def test_trajectory_hausdorff_bruteforce(spark, sf_dir):
             if h2 <= TRAJ_TAU2:
                 want[(ua, ub)] = h2
     assert got == want
+
+
+def test_lang_confusion_totals_and_consistency(spark, sf_dir):
+    """Confusion cells must sum to the corpus size and agree with the
+    per-doc text_langid output."""
+    cells = _queries()["text_lang_confusion"](spark, sf_dir).collect()
+    per_doc = _queries()["text_langid"](spark, sf_dir).collect()
+    assert sum(c.n_docs for c in cells) == len(per_doc)
+    want = {}
+    for r in per_doc:
+        want[(r.lang, r.predicted_lang)] = want.get(
+            (r.lang, r.predicted_lang), 0
+        ) + 1
+    got = {(c.declared, c.detected): c.n_docs for c in cells}
+    assert got == want
+    for c in cells:
+        assert c.is_mismatch == (c.declared != c.detected)
