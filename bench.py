@@ -158,6 +158,7 @@ BENCH_KEYS = [
     "events_slo_burn",
     "join_trajectory_hausdorff",
     "text_lang_confusion",
+    "events_churn_hazard",
 ]
 
 

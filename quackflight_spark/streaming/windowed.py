@@ -2819,6 +2819,96 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("events_churn_hazard", oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS first_d,
+             CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS last_d
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_d) - 2 AS censor_d FROM d),
+    lt AS (
+      SELECT CAST(d.last_d - d.first_d AS INT) AS age_days,
+             (d.last_d >= h.censor_d) AS censored
+      FROM d, horizon h
+    ),
+    by_age AS (
+      SELECT age_days,
+             CAST(count(*) AS BIGINT) AS n_ending,
+             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_churned
+      FROM lt GROUP BY age_days
+    ),
+    risk AS (
+      SELECT age_days, n_churned,
+             sum(n_ending) OVER (ORDER BY age_days DESC
+               ROWS UNBOUNDED PRECEDING) AS n_at_risk
+      FROM by_age
+    )
+    SELECT age_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_churned,
+           round(CAST(n_churned AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 8)
+             AS hazard
+    FROM risk
+""")
+def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival life table (new r6) — the churn-hazard
+    readout behind retention modeling, on per-user PURCHASE activity
+    spans: per age (days between first and last purchase), the number
+    of users still at risk, the number churning at exactly that age,
+    and the hazard d/n — with RIGHT-CENSORING handled correctly (users
+    still purchasing within the 3-day horizon before the corpus's last
+    purchase date are censored, not churned — the mistake naive churn
+    queries make, counting every trailing user as lost). The
+    Kaplan-Meier survival curve is the running product of (1 − hazard)
+    over this table; emitting the hazard table keeps every value a
+    single exact division (a cross-engine-deterministic running
+    PRODUCT needs exp/log — libm — or unbounded rationals; the table
+    is the estimator's sufficient statistic).
+
+    Exactness: integer day lifetimes, exact integer churn/at-risk
+    counts (n_at_risk = reverse-cumulative window over the age
+    rollup), one double division per row.
+
+    Scale shape: one user-keyed first/last agg (map-side), a 1-row
+    broadcast horizon, an age rollup bounded by the calendar, one tiny
+    window over it."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").cast("date").alias("first_d"),
+            F.max("ts").cast("date").alias("last_d"),
+        )
+    )
+    horizon = d.agg(F.date_sub(F.max("last_d"), 2).alias("censor_d"))
+    lt = d.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("last_d"), F.col("first_d")).cast("int").alias("age_days"),
+        (F.col("last_d") >= F.col("censor_d")).alias("censored"),
+    )
+    by_age = lt.groupBy("age_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    wrev = Window.orderBy(F.desc("age_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_age.withColumn(
+        "n_at_risk", F.sum("n_ending").over(wrev).cast("bigint")
+    )
+    return risk.select(
+        "age_days",
+        "n_at_risk",
+        "n_churned",
+        F.round(
+            F.col("n_churned").cast("double") / F.col("n_at_risk").cast("double"),
+            8,
+        ).alias("hazard"),
+    )
+
+
 SLO_TARGET_BP = 9000   # SLO: 90% non-error -> 10% error budget
 SLO_ERR_BUDGET_BP = 10_000 - SLO_TARGET_BP  # error budget in basis points
 # burn multiples ×10 (integer cross-multiplication needs integer burns);

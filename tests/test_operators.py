@@ -1589,3 +1589,30 @@ def test_lang_confusion_totals_and_consistency(spark, sf_dir):
     assert got == want
     for c in cells:
         assert c.is_mismatch == (c.declared != c.detected)
+
+
+def test_churn_hazard_life_table_invariants(spark, sf_dir):
+    """Life-table contract: n_at_risk is non-increasing toward larger
+    ages... actually INCREASING cumulative from the top age downward —
+    equivalently at age a it equals the count of users with lifetime
+    >= a; hazard in [0,1]; total churned + censored == users."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    rows = sorted(
+        _queries()["events_churn_hazard"](spark, sf_dir).collect(),
+        key=lambda r: r.age_days,
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.hazard <= 1.0
+        assert r.n_churned <= r.n_at_risk
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk >= b.n_at_risk  # at-risk shrinks with age
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert rows[0].n_at_risk <= n_users
+    # at age 0 everyone with a purchase history is at risk
+    assert max(r.n_at_risk for r in rows) == n_users
