@@ -159,6 +159,8 @@ BENCH_KEYS = [
     "join_trajectory_hausdorff",
     "text_lang_confusion",
     "events_churn_hazard",
+    "text_novelty",
+    "pipeline_shard_balance",
 ]
 
 

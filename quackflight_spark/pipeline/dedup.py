@@ -341,6 +341,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+@query("text_novelty", oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS sh FROM documents
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+    df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM inv
+           GROUP BY shingle),
+    per AS (
+      SELECT i.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique
+      FROM inv i JOIN df d USING (shingle)
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id, n_shingles, n_unique,
+           CAST(10000 * n_unique // n_shingles AS BIGINT) AS novelty_bp
+    FROM per
+""")
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty (new r6) — the share of a doc's distinct
+    word-bigram shingles that appear NOWHERE else in the corpus
+    (document frequency 1): the memorization/duplication-risk signal
+    corpus governance tracks alongside dedup — low-novelty docs are
+    assembled from corpus-common fragments (templates, boilerplate,
+    near-dups that survived pair thresholds); high-novelty docs carry
+    unique content. The complement of pipeline_overlap_matrix's
+    cross-source view, at document grain.
+
+    Exactness: df counts and the unique-shingle tally are exact
+    integers off the shared doc_shingles staging frame; novelty is
+    held in integer basis points (floor-div), float-free.
+
+    Scale shape: one shingle-keyed df aggregate (map-side combined,
+    bounded by the shingle vocabulary) joined back onto the inverted
+    index — both shuffles key on the shingle, the same plan family as
+    the dedup keys and decontamination; nothing is all-pairs."""
+    d = doc_shingles(spark, sf_dir)
+    inv = d.select("doc_id", F.explode("sh").alias("shingle"))
+    df_tbl = inv.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    per = (
+        inv.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.expr("10000 * n_unique DIV n_shingles")
+        .cast("bigint")
+        .alias("novelty_bp"),
+    )
+
+
 MINHASH_P = 2147483647  # 2^31-1; (a*h+b) stays < 2^52 — no bigint overflow
 
 

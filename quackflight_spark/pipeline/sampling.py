@@ -286,6 +286,67 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pipeline_shard_balance", oracle=f"""
+    WITH assign AS (
+      SELECT {_duck_bucket('doc_id', 16)} AS shard,
+             CAST(length(text) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    per AS (
+      SELECT CAST(shard AS INT) AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      FROM assign GROUP BY shard
+    )
+    SELECT shard, n_docs, total_bytes,
+           CAST(max(n_docs) OVER () AS BIGINT) AS max_docs,
+           CAST(min(n_docs) OVER () AS BIGINT) AS min_docs,
+           round(CAST(max(total_bytes) OVER () AS DOUBLE)
+                 / CAST(min(total_bytes) OVER () AS DOUBLE), 8)
+             AS byte_skew_ratio
+    FROM per
+""")
+def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit (new r6) — the governance check on
+    pipeline_shuffle_shards' output before a training run: per-shard
+    document and byte totals plus the global max/min skew ratio. A
+    skewed shard is a straggler for the whole epoch (data loaders
+    consume shards in parallel), so this report is the gate between
+    'shuffled' and 'shippable'; the md5 assignment should keep the
+    ratio near 1 and a regression here means the sharding key went
+    pathological (e.g. sharding on a low-cardinality column).
+
+    Exactness: counts and byte totals are exact integers; the skew
+    ratio is one double division of two exact integers. One map-side-
+    combinable groupBy to |shards| rows; the window runs over that
+    bounded frame."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            hash_bucket(F.col("doc_id"), 16).cast("int").alias("shard"),
+            F.length("text").cast("bigint").alias("n_bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+    wall = W.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "total_bytes",
+        F.max("n_docs").over(wall).cast("bigint").alias("max_docs"),
+        F.min("n_docs").over(wall).cast("bigint").alias("min_docs"),
+        F.round(
+            F.max("total_bytes").over(wall).cast("double")
+            / F.min("total_bytes").over(wall).cast("double"),
+            8,
+        ).alias("byte_skew_ratio"),
+    )
+
+
 N_EVAL = 20  # fixture eval set = doc_id < 20
 
 

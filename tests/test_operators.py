@@ -1616,3 +1616,30 @@ def test_churn_hazard_life_table_invariants(spark, sf_dir):
     assert rows[0].n_at_risk <= n_users
     # at age 0 everyone with a purchase history is at risk
     assert max(r.n_at_risk for r in rows) == n_users
+
+
+def test_novelty_and_shard_balance_semantics(spark, tmp_path):
+    """Novelty: a doc duplicated verbatim must score 0 novelty; a doc
+    with a fully unique vocabulary must score 10000 bp. Shard balance:
+    ratio columns must equal the recomputed max/min."""
+    from quackflight_spark.pipeline.dedup import text_novelty
+    from quackflight_spark.pipeline.sampling import pipeline_shard_balance
+
+    rows = [
+        (1, "alpha beta gamma delta", "en", "web", 10),
+        (2, "alpha beta gamma delta", "en", "web", 10),   # dup of 1
+        (3, "unique tokens entirely here", "en", "web", 10),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id: bigint, text: string, lang: string, source: string, n_chars: bigint",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    nv = {r.doc_id: r.novelty_bp
+          for r in text_novelty(spark, str(tmp_path)).collect()}
+    assert nv[1] == 0 and nv[2] == 0 and nv[3] == 10000, nv
+
+    bal = pipeline_shard_balance(spark, str(tmp_path)).collect()
+    docs = {r.shard: r.n_docs for r in bal}
+    for r in bal:
+        assert r.max_docs == max(docs.values())
+        assert r.min_docs == min(docs.values())
