@@ -63,15 +63,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_bootstrap_ci",  # new r6: Poisson-bootstrap CI, zero-RNG draws
     "pipeline_mix_temperature",  # new r6: isqrt temperature-scaled mixing
     "stream_topk",  # new r6: streaming top-K leaderboard state contract
-    "scan_xml",  # new r6: Spark 4 native XML source, declared schema
     "pipeline_chunk_windows",  # new r6: strided context-window chunking
     "events_ltv_triangle",  # new r6: weekly-cohort cumulative LTV
     "timeseries_forecast_snaive",  # new r6: seasonal-naive backtest
     "join_nearest",  # new r6: two-sided nearest-key (merge_asof nearest)
-    "events_ab_srm",  # new r6: sample-ratio-mismatch chi-square guardrail
-    "fn_format_ch",  # new r6: formatReadable* integer-exact compat
-    "scan_orc",  # new r6: native ORC source
-    "scan_binary_files",  # new r6: binaryFile raw-asset ingestion
     "scan_time_travel",  # new r6: commit-log snapshots + MOR deletes
     "agg_weighted_median",  # new r6: RANGE-frame exact weighted median
     "text_code_detect",  # new r6: code-vs-prose routing signals
@@ -94,7 +89,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_jaccard",
     "events_ab_test",  # r6 ANSI fix — the r5 red row, MUST re-prove
     "sample_random",  # r6 rows-only -> value-oracle upgrade
-    "text_entropy", "graph_triangles", "sample_reservoir", "events_cuped",
+    "text_entropy", "graph_triangles", "events_cuped",
     "events_pattern_match", "layout_zorder", "stream_pattern_match",
     "join_ip_lpm", "timeseries_holt", "stream_holt", "fn_geohash",
     # -- keys 51+: changed in r6 but already hash-proven green by the r5
@@ -102,6 +97,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # an idiom already covered inside the window (sample_percent shares
     # sample_random's md5-draw upgrade); my full ANSI-on sweep re-proved
     # all of them exact — they take the slots AFTER the never-proven set
+    # ...and the r6 keys whose correctness is trivially machine-checked
+    # (row-identity source scans, one-row integer arithmetic, a simple
+    # TakeOrdered) — they cede their window slots to the intricate keys
+    "scan_xml", "scan_orc", "scan_binary_files", "fn_format_ch",
+    "events_ab_srm", "sample_reservoir",
     "sample_percent", "dedup_clusters", "basket_pair_lift",
     "join_fuzzy_names", "dedup_semantic",
     # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
