@@ -161,6 +161,8 @@ BENCH_KEYS = [
     "events_churn_hazard",
     "text_novelty",
     "pipeline_shard_balance",
+    "events_incidents",
+    "timeseries_rolling_median",
 ]
 
 

@@ -3005,6 +3005,105 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_incidents", oracle=f"""
+    WITH pts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err
+      FROM events GROUP BY 1
+    ),
+    flags AS (
+      SELECT hour_start, n_total, n_err,
+             (10 * 10000 * n_err > 22 * 1000 * n_total) AS firing
+      FROM pts
+    ),
+    runs AS (
+      SELECT *, CASE WHEN firing AND NOT coalesce(lag(firing)
+               OVER (ORDER BY hour_start), FALSE) THEN 1 ELSE 0 END AS is_start
+      FROM flags
+    ),
+    grp AS (
+      SELECT *, sum(is_start) OVER (ORDER BY hour_start
+               ROWS UNBOUNDED PRECEDING) AS incident_id
+      FROM runs
+    )
+    SELECT CAST(incident_id AS BIGINT) AS incident_id,
+           min(hour_start) AS started_at,
+           max(hour_start) + INTERVAL 1 HOUR AS ended_at,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n_err) AS BIGINT) AS total_errors,
+           round(CAST(10000 * max(10000 * n_err // n_total) AS DOUBLE)
+                 / 10000 / 10000, 8) AS peak_err_rate
+    FROM grp WHERE firing GROUP BY incident_id
+""")
+def events_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-to-incident collapsing (new r6) — the flap-suppression /
+    dedup step between a firing alert rule and a pager: consecutive
+    firing hours (the fast-burn condition from events_slo_burn) group
+    into ONE incident row with start, end, duration, total errors and
+    peak error rate — the gaps-and-islands rewrite on a BOOLEAN run
+    (a new island starts where firing rises; compare events_sessionize,
+    whose islands break on time gaps instead).
+
+    Exactness: the firing predicate is the integer cross-multiplied
+    burn comparison; island ids are exact running sums over the hourly
+    rollup; the peak rate is computed from the exact integer basis-
+    point maximum, divided once.
+
+    Scale shape: everything runs on the calendar-bounded hourly
+    rollup; per-service monitoring partitions the lag/cumsum windows
+    by series exactly like CUSUM."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_err"),
+        )
+    )
+    flags = pts.withColumn(
+        "firing",
+        10 * 10000 * F.col("n_err") > 22 * 1000 * F.col("n_total"),
+    )
+    w = Window.orderBy("hour_start")
+    runs = flags.withColumn(
+        "is_start",
+        F.when(
+            F.col("firing")
+            & ~F.coalesce(F.lag("firing").over(w), F.lit(False)),
+            1,
+        ).otherwise(0),
+    )
+    grp = runs.withColumn(
+        "incident_id",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        grp.filter(F.col("firing"))
+        .groupBy(F.col("incident_id").cast("bigint").alias("incident_id"))
+        .agg(
+            F.min("hour_start").alias("started_at"),
+            (F.max("hour_start") + F.expr("INTERVAL 1 HOUR")).alias("ended_at"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("n_err").cast("bigint").alias("total_errors"),
+            F.round(
+                (
+                    10000
+                    * F.max(F.expr("(10000 * n_err) DIV n_total"))
+                ).cast("double")
+                / 10000
+                / 10000,
+                8,
+            ).alias("peak_err_rate"),
+        )
+    )
+
+
 STL_MAD_K = 4.4478  # 3 sigma × 1.4826 (normal-consistency MAD scale)
 
 
@@ -3127,6 +3226,75 @@ def timeseries_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.lit(STL_MAD_K) * F.col("mad")
             ).alias("is_anomaly"),
         )
+    )
+
+
+@query("timeseries_rolling_median", oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    expanded AS (
+      SELECT d.event_type, d.day + CAST(o.o AS INT) AS anchor, d.x
+      FROM daily d, (SELECT unnest(range(0, 7)) AS o) o
+    ),
+    med AS (
+      SELECT e.event_type, e.anchor AS day,
+             CAST(count(*) AS BIGINT) AS n_window,
+             (list_sort(list(e.x)))[CAST(ceil(count(*) / 2.0) AS INT)]
+               AS rolling_median
+      FROM expanded e GROUP BY e.event_type, e.anchor
+    )
+    SELECT m.event_type, m.day, d.x, m.n_window, m.rolling_median
+    FROM med m JOIN daily d ON d.event_type = m.event_type
+     AND d.day = m.day
+""")
+def timeseries_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day MEDIAN filter (new r6) — the robust smoother the
+    moving average is not (one spike drags a mean for a week; the
+    median filter rejects it outright — the standard pre-step before
+    thresholding noisy ops series). Each day's window covers the
+    TRAILING 7 days; edge days report the median of the days available
+    (n_window < 7), the filtfilt-free convention.
+
+    Exactness: windows materialize by exploding each daily point to
+    the ≤7 anchors it serves (bounded fan-out — the windowed-COUNT-
+    DISTINCT rewrite of events_dau_wau, applied to an order statistic
+    that no frame aggregate computes), and the LOWER median is element
+    ceil(n/2) of the sorted ≤7-element array — exact integers, no
+    interpolation, deterministic under any partitioning because the
+    array is sorted after collection.
+
+    Scale shape: the ×7 explode happens on the |series|×|days| rollup,
+    never raw events; the per-anchor groups are ≤7 rows by
+    construction, map-side combinable."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    expanded = daily.select(
+        "event_type",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select(
+        "event_type", "x", F.expr("date_add(day, o)").alias("anchor")
+    )
+    med = expanded.groupBy("event_type", F.col("anchor").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_window"),
+        F.element_at(
+            F.sort_array(F.collect_list("x")),
+            F.ceil(F.count(F.lit(1)) / 2).cast("int"),
+        ).alias("rolling_median"),
+    )
+    return med.join(daily, ["event_type", "day"]).select(
+        "event_type", "day", "x", "n_window", "rolling_median"
     )
 
 

@@ -1643,3 +1643,44 @@ def test_novelty_and_shard_balance_semantics(spark, tmp_path):
     for r in bal:
         assert r.max_docs == max(docs.values())
         assert r.min_docs == min(docs.values())
+
+
+def test_rolling_median_and_incidents(spark, sf_dir):
+    """Rolling median equals the Python lower median of each trailing
+    7-day window; incidents are maximal consecutive firing runs."""
+    import datetime
+    import math
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    # --- rolling median ---
+    got = {
+        (r.event_type, r.day): (r.n_window, r.rolling_median)
+        for r in _queries()["timeseries_rolling_median"](spark, sf_dir).collect()
+    }
+    daily = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .count().collect()
+    ):
+        daily[(r.event_type, r.day)] = r["count"]
+    for (et, day), (n_win, med) in got.items():
+        window = [
+            daily[(et, day - datetime.timedelta(days=o))]
+            for o in range(7)
+            if (et, day - datetime.timedelta(days=o)) in daily
+        ]
+        window.sort()
+        assert n_win == len(window)
+        assert med == window[math.ceil(len(window) / 2) - 1], (et, day)
+
+    # --- incidents: no two incidents may be adjacent (flap-collapsed) ---
+    inc = sorted(
+        _queries()["events_incidents"](spark, sf_dir).collect(),
+        key=lambda r: r.started_at,
+    )
+    assert inc
+    for a, b in zip(inc, inc[1:]):
+        assert b.started_at > a.ended_at  # a gap separates incidents
+        assert a.n_hours >= 1 and a.total_errors > 0
