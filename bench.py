@@ -163,6 +163,7 @@ BENCH_KEYS = [
     "pipeline_shard_balance",
     "events_incidents",
     "timeseries_rolling_median",
+    "pipeline_normalize_zscore",
 ]
 
 

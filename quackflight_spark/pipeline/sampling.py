@@ -347,6 +347,62 @@ def pipeline_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pipeline_normalize_zscore", oracle="""
+    WITH stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars)
+                  AS DECIMAL(38,0)) AS q
+      FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(CAST(t.n * d.n_chars - t.s AS DOUBLE)
+                 / sqrt(CAST(t.n * t.q - CAST(t.s AS DECIMAL(38,0)) * t.s
+                             AS DOUBLE)), 8) AS z
+    FROM documents d JOIN stats t USING (source)
+""")
+def pipeline_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature standardization (new r6) — z-scoring a feature
+    within its group (doc length within source), the ML-prep step the
+    PySpark docs' canonical GROUPED_MAP pandas-UDF example computes
+    (SNIPPETS.md [3]: `df.groupby(id).apply(normalize)`). Spark-first
+    contrast, deliberately NOT that UDF: the grouped-map form shuffles
+    EVERY ROW into per-group Python workers and holds whole groups in
+    pandas memory — at 100 TB a group is not a DataFrame. Here the
+    group stats are one map-side-combinable aggregate (|groups| rows),
+    broadcast back, and z is a pure codegen projection — the full scan
+    never shuffles and no Python runs.
+
+    Exactness: the naive (x−μ)/σ is a float-summation trap; algebra
+    clears both divisions: z = (n·x − S) / √(n·Q − S²) with S = Σx and
+    Q = Σx² as exact DECIMAL(38,0) sums — two exact integers into one
+    IEEE sqrt and one division, bit-identical cross-engine (population
+    σ; n·Q ≤ 1e9·(1e5)²·1e9 headroom analysis as agg_skew_kurtosis)."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    return d.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(
+            (F.col("n") * F.col("n_chars") - F.col("s")).cast("double")
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("q")
+                    - F.col("s").cast("decimal(38,0)") * F.col("s")
+                ).cast("double")
+            ),
+            8,
+        ).alias("z"),
+    )
+
+
 N_EVAL = 20  # fixture eval set = doc_id < 20
 
 

@@ -1684,3 +1684,25 @@ def test_rolling_median_and_incidents(spark, sf_dir):
     for a, b in zip(inc, inc[1:]):
         assert b.started_at > a.ended_at  # a gap separates incidents
         assert a.n_hours >= 1 and a.total_errors > 0
+
+
+def test_zscore_matches_numpy_population(spark, sf_dir):
+    """z must equal numpy population z-scores per source; per-group z
+    means ~0 and population std ~1."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {}
+    for r in _queries()["pipeline_normalize_zscore"](spark, sf_dir).collect():
+        got.setdefault(r.source, []).append((r.doc_id, r.n_chars, r.z))
+    raw = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        raw.setdefault(r.source, {})[r.doc_id] = r.n_chars
+    for src, rows in got.items():
+        xs = np.array([raw[src][doc] for doc, _, _ in rows], dtype=np.float64)
+        want = (xs - xs.mean()) / xs.std()
+        for (doc, _, z), w in zip(rows, want):
+            assert abs(z - w) < 1e-7, (src, doc, z, w)
+        zs = np.array([z for _, _, z in rows])
+        assert abs(zs.mean()) < 1e-6 and abs(zs.std() - 1) < 1e-6
