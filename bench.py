@@ -164,6 +164,8 @@ BENCH_KEYS = [
     "events_incidents",
     "timeseries_rolling_median",
     "pipeline_normalize_zscore",
+    "events_streaks",
+    "events_mannwhitney",
 ]
 
 

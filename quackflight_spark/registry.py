@@ -41,7 +41,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # project's only-ever red row — plus the fuzzy/basket perf reworks, the
 # grown-K semantic dedup, and the two sampling keys upgraded from
 # rows-only to deterministic-hash value oracles, plus new operators:
-# 266 keys, 265 oracle-backed, 1 rows-only), then the
+# 268 keys, 267 oracle-backed, 1 rows-only), then the
 # stalest driver evidence (the r1-r3-checked keys the r5 window never
 # reached fill the rest of a 50-key window), then r4-checked, then
 # r5-checked (freshest).
@@ -83,6 +83,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_incidents",  # new r6: alert-run gaps-and-islands collapsing
     "timeseries_rolling_median",  # new r6: exact 7-day median filter
     "pipeline_normalize_zscore",  # new r6: codegen z-score, no pandas UDF
+    "events_streaks",  # new r6: consecutive-day activity streaks
+    "events_mannwhitney",  # new r6: tie-corrected Mann-Whitney U
     "agg_hll_portable",  # new r6: cross-engine-exact HLL
     "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
     "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6

@@ -3005,6 +3005,78 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("events_streaks", oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY day) AS INT) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_days,
+             min(day) AS streak_start
+      FROM isl GROUP BY user_id, island
+    ),
+    best AS (
+      SELECT user_id,
+             max(ROW(streak_days, streak_start)) AS b,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(streak_days) AS BIGINT) AS active_days
+      FROM streaks GROUP BY user_id
+    )
+    SELECT user_id, b[1] AS longest_streak, b[2] AS streak_start,
+           n_streaks, active_days
+    FROM best
+""")
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (new r6) — the
+    engagement metric behind every 'N-day streak' product surface, and
+    the third distinct gaps-and-islands variant in the suite: islands
+    on CALENDAR ADJACENCY (day − row_number is constant within a run
+    of consecutive days), vs time-gap islands (events_sessionize) and
+    boolean-run islands (events_incidents). Ties between equal-length
+    streaks resolve to the LATEST start via the max(struct) shuffle-
+    once argmax — no window over the streaks.
+
+    Exactness: pure date/integer arithmetic throughout. Scale shape:
+    one distinct on (user, day) — map-side combinable and bounded by
+    users × calendar — one user-partitioned row_number, two keyed
+    aggregates."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.expr("date_sub(day, CAST(row_number() OVER "
+                         "(PARTITION BY user_id ORDER BY day) AS INT))")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max(F.struct("streak_days", "streak_start")).alias("b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.sum("streak_days").cast("bigint").alias("active_days"),
+        )
+        .select(
+            "user_id",
+            F.col("b.streak_days").alias("longest_streak"),
+            F.col("b.streak_start").alias("streak_start"),
+            "n_streaks",
+            "active_days",
+        )
+    )
+
+
 @query("events_incidents", oracle=f"""
     WITH pts AS (
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
@@ -3378,6 +3450,131 @@ def timeseries_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("x") - F.col("naive1"))).cast("double")
             / F.count(F.lit(1))
         ).alias("mae_naive1"),
+    )
+
+
+@query("events_mannwhitney", oracle="""
+    WITH pts AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    g AS (
+      SELECT v,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY v
+    ),
+    cum AS (
+      SELECT v, c_a, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt - c_a) AS BIGINT) AS n_b,
+             CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(c_a * (2 * cumw - cnt + 1)) AS BIGINT) AS r2_a,
+             CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+                  AS DECIMAL(38,0)) AS t_ties
+      FROM cum
+    )
+    SELECT n_a, n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(r2_a - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+           round(
+             (CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+              - CAST(n_a * n_b AS DOUBLE))
+             / (2 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                 * (CAST(n + 1 AS DOUBLE)
+                    - CAST(t_ties AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)))), 8) AS z
+    FROM s
+""")
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test on A/B purchase revenue (new r6) — the
+    nonparametric LOCATION test completing the experimentation suite
+    (z: proportions; Welch t: means, normality-leaning; KS: whole
+    distribution; U: median-shift, outlier-robust — the test a skewed
+    revenue metric actually wants). Normal approximation with the
+    standard TIE CORRECTION, since cents-quantized revenue ties
+    heavily.
+
+    Exactness: midranks never materialize as halves — the per-value
+    group contributes c_a·(2·cumw − cnt + 1) to the DOUBLED rank sum,
+    so R2 and U2 = R2 − n_a(n_a+1) are exact BIGINTs; the tie term
+    Σ(t³−t) is an exact DECIMAL(38,0); z is one shared double
+    expression over those exact integers (single sqrt).
+
+    Scale shape: the ranking needs a total order — taken over the
+    VALUE ROLLUP, bounded by the cents price domain, not the corpus
+    (the events_ks_test device), so the one ordered scan walks a
+    domain-bounded table; everything upstream is one map-side
+    combinable groupBy of the raw stream."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 4),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+            ).alias("variant"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    g = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.withColumn("cumw", F.sum("cnt").over(wcum))
+    s = cum.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("c_a")).cast("bigint").alias("n_b"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("c_a") * (2 * F.col("cumw") - F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r2_a"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .cast("decimal(38,0)")
+        .alias("t_ties"),
+    )
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return s.select(
+        "n_a",
+        "n_b",
+        u2.cast("bigint").alias("u2_a"),
+        (u2.cast("double") / 2).alias("u_a"),
+        F.round(
+            (u2.cast("double") - (F.col("n_a") * F.col("n_b")).cast("double"))
+            / (
+                2
+                * F.sqrt(
+                    (F.col("n_a") * F.col("n_b")).cast("double")
+                    / F.lit(12.0)
+                    * (
+                        (F.col("n") + 1).cast("double")
+                        - F.col("t_ties").cast("double")
+                        / (F.col("n") * (F.col("n") - 1)).cast("double")
+                    )
+                )
+            ),
+            8,
+        ).alias("z"),
     )
 
 

@@ -1706,3 +1706,61 @@ def test_zscore_matches_numpy_population(spark, sf_dir):
             assert abs(z - w) < 1e-7, (src, doc, z, w)
         zs = np.array([z for _, _, z in rows])
         assert abs(zs.mean()) < 1e-6 and abs(zs.std() - 1) < 1e-6
+
+
+def test_mannwhitney_matches_reference(spark, sf_dir):
+    """U and z must match a from-scratch midrank computation with the
+    textbook tie-corrected normal approximation."""
+    import hashlib
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    r = _queries()["events_mannwhitney"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "value").collect()
+    a, b = [], []
+    for x in ev:
+        h = int(hashlib.md5(str(x.user_id).encode()).hexdigest()[:4], 16) % 2
+        (a if h == 0 else b).append(round(float(x.value) * 100))
+    pooled = sorted(a + b)
+    # midrank per distinct value
+    first = {}
+    for i, v in enumerate(pooled, start=1):
+        first.setdefault(v, i)
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    midrank = {v: first[v] + (cnt[v] - 1) / 2 for v in cnt}
+    n_a, n_b = len(a), len(b)
+    n = n_a + n_b
+    r_a = sum(midrank[v] for v in a)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    tie_t = sum(c ** 3 - c for c in cnt.values())
+    var_u = n_a * n_b / 12 * ((n + 1) - tie_t / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / var_u ** 0.5
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert abs(r.u_a - u_a) < 1e-6, (r.u_a, u_a)
+    assert abs(r.z - z) < 1e-6, (r.z, z)
+
+
+def test_streaks_bruteforce(spark, sf_dir):
+    """Longest streak per user equals a Python consecutive-day scan."""
+    import datetime
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.user_id: (r.longest_streak, r.active_days)
+           for r in _queries()["events_streaks"](spark, sf_dir).collect()}
+    days = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct().collect():
+        days.setdefault(r.user_id, set()).add(r.day)
+    for u, ds in days.items():
+        s = sorted(ds)
+        best = run = 1
+        for x, y in zip(s, s[1:]):
+            run = run + 1 if (y - x) == datetime.timedelta(days=1) else 1
+            best = max(best, run)
+        assert got[u] == (best, len(s)), u
