@@ -1,0 +1,345 @@
+"""Graph analytics operators, round 7 — BFS reachability, k-core
+decomposition, Adamic–Adar link prediction.
+
+Beyond-reference family (SURVEY.md §2.12, same family as graph_pagerank /
+graph_wcc / graph_triangles / graph_jaccard in operators/recursive.py).
+The reference (a DuckDB serving shim, /root/reference/main.py) has no graph
+surface; these are the training-data / analytics graph primitives a 100 TB
+pipeline needs: multi-source reachability (crawl-frontier distance, seed
+expansion), k-core (dense-subgraph mining / spam-farm and community-core
+detection), Adamic–Adar (the classic common-neighbor link predictor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+BFS_MIN_CO = 2   # co-purchase support threshold for the BFS edge set
+BFS_MAX_HOPS = 4
+BFS_SRC_MOD = 100  # sources = graph nodes with part id ≡ 0 (mod this)
+
+
+@query("graph_bfs", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {BFS_MIN_CO}
+    ),
+    edges AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+    src AS (SELECT DISTINCT a AS node FROM edges WHERE a % {BFS_SRC_MOD} = 0),
+    walk AS (
+      WITH RECURSIVE w(node, d) AS (
+        SELECT node, 0 FROM src
+        UNION
+        SELECT e.b, w.d + 1
+        FROM w JOIN edges e ON e.a = w.node
+        WHERE w.d < {BFS_MAX_HOPS}
+      ) SELECT node, d FROM w
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM walk GROUP BY node
+""")
+def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (new r7): every part within
+    {BFS_MAX_HOPS} co-purchase hops of a seed set (graph nodes with
+    id ≡ 0 mod {BFS_SRC_MOD}), labeled with its minimum hop count — the
+    seed-expansion / crawl-frontier / blast-radius primitive.
+
+    Scale shape: level-synchronous frontier expansion, the textbook
+    distributed BFS (Pregel's canonical example). Each hop is ONE keyed
+    equi-join of the previous frontier against the edge list plus a
+    min-merge groupBy — hop count is a fixed constant, so the whole
+    search is {BFS_MAX_HOPS} bounded shuffles unrolled into one plan,
+    no driver-side data movement. The frontier can only shrink relative
+    to the reachable set; the hub hazard lives in the edge build, which
+    reuses the support-thresholded bounded pair expansion
+    (graph_wcc's HAVING) so a mega-basket never mints a mega-hub.
+    The oracle is DuckDB's recursive-CTE walk over the same edges —
+    (node, depth) state space bounded by nodes × hops, while the Spark
+    plan never materializes a walk at all.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= BFS_MIN_CO)
+        .select("u", "v")
+    )
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()  # the edge build feeds every hop — materialize once
+    )
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % BFS_SRC_MOD == 0)
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = dist
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        reached = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+        )
+        # min-merge keeps the first (shortest) hop label per node; a node
+        # re-reached at a deeper hop never overwrites its earlier label
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        # the next frontier is exactly the nodes first labeled this hop
+        frontier = dist.filter(F.col("dist") == hop)
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+KCORE_K = 6           # peel threshold (the phase-transition-adjacent value)
+KCORE_DEG_DRAWS = 6   # per-node draw count range: 2 + md5 % 6 → 2..7
+KCORE_MAX_ROUNDS = 24  # measured peel depth ≤ 12 on all fixture SFs
+
+
+def _kcore_edge_sql() -> str:
+    """Engine-neutral SQL for the deterministic synthetic graph both
+    engines build identically (the join_spatial_grid precedent: fixture
+    tables carry no usable graph topology at every SF — the support-
+    thresholded co-purchase graph collapses to 2 edges at sf0.1 — so the
+    topology is md5-derived from the part dimension, constant expected
+    degree at any corpus size). Node i draws 2 + md5(i||':d') % 6
+    neighbor candidates md5(i||':'||j) % N; self-loops dropped, edges
+    canonicalized to (lo, hi) and deduped."""
+    return f"""
+    n_sz AS (SELECT count(*) AS n FROM part),
+    draws AS (
+      SELECT p_partkey AS i,
+             2 + CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || ':d'), 1, 12)
+                 AS BIGINT) % {KCORE_DEG_DRAWS} AS k
+      FROM part
+    ),
+    cand0 AS (
+      SELECT i, unnest(range(1, k + 1)) AS j FROM draws
+    ),
+    cand AS (
+      SELECT i,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12)
+             AS BIGINT) % (SELECT n FROM n_sz) AS v
+      FROM cand0
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT least(i, v) AS u, greatest(i, v) AS v
+      FROM cand WHERE i <> v
+    ),
+    inc AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM edges UNION ALL SELECT v, u FROM edges
+    )"""
+
+
+def _kcore_peel_sql(rounds: int) -> str:
+    """Unroll `rounds` peel rounds as chained CTEs: each round keeps the
+    nodes whose degree within the surviving set is ≥ K. Converged rounds
+    are no-ops, so a fixed unroll ≥ the true peel depth is exact."""
+    parts = [
+        "alive0 AS MATERIALIZED (SELECT DISTINCT node FROM inc)"
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round twice, so inlining CTEs would expand the chain 2^rounds times
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    alive{r} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT e.node, count(*) AS d
+        FROM inc e
+        JOIN alive{r - 1} s1 ON s1.node = e.node
+        JOIN alive{r - 1} s2 ON s2.node = e.nb
+        GROUP BY e.node
+      ) WHERE d >= {KCORE_K}
+    )""")
+    return ",\n".join(parts)
+
+
+@query("graph_kcore", oracle=f"""
+    WITH {_kcore_edge_sql()},
+    {_kcore_peel_sql(KCORE_MAX_ROUNDS)}
+    SELECT e.node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM inc e
+    JOIN alive{KCORE_MAX_ROUNDS} s1 ON s1.node = e.node
+    JOIN alive{KCORE_MAX_ROUNDS} s2 ON s2.node = e.nb
+    GROUP BY e.node
+""")
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (new r7): iteratively peel nodes with fewer
+    than K = {KCORE_K} surviving neighbors until stable; return the
+    K-core's members with their in-core degree. The dense-subgraph
+    primitive behind spam-farm detection, community cores, and graph
+    sparsification — and the classic example of an iterative algorithm
+    whose per-round work SHRINKS.
+
+    Topology: the deterministic md5-synthesized graph (see
+    _kcore_edge_sql — the fixture's co-purchase graph collapses to 2
+    edges at sf0.1, so like join_spatial_grid's coordinates the
+    topology is hash-derived from the part dimension: constant expected
+    degree ~9 at every corpus size, heterogeneous 2..7 draw counts so
+    K = {KCORE_K} sits at the interesting phase-transition edge —
+    measured core sizes 138 / 1,707 / 16,957 and peel depths 12 / 6 / 11
+    at sf0.001/0.01/0.1).
+
+    Scale shape: each round is one degree-count agg over the surviving
+    edge incidence (map-side combinable) + one semi-join filter —
+    work is proportional to SURVIVING edges, monotonically shrinking.
+    localCheckpoint truncates per-round lineage (the min_label_components
+    contract); convergence within {KCORE_MAX_ROUNDS} rounds is asserted
+    loudly, never silently truncated. The oracle unrolls the same
+    {KCORE_MAX_ROUNDS} rounds as chained CTEs — converged rounds are
+    no-ops, so the fixed unroll is exact.
+    """
+    n = load_table(spark, sf_dir, "part").count()
+    draws = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("i"),
+        (
+            F.lit(2)
+            + F.conv(
+                F.substring(F.md5(F.concat(F.col("p_partkey").cast("string"), F.lit(":d"))), 1, 12),
+                16, 10,
+            ).cast("bigint")
+            % KCORE_DEG_DRAWS
+        ).alias("k"),
+    )
+    cand = draws.select(
+        "i",
+        F.explode(F.sequence(F.lit(1), F.col("k").cast("int"))).alias("j"),
+    ).select(
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("j").cast("string"))),
+                    1, 12,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % n
+        ).alias("v"),
+    )
+    edges = (
+        cand.filter(F.col("i") != F.col("v"))
+        .select(F.least("i", "v").alias("u"), F.greatest("i", "v").alias("v"))
+        .distinct()
+    )
+    incidence = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+        .union(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+        .localCheckpoint()
+    )
+    alive = incidence.select("node").distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            incidence.join(alive.hint("broadcast"), "node", "left_semi")
+            .join(
+                alive.select(F.col("node").alias("nb")).hint("broadcast"),
+                "nb", "left_semi",
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        new_alive = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_alive:
+            break
+        n_alive = n_new
+    else:
+        raise RuntimeError(
+            f"graph_kcore: peel did not converge within {KCORE_MAX_ROUNDS} "
+            "rounds — raise KCORE_MAX_ROUNDS (oracle unrolls the same bound)"
+        )
+    return (
+        incidence.join(alive, "node", "left_semi")
+        .join(alive.select(F.col("node").alias("nb")), "nb", "left_semi")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )
+
+
+AA_MIN_COMMON = 3  # emit pairs sharing at least this many neighbors
+
+
+@query("graph_adamic_adar", oracle=f"""
+    WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    pdeg AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS d
+      FROM sp GROUP BY p HAVING count(*) >= 2
+    ),
+    pairs AS (
+      SELECT a.s AS s_a, b.s AS s_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             sum(1.0 / ln(CAST(pd.d AS DOUBLE))) AS aa_raw
+      FROM sp a
+      JOIN sp b ON a.p = b.p AND a.s < b.s
+      JOIN pdeg pd ON pd.p = a.p
+      GROUP BY 1, 2 HAVING count(*) >= {AA_MIN_COMMON}
+    )
+    SELECT s_a, s_b, n_common, round(aa_raw, 6) AS adamic_adar
+    FROM pairs
+""")
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (new r7) over the supplier–part
+    bipartite graph: AA(a, b) = Σ_{{p ∈ Γ(a)∩Γ(b)}} 1 / ln(deg(p)) — the
+    common-neighbor predictor that discounts promiscuous neighbors
+    (a part stocked by every supplier says little; a rare shared part
+    says a lot). The standard baseline for recommend-a-link /
+    entity-matching candidate scoring, one step up from graph_jaccard's
+    unweighted counting.
+
+    Scale shape — identical to graph_jaccard's: the distinct edge list
+    self-joins on the shared NEIGHBOR key, so candidate volume is
+    Σ_p deg(p)², never |suppliers|²; the degree weight rides the same
+    join as a broadcast lookup (|parts| « edges), and each pair's score
+    is one map-side-combinable sum. Neighbors with deg = 1 are excluded
+    up front (they cannot be common, and ln(1) = 0 would divide by
+    zero); the ln/division drift across engines is absorbed by the
+    shared round-6 contract (text_entropy precedent).
+    """
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    sp = shared_frame(
+        "jaccard_edges",  # the SAME staged edge list graph_jaccard uses
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct(),
+    )
+    pdeg = (
+        sp.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .filter(F.col("d") >= 2)
+    )
+    a = sp.select(F.col("s").alias("s_a"), "p")
+    b = sp.select(F.col("s").alias("s_b"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .join(F.broadcast(pdeg), "p")
+        .groupBy("s_a", "s_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("aa_raw"),
+        )
+        .filter(F.col("n_common") >= AA_MIN_COMMON)
+        .select(
+            "s_a", "s_b", "n_common",
+            F.round("aa_raw", 6).alias("adamic_adar"),
+        )
+    )

@@ -49,6 +49,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # `err:"no_oracle"` row (r4's ann_lsh_topk slot proved that), so they
 # must never sit ahead of an unproven oracle key.
 GATE_PRIORITY: tuple[str, ...] = (
+    # -- Block R7: new operators added in round 7, never driver-checked --
+    "graph_bfs",  # new r7: multi-source BFS hop distance
+    "graph_kcore",  # new r7: iterative k-core peel
+    "graph_adamic_adar",  # new r7: weighted common-neighbor link predictor
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
@@ -194,6 +198,7 @@ def load_all() -> None:
     (GATE_PRIORITY above)."""
     import quackflight_spark.operators.asof  # noqa: F401
     import quackflight_spark.operators.recursive  # noqa: F401
+    import quackflight_spark.operators.graph  # noqa: F401
     import quackflight_spark.operators.windows  # noqa: F401
     import quackflight_spark.operators.subqueries  # noqa: F401
     import quackflight_spark.operators.setops  # noqa: F401

@@ -1120,6 +1120,134 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def _copurchase_adj(spark, sf_dir, min_co):
+    """Python-side rebuild of the support-thresholded co-purchase graph."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+    from itertools import combinations
+
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    pair_co = defaultdict(int)
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            pair_co[(u, v)] += 1
+    adj = defaultdict(set)
+    for (u, v), c in pair_co.items():
+        if c >= min_co:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj
+
+
+def test_bfs_matches_python_reference(spark, sf_dir):
+    """graph_bfs must equal a textbook Python BFS over the same edges:
+    exact (node -> min hop) map, sources at 0, nothing past MAX_HOPS."""
+    from quackflight_spark.operators.graph import (
+        BFS_MAX_HOPS,
+        BFS_MIN_CO,
+        BFS_SRC_MOD,
+    )
+
+    adj = _copurchase_adj(spark, sf_dir, BFS_MIN_CO)
+    src = {n for n in adj if n % BFS_SRC_MOD == 0}
+    assert src, "fixture must yield at least one BFS source"
+    want = {s: 0 for s in src}
+    frontier = set(src)
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in want:
+                    want[m] = d
+                    nxt.add(m)
+        frontier = nxt
+    got = {r.node: r.dist for r in _queries()["graph_bfs"](spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    """graph_kcore must equal the sequential peel on the same synthetic
+    topology: identical member set, identical in-core degrees, and every
+    member's core_deg >= K."""
+    import hashlib
+    from collections import defaultdict
+
+    from quackflight_spark.operators.graph import KCORE_DEG_DRAWS, KCORE_K
+
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    adj = defaultdict(set)
+    for i in range(n):
+        k = 2 + md5int(f"{i}:d") % KCORE_DEG_DRAWS
+        for j in range(1, k + 1):
+            v = md5int(f"{i}:{j}") % n
+            if v != i:
+                adj[i].add(v)
+                adj[v].add(i)
+    alive = set(adj)
+    while True:
+        drop = {x for x in alive if len(adj[x] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    want = {x: len(adj[x] & alive) for x in alive}
+    got = {
+        r.node: r.core_deg
+        for r in _queries()["graph_kcore"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(d >= KCORE_K for d in got.values())
+
+
+def test_adamic_adar_matches_python_reference(spark, sf_dir):
+    """graph_adamic_adar must equal the set-based definition: for every
+    emitted supplier pair, n_common and the 1/ln(deg) sum recomputed
+    from raw neighbor sets."""
+    import math
+    from collections import defaultdict
+    from itertools import combinations
+
+    from quackflight_spark.operators.graph import AA_MIN_COMMON
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    nbrs = defaultdict(set)
+    pdeg = defaultdict(int)
+    for r in rows:
+        nbrs[r.l_suppkey].add(r.l_partkey)
+        pdeg[r.l_partkey] += 1
+    want = {}
+    for a, b in combinations(sorted(nbrs), 2):
+        common = [p for p in nbrs[a] & nbrs[b] if pdeg[p] >= 2]
+        if len(common) >= AA_MIN_COMMON:
+            want[(a, b)] = (
+                len(common),
+                round(sum(1.0 / math.log(pdeg[p]) for p in common), 6),
+            )
+    got = {
+        (r.s_a, r.s_b): (r.n_common, r.adamic_adar)
+        for r in _queries()["graph_adamic_adar"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
 def test_wcc_components_consistent(spark, sf_dir):
     """Every co-purchase edge must connect nodes with the SAME component
     id; sizes must sum to the node count; component_id is a member."""
