@@ -53,6 +53,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_bfs",  # new r7: multi-source BFS hop distance
     "graph_kcore",  # new r7: iterative k-core peel
     "graph_adamic_adar",  # new r7: weighted common-neighbor link predictor
+    "events_did",  # new r7: difference-in-differences panel readout
+    "events_attribution_position",  # new r7: U-shaped multi-touch credit
+    "events_qte",  # new r7: per-arm exact quantile treatment effects
+    "timeseries_downsample_lttb",  # new r7: fixed-anchor LTTB downsampling
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
@@ -224,6 +228,7 @@ def load_all() -> None:
     import quackflight_spark.sources.timetravel  # noqa: F401
     import quackflight_spark.serving.formats  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
+    import quackflight_spark.streaming.analytics_extra  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401
     import quackflight_spark.streaming.stateful  # noqa: F401
     import quackflight_spark.operators.relational  # noqa: F401

@@ -1,0 +1,543 @@
+"""Round-7 experimentation / time-series analytics additions.
+
+Beyond-reference family (SURVEY.md §2.12): difference-in-differences,
+position-based (U-shaped) attribution, quantile treatment effects, and
+LTTB-style series downsampling. Same exactness contracts as the r5/r6
+events suite in streaming/windowed.py — integer/decimal arithmetic until
+one final shared double expression, try_divide everywhere a denominator
+can be zero, md5-deterministic arm assignment.
+
+The reference (/root/reference/main.py, a DuckDB serving shim) has no
+analytics surface; these extend the experimentation readout family
+(events_ab_test / cuped / welch / ks / mannwhitney) and the dashboarding
+family (timeseries_ohlc / rolling_median).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+from quackflight_spark.streaming.windowed import CUPED_CUTOFF
+
+_VARIANT_SQL = (
+    "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT) % 2"
+)
+
+
+def _variant_col() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 2
+    )
+
+
+@query("events_did", oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_VARIANT_SQL} AS variant,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '{CUPED_CUTOFF}'
+                               THEN CAST(value AS DECIMAL(18,2)) END), 0) AS pre,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                               AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '{CUPED_CUTOFF}'
+                               THEN CAST(value AS DECIMAL(18,2)) END), 0) AS post
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 0 THEN pre END) AS DOUBLE) AS pre_a,
+             CAST(sum(CASE WHEN variant = 1 THEN pre END) AS DOUBLE) AS pre_b,
+             CAST(sum(CASE WHEN variant = 0 THEN post END) AS DOUBLE) AS post_a,
+             CAST(sum(CASE WHEN variant = 1 THEN post END) AS DOUBLE) AS post_b,
+             CAST(sum(CASE WHEN variant = 0 THEN post - pre END) AS DOUBLE) AS sd_a,
+             CAST(sum(CASE WHEN variant = 1 THEN post - pre END) AS DOUBLE) AS sd_b,
+             CAST(sum(CASE WHEN variant = 0
+                           THEN (post - pre) * (post - pre) END) AS DOUBLE) AS sdd_a,
+             CAST(sum(CASE WHEN variant = 1
+                           THEN (post - pre) * (post - pre) END) AS DOUBLE) AS sdd_b
+      FROM u
+    )
+    SELECT n_a, n_b,
+           round(pre_a / n_a, 6) AS mean_pre_a,
+           round(post_a / n_a, 6) AS mean_post_a,
+           round(pre_b / n_b, 6) AS mean_pre_b,
+           round(post_b / n_b, 6) AS mean_post_b,
+           round(sd_b / n_b - sd_a / n_a, 6) AS did,
+           round((sd_b / n_b - sd_a / n_a)
+                 / nullif(sqrt(
+                     (sdd_a - sd_a * sd_a / n_a) / nullif(n_a - 1, 0) / n_a
+                   + (sdd_b - sd_b * sd_b / n_b) / nullif(n_b - 1, 0) / n_b), 0),
+                 6) AS t_stat
+    FROM s
+""")
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (new r7): the panel estimator for
+    pre/post × group designs — did = (ȳ_B,post − ȳ_B,pre) −
+    (ȳ_A,post − ȳ_A,pre), equivalently the mean of per-user diffs
+    d = post − pre contrasted across groups, which is the
+    fixed-effects form whose t-statistic uses the variance of d
+    (each user is their own control — the CUPED-adjacent trick that
+    absorbs user-level heterogeneity). Completes the experimentation
+    shelf next to events_ab_test (proportions), events_welch_ttest
+    (means), events_cuped (variance reduction): DiD is the readout
+    when assignment is NOT randomized (a rollout, a market launch).
+
+    Exactness (the welch/cuped contract): per-user pre/post revenue are
+    DECIMAL(18,2)-exact sums split at the shared CUPED_CUTOFF; Σd and
+    Σd² stay exact decimal through the one-row conditional aggregate
+    and cast to double only at the end, so both engines evaluate the
+    identical IEEE expression. try_divide: a one-user arm yields NULL,
+    never an ANSI divide-by-zero.
+
+    Scale shape: one user_id agg shuffle (map-side combined) + a
+    one-row global conditional-sum — the events_ab_test pass structure;
+    no second scan of events at any corpus size."""
+    dec = F.col("value").cast("decimal(18,2)")
+    cutoff = F.lit(CUPED_CUTOFF).cast("timestamp")
+    is_purchase = F.col("event_type") == "purchase"
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(is_purchase & (F.col("ts") < cutoff), dec)), F.lit(0)
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(F.when(is_purchase & (F.col("ts") >= cutoff), dec)), F.lit(0)
+            ).alias("post"),
+        )
+        .withColumn("variant", _variant_col())
+    )
+    d = F.col("post") - F.col("pre")
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    s = u.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, F.col("pre"))).cast("double").alias("pre_a"),
+        F.sum(F.when(is_b, F.col("pre"))).cast("double").alias("pre_b"),
+        F.sum(F.when(is_a, F.col("post"))).cast("double").alias("post_a"),
+        F.sum(F.when(is_b, F.col("post"))).cast("double").alias("post_b"),
+        F.sum(F.when(is_a, d)).cast("double").alias("sd_a"),
+        F.sum(F.when(is_b, d)).cast("double").alias("sd_b"),
+        F.sum(F.when(is_a, d * d)).cast("double").alias("sdd_a"),
+        F.sum(F.when(is_b, d * d)).cast("double").alias("sdd_b"),
+    )
+    did = F.col("sd_b") / F.col("n_b") - F.col("sd_a") / F.col("n_a")
+    var_a = F.try_divide(
+        F.col("sdd_a") - F.col("sd_a") * F.col("sd_a") / F.col("n_a"),
+        F.col("n_a") - 1,
+    )
+    var_b = F.try_divide(
+        F.col("sdd_b") - F.col("sd_b") * F.col("sd_b") / F.col("n_b"),
+        F.col("n_b") - 1,
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("pre_a") / F.col("n_a"), 6).alias("mean_pre_a"),
+        F.round(F.col("post_a") / F.col("n_a"), 6).alias("mean_post_a"),
+        F.round(F.col("pre_b") / F.col("n_b"), 6).alias("mean_pre_b"),
+        F.round(F.col("post_b") / F.col("n_b"), 6).alias("mean_post_b"),
+        F.round(did, 6).alias("did"),
+        F.round(
+            F.try_divide(
+                did,
+                F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            ),
+            6,
+        ).alias("t_stat"),
+    )
+
+
+@query("events_attribution_position", oracle="""
+    WITH fp AS (
+      SELECT user_id, pts, pid, rev FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id AS pid,
+               CAST(value AS DECIMAL(18,2)) AS rev,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ),
+    touch AS (
+      SELECT e.user_id, e.event_type AS channel, f.rev,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY CAST(e.ts AS TIMESTAMP), e.event_id) AS pos,
+             count(*) OVER (PARTITION BY e.user_id) AS m
+      FROM events e JOIN fp f USING (user_id)
+      WHERE e.event_type <> 'purchase'
+        AND (CAST(e.ts AS TIMESTAMP) < f.pts
+             OR (CAST(e.ts AS TIMESTAMP) = f.pts AND e.event_id < f.pid))
+    ),
+    credit AS (
+      SELECT channel, rev,
+             CASE WHEN m = 1 THEN 10000
+                  WHEN pos = 1 OR pos = m
+                    THEN CASE WHEN m = 2 THEN 5000 ELSE 4000 END
+                  ELSE 2000 // (m - 2)
+                       + CASE WHEN pos - 1 <= 2000 % (m - 2) THEN 1 ELSE 0 END
+             END AS bp
+      FROM touch
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS touches,
+           CAST(sum(bp) AS BIGINT) AS credit_bp,
+           round(CAST(sum(CAST(rev AS DECIMAL(38,2)) * bp) AS DOUBLE)
+                 / 10000, 6) AS credited_revenue
+    FROM credit GROUP BY channel
+""")
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution (new r7): the multi-touch
+    model between events_attribution's two single-touch extremes — the
+    first and last touches before a user's first purchase each earn
+    40%, the middles split the remaining 20% (1 touch → 100%, 2 →
+    50/50). The standard U-shaped credit rule of marketing analytics.
+
+    Exactness: credit is INTEGER BASIS POINTS — 4000/5000/10000 at the
+    edges; each middle gets 2000 // (m−2) with the division remainder
+    distributed one point each to the EARLIEST middles, so every
+    journey's credits sum to exactly 10000 on any engine (no 0.4·rev
+    binary-fraction drift). Credited revenue is the exact
+    DECIMAL(rev) × bp sum, divided by 10⁴ once, as a double, at the end.
+
+    Scale shape: the first purchase per user is one keyed window (or
+    equivalently a min(struct) agg); touches join back co-partitioned
+    on user_id and take ONE more window pass for (pos, m) on the same
+    partitioning — journey length bounds the frame, the rollup is
+    map-side-combinable over |channels| rows. Journeys with zero prior
+    touches have nothing to credit and drop out (events_attribution's
+    '(direct)' bucket covers them)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w_user))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("pts"),
+            F.col("event_id").alias("pid"),
+            F.col("value").cast("decimal(18,2)").alias("rev"),
+        )
+    )
+    touch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("pts"))
+            | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+        )
+        .select(
+            "user_id", F.col("event_type").alias("channel"), "rev", "ts", "event_id"
+        )
+        .withColumn("pos", F.row_number().over(w_user))
+        .withColumn(
+            "m",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("user_id").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    mid = F.col("m") - 2
+    bp = (
+        F.when(F.col("m") == 1, 10000)
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("m")),
+            F.when(F.col("m") == 2, 5000).otherwise(4000),
+        )
+        .otherwise(
+            F.expr("2000 DIV (m - 2)")
+            + F.when(F.col("pos") - 1 <= F.lit(2000) % mid, 1).otherwise(0)
+        )
+    )
+    return (
+        touch.withColumn("bp", bp)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("touches"),
+            F.sum("bp").cast("bigint").alias("credit_bp"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(38,2)") * F.col("bp")).cast(
+                    "double"
+                )
+                / 10000,
+                6,
+            ).alias("credited_revenue"),
+        )
+    )
+
+
+@query("events_qte", oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_VARIANT_SQL} AS variant,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END) * 100
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+      HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    ),
+    hist AS (
+      SELECT variant, cents, CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY variant, cents
+    ),
+    cum AS (
+      SELECT variant, cents,
+             sum(c) OVER (PARTITION BY variant ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(c) OVER (PARTITION BY variant) AS n
+      FROM hist
+    ),
+    q AS (
+      SELECT variant,
+             CAST(max(n) AS BIGINT) AS n_users,
+             min(CASE WHEN 4 * cw >= n THEN cents END) AS p25,
+             min(CASE WHEN 2 * cw >= n THEN cents END) AS p50,
+             min(CASE WHEN 4 * cw >= 3 * n THEN cents END) AS p75
+      FROM cum GROUP BY variant
+    )
+    SELECT a.n_users AS n_a, b.n_users AS n_b,
+           a.p25 AS p25_a, a.p50 AS p50_a, a.p75 AS p75_a,
+           b.p25 AS p25_b, b.p50 AS p50_b, b.p75 AS p75_b,
+           b.p25 - a.p25 AS qte_p25,
+           b.p50 - a.p50 AS qte_p50,
+           b.p75 - a.p75 AS qte_p75
+    FROM (SELECT * FROM q WHERE variant = 0) a
+    CROSS JOIN (SELECT * FROM q WHERE variant = 1) b
+""")
+def events_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (new r7): per-arm exact quartiles of
+    converted users' purchase revenue and their B−A differences — the
+    distributional readout that shows WHERE a treatment moves the
+    metric (a lift concentrated in the p75 tail is a different product
+    story than a median shift), the standard companion to the mean
+    tests when revenue is skewed.
+
+    Exactness (the events_time_to_convert recipe): revenue quantizes to
+    exact integer CENTS from the decimal sum; each quartile is the
+    LOWER order statistic picked off a per-arm cumulative sum by pure
+    integer comparison (min cents where k·cw ≥ q·n) — no interpolated
+    estimator for engines to disagree on; the QTEs are integer
+    subtractions.
+
+    Scale shape: one user_id agg shuffle, then all distribution work on
+    the (variant, cents) rollup bounded by 2 × the PRICE DOMAIN —
+    corpus-independent (the events_ks_test argument), so the per-arm
+    cumulative windows run over bounded frames by construction."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents").isNotNull())
+        .withColumn("variant", _variant_col())
+    )
+    hist = u.groupBy("variant", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("variant")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("variant")
+    cum = hist.select(
+        "variant",
+        "cents",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    q = cum.groupBy("variant").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.min(F.when(4 * F.col("cw") >= F.col("n"), F.col("cents"))).alias("p25"),
+        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("cents"))).alias("p50"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("n"), F.col("cents"))).alias(
+            "p75"
+        ),
+    )
+    a = q.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("p25").alias("p25_a"),
+        F.col("p50").alias("p50_a"),
+        F.col("p75").alias("p75_a"),
+    )
+    b = q.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("p25").alias("p25_b"),
+        F.col("p50").alias("p50_b"),
+        F.col("p75").alias("p75_b"),
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "p25_a",
+        "p50_a",
+        "p75_a",
+        "p25_b",
+        "p50_b",
+        "p75_b",
+        (F.col("p25_b") - F.col("p25_a")).alias("qte_p25"),
+        (F.col("p50_b") - F.col("p50_a")).alias("qte_p50"),
+        (F.col("p75_b") - F.col("p75_a")).alias("qte_p75"),
+    )
+
+
+LTTB_BUCKET_DAYS = 5  # downsample bucket width (fixture month → 6 buckets)
+
+
+@query("timeseries_downsample_lttb", oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS series,
+             date_diff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE))
+               AS x,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    based AS (
+      SELECT series, x, y,
+             (x - min(x) OVER (PARTITION BY series)) // {LTTB_BUCKET_DAYS} AS b
+      FROM daily
+    ),
+    bstat AS (
+      SELECT series, b, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM based GROUP BY series, b
+    ),
+    anchors AS (
+      SELECT series, b,
+             max(b)   OVER (PARTITION BY series) AS b_max,
+             lag(n)   OVER (PARTITION BY series ORDER BY b) AS na,
+             lag(sx)  OVER (PARTITION BY series ORDER BY b) AS sax,
+             lag(sy)  OVER (PARTITION BY series ORDER BY b) AS say,
+             lead(n)  OVER (PARTITION BY series ORDER BY b) AS nc,
+             lead(sx) OVER (PARTITION BY series ORDER BY b) AS scx,
+             lead(sy) OVER (PARTITION BY series ORDER BY b) AS scy
+      FROM bstat
+    ),
+    scored AS (
+      SELECT p.series, p.b, p.x, p.y,
+             CASE WHEN a.b = 0 THEN CAST(0 AS BIGINT)
+                  WHEN a.b = a.b_max THEN CAST(0 AS BIGINT)
+                  ELSE abs((a.sax - a.na * p.x) * (a.scy - a.nc * p.y)
+                         - (a.scx - a.nc * p.x) * (a.say - a.na * p.y))
+             END AS k1,
+             CASE WHEN a.b = 0 THEN -p.x
+                  WHEN a.b = a.b_max THEN p.x
+                  ELSE -p.x END AS k2
+      FROM based p JOIN anchors a ON a.series = p.series AND a.b = p.b
+    ),
+    pick AS (
+      SELECT series, b, max(ROW(k1, k2, x, y)) AS w
+      FROM scored GROUP BY series, b
+    )
+    SELECT series, CAST(w[3] AS BIGINT) AS day_x, CAST(w[4] AS BIGINT) AS y_cents
+    FROM pick
+""")
+def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style series downsampling (new r7): one representative point
+    per {LTTB_BUCKET_DAYS}-day bucket per series, chosen to preserve
+    visual shape — the Largest-Triangle-Three-Buckets dashboarding
+    downsampler (Steinarsson 2013), as used by Grafana/InfluxDB, in its
+    FIXED-ANCHOR variant: the triangle anchors are the neighbor BUCKET
+    MEANS rather than the previously-selected point. Canonical LTTB's
+    left anchor is the previous selection, a sequential dependence no
+    parallel engine should replicate; anchoring on the previous bucket's
+    mean keeps the shape-preserving intent, makes every bucket's argmax
+    independent (series-parallel AND bucket-parallel), and is
+    deterministic on any engine.
+
+    Exactness: the triangle-area argmax is PURE BIGINT — with mean
+    anchors A = (Sax/na, Say/na), C = (Scx/nc, Scy/nc), the area
+    comparison scales by the positive constant na·nc into
+    |(Sax − na·x)(Scy − nc·y) − (Scx − nc·x)(Say − na·y)| over integer
+    epoch-day x and integer-cents y; ties break to the earliest day.
+    First/last buckets keep their first/last point (LTTB's endpoint
+    rule). The whole pick is the shuffle-once max(struct) argmax idiom
+    (timeseries_ohlc) — no window sort over raw points.
+
+    Scale shape: raw events reduce to the daily rollup in ONE map-side-
+    combinable agg; bucket stats and the lag/lead anchor pass run on
+    |series|×|buckets| rows; the argmax joins anchors back broadcast
+    and reduces in a second combinable agg. Nothing is ever sorted
+    globally and no frame exceeds the bucket rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("event_type").alias("series"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w_series = Window.partitionBy("series")
+    based = (
+        daily.withColumn("minx", F.min("x").over(w_series))
+        .withColumn("b", F.expr(f"(x - minx) DIV {LTTB_BUCKET_DAYS}"))
+        .drop("minx")
+    )
+    bstat = based.groupBy("series", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    w_ord = Window.partitionBy("series").orderBy("b")
+    anchors = bstat.select(
+        "series",
+        "b",
+        F.max("b").over(w_series).alias("b_max"),
+        F.lag("n").over(w_ord).alias("na"),
+        F.lag("sx").over(w_ord).alias("sax"),
+        F.lag("sy").over(w_ord).alias("say"),
+        F.lead("n").over(w_ord).alias("nc"),
+        F.lead("sx").over(w_ord).alias("scx"),
+        F.lead("sy").over(w_ord).alias("scy"),
+    )
+    j = based.join(F.broadcast(anchors), ["series", "b"])
+    area = F.abs(
+        (F.col("sax") - F.col("na") * F.col("x"))
+        * (F.col("scy") - F.col("nc") * F.col("y"))
+        - (F.col("scx") - F.col("nc") * F.col("x"))
+        * (F.col("say") - F.col("na") * F.col("y"))
+    )
+    is_edge = (F.col("b") == 0) | (F.col("b") == F.col("b_max"))
+    scored = j.select(
+        "series",
+        "b",
+        "x",
+        "y",
+        F.when(is_edge, F.lit(0).cast("bigint")).otherwise(area).alias("k1"),
+        F.when(F.col("b") == 0, -F.col("x"))
+        .when(F.col("b") == F.col("b_max"), F.col("x"))
+        .otherwise(-F.col("x"))
+        .alias("k2"),
+    )
+    return (
+        scored.groupBy("series", "b")
+        .agg(F.max(F.struct("k1", "k2", "x", "y")).alias("w"))
+        .select(
+            "series",
+            F.col("w.x").cast("bigint").alias("day_x"),
+            F.col("w.y").cast("bigint").alias("y_cents"),
+        )
+    )

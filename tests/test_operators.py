@@ -1120,6 +1120,191 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def _md5_variant(user_id: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:4], 16) % 2
+
+
+def test_did_matches_python_reference(spark, sf_dir):
+    """events_did must equal the textbook panel computation: per-user
+    pre/post purchase revenue around the CUPED cutoff, per-arm mean of
+    diffs, did = mean_d_B - mean_d_A, Welch-style SE on the diffs."""
+    import datetime as dt
+    import math
+    from collections import defaultdict
+
+    from quackflight_spark.streaming.windowed import CUPED_CUTOFF
+
+    cutoff = dt.datetime.fromisoformat(CUPED_CUTOFF)
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    pre = defaultdict(int)
+    post = defaultdict(int)
+    users = set()
+    for r in rows:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            cents = round(r.value * 100)
+            if r.ts.replace(tzinfo=None) < cutoff:
+                pre[r.user_id] += cents
+            else:
+                post[r.user_id] += cents
+    arms = {0: [], 1: []}
+    for u in users:
+        arms[_md5_variant(u)].append((post[u] - pre[u]) / 100.0)
+    mean = {a: sum(v) / len(v) for a, v in arms.items()}
+    var = {
+        a: sum((x - mean[a]) ** 2 for x in v) / (len(v) - 1)
+        for a, v in arms.items()
+    }
+    did = mean[1] - mean[0]
+    se = math.sqrt(var[0] / len(arms[0]) + var[1] / len(arms[1]))
+    got = _queries()["events_did"](spark, sf_dir).collect()[0]
+    assert got.n_a == len(arms[0]) and got.n_b == len(arms[1])
+    assert abs(got.did - did) < 1e-6
+    assert abs(got.t_stat - did / se) < 1e-4
+
+
+def test_attribution_position_credits(spark, sf_dir):
+    """Every journey's credits must sum to exactly 10000 bp, and the
+    per-channel rollup must match a Python recompute of the U-shaped
+    rule over each user's pre-first-purchase touches."""
+    from collections import defaultdict
+
+    rows = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    want = defaultdict(lambda: [0, 0, 0.0])  # touches, bp, revenue
+    for seq in by_user.values():
+        first_p = next((r for r in seq if r.event_type == "purchase"), None)
+        if first_p is None:
+            continue
+        rev_cents = round(first_p.value * 100)
+        touches = [
+            r
+            for r in seq
+            if r.event_type != "purchase"
+            and (r.ts, r.event_id) < (first_p.ts, first_p.event_id)
+        ]
+        m = len(touches)
+        if m == 0:
+            continue
+        bps = []
+        for pos in range(1, m + 1):
+            if m == 1:
+                bp = 10000
+            elif pos in (1, m):
+                bp = 5000 if m == 2 else 4000
+            else:
+                bp = 2000 // (m - 2) + (1 if pos - 1 <= 2000 % (m - 2) else 0)
+            bps.append(bp)
+        assert sum(bps) == 10000, (m, bps)
+        for r, bp in zip(touches, bps):
+            want[r.event_type][0] += 1
+            want[r.event_type][1] += bp
+            want[r.event_type][2] += rev_cents * bp / 10000 / 100
+    got = {
+        r.channel: (r.touches, r.credit_bp, r.credited_revenue)
+        for r in _queries()["events_attribution_position"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for ch, (t, bp, rev) in want.items():
+        assert got[ch][0] == t and got[ch][1] == bp
+        assert abs(got[ch][2] - rev) < 0.01
+
+
+def test_qte_lower_order_statistics(spark, sf_dir):
+    """events_qte's quartiles must be the exact lower order statistics
+    of each arm's converted-user revenue-cents multiset."""
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cents = defaultdict(int)
+    conv = set()
+    for r in rows:
+        if r.event_type == "purchase":
+            cents[r.user_id] += round(r.value * 100)
+            conv.add(r.user_id)
+    arms = {0: [], 1: []}
+    for u in conv:
+        arms[_md5_variant(u)].append(cents[u])
+
+    def lower_q(vals, num, den):
+        vals = sorted(vals)
+        n = len(vals)
+        for i, v in enumerate(vals, start=1):
+            if den * i >= num * n:
+                return v
+        return vals[-1]
+
+    got = _queries()["events_qte"](spark, sf_dir).collect()[0]
+    assert got.n_a == len(arms[0]) and got.n_b == len(arms[1])
+    assert got.p25_a == lower_q(arms[0], 1, 4)
+    assert got.p50_a == lower_q(arms[0], 1, 2)
+    assert got.p75_a == lower_q(arms[0], 3, 4)
+    assert got.p25_b == lower_q(arms[1], 1, 4)
+    assert got.qte_p50 == got.p50_b - got.p50_a
+
+
+def test_lttb_matches_python_reference(spark, sf_dir):
+    """timeseries_downsample_lttb must equal the fixed-anchor LTTB rule
+    recomputed in Python: one point per bucket, endpoints kept, middle
+    buckets maximize the integer-scaled triangle area vs neighbor bucket
+    means (ties to the earliest day)."""
+    from collections import defaultdict
+
+    from quackflight_spark.streaming.analytics_extra import LTTB_BUCKET_DAYS
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in rows:
+        x = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days
+        daily[(r.event_type, x)] += round(r.value * 100)
+    series = defaultdict(list)
+    for (s, x), y in daily.items():
+        series[s].append((x, y))
+    want = set()
+    for s, pts in series.items():
+        pts.sort()
+        minx = pts[0][0]
+        buckets = defaultdict(list)
+        for x, y in pts:
+            buckets[(x - minx) // LTTB_BUCKET_DAYS].append((x, y))
+        bmax = max(buckets)
+        stat = {
+            b: (len(v), sum(x for x, _ in v), sum(y for _, y in v))
+            for b, v in buckets.items()
+        }
+        for b, v in buckets.items():
+            if b == 0:
+                want.add((s,) + min(v))
+            elif b == bmax:
+                want.add((s,) + max(v))
+            else:
+                na, sax, say = stat[b - 1]
+                nc, scx, scy = stat[b + 1]
+                best = max(
+                    v,
+                    key=lambda p: (
+                        abs(
+                            (sax - na * p[0]) * (scy - nc * p[1])
+                            - (scx - nc * p[0]) * (say - na * p[1])
+                        ),
+                        -p[0],
+                    ),
+                )
+                want.add((s,) + best)
+    got = {
+        (r.series, r.day_x, r.y_cents)
+        for r in _queries()["timeseries_downsample_lttb"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def _copurchase_adj(spark, sf_dir, min_co):
     """Python-side rebuild of the support-thresholded co-purchase graph."""
     rows = (
