@@ -57,6 +57,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_attribution_position",  # new r7: U-shaped multi-touch credit
     "events_qte",  # new r7: per-arm exact quantile treatment effects
     "timeseries_downsample_lttb",  # new r7: fixed-anchor LTTB downsampling
+    "pipeline_dp_counts",  # new r7: deterministic discrete-Laplace DP counts
+    "scan_schema_evolution",  # new r7: mergeSchema over mixed-generation files
+    "join_bloom_prefilter",  # new r7: manual Bloom runtime-filter reduction
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
@@ -221,6 +224,8 @@ def load_all() -> None:
     import quackflight_spark.pipeline.composite  # noqa: F401
     import quackflight_spark.pipeline.bpe  # noqa: F401
     import quackflight_spark.pipeline.quality_audit  # noqa: F401
+    import quackflight_spark.pipeline.privacy  # noqa: F401
+    import quackflight_spark.operators.runtime_filter  # noqa: F401
     import quackflight_spark.sources.merge  # noqa: F401
     import quackflight_spark.sources.layout  # noqa: F401
     import quackflight_spark.sources.matview  # noqa: F401

@@ -152,3 +152,75 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the HTTP JSONEachRow ingest path (serving/http_app.py)."""
     path = _staged(spark, sf_dir, "jsonl")
     return spark.read.schema(NATION_SCHEMA).json(path)
+
+
+def _staged_evolution(spark: SparkSession, sf_dir: str) -> str:
+    """Stage two parquet 'generations' of the part table once per
+    fixture generation (mtime-fingerprinted): gen1 has the original
+    2-column schema, gen2 ADDS a price column — the additive schema
+    evolution every long-lived lake table accumulates."""
+    src = os.path.join(sf_dir, "part.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/evo_{tag}"
+    if not os.path.exists(f"{path}/_DONE"):
+        part = load_table(spark, sf_dir, "part")
+        part.filter(F.col("p_partkey") % 2 == 0).select(
+            "p_partkey", "p_brand"
+        ).write.mode("overwrite").parquet(f"{path}/gen=1")
+        part.filter(F.col("p_partkey") % 2 == 1).select(
+            "p_partkey",
+            "p_brand",
+            F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        ).write.mode("overwrite").parquet(f"{path}/gen=2")
+        open(f"{path}/_DONE", "w").close()
+    return path
+
+
+@query("scan_schema_evolution", oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_priced,
+           CAST(sum(CASE WHEN p_partkey % 2 = 1
+                         THEN CAST(p_retailprice AS DECIMAL(12,2)) END)
+                AS DECIMAL(28,2)) AS total_price
+    FROM part GROUP BY p_brand
+""")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (new r7): one read over parquet files
+    written under DIFFERENT schema generations — gen1 before the
+    `price` column existed, gen2 after it was added. `mergeSchema`
+    unions the footers so old files surface NULL for the new column;
+    no rewrite of historical data, the additive-evolution contract
+    Delta/Iceberg formalize and plain parquet lakes rely on. (DuckDB's
+    equivalent is read_parquet(..., union_by_name=true); the reference
+    inherits it through the main.py:231 pass-through.)
+
+    The oracle replays both generations' semantics from the fixture
+    truth: every part row appears exactly once, and price aggregates
+    only over gen2 rows — proving old-file rows carry NULL, not
+    garbage, through the merged schema.
+
+    Scale shape: schema merge reads FOOTERS (one small read per file at
+    planning), not data; the scan itself stays column-pruned and
+    pushdown-capable per file. The 100 TB caveat worth designing for:
+    footer merging across millions of files belongs in a table format's
+    manifest (scan_time_travel) — mergeSchema is the raw-directory
+    fallback."""
+    path = _staged_evolution(spark, sf_dir)
+    df = (
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{path}/gen=1", f"{path}/gen=2")
+    )
+    return df.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("price").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_priced"),
+        F.sum("price").cast("decimal(28,2)").alias("total_price"),
+    )

@@ -1120,6 +1120,106 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_dp_counts_mechanism(spark, sf_dir):
+    """pipeline_dp_counts must equal true count + the md5-ladder noise
+    recomputed in Python; the ladder must be monotone, closed at 2^48,
+    and the noise bounded by ±DP_NOISE_BOUND."""
+    import hashlib
+
+    from quackflight_spark.pipeline.privacy import (
+        DP_NOISE_BOUND,
+        DP_SALT,
+        _geometric_thresholds,
+    )
+
+    ladder = _geometric_thresholds()
+    ts = [t for _, t in ladder]
+    assert ts == sorted(ts) and ts[-1] == 2**48
+    true = {
+        r.source: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def noise(source: str) -> int:
+        u = int(
+            hashlib.md5((source + DP_SALT).encode()).hexdigest()[:12], 16
+        )
+        for k, t in ladder:
+            if u < t:
+                return k
+        return DP_NOISE_BOUND
+
+    got = {
+        r.source: r.noisy_count
+        for r in _queries()["pipeline_dp_counts"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(true)
+    for s in true:
+        k = noise(s)
+        assert abs(k) <= DP_NOISE_BOUND
+        assert got[s] == max(true[s] + k, 0)
+
+
+def test_schema_evolution_nulls_for_old_files(spark, sf_dir):
+    """The merged read must surface every part row exactly once, with
+    NULL price on gen1 (pre-evolution) rows and real values on gen2."""
+    from quackflight_spark.sources.textformats import _staged_evolution
+
+    path = _staged_evolution(spark, sf_dir)
+    df = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    rows = df.collect()
+    assert len(rows) == n_part
+    for r in rows:
+        assert (r.price is None) == (r.p_partkey % 2 == 0)
+
+
+def test_bloom_prefilter_equals_plain_join_and_reduces_probe(spark, sf_dir):
+    """join_bloom_prefilter must equal the unfiltered join exactly, and
+    the bitmap must drop probe rows that cannot match (strictly fewer
+    rows reach the join than the raw probe on the smoke fixture)."""
+    from quackflight_spark.operators.runtime_filter import RF_BITS, RF_REGION
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    keys = {
+        r.s_suppkey
+        for r in su.join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .filter(F.col("r_name") == RF_REGION)
+        .collect()
+    }
+    want = {}
+    n_match_bitmap = 0
+    bits = set(k % RF_BITS for k in keys)
+    for r in li.select("l_suppkey", "l_extendedprice").collect():
+        if r.l_suppkey % RF_BITS in bits:
+            n_match_bitmap += 1
+        if r.l_suppkey in keys:
+            n, rev = want.get(r.l_suppkey, (0, 0))
+            want[r.l_suppkey] = (n + 1, rev + round(r.l_extendedprice * 100))
+    got = {
+        r.l_suppkey: (r.n_items, round(float(r.revenue) * 100))
+        for r in _queries()["join_bloom_prefilter"](spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        k: v[0] for k, v in want.items()
+    }
+    for k in want:
+        assert abs(got[k][1] - want[k][1]) <= 1
+    # the filter is sound (passes every true match) and, on this
+    # fixture, strictly reducing
+    assert n_match_bitmap >= sum(v[0] for v in want.values())
+    assert n_match_bitmap < li.count()
+
+
 def _md5_variant(user_id: int) -> int:
     import hashlib
 
