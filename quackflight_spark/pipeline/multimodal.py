@@ -456,3 +456,86 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
         .distinct()
     )
+
+
+SCENE_CUT_THRESH = 32768  # |energy delta| above this is a scene cut
+
+
+@query("mm_scene_cuts", oracle=f"""
+    WITH v AS (
+      SELECT doc_id, md5(text) AS h,
+             1 + CAST('0x' || substr(md5(text), 7, 2) AS INT) % 32 AS n_frames
+      FROM documents WHERE n_chars % 3 = 2
+    ),
+    fr AS (SELECT doc_id, h, unnest(range(0, n_frames)) AS i FROM v),
+    en AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(h || ':' || CAST(i AS VARCHAR)), 1, 4)
+                  AS INT) AS e
+      FROM fr
+    ),
+    d AS (
+      SELECT doc_id, i AS cut_idx,
+             abs(e - lag(e) OVER (PARTITION BY doc_id ORDER BY i)) AS delta
+      FROM en
+    )
+    SELECT doc_id, CAST(cut_idx AS BIGINT) AS cut_idx,
+           CAST(delta AS BIGINT) AS delta
+    FROM d WHERE delta > {SCENE_CUT_THRESH}
+""")
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the video modality (new r7): decode each
+    video's frames, compute a per-frame energy signature, and emit the
+    frame indices where the inter-frame delta jumps past a threshold —
+    the shot-boundary primitive behind per-scene sampling, thumbnailing
+    and clip-level dedup (mm_frame_sample picks every Nth frame; this
+    picks the SEMANTIC boundaries).
+
+    Plumbing is the real shape: an Arrow-batched mapInPandas kernel
+    receives (doc_id, payload) batches, decodes frames, and emits the
+    cut rows — a real decoder (ffmpeg/PyAV frame histograms or edge
+    energy) slots into `_fake_frame_energy` with no other change.
+    The stand-in energy is md5 chain math (frame i's energy = 16 bits
+    of md5(md5(payload)||':'||i)), which DuckDB replays exactly — the
+    mm_decode/mm_audio_energy oracle-upgrade recipe: the codec is fake,
+    the kernel signature / batching / shuffle shape are not.
+
+    Scale shape: the kernel is per-row independent (frame loop bounded
+    by n_frames), inherits the scan's partitions, drops payloads before
+    any shuffle, and the output is cut rows only — no per-frame frame
+    ever crosses the wire; the lag comparison happens INSIDE the kernel
+    (sequential per video, parallel across videos)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") % 3 == 2)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+    def cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def frame_energies(payload: bytes) -> list[int]:
+            h = hashlib.md5(payload).hexdigest()
+            n_frames = 1 + int(h[6:8], 16) % 32
+            return [
+                int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:4], 16)
+                for i in range(n_frames)
+            ]
+
+        for pdf in batches:
+            out_doc, out_idx, out_delta = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                e = frame_energies(bytes(payload))
+                for i in range(1, len(e)):
+                    delta = abs(e[i] - e[i - 1])
+                    if delta > SCENE_CUT_THRESH:
+                        out_doc.append(doc_id)
+                        out_idx.append(i)
+                        out_delta.append(delta)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "cut_idx": out_idx, "delta": out_delta}
+            )
+
+    return d.mapInPandas(
+        cut_batches, schema="doc_id bigint, cut_idx bigint, delta bigint"
+    )

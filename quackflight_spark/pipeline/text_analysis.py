@@ -908,3 +908,146 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         symbol_bp.cast("bigint").alias("symbol_bp"),
         ((symbol_bp >= 300) & (n_keywords >= 2)).alias("looks_like_code"),
     )
+
+
+@query("text_url_normalize", oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 1, 1) AS INT) % 2 = 0
+                   THEN 'https' ELSE 'HTTPS' END)
+             || '://'
+             || (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 2, 1) AS INT) % 2 = 0
+                      THEN 'www.' ELSE '' END)
+             || source || '.Example.COM'
+             || (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 3, 1) AS INT) % 2 = 0
+                      THEN ':443' ELSE '' END)
+             || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 4, 1) AS INT) % 2 = 0
+                      THEN '/' ELSE '' END)
+             || '?'
+             || (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 5, 1) AS INT) % 2 = 0
+                      THEN 'utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR) || '&ref=home'
+                      ELSE 'ref=home&id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x' END)
+             || (CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':url'), 6, 1) AS INT) % 2 = 0
+                      THEN '#sec' ELSE '' END)
+             AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+               ':443$', ''), '^www\.', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1),
+               '/$', '') AS path,
+             array_to_string(
+               list_sort(list_filter(
+                 str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 x -> NOT starts_with(x, 'utm_') AND x <> '')), '&') AS q
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://' || host || path
+               || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM canon GROUP BY canonical_url
+""")
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup rollup (new r7): the crawl-pipeline
+    step that collapses scheme/host case, default ports, `www.`
+    prefixes, trailing slashes, fragments, tracking params (`utm_*`)
+    and query-parameter order into ONE canonical URL per resource —
+    the first dedup any web corpus runs, upstream of content hashing
+    (a crawl that treats `HTTPS://WWW.x.com:443/p/1/?b=2&a=1#top` and
+    `https://x.com/p/1?a=1&b=2` as distinct fetches the page twice and
+    trains on it twice).
+
+    The fixture carries no URL column, so raw URLs are md5-synthesized
+    per document with every messy variation the normalizer must erase
+    (the join_spatial_grid in-query-synthesis precedent — both engines
+    construct identical inputs, the operator under test is the
+    canonicalization chain). Groups with n_docs > 1 are exactly the
+    resources the variations had split.
+
+    Scale shape: pure per-row regexp/array projection (zero exchanges
+    until the final map-side-combinable groupBy on the canonical key);
+    param sorting is a bounded in-row array sort, never a shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":url")))
+
+    def bit(i: int) -> F.Column:
+        return F.conv(F.substring(h, i, 1), 16, 10).cast("int") % 2
+
+    q_variant = F.when(
+        bit(5) == 0,
+        F.concat(
+            F.lit("utm_source=feed&id="),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("&ref=home"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("ref=home&id="),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("&utm_campaign=x"),
+        )
+    )
+    url = F.concat(
+        F.when(bit(1) == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(bit(2) == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(bit(3) == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(bit(4) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        q_variant,
+        F.when(bit(6) == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r":443$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1), r"/$", ""
+    )
+    params = F.array_join(
+        F.sort_array(
+            F.filter(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )

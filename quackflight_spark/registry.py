@@ -60,6 +60,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_dp_counts",  # new r7: deterministic discrete-Laplace DP counts
     "scan_schema_evolution",  # new r7: mergeSchema over mixed-generation files
     "join_bloom_prefilter",  # new r7: manual Bloom runtime-filter reduction
+    "mm_scene_cuts",  # new r7: shot-boundary detection kernel
+    "text_url_normalize",  # new r7: URL canonicalization dedup
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and

@@ -1120,6 +1120,55 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_scene_cuts_kernel_semantics(spark, sf_dir):
+    """mm_scene_cuts must equal the sequential per-video recompute: md5
+    chain energies, cuts exactly where |delta| > threshold, index >= 1,
+    and only video-mime (n_chars % 3 == 2) docs appear."""
+    import hashlib
+
+    from quackflight_spark.pipeline.multimodal import SCENE_CUT_THRESH
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = set()
+    for r in docs:
+        if r.n_chars % 3 != 2:
+            continue
+        h = hashlib.md5(r.text.encode()).hexdigest()
+        n_frames = 1 + int(h[6:8], 16) % 32
+        e = [
+            int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:4], 16)
+            for i in range(n_frames)
+        ]
+        for i in range(1, n_frames):
+            if abs(e[i] - e[i - 1]) > SCENE_CUT_THRESH:
+                want.add((r.doc_id, i, abs(e[i] - e[i - 1])))
+    got = {
+        (r.doc_id, r.cut_idx, r.delta)
+        for r in _queries()["mm_scene_cuts"](spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
+def test_url_normalize_collapses_variants(spark, sf_dir):
+    """The canonical URL must erase case, default port, www, trailing
+    slash, fragment, utm params and param order — so every canonical is
+    lowercase, portless, utm-free, param-sorted; and the group counts
+    must cover every document exactly once."""
+    rows = _queries()["text_url_normalize"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert any(r.n_docs > 1 for r in rows)  # dedup actually collapsed
+    for r in rows:
+        u = r.canonical_url
+        assert u == u.lower()
+        assert ":443" not in u and "#" not in u and "utm_" not in u
+        assert "www." not in u
+        assert not u.split("?")[0].endswith("/")
+        if "?" in u:
+            params = u.split("?", 1)[1].split("&")
+            assert params == sorted(params)
+
+
 def test_dp_counts_mechanism(spark, sf_dir):
     """pipeline_dp_counts must equal true count + the md5-ladder noise
     recomputed in Python; the ladder must be monotone, closed at 2^48,
