@@ -62,6 +62,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_bloom_prefilter",  # new r7: manual Bloom runtime-filter reduction
     "mm_scene_cuts",  # new r7: shot-boundary detection kernel
     "text_url_normalize",  # new r7: URL canonicalization dedup
+    "stream_cdc_apply",  # new r7: O(1)-state streaming CDC compaction
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and

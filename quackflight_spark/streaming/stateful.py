@@ -363,3 +363,129 @@ def stream_holt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .filter("rn = 1")
         .select("user_id", "n", "level_cents", "trend_cents")
     )
+
+
+CDC_OUTPUT_SCHEMA = (
+    "user_id bigint, last_op string, last_cents bigint, last_ts_us bigint, "
+    "n_changes bigint"
+)
+CDC_STATE_SCHEMA = "ts_us bigint, eid bigint, op string, cents bigint, n bigint"
+
+
+def cdc_compactor(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming CDC compaction: per-key state is the LATEST change row
+    by (ts, event_id) plus a change counter — the O(1) streaming form of
+    merge_cdc_apply's max(struct) argmax. The max-merge is associative
+    and commutative, so the fold is batch-order-independent by
+    construction (unlike the order-sensitive automaton keys, this one
+    needs no within-batch sort to stay exact — kept anyway for clarity
+    when a human reads emitted intermediates)."""
+    import numpy as np
+
+    if state.exists:
+        ts_us, eid, op, cents, n = state.get
+    else:
+        ts_us, eid, op, cents, n = -1, -1, "", 0, 0
+    for pdf in pdfs:
+        n += len(pdf)
+        ts_np = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = pdf["value"].to_numpy(dtype="float64") * 100.0
+        cents_np = np.trunc(v + np.copysign(0.5, v)).astype("int64")
+        for t, e, et, c in zip(
+            ts_np, pdf["event_id"].to_numpy(), pdf["event_type"], cents_np
+        ):
+            if (t, e) > (ts_us, eid):
+                ts_us, eid = int(t), int(e)
+                op = "I" if et == "signup" else ("D" if et == "error" else "U")
+                cents = int(c)
+    state.update((ts_us, eid, op, cents, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_op": [op],
+            "last_cents": [cents],
+            "last_ts_us": [ts_us],
+            "n_changes": [n],
+        }
+    )
+
+
+@query("stream_cdc_apply", oracle="""
+    WITH log_ AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    compacted AS (
+      SELECT user_id,
+             max(ROW(ts, event_id, op, v)) AS last_,
+             CAST(count(*) AS BIGINT) AS n_changes
+      FROM log_ GROUP BY user_id
+    )
+    SELECT user_id,
+           last_[3] AS last_op,
+           CAST(last_[4] AS DECIMAL(18,2)) AS last_value,
+           last_[1] AS last_ts,
+           n_changes
+    FROM compacted
+    WHERE last_[3] <> 'D'
+""")
+def stream_cdc_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming CDC apply (new r7): the Debezium-shaped changelog
+    (merge_cdc_apply's batch fixture — signup=I, error=D tombstone,
+    else U, keyed by user_id) maintained INCREMENTALLY as the feed
+    drains: per-key state is one latest-change row + a counter, O(1)
+    forever, updated by an associative max-merge — so the materialized
+    'current table' is always one state-store read away, no log replay.
+    This is the streaming-table duality (Kafka compacted topic / Delta
+    CDF apply) as a custom stateful operator.
+
+    Because max(struct) is associative AND commutative, the final state
+    is exactly the batch compaction whatever the micro-batch slicing —
+    merge_cdc_apply's DuckDB oracle is strict. Tombstoned keys stay in
+    the STATE (a later change may resurrect them) but are filtered from
+    the read surface, matching the batch key's contract."""
+    import hashlib
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream = events_ts_normalized(
+        stage_events_stream(spark, sf_dir, "cdc")
+    ).select("user_id", "ts", "event_id", "event_type", "value")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        cdc_compactor,
+        outputStructType=CDC_OUTPUT_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    snap = drain_to_memory(
+        spark, out, f"stream_cdc_{tag}", "update", shuffle_partitions=8
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    w = W.partitionBy("user_id").orderBy(F.desc("n_changes"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("last_op") != "D")
+        .select(
+            "user_id",
+            "last_op",
+            (F.col("last_cents").cast("decimal(18,2)") / 100)
+            .cast("decimal(18,2)")
+            .alias("last_value"),
+            F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
+            "n_changes",
+        )
+    )

@@ -283,3 +283,22 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     }
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_stream_cdc_apply_equals_batch(spark, sf_dir):
+    """The streaming CDC compactor's drained state must equal the batch
+    merge_cdc_apply exactly (same fixture mapping, same tombstone
+    filter) — proving the max-merge loses nothing across micro-batch
+    boundaries and tombstoned keys are hidden but not forgotten."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    got = {
+        r.user_id: (r.last_op, str(r.last_value), r.last_ts, r.n_changes)
+        for r in q["stream_cdc_apply"](spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.last_op, str(r.last_value), r.last_ts, r.n_changes)
+        for r in q["merge_cdc_apply"](spark, sf_dir).collect()
+    }
+    assert got == want and want
