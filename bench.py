@@ -166,6 +166,19 @@ BENCH_KEYS = [
     "pipeline_normalize_zscore",
     "events_streaks",
     "events_mannwhitney",
+    "graph_bfs",
+    "graph_kcore",
+    "graph_adamic_adar",
+    "events_did",
+    "events_attribution_position",
+    "events_qte",
+    "timeseries_downsample_lttb",
+    "pipeline_dp_counts",
+    "scan_schema_evolution",
+    "join_bloom_prefilter",
+    "mm_scene_cuts",
+    "text_url_normalize",
+    "stream_cdc_apply",
 ]
 
 

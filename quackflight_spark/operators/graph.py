@@ -63,24 +63,32 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, depth) state space bounded by nodes × hops, while the Spark
     plan never materializes a walk at all.
     """
-    op = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    e0 = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_co"))
-        .filter(F.col("n_co") >= BFS_MIN_CO)
-        .select("u", "v")
-    )
-    edges = (
-        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .union(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint()  # the edge build feeds every hop — materialize once
-    )
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(
+                b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+            )
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= BFS_MIN_CO)
+            .select("u", "v")
+        )
+        return e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    # the pair-expansion edge build dominates the whole search — stage it
+    # once per corpus (the jaccard_edges materialized-staging pattern);
+    # every hop then reads the persisted handle
+    edges = shared_frame("bfs_edges", sf_dir, build_edges)
     dist = (
         edges.select(F.col("src").alias("node"))
         .filter(F.col("node") % BFS_SRC_MOD == 0)

@@ -363,27 +363,28 @@ def events_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_cum).alias("cw"),
         F.sum("c").over(w_all).alias("n"),
     )
-    q = cum.groupBy("variant").agg(
-        F.max("n").cast("bigint").alias("n_users"),
-        F.min(F.when(4 * F.col("cw") >= F.col("n"), F.col("cents"))).alias("p25"),
-        F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("cents"))).alias("p50"),
-        F.min(F.when(4 * F.col("cw") >= 3 * F.col("n"), F.col("cents"))).alias(
-            "p75"
-        ),
+    # fold the 2-row per-arm frame into ONE row with conditional
+    # aggregates — a crossJoin of two filtered branches would recompute
+    # the whole upstream plan per branch (the events_attribution
+    # explode-not-union lesson)
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+
+    def pick(arm, num: int, den: int):
+        return F.min(
+            F.when(arm & (den * F.col("cw") >= num * F.col("n")), F.col("cents"))
+        )
+
+    one = cum.agg(
+        F.max(F.when(is_a, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(is_b, F.col("n"))).cast("bigint").alias("n_b"),
+        pick(is_a, 1, 4).alias("p25_a"),
+        pick(is_a, 1, 2).alias("p50_a"),
+        pick(is_a, 3, 4).alias("p75_a"),
+        pick(is_b, 1, 4).alias("p25_b"),
+        pick(is_b, 1, 2).alias("p50_b"),
+        pick(is_b, 3, 4).alias("p75_b"),
     )
-    a = q.filter(F.col("variant") == 0).select(
-        F.col("n_users").alias("n_a"),
-        F.col("p25").alias("p25_a"),
-        F.col("p50").alias("p50_a"),
-        F.col("p75").alias("p75_a"),
-    )
-    b = q.filter(F.col("variant") == 1).select(
-        F.col("n_users").alias("n_b"),
-        F.col("p25").alias("p25_b"),
-        F.col("p50").alias("p50_b"),
-        F.col("p75").alias("p75_b"),
-    )
-    return a.crossJoin(b).select(
+    return one.select(
         "n_a",
         "n_b",
         "p25_a",
