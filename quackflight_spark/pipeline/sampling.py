@@ -487,3 +487,59 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
     )
+
+
+@query("pipeline_importance_sample", oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(10000 * len(regexp_extract_all(text, '[A-Za-z ]'))
+                  / greatest(n_chars, 1) AS BIGINT) AS score_bp,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12)
+                  AS BIGINT) AS u
+      FROM documents
+    )
+    SELECT doc_id, score_bp
+    FROM scored
+    WHERE u * 10000 < score_bp * 281474976710656
+""")
+def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (new r7): each document is
+    kept with probability proportional to its quality score — the
+    acceptance-sampling step behind DSIR-style data selection (Xie et
+    al. 2023) and quality-weighted corpus mixing: instead of a hard
+    quality CUTOFF (pipeline_corpus_prep's filter), the corpus is
+    THINNED so better documents survive more often, preserving tail
+    diversity while shifting the quality distribution. Here the weight
+    is the in-repo quality proxy (clean-character share in basis
+    points); a production DSIR run swaps in the importance ratio of
+    two n-gram LMs — the acceptance machinery is identical.
+
+    Exactness (the pipeline_dp_counts / events_bootstrap_ci zero-RNG
+    recipe): accept doc d iff u48(d) · 10⁴ < score_bp(d) · 2⁴⁸ — a pure
+    BIGINT cross-multiplication of the 48-bit md5 draw against the
+    basis-point score (max product 2.8e18, inside int64), so the draw
+    is deterministic, engine-identical, and reproducible run-over-run
+    (the property a training pipeline needs for data lineage).
+
+    Scale shape: zero shuffles — score, draw and accept are one
+    codegen projection over the scan; downstream consumers see a
+    corpus whose size concentrates toward quality mass with no
+    repartition."""
+    d = load_table(spark, sf_dir, "documents")
+    score_bp = (
+        10000
+        * F.regexp_count(F.col("text"), F.lit("[A-Za-z ]"))
+        / F.greatest(F.col("n_chars"), F.lit(1))
+    ).cast("bigint")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select("doc_id", score_bp.alias("score_bp"), u.alias("u"))
+        .filter(F.col("u") * 10000 < F.col("score_bp") * (2**48))
+        .select("doc_id", "score_bp")
+    )

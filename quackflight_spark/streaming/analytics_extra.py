@@ -542,3 +542,128 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.y").cast("bigint").alias("y_cents"),
         )
     )
+
+
+EWMA_L = 3  # control limit: |residual| > L x MAD
+
+
+@query("timeseries_ewma_control", oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS series, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT series, d, cents,
+             row_number() OVER (PARTITION BY series ORDER BY d) AS i,
+             count(*) OVER (PARTITION BY series) AS n
+      FROM daily
+    ),
+    st AS (
+      SELECT series, 1 AS i, cents AS lv, n FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT s.series, s.i + 1,
+             CAST(floor((s.lv + r.cents) / 2.0) AS BIGINT), s.n
+      FROM st s JOIN ranked r ON r.series = s.series AND r.i = s.i + 1
+      WHERE s.i < s.n
+    ),
+    resid AS (
+      SELECT r.series, r.d, r.cents, s.lv AS ewma_prev,
+             r.cents - s.lv AS resid
+      FROM ranked r JOIN st s ON s.series = r.series AND s.i = r.i - 1
+    ),
+    mad AS (
+      SELECT series,
+             list_sort(list(abs(resid)))[(count(*) + 1) // 2] AS mad_resid
+      FROM resid GROUP BY series
+    )
+    SELECT r.series, r.d AS day, r.cents, r.ewma_prev,
+           CAST(r.resid AS BIGINT) AS resid,
+           CAST(m.mad_resid AS BIGINT) AS mad_resid,
+           abs(r.resid) > 3 * m.mad_resid AS flagged
+    FROM resid r JOIN mad m USING (series)
+""")
+def timeseries_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (new r7): each series' daily total is compared
+    against the exponentially-weighted moving average of its PAST —
+    residual r_t = x_t − s_{t−1}, flagged when |r_t| exceeds
+    {EWMA_L}× the series' median absolute residual. The SPC chart for
+    SMALL sustained shifts (Roberts 1959; Shewhart catches spikes,
+    CUSUM catches drifts, EWMA sits between) — completing the
+    monitoring shelf next to timeseries_cusum / events_anomaly_mad /
+    timeseries_anomaly_stl. All days are emitted with their flag so the
+    whole decision surface is oracle-checked, not just the alerts.
+
+    Exactness: α = 1/2 in integer floor-halving fixed point (the
+    timeseries_holt recipe) makes the sequential EWMA recursion
+    bit-exact on any engine; the robust scale is the LOWER MEDIAN of
+    |residual| picked as an exact order statistic from the per-series
+    sorted array (bounded by the calendar, the rolling_median
+    argument); the flag is a pure integer comparison — nothing floats
+    anywhere.
+
+    Engine shape: one (series, day) pre-agg shuffle, one per-series
+    fold as a Catalyst higher-order `aggregate` that CARRIES the state
+    history (the per-day EWMA is needed per row, not just finally —
+    the accumulator appends to a calendar-bounded array), then a
+    broadcast MAD join. Series-parallel, no UDF, no driver loop; the
+    oracle replays the recursion as the holt-style recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("d")
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    series = daily.groupBy("series").agg(
+        F.sort_array(F.collect_list(F.struct("d", "cents"))).alias("obs")
+    )
+    # fold carries (lv, hist): hist[i] = EWMA after observation i+1 —
+    # appending to a calendar-bounded array keeps the whole state path
+    hist = F.expr("""
+        aggregate(
+          slice(obs, 2, size(obs) - 1),
+          named_struct('lv', obs[0].cents,
+                       'hist', array(obs[0].cents)),
+          (a, x) -> named_struct(
+            'lv', CAST(floor((a.lv + x.cents) / 2.0) AS BIGINT),
+            'hist', concat(a.hist,
+                           array(CAST(floor((a.lv + x.cents) / 2.0) AS BIGINT))))
+        ).hist
+    """)
+    rows = (
+        series.withColumn("hist", hist)
+        .select(
+            "series",
+            F.posexplode("obs").alias("pos", "ob"),
+            F.col("hist"),
+        )
+        .filter(F.col("pos") >= 1)
+        .select(
+            "series",
+            F.col("ob.d").alias("day"),
+            F.col("ob.cents").alias("cents"),
+            F.element_at("hist", F.col("pos")).alias("ewma_prev"),
+            (F.col("ob.cents") - F.element_at("hist", F.col("pos")))
+            .cast("bigint")
+            .alias("resid"),
+        )
+    )
+    mad = rows.groupBy("series").agg(
+        F.element_at(
+            F.sort_array(F.collect_list(F.abs("resid"))),
+            F.expr("CAST((count(*) + 1) DIV 2 AS INT)"),
+        )
+        .cast("bigint")
+        .alias("mad_resid")
+    )
+    return rows.join(F.broadcast(mad), "series").select(
+        "series",
+        "day",
+        "cents",
+        "ewma_prev",
+        "resid",
+        "mad_resid",
+        (F.abs("resid") > EWMA_L * F.col("mad_resid")).alias("flagged"),
+    )

