@@ -351,3 +351,113 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("aa_raw", 6).alias("adamic_adar"),
         )
     )
+
+
+LPA_ROUNDS = 4     # fixed synchronous rounds (deterministic by design)
+LPA_MIN_CO = 2     # same support-thresholded co-purchase edges as BFS
+
+
+def _lpa_oracle() -> str:
+    parts = [f"""
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {LPA_MIN_CO}
+    ),
+    inc AS MATERIALIZED (
+      SELECT u AS node, v AS nb FROM e0 UNION ALL SELECT v, u FROM e0
+    ),
+    lbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM inc)"""]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f"""
+    lbl{r} AS MATERIALIZED (
+      SELECT node, -(max(ROW(c, -lbl))[2]) AS lbl FROM (
+        SELECT i.node, p.lbl, CAST(count(*) AS BIGINT) AS c
+        FROM inc i JOIN lbl{r - 1} p ON p.node = i.nb
+        GROUP BY i.node, p.lbl
+      ) GROUP BY node
+    )""")
+    return ",".join(parts)
+
+
+@query("graph_lpa_communities", oracle=f"""
+    WITH {_lpa_oracle()},
+    sizes AS (
+      SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+      FROM lbl{LPA_ROUNDS} GROUP BY lbl
+    )
+    SELECT l.node, l.lbl AS community, s.community_size
+    FROM lbl{LPA_ROUNDS} l JOIN sizes s USING (lbl)
+""")
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (new r7): every node starts
+    as its own community; each synchronous round, a node adopts the
+    label most frequent among its NEIGHBORS (ties to the smallest
+    label id). After {LPA_ROUNDS} fixed rounds the label is the node's
+    community — the near-linear community detector
+    (Raghavan–Albert–Kumara 2007) behind recommendation neighborhoods
+    and graph-partitioned storage layouts. Runs on the same
+    support-thresholded co-purchase edges as graph_bfs.
+
+    Determinism over convergence, by design: async LPA is famously
+    run-order-dependent and sync LPA can oscillate on bipartite
+    structures, so this is the FIXED-ROUND synchronous variant with a
+    total tie order (count desc, label asc) — the output is a pure
+    function of the graph on any engine and any partitioning, and the
+    oracle unrolls the identical {LPA_ROUNDS} rounds (MATERIALIZED CTEs
+    — the graph_kcore exponential-inlining lesson). Production runs
+    wanting convergence add rounds + an oscillation damper; the
+    per-round operator is what the engine must prove.
+
+    Scale shape: each round is ONE keyed equi-join (labels onto the
+    edge incidence) + two map-side-combinable aggs — the per-(node,
+    label) count is bounded by edge count, and the per-node argmax is
+    the shuffle-once max(struct) idiom, no windows. Community sizes
+    join back broadcast."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(
+                b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+            )
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= LPA_MIN_CO)
+            .select("u", "v")
+        )
+        return e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    inc = shared_frame("bfs_edges", sf_dir, build_edges).select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    )
+    labels = inc.select("node").distinct().withColumn("lbl", F.col("node"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            inc.join(
+                labels.select(F.col("node").alias("nb"), "lbl"), "nb"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nlbl"))).alias("w"))
+            .select("node", (-F.col("w.nlbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "lbl").select(
+        "node", F.col("lbl").alias("community"), "community_size"
+    )

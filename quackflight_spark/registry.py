@@ -65,6 +65,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply",  # new r7: O(1)-state streaming CDC compaction
     "timeseries_ewma_control",  # new r7: integer EWMA control chart
     "pipeline_importance_sample",  # new r7: DSIR-style acceptance sampling
+    "graph_lpa_communities",  # new r7: fixed-round label propagation
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and

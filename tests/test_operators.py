@@ -1120,6 +1120,32 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_lpa_matches_python_rounds(spark, sf_dir):
+    """graph_lpa_communities must equal the synchronous Python replay:
+    per round every node adopts its neighbors' most frequent label,
+    ties to the smallest label; fixed round count."""
+    from collections import Counter
+
+    from quackflight_spark.operators.graph import LPA_MIN_CO, LPA_ROUNDS
+
+    adj = _copurchase_adj(spark, sf_dir, LPA_MIN_CO)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n in adj:
+            votes = Counter(lbl[m] for m in adj[n])
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    sizes = Counter(lbl.values())
+    want = {n: (l, sizes[l]) for n, l in lbl.items()}
+    got = {
+        r.node: (r.community, r.community_size)
+        for r in _queries()["graph_lpa_communities"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_ewma_control_recursion_and_mad(spark, sf_dir):
     """timeseries_ewma_control must equal the sequential Python replay:
     floor-halving EWMA, residual vs previous state, lower-median MAD,
