@@ -179,6 +179,10 @@ BENCH_KEYS = [
     "mm_scene_cuts",
     "text_url_normalize",
     "stream_cdc_apply",
+    "timeseries_ewma_control",
+    "pipeline_importance_sample",
+    "graph_lpa_communities",
+    "cluster_dbscan",
 ]
 
 

@@ -66,6 +66,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_ewma_control",  # new r7: integer EWMA control chart
     "pipeline_importance_sample",  # new r7: DSIR-style acceptance sampling
     "graph_lpa_communities",  # new r7: fixed-round label propagation
+    "cluster_dbscan",  # new r7: grid + CC density clustering composite
     # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
     # two perf reworks, grown-K semantic, the two sampling keys
     # converted from rows-only to deterministic-hash value oracles, and
@@ -232,6 +233,7 @@ def load_all() -> None:
     import quackflight_spark.pipeline.quality_audit  # noqa: F401
     import quackflight_spark.pipeline.privacy  # noqa: F401
     import quackflight_spark.operators.runtime_filter  # noqa: F401
+    import quackflight_spark.operators.dbscan  # noqa: F401
     import quackflight_spark.sources.merge  # noqa: F401
     import quackflight_spark.sources.layout  # noqa: F401
     import quackflight_spark.sources.matview  # noqa: F401

@@ -1120,6 +1120,101 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_dbscan_matches_python_reference(spark, sf_dir):
+    """cluster_dbscan must equal the sequential DBSCAN definition with
+    the deterministic tie rules: same cores, same canonical cluster ids
+    (component-min core), borders to their nearest core."""
+    import hashlib
+    from collections import defaultdict
+
+    from quackflight_spark.operators.dbscan import (
+        DBSCAN_BLOB_R,
+        DBSCAN_EPS,
+        DBSCAN_MIN_PTS,
+        DBSCAN_NOISE_MOD,
+    )
+
+    def md5h(s: str, lo: int = 0, n: int = 4) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[lo : lo + n], 16)
+
+    keys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    n_pts = len(keys)
+    k_blobs = max(5, n_pts // 100)
+    lon_dom = max(999, (1999 * n_pts) // 1500)
+    span = 2 * DBSCAN_BLOB_R + 1
+    pts = {}
+    for k in keys:
+        ks = str(k)
+        if md5h(ks + ":n") % DBSCAN_NOISE_MOD == 0:
+            pts[k] = (md5h(ks) % 2000, md5h(ks, 4, 8) % lon_dom)
+        else:
+            cid = md5h(ks + ":c") % k_blobs
+            c_lat = 50 + md5h("c" + str(cid)) % 1900
+            c_lon = 50 + md5h("cy" + str(cid), 0, 8) % (lon_dom - 100)
+            pts[k] = (
+                c_lat + md5h(ks + ":dx") % span - DBSCAN_BLOB_R,
+                c_lon + md5h(ks + ":dy") % span - DBSCAN_BLOB_R,
+            )
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    cells = defaultdict(list)
+    for k, (x, y) in pts.items():
+        cells[(x // DBSCAN_EPS, y // DBSCAN_EPS)].append(k)
+    nbr = defaultdict(list)
+    for (cx, cy), ks_ in cells.items():
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cand += cells.get((cx + dx, cy + dy), [])
+        for a in ks_:
+            xa, ya = pts[a]
+            for b in cand:
+                if b != a:
+                    xb, yb = pts[b]
+                    if (xa - xb) ** 2 + (ya - yb) ** 2 <= eps2:
+                        nbr[a].append(b)
+    core = {k for k in nbr if len(nbr[k]) + 1 >= DBSCAN_MIN_PTS}
+    # components over core-core edges
+    comp_of = {}
+    for s in core:
+        if s in comp_of:
+            continue
+        stack, members = [s], [s]
+        seen = {s}
+        while stack:
+            x = stack.pop()
+            for m in nbr[x]:
+                if m in core and m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+                    members.append(m)
+        cid_ = min(members)
+        for m in members:
+            comp_of[m] = cid_
+    want = {k: (comp_of[k], "core") for k in core}
+    for k in pts:
+        if k in core:
+            continue
+        cands = [
+            ((pts[k][0] - pts[b][0]) ** 2 + (pts[k][1] - pts[b][1]) ** 2, b)
+            for b in nbr.get(k, [])
+            if b in core
+        ]
+        if cands:
+            want[k] = (comp_of[min(cands)[1]], "border")
+    got = {
+        r.c_custkey: (r.cluster_id, r.role)
+        for r in _queries()["cluster_dbscan"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[1] == "border" for v in want.values())
+    assert len(want) < len(pts)  # noise exists and is excluded
+
+
 def test_lpa_matches_python_rounds(spark, sf_dir):
     """graph_lpa_communities must equal the synchronous Python replay:
     per round every node adopts its neighbors' most frequent label,
