@@ -36,160 +36,312 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 # Keys the driver's budget-limited correctness gate should reach FIRST,
 # in order. The gate walks queries() in dict order and truncates at 50
-# keys (observed every round). Rotated each round: keys whose behavior
-# changed this round go first (r6: the events_ab_test ANSI fix — the
-# project's only-ever red row — plus the fuzzy/basket perf reworks, the
-# grown-K semantic dedup, and the two sampling keys upgraded from
-# rows-only to deterministic-hash value oracles, plus new operators:
-# 268 keys, 267 oracle-backed, 1 rows-only), then the
-# stalest driver evidence (the r1-r3-checked keys the r5 window never
-# reached fill the rest of a 50-key window), then r4-checked, then
-# r5-checked (freshest).
-# Block B dead last: rows-only keys — each costs a gate slot for an
+# keys (observed every round). r7 rotation, regenerated from
+# CORRECTNESS_r01-06: (1) the operators added in r7 (never checked),
+# (2) the 13 keys that STILL have no driver row (the r4-r6 windows
+# truncated before reaching them), (3) everything else ordered by
+# last-checked round ascending so the stalest evidence refreshes first.
+# Rows-only keys dead last: each costs a gate slot for an
 # `err:"no_oracle"` row (r4's ann_lsh_topk slot proved that), so they
 # must never sit ahead of an unproven oracle key.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block R7: new operators added in round 7, never driver-checked --
-    "graph_bfs",  # new r7: multi-source BFS hop distance
-    "graph_kcore",  # new r7: iterative k-core peel
-    "graph_adamic_adar",  # new r7: weighted common-neighbor link predictor
-    "events_did",  # new r7: difference-in-differences panel readout
-    "events_attribution_position",  # new r7: U-shaped multi-touch credit
-    "events_qte",  # new r7: per-arm exact quantile treatment effects
-    "timeseries_downsample_lttb",  # new r7: fixed-anchor LTTB downsampling
-    "pipeline_dp_counts",  # new r7: deterministic discrete-Laplace DP counts
-    "scan_schema_evolution",  # new r7: mergeSchema over mixed-generation files
-    "join_bloom_prefilter",  # new r7: manual Bloom runtime-filter reduction
-    "mm_scene_cuts",  # new r7: shot-boundary detection kernel
-    "text_url_normalize",  # new r7: URL canonicalization dedup
-    "stream_cdc_apply",  # new r7: O(1)-state streaming CDC compaction
-    "timeseries_ewma_control",  # new r7: integer EWMA control chart
-    "pipeline_importance_sample",  # new r7: DSIR-style acceptance sampling
-    "graph_lpa_communities",  # new r7: fixed-round label propagation
-    "cluster_dbscan",  # new r7: grid + CC density clustering composite
-    # -- Block A: changed or oracle-upgraded in r6 (the ANSI fix, the
-    # two perf reworks, grown-K semantic, the two sampling keys
-    # converted from rows-only to deterministic-hash value oracles, and
-    # every operator added during r6, newest first) --
-    "layout_hilbert",  # new r6: Hilbert-curve clustering key
-    "join_scd2_pointintime",  # new r6: temporal as-of-date dimension join
-    "dedup_containment",  # new r6: asymmetric subset-duplicate pairs
-    "timeseries_autocorr",  # new r6: exact-integer ACF at lags 1/2/7
-    "timeseries_seasonal_decompose",  # new r6: additive MA decomposition
-    "events_funnel_windowed",  # new r6: windowFunnel-compat 24h funnel
-    "graph_wcc",  # new r6: connected components on the shared CC kernel
-    "events_bootstrap_ci",  # new r6: Poisson-bootstrap CI, zero-RNG draws
-    "pipeline_mix_temperature",  # new r6: isqrt temperature-scaled mixing
-    "stream_topk",  # new r6: streaming top-K leaderboard state contract
-    "pipeline_chunk_windows",  # new r6: strided context-window chunking
-    "events_ltv_triangle",  # new r6: weekly-cohort cumulative LTV
-    "timeseries_forecast_snaive",  # new r6: seasonal-naive backtest
-    "join_nearest",  # new r6: two-sided nearest-key (merge_asof nearest)
-    "scan_time_travel",  # new r6: commit-log snapshots + MOR deletes
-    "agg_weighted_median",  # new r6: RANGE-frame exact weighted median
-    "text_code_detect",  # new r6: code-vs-prose routing signals
-    "agg_skew_kurtosis",  # new r6: overflow-safe exact-moment skewness
-    "events_time_to_convert",  # new r6: conversion-latency quartiles
-    "agg_gini",  # new r6: exact rank-sum Gini concentration
-    "timeseries_anomaly_stl",  # new r6: residual-MAD on the decomposition
-    "events_slo_burn",  # new r6: multiwindow error-budget burn alerts
-    "join_trajectory_hausdorff",  # new r6: blocked set-distance join
-    "text_lang_confusion",  # new r6: declared-vs-detected lang QA
-    "events_churn_hazard",  # new r6: censored survival life table
-    "text_novelty",  # new r6: df=1 shingle share (memorization signal)
-    "pipeline_shard_balance",  # new r6: shard-skew governance audit
-    "events_incidents",  # new r6: alert-run gaps-and-islands collapsing
-    "timeseries_rolling_median",  # new r6: exact 7-day median filter
-    "pipeline_normalize_zscore",  # new r6: codegen z-score, no pandas UDF
-    "events_streaks",  # new r6: consecutive-day activity streaks
-    "events_mannwhitney",  # new r6: tie-corrected Mann-Whitney U
-    "agg_hll_portable",  # new r6: cross-engine-exact HLL
-    "timeseries_cusum",  # new r6: prefix-scan CUSUM changepoints
-    "events_ks_test", "merge_cdc_apply", "join_bucketed_colocated",  # new r6
-    "join_spatial_grid",  # r6 late fix: vacuous-lattice coords replaced
-    "events_welch_ttest", "join_spatial_nn", "join_interval_overlap",
-    "text_readability", "agg_cms_frequency", "timeseries_ohlc",
-    "graph_jaccard",
-    "events_ab_test",  # r6 ANSI fix — the r5 red row, MUST re-prove
-    "sample_random",  # r6 rows-only -> value-oracle upgrade
-    "text_entropy", "graph_triangles", "events_cuped",
-    "events_pattern_match", "layout_zorder", "stream_pattern_match",
-    "join_ip_lpm", "timeseries_holt", "stream_holt", "fn_geohash",
-    # -- keys 51+: changed in r6 but already hash-proven green by the r5
-    # driver (perf reworks with result-identical contracts) or proving
-    # an idiom already covered inside the window (sample_percent shares
-    # sample_random's md5-draw upgrade); my full ANSI-on sweep re-proved
-    # all of them exact — they take the slots AFTER the never-proven set
-    # ...and the r6 keys whose correctness is trivially machine-checked
-    # (row-identity source scans, one-row integer arithmetic, a simple
-    # TakeOrdered) — they cede their window slots to the intricate keys
-    "scan_xml", "scan_orc", "scan_binary_files", "fn_format_ch",
-    "events_ab_srm", "sample_reservoir",
-    "sample_percent", "dedup_clusters", "basket_pair_lift",
-    "join_fuzzy_names", "dedup_semantic",
-    # -- Block S: stalest driver evidence (last CORRECTNESS row r1-r3;
-    # the r5 gate window ended before reaching these) --
-    "split_train_test", "sample_stratified", "sample_quota", "merge_upsert",
-    "delete_where", "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_dedup", "stream_interval_join", "stream_upsert_sink",
-    "rollup_time_partitioned", "timeseries_gapfill", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22", "join_asof", "win_rank",
-    "win_percent", "win_lag", "win_firstlast", "win_agg_frame",
-    "win_range_frame", "win_qualify", "cte_with", "subquery_scalar",
-    "subquery_correlated", "subquery_in", "pivot", "unpivot",
-    "join_range_bucket", "exists_agg", "set_union_all", "set_union",
-    "set_union_byname", "set_intersect", "set_intersect_all", "set_except",
-    "set_except_all", "fn_string_basic", "fn_regexp", "fn_date_parts",
-    "fn_date_arith", "fn_math", "fn_unnest", "fn_generate_series",
-    "fn_struct", "fn_json_extract", "fn_cast", "fn_conditional", "tpch_q4",
-    "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q2", "tpch_q7",
-    "scan_parquet", "scan_table", "project_cols", "filter_eq",
-    "filter_conj", "filter_param", "filter_between_in", "filter_like_regex",
-    "filter_null_case", "join_using", "join_inner_on", "join_left",
-    "join_right", "join_full", "join_cross", "join_semi", "join_anti",
-    "join_theta", "join_lateral", "join_positional", "agg_count_star",
-    "agg_groupby", "agg_basic", "agg_distinct", "agg_grouping_sets",
-    "agg_rollup", "agg_cube", "agg_filter", "agg_argminmax", "agg_quantile",
-    "agg_stats", "agg_approx", "agg_having", "agg_distinct_rows",
-    "agg_distinct_on", "orderby_desc_limit", "orderby_multi",
-    "limit_offset", "tpch_q1", "tpch_q3", "tpch_q5",
-    # -- Block Z2: last driver-checked in r4 --
-    "dedup_incremental", "dedup_lines", "events_sessionize",
-    "retention_cohorts", "events_funnel", "text_pii_scrub",
-    "text_bigram_topk", "text_unigram_logprob", "pipeline_mix_domains",
-    "pipeline_shuffle_shards", "fn_variant", "agg_approx_topk",
-    "agg_mode_median", "fn_udtf_split", "timeseries_interpolate",
-    "join_skew_salted", "text_winnowing", "agg_listagg", "fn_bitwise",
-    "ann_filtered_topk", "stream_running_totals", "agg_regression",
-    "fn_time_bucket", "text_tfidf_topterms", "agg_theta_sketch_ops",
-    "mv_incremental_refresh", "scan_csv", "scan_jsonl",
-    "events_anomaly_mad", "fn_hashing", "subquery_any_all",
-    "stream_enrich_join", "agg_histogram", "mm_audio_energy",
-    "win_time_range", "pipeline_quality_audit", "join_asof_forward",
-    "agg_grouping_id", "pipeline_overlap_matrix", "events_dau_wau",
-    "events_transition_matrix", "fn_edit_distance", "agg_bitmap_distinct",
-    "mm_decode", "mm_feature_extract", "mm_resize", "fmt_jsoncompact",
+    # -- Block R7: operators added in round 7, never driver-checked --
+    "graph_bfs",
+    "graph_kcore",
+    "graph_adamic_adar",
+    "events_did",
+    "events_attribution_position",
+    "events_qte",
+    "timeseries_downsample_lttb",
+    "pipeline_dp_counts",
+    "scan_schema_evolution",
+    "join_bloom_prefilter",
+    "mm_scene_cuts",
+    "text_url_normalize",
+    "stream_cdc_apply",
+    "timeseries_ewma_control",
+    "pipeline_importance_sample",
+    "graph_lpa_communities",
+    "cluster_dbscan",
+    # -- Block U: keys that have NEVER had a driver CORRECTNESS row
+    # (the r4-r6 gate windows truncated before reaching them) --
+    "events_pattern_match",
+    "layout_zorder",
+    "stream_pattern_match",
+    "join_ip_lpm",
+    "timeseries_holt",
+    "stream_holt",
+    "fn_geohash",
+    "scan_xml",
+    "scan_orc",
+    "scan_binary_files",
+    "fn_format_ch",
+    "events_ab_srm",
+    "sample_reservoir",
+    # -- everything else, stalest driver evidence first (last-checked
+    # round ascending; r7 rotation regenerated from CORRECTNESS_r01-06) --
+    # last checked r1:
+    "sample_percent",
+    "scan_parquet",
+    "scan_table",
+    "project_cols",
+    "filter_eq",
+    "filter_conj",
+    "filter_param",
+    "filter_between_in",
+    "filter_like_regex",
+    "filter_null_case",
+    "join_using",
+    "join_inner_on",
+    "join_left",
+    "join_right",
+    "join_full",
+    "join_cross",
+    "join_semi",
+    "join_anti",
+    "join_theta",
+    "join_lateral",
+    "join_positional",
+    "agg_count_star",
+    "agg_groupby",
+    "agg_basic",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filter",
+    "agg_argminmax",
+    "agg_quantile",
+    "agg_stats",
+    "agg_approx",
+    "agg_having",
+    "agg_distinct_rows",
+    "agg_distinct_on",
+    "orderby_desc_limit",
+    "orderby_multi",
+    "limit_offset",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    # last checked r2:
+    "join_asof",
+    "win_rank",
+    "win_percent",
+    "win_lag",
+    "win_firstlast",
+    "win_agg_frame",
+    "win_range_frame",
+    "win_qualify",
+    "cte_with",
+    "subquery_scalar",
+    "subquery_correlated",
+    "subquery_in",
+    "pivot",
+    "unpivot",
+    "join_range_bucket",
+    "exists_agg",
+    "set_union_all",
+    "set_union",
+    "set_union_byname",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "fn_string_basic",
+    "fn_regexp",
+    "fn_date_parts",
+    "fn_date_arith",
+    "fn_math",
+    "fn_unnest",
+    "fn_generate_series",
+    "fn_struct",
+    "fn_json_extract",
+    "fn_cast",
+    "fn_conditional",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q2",
+    "tpch_q7",
+    # last checked r3:
+    "split_train_test",
+    "sample_stratified",
+    "sample_quota",
+    "merge_upsert",
+    "delete_where",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_upsert_sink",
+    "rollup_time_partitioned",
+    "timeseries_gapfill",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # last checked r4:
+    "dedup_incremental",
+    "dedup_lines",
+    "events_sessionize",
+    "retention_cohorts",
+    "events_funnel",
+    "text_pii_scrub",
+    "text_bigram_topk",
+    "text_unigram_logprob",
+    "pipeline_mix_domains",
+    "pipeline_shuffle_shards",
+    "fn_variant",
+    "agg_approx_topk",
+    "agg_mode_median",
+    "fn_udtf_split",
+    "timeseries_interpolate",
+    "join_skew_salted",
+    "text_winnowing",
+    "agg_listagg",
+    "fn_bitwise",
+    "ann_filtered_topk",
+    "stream_running_totals",
+    "agg_regression",
+    "fn_time_bucket",
+    "text_tfidf_topterms",
+    "agg_theta_sketch_ops",
+    "mv_incremental_refresh",
+    "scan_csv",
+    "scan_jsonl",
+    "events_anomaly_mad",
+    "fn_hashing",
+    "subquery_any_all",
+    "stream_enrich_join",
+    "agg_histogram",
+    "mm_audio_energy",
+    "win_time_range",
+    "pipeline_quality_audit",
+    "join_asof_forward",
+    "agg_grouping_id",
+    "pipeline_overlap_matrix",
+    "events_dau_wau",
+    "events_transition_matrix",
+    "fn_edit_distance",
+    "agg_bitmap_distinct",
+    "mm_decode",
+    "mm_feature_extract",
+    "mm_resize",
+    "fmt_jsoncompact",
     "stream_watermark_late",
-    # -- Block F: freshest evidence (driver-checked r5) --
-    "pipeline_dedup_keep_best", "ann_range_search", "join_asof_tolerance",
-    "topk_per_group", "mm_image_phash", "win_ntile", "events_attribution",
-    "events_top_paths", "merge_scd2", "graph_pagerank",
-    "pipeline_bpe_merges", "pipeline_bpe_tokenize", "ann_lsh_topk",
-    "ann_ivf_topk", "ann_ivf_pruned", "cluster_kmeans", "ann_pq_topk",
-    "ann_ivfpq_topk", "events_rfm", "recursive_cte", "fn_cast_ch",
-    "fn_date_ch", "fn_url_ip", "fn_array_hof", "fn_array_ops",
-    "fn_map_access", "tpch_q12", "agg_list", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding", "ann_bruteforce_topk",
-    "text_tokens", "text_quality", "text_langid", "text_fingerprint",
-    "text_vocab_topk", "text_repetition", "pipeline_pack_sequences",
-    "pipeline_decontaminate", "pipeline_corpus_prep", "mm_binary_meta",
+    # last checked r5:
+    "dedup_clusters",
+    "basket_pair_lift",
+    "join_fuzzy_names",
+    "dedup_semantic",
+    "pipeline_dedup_keep_best",
+    "ann_range_search",
+    "join_asof_tolerance",
+    "topk_per_group",
+    "mm_image_phash",
+    "win_ntile",
+    "events_attribution",
+    "events_top_paths",
+    "merge_scd2",
+    "graph_pagerank",
+    "pipeline_bpe_merges",
+    "pipeline_bpe_tokenize",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_pruned",
+    "cluster_kmeans",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "events_rfm",
+    "recursive_cte",
+    "fn_cast_ch",
+    "fn_date_ch",
+    "fn_url_ip",
+    "fn_array_hof",
+    "fn_array_ops",
+    "fn_map_access",
+    "tpch_q12",
+    "agg_list",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_bruteforce_topk",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_vocab_topk",
+    "text_repetition",
+    "pipeline_pack_sequences",
+    "pipeline_decontaminate",
+    "pipeline_corpus_prep",
+    "mm_binary_meta",
     "mm_frame_sample",
-    # -- Block B: rows-only by design, dead last (agg_hll_sketch_table
-    # is the ONE remaining no-oracle key — estimator-incompatible across
-    # engines; each rows-only key would burn a gate slot on a weaker
-    # check) --
+    # last checked r6:
+    "layout_hilbert",
+    "join_scd2_pointintime",
+    "dedup_containment",
+    "timeseries_autocorr",
+    "timeseries_seasonal_decompose",
+    "events_funnel_windowed",
+    "graph_wcc",
+    "events_bootstrap_ci",
+    "pipeline_mix_temperature",
+    "stream_topk",
+    "pipeline_chunk_windows",
+    "events_ltv_triangle",
+    "timeseries_forecast_snaive",
+    "join_nearest",
+    "scan_time_travel",
+    "agg_weighted_median",
+    "text_code_detect",
+    "agg_skew_kurtosis",
+    "events_time_to_convert",
+    "agg_gini",
+    "timeseries_anomaly_stl",
+    "events_slo_burn",
+    "join_trajectory_hausdorff",
+    "text_lang_confusion",
+    "events_churn_hazard",
+    "text_novelty",
+    "pipeline_shard_balance",
+    "events_incidents",
+    "timeseries_rolling_median",
+    "pipeline_normalize_zscore",
+    "events_streaks",
+    "events_mannwhitney",
+    "agg_hll_portable",
+    "timeseries_cusum",
+    "events_ks_test",
+    "merge_cdc_apply",
+    "join_bucketed_colocated",
+    "join_spatial_grid",
+    "events_welch_ttest",
+    "join_spatial_nn",
+    "join_interval_overlap",
+    "text_readability",
+    "agg_cms_frequency",
+    "timeseries_ohlc",
+    "graph_jaccard",
+    "events_ab_test",
+    "sample_random",
+    "text_entropy",
+    "graph_triangles",
+    "events_cuped",
+    # -- rows-only by design, dead last (would burn a gate slot on a
+    # weaker no-oracle check) --
     "agg_hll_sketch_table",
 )
 
