@@ -183,6 +183,9 @@ BENCH_KEYS = [
     "pipeline_importance_sample",
     "graph_lpa_communities",
     "cluster_dbscan",
+    "text_collocations_pmi",
+    "events_concurrency",
+    "scan_csv_badrecords",
 ]
 
 

@@ -1051,3 +1051,113 @@ def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("min_doc_id"),
         )
     )
+
+
+PMI_MIN_COUNT = 5   # bigram support floor
+PMI_TOP_K = 50      # deterministic top-k (round-6 PMI, word tie-breaks)
+
+
+@query("text_collocations_pmi", oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, unnest(tk) AS w,
+             unnest(range(1, len(tk) + 1)) AS pos
+      FROM toks
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM flat GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flat),
+    bi AS (
+      SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_ab
+      FROM flat a JOIN flat b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    btot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM (
+      SELECT CAST(count(*) AS BIGINT) AS c_ab
+      FROM flat a JOIN flat b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.w, b.w
+    )),
+    scored AS (
+      SELECT bi.w1, bi.w2, bi.c_ab,
+             round(ln(CAST(bi.c_ab AS DOUBLE) * t.n * t.n
+                      / (CAST(bt.nb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+      FROM bi
+      JOIN uni u1 ON u1.w = bi.w1
+      JOIN uni u2 ON u2.w = bi.w2
+      CROSS JOIN tot t CROSS JOIN btot bt
+    )
+    SELECT w1, w2, c_ab, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+""")
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations (new r7): the top bigrams whose observed
+    adjacency beats the independence baseline — pmi = ln(p(w1w2) /
+    (p(w1)·p(w2))) — the classic phrase-mining / multiword-expression
+    detector (Church & Hanks 1990), the statistical step behind
+    tokenizer phrase merges and corpus fingerprinting; builds on
+    text_bigram_topk's raw counts by normalizing away word frequency.
+
+    Determinism: PMI is ONE shared double expression over exact
+    integer counts, rounded to 6 (the text_entropy log-absorption
+    contract); the top-k orders by (rounded pmi DESC, w1, w2) so the
+    cut line is identical on any engine — the tfidf deterministic-
+    term-order idiom.
+
+    Scale shape: unigram and bigram counts are map-side-combinable
+    shuffles bounded by vocabulary and vocabulary² observed; the token
+    totals broadcast back as 1-row frames; top-k fuses to
+    TakeOrderedAndProject. The positional self-join runs on the
+    per-doc (token, pos) frame co-partitioned by doc — at 100 TB the
+    adjacent-pair build is the same window-free shape
+    pipeline_bpe_merges uses."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+        ).alias("tk"),
+    )
+    flat = toks.select(
+        "doc_id", F.posexplode("tk").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    uni = flat.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_tok = flat.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = flat.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = flat.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    pairs = a.join(b, ["doc_id", "pos"]).groupBy("w1", "w2")
+    bi_all = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    nb = bi_all.agg(F.sum("c_ab").cast("bigint").alias("nb"))
+    bi = bi_all.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n")
+                    * F.col("n")
+                    / (F.col("nb").cast("double") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "w1", "w2"
+    ).limit(PMI_TOP_K)

@@ -63,6 +63,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_importance_sample",
     "graph_lpa_communities",
     "cluster_dbscan",
+    "text_collocations_pmi",
+    "events_concurrency",
+    "scan_csv_badrecords",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

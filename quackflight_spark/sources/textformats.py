@@ -224,3 +224,92 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_priced"),
         F.sum("price").cast("decimal(28,2)").alias("total_price"),
     )
+
+
+BAD_ROW_MOD = 7  # nation keys with k % 7 == 3 are staged as malformed lines
+
+
+def _staged_badcsv(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a CSV where rows for n_nationkey % {BAD_ROW_MOD} == 3 are
+    malformed (a single unparseable token instead of 3 fields) — the
+    dirty-ingest fixture. Driver-side write is fine: nation is a
+    bounded dimension (the control-plane-collect contract)."""
+    src = os.path.join(sf_dir, "nation.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/badcsv_{tag}"
+    marker = f"{path}/_DONE"
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = sorted(
+            load_table(spark, sf_dir, "nation").collect(),
+            key=lambda r: r.n_nationkey,
+        )
+        lines = []
+        for r in rows:
+            if r.n_nationkey % BAD_ROW_MOD == 3:
+                lines.append(f"CORRUPT_{r.n_nationkey}_NOT_A_ROW")
+            else:
+                lines.append(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}")
+        with open(f"{path}/part-0.csv", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        open(marker, "w").close()
+    return path
+
+
+@query("scan_csv_badrecords", oracle=f"""
+    SELECT CAST(sum(CASE WHEN n_nationkey % {BAD_ROW_MOD} <> 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN n_nationkey % {BAD_ROW_MOD} = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN n_nationkey % {BAD_ROW_MOD} <> 3
+                         THEN n_nationkey END) AS BIGINT) AS good_key_sum
+    FROM nation
+""")
+def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling (new r7): a CSV scan in PERMISSIVE mode
+    over a file with deliberately broken lines — good rows parse, bad
+    rows land whole in the `_corrupt_record` column instead of killing
+    the job or silently vanishing. The dirty-ingest contract every
+    production landing zone needs (the alternatives are DROPMALFORMED,
+    which loses data silently, and FAILFAST, which loses the batch);
+    the reference inherits DuckDB's ignore_errors/reject-table options
+    through the main.py:231 pass-through — this is the Spark-native
+    spelling with the quarantine column first-class.
+
+    The oracle replays the damage rule from the fixture truth: parsed
+    row count, quarantined row count, and a checksum over the parsed
+    keys — proving bad rows are EXACTLY the staged ones and good rows
+    parse undamaged.
+
+    Scale shape: PERMISSIVE parsing is per-row work inside the scan —
+    no repartition, no second pass; the quarantine rollup is one
+    map-side-combinable aggregate. (Spark restriction honored: a query
+    must not reference ONLY the corrupt column — the rollup reads both
+    real and corrupt columns.)"""
+    path = _staged_badcsv(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            NATION_SCHEMA + ", _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
+        )
+        .cast("bigint")
+        .alias("good_key_sum"),
+    )

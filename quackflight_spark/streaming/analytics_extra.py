@@ -667,3 +667,137 @@ def timeseries_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_resid",
         (F.abs("resid") > EWMA_L * F.col("mad_resid")).alias("flagged"),
     )
+
+
+CONC_GAP_MIN = 30  # session gap, matches events_sessionize
+
+
+@query("events_concurrency", oracle=f"""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                       > INTERVAL {CONC_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+      FROM (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+      ) GROUP BY user_id, sid
+    ),
+    clipped AS (
+      SELECT unnest(range(s_us // 86400000000, e_us // 86400000000 + 1)) AS day,
+             s_us, e_us
+      FROM sess
+    ),
+    deltas AS (
+      SELECT day, greatest(s_us, day * 86400000000) AS t, 1 AS delta FROM clipped
+      UNION ALL
+      SELECT day, least(e_us, (day + 1) * 86400000000 - 1), -1 FROM clipped
+    ),
+    swept AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT CAST(day AS BIGINT) AS day_x,
+           CAST(max(conc) AS BIGINT) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_sessions_active
+    FROM swept GROUP BY day
+""")
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-concurrency rollup (new r7): sessionize each user's events
+    ({CONC_GAP_MIN}-minute inactivity gap — the events_sessionize
+    rule), then sweep-line count how many sessions overlap at once,
+    reporting each day's PEAK concurrency and active-session count —
+    the capacity-planning readout (license seats, connection pools,
+    concurrent viewers) that a plain per-day COUNT can't answer.
+
+    Exactness: the sweep is the classic +1/−1 delta walk in integer
+    MICROSECONDS; sessions are CLOSED intervals, so at equal timestamps
+    starts order before ends (ORDER BY t, delta DESC — touching
+    sessions count as concurrent) and the running sum is pure integer.
+    Sessions spanning midnight are SPLIT at day boundaries (the
+    join_interval_overlap bucket trick), so every day's sweep is
+    self-contained.
+
+    Scale shape: sessionization is the lag-flag-cumsum pass on ONE
+    user_id shuffle (shared shape with events_sessionize); the sweep's
+    running sum partitions BY DAY over the bounded per-day delta list
+    (2 rows per active session) — no global ordering anywhere, the
+    midnight split is a bounded explode over covered days."""
+    from quackflight_spark.sources.fixtures import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = CONC_GAP_MIN * 60 * 1_000_000
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("is_start").over(w_cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s_us"),
+            F.unix_micros(F.max("ts")).alias("e_us"),
+        )
+    )
+    day_us = 86_400_000_000
+    clipped = sess.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us DIV {day_us}"), F.expr(f"e_us DIV {day_us}")
+            )
+        ).alias("day"),
+        "s_us",
+        "e_us",
+    )
+    starts = clipped.select(
+        "day",
+        F.greatest(F.col("s_us"), F.col("day") * day_us).alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = clipped.select(
+        "day",
+        F.least(F.col("e_us"), (F.col("day") + 1) * day_us - 1).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    w_sweep = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select("day", F.sum("delta").over(w_sweep).alias("conc"))
+    return swept.groupBy("day").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_sessions_active"),
+    ).select(
+        F.col("day").cast("bigint").alias("day_x"),
+        "max_concurrent",
+        "n_sessions_active",
+    )

@@ -1120,6 +1120,127 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_pmi_matches_python_reference(spark, sf_dir):
+    """text_collocations_pmi must equal the textbook PMI over the token
+    stream with the deterministic (round-6 pmi, w1, w2) top-k cut."""
+    import math
+    from collections import Counter
+
+    from quackflight_spark.pipeline.text_analysis import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    uni, bi = Counter(), Counter()
+    n_tok = 0
+    for r in docs:
+        tk = [w for w in r.text.strip().lower().split() if w]
+        n_tok += len(tk)
+        uni.update(tk)
+        bi.update(zip(tk, tk[1:]))
+    nb = sum(bi.values())
+    scored = [
+        (
+            round(math.log(c * n_tok * n_tok / (nb * uni[a] * uni[b])), 6),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in bi.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = {(a, b): (c, p) for p, a, b, c in scored[:PMI_TOP_K]}
+    got = {
+        (r.w1, r.w2): (r.c_ab, r.pmi)
+        for r in _queries()["text_collocations_pmi"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (c, p) in want.items():
+        assert got[k][0] == c and abs(got[k][1] - p) < 1e-6
+
+
+def test_concurrency_matches_python_sweep(spark, sf_dir):
+    """events_concurrency must equal a sequential sweep over the
+    sessionized intervals with midnight splitting and closed-interval
+    (touching counts) semantics."""
+    from collections import defaultdict
+
+    from quackflight_spark.streaming.analytics_extra import CONC_GAP_MIN
+
+    rows = sorted(
+        spark.read.parquet(f"{sf_dir}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        us = int(r.ts.timestamp() * 1_000_000)
+        by_user[r.user_id].append(us)
+    sessions = []
+    gap = CONC_GAP_MIN * 60 * 1_000_000
+    for ts_list in by_user.values():
+        start = prev = ts_list[0]
+        for t in ts_list[1:]:
+            if t - prev > gap:
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    day_us = 86_400_000_000
+    deltas = defaultdict(list)
+    for s, e in sessions:
+        for day in range(s // day_us, e // day_us + 1):
+            cs = max(s, day * day_us)
+            ce = min(e, (day + 1) * day_us - 1)
+            deltas[day].append((cs, 1))
+            deltas[day].append((ce, -1))
+    want = {}
+    for day, ds in deltas.items():
+        ds.sort(key=lambda t: (t[0], -t[1]))
+        conc = peak = 0
+        for _, d in ds:
+            conc += d
+            peak = max(peak, conc)
+        want[day] = (peak, len(ds) // 2)
+    got = {
+        r.day_x: (r.max_concurrent, r.n_sessions_active)
+        for r in _queries()["events_concurrency"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_csv_badrecords_quarantine(spark, sf_dir):
+    """Bad rows must be quarantined, not dropped or fatal: counts and
+    the good-key checksum must match the staging damage rule, and the
+    corrupt column must hold the raw broken lines."""
+    from quackflight_spark.sources.textformats import (
+        BAD_ROW_MOD,
+        NATION_SCHEMA,
+        _staged_badcsv,
+    )
+
+    keys = [
+        r.n_nationkey
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    ]
+    bad = [k for k in keys if k % BAD_ROW_MOD == 3]
+    good = [k for k in keys if k % BAD_ROW_MOD != 3]
+    row = _queries()["scan_csv_badrecords"](spark, sf_dir).collect()[0]
+    assert row.n_good == len(good)
+    assert row.n_bad == len(bad)
+    assert row.good_key_sum == sum(good)
+    raw = (
+        spark.read.schema(NATION_SCHEMA + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(_staged_badcsv(spark, sf_dir))
+        .collect()
+    )
+    quarantined = {r._corrupt_record for r in raw if r._corrupt_record}
+    assert quarantined == {f"CORRUPT_{k}_NOT_A_ROW" for k in bad}
+
+
 def test_dbscan_matches_python_reference(spark, sf_dir):
     """cluster_dbscan must equal the sequential DBSCAN definition with
     the deterministic tie rules: same cores, same canonical cluster ids
