@@ -186,6 +186,7 @@ BENCH_KEYS = [
     "text_collocations_pmi",
     "events_concurrency",
     "scan_csv_badrecords",
+    "mm_audio_vad",
 ]
 
 

@@ -539,3 +539,127 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         cut_batches, schema="doc_id bigint, cut_idx bigint, delta bigint"
     )
+
+
+VAD_NUM = 21  # speech iff 20*nw*ss_win > 21*clip_ss (1.05x mean energy
+# — byte-PCM stand-ins have tiny energy variance: measured exceedance
+# 20% at 1.05x, ZERO at 1.2x; a real decoder would recalibrate)
+VAD_SCHEMA = "doc_id bigint, win_idx int, ss bigint"
+
+
+def _audio_ss_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-window INTEGER sum-of-squares over 8-bit PCM payloads — the
+    float-free sibling of _audio_energy_kernel, so the VAD decision can
+    be a pure integer cross-multiply both engines replay exactly."""
+    import numpy as np
+
+    for pdf in batches:
+        out_doc, out_win, out_ss = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.uint8)
+            n_win = len(samples) // AUDIO_WIN
+            if n_win == 0:
+                continue
+            w = (
+                samples[: n_win * AUDIO_WIN]
+                .astype(np.int64)
+                .reshape(n_win, AUDIO_WIN)
+            )
+            ss = (w * w).sum(axis=1)
+            out_doc.extend([doc_id] * n_win)
+            out_win.extend(range(1, n_win + 1))
+            out_ss.extend(int(x) for x in ss)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "win_idx": out_win, "ss": out_ss}
+        )
+
+
+@query("mm_audio_vad", oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(length(text) // {AUDIO_WIN} AS INT) AS nw
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    frames AS (
+      SELECT d.doc_id, CAST(t.i AS INT) AS win_idx, d.nw,
+             CAST(list_aggregate(
+               list_transform(range(1, {AUDIO_WIN} + 1),
+                 j -> CAST(unicode(substr(d.text, (t.i - 1) * {AUDIO_WIN} + j, 1))
+                      AS BIGINT)
+                      * unicode(substr(d.text, (t.i - 1) * {AUDIO_WIN} + j, 1))),
+               'sum') AS BIGINT) AS ss
+      FROM d, UNNEST(range(1, nw + 1)) AS t(i)
+    ),
+    tot AS (
+      SELECT doc_id, CAST(sum(ss) AS BIGINT) AS clip_ss
+      FROM frames GROUP BY doc_id
+    ),
+    flagged AS (
+      SELECT f.doc_id, f.win_idx,
+             20 * f.nw * f.ss > {VAD_NUM} * t.clip_ss AS speech
+      FROM frames f JOIN tot t USING (doc_id)
+    ),
+    runs AS (
+      SELECT doc_id, win_idx, speech,
+             win_idx - row_number() OVER (
+               PARTITION BY doc_id, speech ORDER BY win_idx) AS grp
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(win_idx) AS INT) AS seg_start,
+           CAST(max(win_idx) AS INT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_wins
+    FROM runs WHERE speech
+    GROUP BY doc_id, grp
+""")
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the audio modality (new r7): frames
+    whose energy exceeds 1.05× their clip's mean energy are 'speech';
+    consecutive speech frames collapse to segments — the silence-trim /
+    speech-extract stage between raw audio and an ASR or audio-token
+    pipeline, composing mm_audio_energy's windowing with the
+    events_streaks gaps-and-islands run collapsing.
+
+    Exactness: the kernel emits per-window INTEGER sums of squares (no
+    sqrt, no division), the speech flag is the integer cross-multiply
+    20·nw·ss > {VAD_NUM}·Σss, and the segment collapse is the calendar-
+    free islands idiom (win_idx − row_number over the speech run) — the
+    whole decision surface is integer and the oracle replays it from
+    the staged payload bytes (the mm_audio_energy contract: a real
+    decoder swaps into the kernel, the oracle drops, the shape stays).
+
+    Scale shape: the Arrow-batched kernel inherits the scan's
+    partitions and never ships payloads onward — only (doc, window,
+    ss) rows; clip totals are one map-side-combinable agg joined back
+    co-partitioned; the islands window partitions by (doc, speech),
+    frames bounded per clip."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    frames = d.mapInPandas(_audio_ss_kernel, VAD_SCHEMA)
+    from pyspark.sql import Window as W
+
+    nw = W.partitionBy("doc_id")
+    flagged = frames.select(
+        "doc_id",
+        "win_idx",
+        (
+            20 * F.count(F.lit(1)).over(nw) * F.col("ss")
+            > VAD_NUM * F.sum("ss").over(nw)
+        ).alias("speech"),
+    )
+    w_run = W.partitionBy("doc_id", "speech").orderBy("win_idx")
+    runs = flagged.withColumn(
+        "grp", F.col("win_idx") - F.row_number().over(w_run)
+    )
+    return (
+        runs.filter("speech")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("win_idx").cast("int").alias("seg_start"),
+            F.max("win_idx").cast("int").alias("seg_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_wins"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_wins")
+    )

@@ -1120,6 +1120,43 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_vad_segments_match_python(spark, sf_dir):
+    """mm_audio_vad must equal the sequential recompute: integer window
+    energies, 1.05x cross-multiply flag, maximal consecutive runs."""
+    from quackflight_spark.pipeline.multimodal import AUDIO_WIN, VAD_NUM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = set()
+    for r in docs:
+        if r.doc_id % 10 != 0:
+            continue
+        b = r.text.encode()
+        nw = len(b) // AUDIO_WIN
+        if nw == 0:
+            continue
+        ss = [
+            sum(x * x for x in b[i * AUDIO_WIN : (i + 1) * AUDIO_WIN])
+            for i in range(nw)
+        ]
+        tot = sum(ss)
+        speech = [20 * nw * s > VAD_NUM * tot for s in ss]
+        i = 0
+        while i < nw:
+            if speech[i]:
+                j = i
+                while j + 1 < nw and speech[j + 1]:
+                    j += 1
+                want.add((r.doc_id, i + 1, j + 1, j - i + 1))
+                i = j + 1
+            else:
+                i += 1
+    got = {
+        (r.doc_id, r.seg_start, r.seg_end, r.n_wins)
+        for r in _queries()["mm_audio_vad"](spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
 def test_pmi_matches_python_reference(spark, sf_dir):
     """text_collocations_pmi must equal the textbook PMI over the token
     stream with the deterministic (round-6 pmi, w1, w2) top-k cut."""
