@@ -66,6 +66,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_collocations_pmi",
     "events_concurrency",
     "scan_csv_badrecords",
+    "mm_audio_vad",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",
