@@ -187,6 +187,8 @@ BENCH_KEYS = [
     "events_concurrency",
     "scan_csv_badrecords",
     "mm_audio_vad",
+    "pipeline_dataset_fingerprint",
+    "events_anova_dow",
 ]
 
 

@@ -543,3 +543,68 @@ def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") * 10000 < F.col("score_bp") * (2**48))
         .select("doc_id", "score_bp")
     )
+
+
+@query("pipeline_dataset_fingerprint", oracle="""
+    SELECT COALESCE(source, '__ALL__') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(bit_xor(CAST('0x' || substr(
+                  md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 12)
+                AS BIGINT)) AS BIGINT) AS content_xor,
+           CAST(sum(CAST('0x' || substr(
+                  md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 12)
+                AS BIGINT)) AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY GROUPING SETS ((source), ())
+""")
+def pipeline_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset fingerprint (new r7): an order-insensitive content hash
+    per source plus a corpus-level root — the reproducibility /
+    lineage primitive ('did two pipeline runs produce the SAME
+    dataset?') that a training data card records next to the DP counts.
+    Each row contributes h = md5(doc_id:content-md5) as a 48-bit
+    integer; the rollup keeps BOTH the XOR and the SUM of row hashes —
+    two independent commutative-monoid digests (XOR alone is blind to
+    duplicated-row pairs, SUM alone to certain swaps; together they
+    catch either) plus row and byte counts.
+
+    Exactness/scale: XOR and SUM are commutative and associative, so
+    the digest is identical under ANY partitioning, row order, or
+    engine — and mergeable: per-shard partial digests fold into the
+    corpus root without rescanning (the agg_bitmap_distinct argument).
+    One map-side-combinable GROUPING SETS pass emits per-source rows
+    and the '__ALL__' root together."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.md5(F.col("text")),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select("source", "n_chars", h.alias("h"))
+        .groupingSets([["source"], []], "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.bit_xor("h").cast("bigint").alias("content_xor"),
+            F.sum("h").cast("bigint").alias("content_sum"),
+        )
+        .select(
+            F.coalesce("source", F.lit("__ALL__")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "content_xor",
+            "content_sum",
+        )
+    )

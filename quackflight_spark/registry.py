@@ -67,6 +67,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_concurrency",
     "scan_csv_badrecords",
     "mm_audio_vad",
+    "pipeline_dataset_fingerprint",
+    "events_anova_dow",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

@@ -801,3 +801,140 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_concurrent",
         "n_sessions_active",
     )
+
+
+def _anova_sql() -> str:
+    """One-way ANOVA over the 7 DOW groups, emitted as explicit fixed-
+    order arithmetic: group moment sums stay exact (integer cents)
+    through the one-row conditional aggregate, and the SSB/SSW/F math is
+    ONE deterministic double expression with a hand-ordered 7-term sum —
+    a second aggregation over groups would sum doubles in partition
+    order (the cross-engine drift the fixed order exists to kill)."""
+    per_g = []
+    for g in range(7):
+        per_g.append(
+            f"CAST(sum(CASE WHEN dow = {g} THEN 1 ELSE 0 END) AS BIGINT) AS n{g},\n"
+            f"             CAST(sum(CASE WHEN dow = {g} THEN cents END) AS BIGINT) AS s{g},\n"
+            f"             CAST(sum(CASE WHEN dow = {g} THEN cents * cents END) AS BIGINT) AS q{g}"
+        )
+    ssb_terms = " + ".join(
+        f"CAST(s{g} AS DOUBLE) * s{g} / nullif(n{g}, 0)" for g in range(7)
+    )
+    q_sum = " + ".join(f"q{g}" for g in range(7))
+    s_sum = " + ".join(f"s{g}" for g in range(7))
+    n_sum = " + ".join(f"n{g}" for g in range(7))
+    return f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(date_diff('day', DATE '1970-01-05',
+                            CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS INT)
+               AS dow,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) * 100 END)
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT {", ".join(per_g)}
+      FROM daily WHERE cents IS NOT NULL
+    ),
+    m AS (
+      SELECT n0, n1, n2, n3, n4, n5, n6,
+             CAST({n_sum} AS BIGINT) AS n,
+             ({ssb_terms}) AS gterm,
+             CAST({s_sum} AS DOUBLE) AS stot,
+             CAST({q_sum} AS DOUBLE) AS qtot
+      FROM s
+    )
+    SELECT n,
+           round(gterm - stot * stot / n, 4) AS ss_between,
+           round(qtot - gterm, 4) AS ss_within,
+           CAST(6 AS INT) AS df1, CAST(n - 7 AS BIGINT) AS df2,
+           round(((gterm - stot * stot / n) / 6)
+                 / nullif((qtot - gterm) / nullif(n - 7, 0), 0), 6) AS f_stat
+    FROM m
+"""
+
+
+@query("events_anova_dow", oracle=_anova_sql())
+def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across day-of-week groups (new r7): does daily
+    purchase revenue differ by weekday? F = (SSB/6)/(SSW/(N−7)) over
+    the 7 DOW groups of the daily rollup — the significance companion
+    to timeseries_seasonal_decompose's DOW index (that key ESTIMATES
+    the weekday effect; this one tests whether it's real), and the
+    k-group generalization of the two-arm Welch shelf.
+
+    Exactness: daily revenue is integer cents; per-group (n, Σx, Σx²)
+    stay exact BIGINT through one conditional aggregate; DOW is the
+    epoch-day mod-7 arithmetic (engine-DOW-numbering immune, the
+    seasonal_decompose recipe); the SSB/SSW/F arithmetic is one shared
+    double expression whose 7-term group sum is EXPLICITLY ordered in
+    the generated text — never a second float aggregation whose
+    summation order the partitioning would pick.
+
+    Scale shape: one (day) pre-agg shuffle bounded by the calendar,
+    then a single-row conditional aggregate — the events_ab_test pass
+    structure with 7 arms."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"),
+            F.pmod(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")),
+                F.lit(7),
+            )
+            .cast("int")
+            .alias("dow"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)") * 100,
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    aggs = []
+    for g in range(7):
+        is_g = F.col("dow") == g
+        aggs += [
+            F.sum(F.when(is_g, 1).otherwise(0)).cast("bigint").alias(f"n{g}"),
+            F.sum(F.when(is_g, F.col("cents"))).cast("bigint").alias(f"s{g}"),
+            F.sum(F.when(is_g, F.col("cents") * F.col("cents")))
+            .cast("bigint")
+            .alias(f"q{g}"),
+        ]
+    s = daily.agg(*aggs)
+    gterm = None
+    for g in range(7):
+        t = F.try_divide(
+            F.col(f"s{g}").cast("double") * F.col(f"s{g}"), F.col(f"n{g}")
+        )
+        gterm = t if gterm is None else gterm + t
+    n = None
+    stot = None
+    qtot = None
+    for g in range(7):
+        n = F.col(f"n{g}") if n is None else n + F.col(f"n{g}")
+        stot = F.col(f"s{g}") if stot is None else stot + F.col(f"s{g}")
+        qtot = F.col(f"q{g}") if qtot is None else qtot + F.col(f"q{g}")
+    n = n.cast("bigint")
+    stot = stot.cast("double")
+    qtot = qtot.cast("double")
+    ssb = gterm - stot * stot / n
+    ssw = qtot - gterm
+    return s.select(
+        n.alias("n"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.lit(6).cast("int").alias("df1"),
+        (n - 7).cast("bigint").alias("df2"),
+        F.round(
+            F.try_divide(ssb / 6, F.try_divide(ssw, n - 7)), 6
+        ).alias("f_stat"),
+    )

@@ -1120,6 +1120,67 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_dataset_fingerprint_order_insensitive(spark, sf_dir):
+    """The fingerprint must equal a Python recompute and be identical
+    whatever the row order (commutative digests); the __ALL__ root must
+    fold the per-source rows."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, chars, xor, sum
+    for r in docs:
+        h = int(
+            hashlib.md5(
+                f"{r.doc_id}:{hashlib.md5(r.text.encode()).hexdigest()}".encode()
+            ).hexdigest()[:12],
+            16,
+        )
+        for k in (r.source, "__ALL__"):
+            agg[k][0] += 1
+            agg[k][1] += r.n_chars
+            agg[k][2] ^= h
+            agg[k][3] += h
+    got = {
+        r.source: (r.n_docs, r.total_chars, r.content_xor, r.content_sum)
+        for r in _queries()["pipeline_dataset_fingerprint"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_anova_dow_matches_python(spark, sf_dir):
+    """events_anova_dow must equal the textbook one-way ANOVA over the
+    DOW groups of the daily purchase-cents rollup."""
+    import datetime as dt
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    daily = defaultdict(int)
+    has_purchase = set()
+    for r in rows:
+        if r.event_type == "purchase":
+            daily[r.ts.date()] += round(r.value * 100)
+            has_purchase.add(r.ts.date())
+    groups = defaultdict(list)
+    epoch = dt.date(1970, 1, 5)
+    for d in has_purchase:
+        groups[(d - epoch).days % 7].append(daily[d])
+    vals = [v for g in groups.values() for v in g]
+    n = len(vals)
+    gterm = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    stot = sum(vals)
+    qtot = sum(v * v for v in vals)
+    ssb = gterm - stot * stot / n
+    ssw = qtot - gterm
+    f = (ssb / 6) / (ssw / (n - 7))
+    got = _queries()["events_anova_dow"](spark, sf_dir).collect()[0]
+    assert got.n == n and got.df2 == n - 7
+    assert abs(got.ss_between - ssb) < 0.01 * max(1, abs(ssb))
+    assert abs(got.f_stat - f) < 1e-4
+
+
 def test_vad_segments_match_python(spark, sf_dir):
     """mm_audio_vad must equal the sequential recompute: integer window
     energies, 1.05x cross-multiply flag, maximal consecutive runs."""
