@@ -32,10 +32,11 @@ def main() -> None:
     print(f"{'sf_dir':>24} {'rows':>8} {'clusters':>9} {'warm_s':>7}")
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         sf_dir = f"/root/testdata/{sf}"
-        df = q(spark, sf_dir)
-        df.count()  # warm (staging, shuffles, JIT)
+        q(spark, sf_dir).count()  # warm (staging, shuffles, JIT)
+        # re-INVOKE the operator: its localCheckpoints are per-invocation,
+        # so collecting the same handle would time a no-op re-read
         t0 = time.time()
-        rows = df.collect()
+        rows = q(spark, sf_dir).collect()
         warm = time.time() - t0
         n_clusters = len({r.cluster_id for r in rows})
         print(f"{sf_dir:>24} {len(rows):>8} {n_clusters:>9} {warm:>7.2f}")
