@@ -189,6 +189,7 @@ BENCH_KEYS = [
     "mm_audio_vad",
     "pipeline_dataset_fingerprint",
     "events_anova_dow",
+    "events_ratio_delta_method",
 ]
 
 

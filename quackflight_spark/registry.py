@@ -69,6 +69,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mm_audio_vad",
     "pipeline_dataset_fingerprint",
     "events_anova_dow",
+    "events_ratio_delta_method",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

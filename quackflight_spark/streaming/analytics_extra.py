@@ -938,3 +938,130 @@ def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(ssb / 6, F.try_divide(ssw, n - 7)), 6
         ).alias("f_stat"),
     )
+
+
+@query("events_ratio_delta_method", oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_VARIANT_SQL} AS variant,
+             COALESCE(sum(CASE WHEN event_type = 'purchase'
+                               THEN CAST(value AS DECIMAL(18,2)) END), 0) AS y,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(s) AS DOUBLE) AS ss,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(CAST(s AS DECIMAL(18,0)) * s) AS DOUBLE) AS sss,
+             CAST(sum(y * s) AS DOUBLE) AS sys
+      FROM u GROUP BY variant
+    ),
+    r AS (
+      SELECT variant, n,
+             sy / ss AS ratio,
+             -- delta method: Var(ȳ/s̄) ≈ (var_y − 2R·cov + R²·var_s)
+             --               / (n · s̄²), all moments exact till here
+             ((syy - sy * sy / n) / nullif(n - 1, 0)
+              - 2 * (sy / ss) * ((sys - sy * ss / n) / nullif(n - 1, 0))
+              + (sy / ss) * (sy / ss)
+                * ((sss - ss * ss / n) / nullif(n - 1, 0)))
+             / (n * (ss / n) * (ss / n)) AS var_ratio
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.ratio, 8) AS ratio_a,
+           round(b.ratio, 8) AS ratio_b,
+           round(b.ratio - a.ratio, 8) AS diff,
+           round((b.ratio - a.ratio)
+                 / nullif(sqrt(a.var_ratio + b.var_ratio), 0), 6) AS z_score
+    FROM (SELECT * FROM r WHERE variant = 0) a,
+         (SELECT * FROM r WHERE variant = 1) b
+""")
+def events_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-metric A/B readout via the delta method (new r7): revenue
+    per VIEW — a ratio of two per-user quantities, the metric family
+    (CTR, revenue/session, items/order) where naive per-user averaging
+    is wrong because the denominator varies per user. The estimator is
+    ȳ/s̄ per arm with Var(ȳ/s̄) ≈ (σ²_y − 2R·σ_ys + R²·σ²_s)/(n·s̄²)
+    (Deng–Knight–Lu 2018, the standard large-scale-experimentation
+    treatment), z = Δ/√(V_A + V_B). Completes the experimentation shelf
+    for the metrics the Welch key's per-user mean cannot express.
+
+    Exactness: per-user y is the DECIMAL-exact purchase sum and s the
+    integer view count; all five moment sums (Σy, Σs, Σy², Σs², Σys)
+    stay exact through the per-arm aggregate and cast to double only in
+    the final shared expression; try_divide guards the degenerate arms.
+    The two-arm combine is a cross join of two 1-row frames — no float
+    aggregation whose order the partitioning picks.
+
+    Scale shape: one user_id agg shuffle + a 2-row conditional
+    aggregate — the events_ab_test pass structure."""
+    dec = F.col("value").cast("decimal(18,2)")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", dec)), F.lit(0)
+            ).alias("y"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("s"),
+        )
+        .withColumn("variant", _variant_col())
+    )
+    m = u.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("s").cast("double").alias("ss"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("s").cast("decimal(18,0)") * F.col("s"))
+        .cast("double")
+        .alias("sss"),
+        F.sum(F.col("y") * F.col("s")).cast("double").alias("sys"),
+    )
+    ratio = F.col("sy") / F.col("ss")
+    var_y = F.try_divide(
+        F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"), F.col("n") - 1
+    )
+    cov = F.try_divide(
+        F.col("sys") - F.col("sy") * F.col("ss") / F.col("n"), F.col("n") - 1
+    )
+    var_s = F.try_divide(
+        F.col("sss") - F.col("ss") * F.col("ss") / F.col("n"), F.col("n") - 1
+    )
+    sbar = F.col("ss") / F.col("n")
+    var_ratio = (var_y - 2 * ratio * cov + ratio * ratio * var_s) / (
+        F.col("n") * sbar * sbar
+    )
+    r = m.select("variant", "n", ratio.alias("ratio"), var_ratio.alias("var_ratio"))
+    # fold the 2-row per-arm frame into ONE row with conditional
+    # aggregates — a crossJoin of two filtered branches would recompute
+    # the user-level scan per branch (the events_qte lesson; measured
+    # 0.74 s vs ~0.35 s at sf0.1)
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    one = r.agg(
+        F.max(F.when(is_a, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(is_b, F.col("n"))).cast("bigint").alias("n_b"),
+        F.max(F.when(is_a, F.col("ratio"))).alias("ratio_a"),
+        F.max(F.when(is_b, F.col("ratio"))).alias("ratio_b"),
+        F.max(F.when(is_a, F.col("var_ratio"))).alias("v_a"),
+        F.max(F.when(is_b, F.col("var_ratio"))).alias("v_b"),
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        F.round("ratio_a", 8).alias("ratio_a"),
+        F.round("ratio_b", 8).alias("ratio_b"),
+        F.round(F.col("ratio_b") - F.col("ratio_a"), 8).alias("diff"),
+        F.round(
+            F.try_divide(
+                F.col("ratio_b") - F.col("ratio_a"),
+                F.sqrt(F.col("v_a") + F.col("v_b")),
+            ),
+            6,
+        ).alias("z_score"),
+    )

@@ -1120,6 +1120,47 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_ratio_delta_method_matches_python(spark, sf_dir):
+    """events_ratio_delta_method must equal the textbook delta-method
+    computation on per-user (revenue, views)."""
+    import math
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in rows:
+        if r.event_type == "purchase":
+            acc[r.user_id][0] += round(r.value * 100) / 100
+        elif r.event_type == "view":
+            acc[r.user_id][1] += 1
+    arms = {0: [], 1: []}
+    for u, (y, s) in acc.items():
+        arms[_md5_variant(u)].append((y, s))
+
+    def stats(vals):
+        n = len(vals)
+        sy = sum(y for y, _ in vals)
+        ss = sum(s for _, s in vals)
+        syy = sum(y * y for y, _ in vals)
+        sss = sum(s * s for _, s in vals)
+        sys_ = sum(y * s for y, s in vals)
+        ratio = sy / ss
+        var_y = (syy - sy * sy / n) / (n - 1)
+        cov = (sys_ - sy * ss / n) / (n - 1)
+        var_s = (sss - ss * ss / n) / (n - 1)
+        sbar = ss / n
+        return n, ratio, (var_y - 2 * ratio * cov + ratio**2 * var_s) / (
+            n * sbar * sbar
+        )
+
+    n_a, ra, va = stats(arms[0])
+    n_b, rb, vb = stats(arms[1])
+    got = _queries()["events_ratio_delta_method"](spark, sf_dir).collect()[0]
+    assert got.n_a == n_a and got.n_b == n_b
+    assert abs(got.ratio_a - ra) < 1e-6 and abs(got.ratio_b - rb) < 1e-6
+    assert abs(got.z_score - (rb - ra) / math.sqrt(va + vb)) < 1e-4
+
+
 def test_dataset_fingerprint_order_insensitive(spark, sf_dir):
     """The fingerprint must equal a Python recompute and be identical
     whatever the row order (commutative digests); the __ALL__ root must
