@@ -190,6 +190,8 @@ BENCH_KEYS = [
     "pipeline_dataset_fingerprint",
     "events_anova_dow",
     "events_ratio_delta_method",
+    "timeseries_vwap",
+    "agg_winsorized_mean",
 ]
 
 

@@ -70,6 +70,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_dataset_fingerprint",
     "events_anova_dow",
     "events_ratio_delta_method",
+    "timeseries_vwap",
+    "agg_winsorized_mean",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

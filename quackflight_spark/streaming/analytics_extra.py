@@ -1065,3 +1065,161 @@ def events_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query("timeseries_vwap", oracle="""
+    WITH t AS (
+      SELECT event_type AS series,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+             CAST(1 + event_id % 97 AS BIGINT) AS qty
+      FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    )
+    SELECT series, day,
+           CAST(sum(qty) AS BIGINT) AS volume,
+           CAST(sum(price_c * qty) AS BIGINT) AS notional_c,
+           round(CAST(sum(price_c * qty) AS DOUBLE) / sum(qty) / 100, 8)
+             AS vwap
+    FROM t GROUP BY series, day
+""")
+def timeseries_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP downsampling (new r7): volume-weighted average price per
+    (series, day) — the finance/market-data companion to
+    timeseries_ohlc's candles: OHLC shows the range, VWAP shows where
+    the VALUE actually traded, the benchmark execution algos settle
+    against. Quantity is md5-free deterministic (1 + event_id % 97 —
+    the fixture has no volume column; the weighting arithmetic is the
+    operator).
+
+    Exactness: price in integer cents, quantity integer, notional an
+    exact BIGINT sum; VWAP is ONE double division at the end, round-8.
+
+    Scale shape: a single map-side-combinable groupBy — the partial
+    aggregates are constant-size, identical pass structure to
+    timeseries_ohlc; 100 TB of ticks reduce in one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    t = ev.select(
+        F.col("event_type").alias("series"),
+        F.to_date("ts").alias("day"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        (1 + F.col("event_id") % 97).cast("bigint").alias("qty"),
+    )
+    return t.groupBy("series", "day").agg(
+        F.sum("qty").cast("bigint").alias("volume"),
+        F.sum(F.col("price_c") * F.col("qty")).cast("bigint").alias("notional_c"),
+        F.round(
+            F.col("notional_c").cast("double") / F.col("volume") / 100, 8
+        ).alias("vwap"),
+    )
+
+
+@query("agg_winsorized_mean", oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(18,2)) END) * 100
+                  AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+      HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    ),
+    hist AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(c) OVER () AS n
+      FROM hist
+    ),
+    th AS (
+      SELECT CAST(min(CASE WHEN 20 * cw >= n THEN cents END) AS BIGINT) AS lo,
+             CAST(min(CASE WHEN 20 * cw >= 19 * n THEN cents END) AS BIGINT)
+               AS hi
+      FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           t.lo AS p05_cents, t.hi AS p95_cents,
+           round(CAST(sum(u.cents) AS DOUBLE) / count(*) / 100, 6) AS mean,
+           round(CAST(sum(least(greatest(u.cents, t.lo), t.hi)) AS DOUBLE)
+                 / count(*) / 100, 6) AS winsorized_mean
+    FROM u CROSS JOIN th t
+    GROUP BY t.lo, t.hi
+""")
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (new r7): per-user purchase revenue with the
+    bottom/top 5% CLIPPED to the p05/p95 order statistics before
+    averaging — the robust location estimate heavy-tailed revenue
+    metrics report next to the raw mean (a single whale moves the mean;
+    the winsorized mean bounds any one user's influence). The robust
+    companion to agg_stats' moments and events_mannwhitney's rank test.
+
+    Exactness: thresholds are exact LOWER order statistics picked by
+    integer comparison off the cents-domain cumulative (the
+    events_time_to_convert recipe — no interpolated percentile
+    estimator); clipping is least/greatest on integers; both means are
+    one double division at the end.
+
+    Scale shape: one user agg shuffle; the threshold scan runs on the
+    price-domain-bounded rollup; thresholds broadcast back as a 1-row
+    frame and the clipped sum is map-side-combinable."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .filter(F.col("cents").isNotNull())
+    )
+    hist = u.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    th = cum.agg(
+        F.min(F.when(20 * F.col("cw") >= F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("lo"),
+        F.min(F.when(20 * F.col("cw") >= 19 * F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100, 6
+            ).alias("mean"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count(F.lit(1)) / 100, 6
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "n_users",
+            F.col("lo").alias("p05_cents"),
+            F.col("hi").alias("p95_cents"),
+            "mean",
+            "winsorized_mean",
+        )
+    )
