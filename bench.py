@@ -192,6 +192,8 @@ BENCH_KEYS = [
     "events_ratio_delta_method",
     "timeseries_vwap",
     "agg_winsorized_mean",
+    "events_power_mde",
+    "scan_jsonl_nested",
 ]
 
 

@@ -72,6 +72,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_ratio_delta_method",
     "timeseries_vwap",
     "agg_winsorized_mean",
+    "events_power_mde",
+    "scan_jsonl_nested",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

@@ -313,3 +313,90 @@ def scan_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("good_key_sum"),
     )
+
+
+NESTED_SCHEMA = (
+    "k int, name string, region struct<rk:int, rname:string>, "
+    "tags array<string>"
+)
+
+
+def _staged_nested(spark: SparkSession, sf_dir: str) -> str:
+    """Stage nation⋈region as nested NDJSON once per fixture generation:
+    a struct column (the parent dimension embedded) and an array column
+    (tags) — the document shape APIs and event buses actually deliver."""
+    import json as _json
+
+    src = os.path.join(sf_dir, "nation.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = src
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/nested_{tag}"
+    marker = f"{path}/_DONE"
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        n = load_table(spark, sf_dir, "nation")
+        r = load_table(spark, sf_dir, "region")
+        rows = sorted(
+            n.join(r, n.n_regionkey == r.r_regionkey).collect(),
+            key=lambda x: x.n_nationkey,
+        )
+        with open(f"{path}/part-0.json", "w") as fh:
+            for x in rows:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "k": x.n_nationkey,
+                            "name": x.n_name,
+                            "region": {"rk": x.n_regionkey, "rname": x.r_name},
+                            "tags": [
+                                f"t{x.n_nationkey % 3}",
+                                f"t{x.n_nationkey % 5}",
+                            ],
+                        }
+                    )
+                    + "\n"
+                )
+        open(marker, "w").close()
+    return path
+
+
+@query("scan_jsonl_nested", oracle="""
+    WITH base AS (
+      SELECT n.n_nationkey AS k, n.n_name AS name,
+             r.r_name AS region_name
+      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    tags AS (
+      SELECT k, name, region_name,
+             unnest(['t' || CAST(k % 3 AS VARCHAR),
+                     't' || CAST(k % 5 AS VARCHAR)]) AS tag
+      FROM base
+    )
+    SELECT k, name, region_name, tag FROM tags
+""")
+def scan_jsonl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document ingest (new r7): NDJSON whose rows carry a STRUCT
+    (the embedded parent dimension) and an ARRAY (tags), read with a
+    DECLARED nested schema (no inference pass — the scan_csv contract),
+    then flattened relationally: dot-path struct access + explode. The
+    document shape that APIs, event buses and Mongo-style exports
+    deliver; the oracle rebuilds the same rows from the RELATIONAL
+    truth the staging denormalized, proving the nested round-trip is
+    lossless (struct fields land typed, array order preserved).
+
+    Scale shape: declared-schema JSON parsing is per-row scan work;
+    struct access is a pure projection (parquet would prune to the
+    referenced subfields); the explode's fan-out is the bounded tag
+    array. No shuffle anywhere."""
+    path = _staged_nested(spark, sf_dir)
+    df = spark.read.schema(NESTED_SCHEMA).json(f"{path}/part-0.json")
+    return df.select(
+        "k",
+        "name",
+        F.col("region.rname").alias("region_name"),
+        F.explode("tags").alias("tag"),
+    )

@@ -1223,3 +1223,86 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_mean",
         )
     )
+
+
+Z_ALPHA = 1.959963984540054  # two-sided 5% normal quantile (literal)
+Z_BETA = 0.8416212335729143  # 80% power normal quantile (literal)
+
+
+@query("events_power_mde", oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_VARIANT_SQL} AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a
+      FROM u
+    )
+    SELECT n, n_a, CAST(n - n_a AS BIGINT) AS n_b,
+           round(CAST(conv AS DOUBLE) / n, 8) AS p_pool,
+           round(({Z_ALPHA} + {Z_BETA})
+                 * sqrt(2 * (CAST(conv AS DOUBLE) / n)
+                        * (1 - CAST(conv AS DOUBLE) / n)
+                        / least(n_a, n - n_a)), 8) AS mde_abs,
+           CAST(ceil(2 * (CAST(conv AS DOUBLE) / n)
+                     * (1 - CAST(conv AS DOUBLE) / n)
+                     * ({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA})
+                     / (0.01 * 0.01)) AS BIGINT) AS n_per_arm_for_1pt
+    FROM s
+""")
+def events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning (new r7): given the corpus's pooled
+    conversion rate and current arm sizes, the minimum detectable
+    absolute effect at alpha = 5% two-sided / 80% power —
+    MDE = (z_a + z_b)·√(2p(1−p)/n_arm) — and the per-arm sample size a
+    1-point lift would need. The BEFORE-the-test planning readout that
+    pairs with events_ab_test's after-the-fact z (ship an experiment
+    platform without it and every underpowered test reads as 'no
+    effect'). Normal quantiles are embedded LITERALS (the one thing a
+    SQL engine cannot compute without erf) — the standard practice and
+    the events_bootstrap_ci precedent of precomputing distribution
+    constants into the query text.
+
+    Exactness: one user rollup + a 1-row aggregate; p, MDE and the
+    ceil'd sample size are one shared double expression over exact
+    integers in both engines.
+
+    Scale shape: events_ab_test's exact pass structure — one map-side
+    combinable user agg, one global conditional sum."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", _variant_col())
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+    )
+    p = F.col("conv").cast("double") / F.col("n")
+    n_min = F.least(F.col("n_a"), F.col("n") - F.col("n_a"))
+    zsum = Z_ALPHA + Z_BETA
+    return s.select(
+        "n",
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("bigint").alias("n_b"),
+        F.round(p, 8).alias("p_pool"),
+        F.round(
+            zsum * F.sqrt(2 * p * (1 - p) / n_min), 8
+        ).alias("mde_abs"),
+        F.ceil(2 * p * (1 - p) * zsum * zsum / (0.01 * 0.01))
+        .cast("bigint")
+        .alias("n_per_arm_for_1pt"),
+    )

@@ -1120,6 +1120,56 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_power_mde_formula(spark, sf_dir):
+    """events_power_mde must equal the textbook two-proportion power
+    formula with the embedded normal-quantile literals."""
+    import math
+    from collections import defaultdict
+
+    from quackflight_spark.streaming.analytics_extra import Z_ALPHA, Z_BETA
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    conv = defaultdict(int)
+    users = set()
+    for r in rows:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            conv[r.user_id] = 1
+    n = len(users)
+    c = sum(conv[u] for u in users)
+    n_a = sum(1 for u in users if _md5_variant(u) == 0)
+    p = c / n
+    mde = (Z_ALPHA + Z_BETA) * math.sqrt(2 * p * (1 - p) / min(n_a, n - n_a))
+    need = math.ceil(2 * p * (1 - p) * (Z_ALPHA + Z_BETA) ** 2 / 0.0001)
+    got = _queries()["events_power_mde"](spark, sf_dir).collect()[0]
+    assert got.n == n and got.n_a == n_a and got.n_b == n - n_a
+    assert abs(got.p_pool - p) < 1e-8
+    assert abs(got.mde_abs - mde) < 1e-6
+    assert got.n_per_arm_for_1pt == need
+
+
+def test_nested_jsonl_roundtrip(spark, sf_dir):
+    """scan_jsonl_nested must surface typed struct fields and preserve
+    tag-array membership for every nation exactly."""
+    n = {
+        r.n_nationkey: (r.n_name, r.n_regionkey)
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    r_name = {
+        r.r_regionkey: r.r_name
+        for r in spark.read.parquet(f"{sf_dir}/region.parquet").collect()
+    }
+    want = set()
+    for k, (name, rk) in n.items():
+        for tag in (f"t{k % 3}", f"t{k % 5}"):
+            want.add((k, name, r_name[rk], tag))
+    got = {
+        (r.k, r.name, r.region_name, r.tag)
+        for r in _queries()["scan_jsonl_nested"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_vwap_matches_python(spark, sf_dir):
     """timeseries_vwap must equal the exact integer notional/volume
     recompute per (series, day)."""
