@@ -194,6 +194,7 @@ BENCH_KEYS = [
     "agg_winsorized_mean",
     "events_power_mde",
     "scan_jsonl_nested",
+    "ann_recall_eval",
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from quackflight_spark.registry import query
+from quackflight_spark.registry import ORACLES, QUERIES, query
 from quackflight_spark.sources.fixtures import load_table
 
 TOP_K = 5
@@ -1175,3 +1175,73 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "label", "cos_sim", "rn")
     )
+
+
+@query("ann_recall_eval", oracle=f"""
+    WITH approx AS ({{IVF_ORACLE}}),
+    exact AS ({{BF_ORACLE}}),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact e
+      JOIN approx a ON a.query_id = e.query_id
+                   AND a.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id
+    )
+    SELECT q.query_id,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {TOP_K}, 6)
+             AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+""")
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (new r7): recall@{TOP_K} of the IVF index
+    against the brute-force ground truth, per query — the completeness
+    critic of the ANN family. Every approximate index ships with a
+    measured recall curve or it ships blind (the FAISS evaluation
+    discipline); this key makes the measurement itself a first-class,
+    oracle-checked operator, composing two existing keys: the exact
+    top-k (definition) and the partition-pruned IVF search (the scale
+    path under test).
+
+    Oracle composition: the DuckDB text embeds BOTH keys' full oracle
+    SQL as CTE subqueries — the recall join is then exact set
+    intersection on (query, neighbor), so the differential check proves
+    the evaluation harness itself, not just the searches.
+
+    Scale shape: both searches are the already-audited plans (shared
+    staged frames, partition-pruned probes); the eval adds one
+    (query, neighbor) equi-join over two k-bounded result sets —
+    negligible next to the searches it measures."""
+    exact = QUERIES["ann_bruteforce_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = QUERIES["ann_ivf_topk"](spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    queries_f = exact.select("query_id").distinct()
+    return queries_f.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double") / TOP_K, 6
+        ).alias("recall_at_k"),
+    )
+
+
+# splice the two component oracles into the eval oracle (they are only
+# known after both @query decorations above ran)
+ORACLES["ann_recall_eval"] = (
+    ORACLES["ann_recall_eval"]
+    .replace("{IVF_ORACLE}", ORACLES["ann_ivf_topk"])
+    .replace("{BF_ORACLE}", ORACLES["ann_bruteforce_topk"])
+)

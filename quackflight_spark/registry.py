@@ -74,6 +74,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_winsorized_mean",
     "events_power_mde",
     "scan_jsonl_nested",
+    "ann_recall_eval",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

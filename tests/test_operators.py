@@ -1120,6 +1120,37 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_ann_recall_eval_is_set_intersection(spark, sf_dir):
+    """ann_recall_eval must equal |exact ∩ approx| / k per query over
+    the two component keys' own results, cover every query, and measure
+    something real (not vacuously 0 or 1 everywhere... perfect recall
+    is allowed at smoke scale, zero is not)."""
+    from quackflight_spark.pipeline.similarity import TOP_K
+
+    q = _queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q["ann_bruteforce_topk"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    want = {}
+    for qid in {a for a, _ in exact}:
+        n_hit = sum(
+            1 for a, b in exact if a == qid and (a, b) in approx
+        )
+        want[qid] = n_hit
+    got = {
+        r.query_id: r.n_hit
+        for r in q["ann_recall_eval"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(0 <= v <= TOP_K for v in got.values())
+    assert sum(got.values()) > 0
+
+
 def test_power_mde_formula(spark, sf_dir):
     """events_power_mde must equal the textbook two-proportion power
     formula with the embedded normal-quantile literals."""
