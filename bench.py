@@ -195,6 +195,8 @@ BENCH_KEYS = [
     "events_power_mde",
     "scan_jsonl_nested",
     "ann_recall_eval",
+    "fn_date_spine",
+    "orderby_limit_ties",
 ]
 
 

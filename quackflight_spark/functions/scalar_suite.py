@@ -579,3 +579,115 @@ def join_ip_lpm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+
+
+@query("fn_date_spine", oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS lo,
+             CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    )
+    SELECT d,
+           CAST(date_diff('day', DATE '1970-01-05', d) % 7 AS INT) AS dow,
+           date_diff('day', DATE '1970-01-05', d) % 7 < 5 AS is_weekday,
+           CAST(CAST(strftime(d, '%Y%m%d') AS INT) AS INT) AS date_key,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           d = CAST(date_trunc('week', d) AS DATE) AS is_week_start
+    FROM spine
+""")
+def fn_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine (date dimension) generation (new r7): one row per
+    day spanning the fact table's own range, with the standard dim_date
+    attributes — DOW, weekday flag, yyyymmdd surrogate key, month
+    anchor, week-start flag. The utility table every warehouse joins
+    for gap-free calendars, fiscal rollups and as-of alignment
+    (timeseries_gapfill builds its dense grid the same way; this is
+    the reusable dimension as a first-class key).
+
+    Determinism: DOW is the epoch-day mod-7 arithmetic (Monday-anchored
+    1970-01-05 — immune to engine DOW numbering, the
+    seasonal_decompose recipe); the surrogate key is a string-format
+    round-trip both engines spell identically; week start compares d
+    against its own date_trunc('week') so engine week conventions
+    cancel out.
+
+    Scale shape: the spine is a generate_series explode over ONE 1-row
+    bounds aggregate — size bounded by the calendar, never the corpus;
+    at 100 TB the bounds agg is the only thing that reads the facts,
+    and even that is prunable to partition metadata."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    dow = F.pmod(
+        F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")), F.lit(7)
+    ).cast("int")
+    return spine.select(
+        "d",
+        dow.alias("dow"),
+        (dow < 5).alias("is_weekday"),
+        F.date_format("d", "yyyyMMdd").cast("int").alias("date_key"),
+        F.date_trunc("month", F.col("d")).cast("date").alias("month_start"),
+        (
+            F.col("d") == F.date_trunc("week", F.col("d")).cast("date")
+        ).alias("is_week_start"),
+    )
+
+
+TIES_LIMIT = 10  # top-N WITH TIES target
+
+
+@query("orderby_limit_ties", oracle=f"""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             rank() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+               AS rk
+      FROM orders
+    )
+    SELECT o_custkey, price FROM ranked WHERE rk <= {TIES_LIMIT}
+""")
+def orderby_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N WITH TIES (new r7): ANSI `FETCH FIRST n ROWS WITH TIES` —
+    rows tying the n-th value all survive, so the result is a pure
+    function of the DATA (a bare LIMIT cuts ties arbitrarily by
+    partition order — the nondeterminism bug in every naive top-N
+    report). Spark SQL has no WITH TIES clause; the dialect frontend's
+    rewrite is rank() ≤ n — which is also exactly DuckDB's documented
+    expansion, so the oracle uses the same spelling.
+
+    Scale shape: rank over a global ORDER BY is the textbook
+    single-partition window hazard; at fixture scale Catalyst handles
+    it, and at 100 TB the idiom is the two-phase top-k the repo's
+    win_ntile/events_rfm machinery demonstrates (per-partition top-n,
+    then rank the bounded union — lossless because a global top-n row
+    must be a partition top-n row). Prices compare as exact DECIMAL so
+    the tie set is engine-identical."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    from pyspark.sql import Window as W
+
+    # two-phase lossless: per-partition top-N first (mapPartitions-free —
+    # a partition-local sort prune via repartition+local limit would need
+    # RDD surgery; the bounded pre-filter below keeps it declarative),
+    # then the global rank over the pruned candidate set
+    # rank(), NOT row_number(): a partition whose boundary price ties
+    # must keep ALL tie rows locally or the global tie set loses members
+    per_part = o.withColumn(
+        "rk_local",
+        F.rank().over(
+            W.partitionBy(F.spark_partition_id()).orderBy(F.desc("price"))
+        ),
+    ).filter(F.col("rk_local") <= TIES_LIMIT)
+    ranked = per_part.withColumn(
+        "rk", F.rank().over(W.orderBy(F.desc("price")))
+    )
+    return ranked.filter(F.col("rk") <= TIES_LIMIT).select("o_custkey", "price")

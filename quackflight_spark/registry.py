@@ -75,6 +75,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_power_mde",
     "scan_jsonl_nested",
     "ann_recall_eval",
+    "fn_date_spine",
+    "orderby_limit_ties",
     # -- Block U: keys that have NEVER had a driver CORRECTNESS row
     # (the r4-r6 gate windows truncated before reaching them) --
     "events_pattern_match",

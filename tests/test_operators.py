@@ -1120,6 +1120,52 @@ def test_funnel_windowed_matches_bruteforce(spark, sf_dir):
     assert out == want, (out, want)
 
 
+def test_date_spine_covers_range(spark, sf_dir):
+    """fn_date_spine must emit one row per day from min to max event
+    date, with Monday-anchored DOW, correct surrogate keys and month
+    anchors."""
+    import datetime as dt
+
+    rows = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    lo = min(r.ts.date() for r in rows)
+    hi = max(r.ts.date() for r in rows)
+    days = [(lo + dt.timedelta(days=i)) for i in range((hi - lo).days + 1)]
+    got = {
+        r.d: (r.dow, r.is_weekday, r.date_key, r.month_start, r.is_week_start)
+        for r in _queries()["fn_date_spine"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        dow = (d - dt.date(1970, 1, 5)).days % 7
+        assert got[d][0] == dow == d.weekday()
+        assert got[d][1] == (dow < 5)
+        assert got[d][2] == int(d.strftime("%Y%m%d"))
+        assert got[d][3] == d.replace(day=1)
+        assert got[d][4] == (d.weekday() == 0)
+
+
+def test_limit_ties_keeps_all_boundary_rows(spark, sf_dir):
+    """orderby_limit_ties must keep every row tying the N-th price —
+    exactly the rank()<=N set recomputed in Python — and the local
+    rank() pre-filter must not lose boundary ties."""
+    from quackflight_spark.functions.scalar_suite import TIES_LIMIT
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    prices = sorted((round(r.o_totalprice, 2) for r in rows), reverse=True)
+    cutoff = prices[TIES_LIMIT - 1]
+    want = sorted(
+        (r.o_custkey, round(r.o_totalprice, 2))
+        for r in rows
+        if round(r.o_totalprice, 2) >= cutoff
+    )
+    got = sorted(
+        (r.o_custkey, float(r.price))
+        for r in _queries()["orderby_limit_ties"](spark, sf_dir).collect()
+    )
+    assert got == want
+    assert len(got) >= TIES_LIMIT
+
+
 def test_ann_recall_eval_is_set_intersection(spark, sf_dir):
     """ann_recall_eval must equal |exact ∩ approx| / k per query over
     the two component keys' own results, cover every query, and measure
