@@ -197,6 +197,8 @@ BENCH_KEYS = [
     "ann_recall_eval",
     "fn_date_spine",
     "orderby_limit_ties",
+    # new r8
+    "dedup_lsh_recall_curve",
 ]
 
 

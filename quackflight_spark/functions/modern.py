@@ -451,7 +451,7 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT flag, CAST(max(tw) AS BIGINT) AS total_weight,
-           min(v) AS weighted_median
+           CAST(min(v) AS DOUBLE) AS weighted_median
     FROM cum WHERE 2 * cw >= tw GROUP BY flag
 """)
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,7 +495,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(
             F.max("tw").cast("bigint").alias("total_weight"),
-            F.min("v").alias("weighted_median"),
+            F.min("v").cast("double").alias("weighted_median"),
         )
     )
 

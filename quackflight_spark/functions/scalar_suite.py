@@ -652,7 +652,8 @@ TIES_LIMIT = 10  # top-N WITH TIES target
                AS rk
       FROM orders
     )
-    SELECT o_custkey, price FROM ranked WHERE rk <= {TIES_LIMIT}
+    SELECT o_custkey, CAST(price AS DOUBLE) AS price
+    FROM ranked WHERE rk <= {TIES_LIMIT}
 """)
 def orderby_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-N WITH TIES (new r7): ANSI `FETCH FIRST n ROWS WITH TIES` —
@@ -669,7 +670,8 @@ def orderby_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_ntile/events_rfm machinery demonstrates (per-partition top-n,
     then rank the bounded union — lossless because a global top-n row
     must be a partition top-n row). Prices compare as exact DECIMAL so
-    the tie set is engine-identical."""
+    the tie set is engine-identical; only the EMITTED price casts to
+    DOUBLE on both texts (decimal output = canonicalizer hazard)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
@@ -690,4 +692,6 @@ def orderby_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_part.withColumn(
         "rk", F.rank().over(W.orderBy(F.desc("price")))
     )
-    return ranked.filter(F.col("rk") <= TIES_LIMIT).select("o_custkey", "price")
+    return ranked.filter(F.col("rk") <= TIES_LIMIT).select(
+        "o_custkey", F.col("price").cast("double").alias("price")
+    )

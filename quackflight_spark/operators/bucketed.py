@@ -34,7 +34,9 @@ from pyspark.sql import functions as F
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
-BUCKET_ROOT = "/tmp/qf_bucketed"  # derived data; fixtures untouched
+from quackflight_spark.staging import stage_root
+
+BUCKET_ROOT = stage_root("bucketed")  # derived data; fixtures untouched
 N_BUCKETS = 16
 
 
@@ -69,7 +71,7 @@ def bucketed_table(
 @query("join_bucketed_colocated", oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -93,7 +95,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
+            .cast("double")
             .alias("revenue"),
         )
     )

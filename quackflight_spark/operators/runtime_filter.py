@@ -25,7 +25,7 @@ RF_REGION = "EUROPE"     # the selective dim predicate
 @query("join_bloom_prefilter", oracle=f"""
     SELECT l.l_suppkey,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -102,6 +102,6 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.sum("price").cast("decimal(28,2)").alias("revenue"),
+            F.sum("price").cast("double").alias("revenue"),
         )
     )

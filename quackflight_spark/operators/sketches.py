@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
-SKETCH_ROOT = "/tmp/qf_sketch_tables"  # derived data; fixtures untouched
+from quackflight_spark.staging import stage_root
+
+SKETCH_ROOT = stage_root("sketch_tables")  # derived data; fixtures untouched
 
 
 def build_sketch_table(spark: SparkSession, sf_dir: str) -> str:

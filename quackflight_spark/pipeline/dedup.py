@@ -1134,3 +1134,179 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(ordered, " ").alias("text_clean"),
         F.count(F.lit(1)).cast("int").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall curve (r8) — the near-dup family's completeness critic
+# ---------------------------------------------------------------------------
+
+LSH_EVAL_MOD = 10           # eval sample: doc_id % 10 == 0 (500 docs at sf0.01)
+LSH_EVAL_PCTS = (5, 10, 20, 30, 50, 70)  # nominal prefix-overlap levels
+
+
+@query("dedup_lsh_recall_curve", oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS sh
+      FROM documents WHERE doc_id % {LSH_EVAL_MOD} = 0
+    ),
+    based AS (
+      SELECT doc_id, len(sh) AS n,
+             list_transform(sh, s ->
+               CAST('0x' || substr(md5('0' || ':' || s), 1, 15) AS BIGINT)
+               % {MINHASH_P}) AS base
+      FROM t
+    ),
+    var AS (
+      SELECT doc_id, n, pct,
+             greatest(1, (n * pct) // 100) AS k,
+             base[1:CAST(greatest(1, (n * pct) // 100) AS BIGINT)] AS vbase,
+             10000 * greatest(1, (n * pct) // 100) // n AS j_bp,
+             base
+      FROM based, (SELECT unnest([{", ".join(str(p) for p in LSH_EVAL_PCTS)}]) AS pct)
+    ),
+    sigo AS (
+      SELECT doc_id,
+             list_transform(range(0, {N_MINHASH}), i ->
+               list_min(list_transform(base, h ->
+                 ((2*i + 1) * h + 40503*i + 1231) % {MINHASH_P}))) AS sig
+      FROM based
+    ),
+    sigv AS (
+      SELECT doc_id, pct, j_bp,
+             list_transform(range(0, {N_MINHASH}), i ->
+               list_min(list_transform(vbase, h ->
+                 ((2*i + 1) * h + 40503*i + 1231) % {MINHASH_P}))) AS sig
+      FROM var
+    ),
+    bando AS (
+      SELECT doc_id, u.b AS band,
+             md5(CAST(sig[2*u.b + 1] AS VARCHAR) || ',' ||
+                 CAST(sig[2*u.b + 2] AS VARCHAR)) AS bucket
+      FROM sigo, (SELECT unnest(range(0, {LSH_BANDS})) AS b) u
+    ),
+    bandv AS (
+      SELECT doc_id, pct, u.b AS band,
+             md5(CAST(sig[2*u.b + 1] AS VARCHAR) || ',' ||
+                 CAST(sig[2*u.b + 2] AS VARCHAR)) AS bucket
+      FROM sigv, (SELECT unnest(range(0, {LSH_BANDS})) AS b) u
+    ),
+    caught AS (
+      SELECT DISTINCT v.doc_id, v.pct
+      FROM bandv v JOIN bando o
+        ON o.doc_id = v.doc_id AND o.band = v.band AND o.bucket = v.bucket
+    )
+    SELECT v.pct AS nominal_pct,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           CAST(sum(v.j_bp) AS BIGINT) AS sum_j_bp,
+           round(CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS recall
+    FROM var v
+    LEFT JOIN caught c ON c.doc_id = v.doc_id AND c.pct = v.pct
+    GROUP BY v.pct
+""")
+def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding recall curve (new r8) — the completeness critic of the
+    near-dup family, the ann_recall_eval discipline applied to
+    dedup_minhash_lsh's candidate stage: what fraction of TRUE
+    Jaccard-similar pairs does the configured {LSH_BANDS}x{LSH_ROWS}
+    banding actually surface, per similarity level?
+
+    The fixture corpus has no mid-similarity pairs (its 25 true pairs
+    all sit at j >= 0.9, where the banding's miss bound is ~4e-10 and a
+    measured recall of 1.0 proves nothing), so the evaluator builds its
+    own controlled ground truth: for each sampled doc (doc_id %
+    {LSH_EVAL_MOD} = 0) and each nominal level f in {LSH_EVAL_PCTS}%, a
+    PREFIX VARIANT keeps the first max(1, floor(f*n/100)) of the doc's n
+    sorted shingles — a subset, so true Jaccard(variant, doc) = k/n
+    exactly, recorded per pair as j_bp. Both the variant construction
+    and the full MinHash+banding replay are deterministic md5/affine
+    arithmetic, so the DuckDB oracle reproduces the measurement
+    bit-for-bit — the harness proves the evaluator itself.
+
+    The S-curve this emits (collision prob ~= 1-(1-j^2)^{LSH_BANDS}:
+    ~5% at j=0.05, ~27% at 0.10, ~73% at 0.20, ~95% at 0.30, ~1 past
+    0.50) is the honesty artifact the banding config ships with: it
+    quantifies exactly what sub-threshold similarity the pipeline
+    ignores, the way ann_recall_eval quantifies IVF pruning loss.
+
+    Scale shape: the eval is sample-bounded (|sample| x |levels| rows,
+    each a bounded array), band matching is an equi-join on (doc, band,
+    bucket) — no all-pairs anywhere; at 100 TB the same eval runs on a
+    fixed-size sampled slice, cost independent of corpus size."""
+    d = doc_shingles(spark, sf_dir).filter(F.col("doc_id") % LSH_EVAL_MOD == 0)
+    based = _barrier(
+        d.select(
+            "doc_id",
+            F.size("sh").cast("bigint").alias("n"),
+            minhash_base(F.col("sh")).alias("base"),
+        )
+    )
+    var = (
+        based.select(
+            "doc_id",
+            "n",
+            "base",
+            F.explode(F.array(*[F.lit(p) for p in LSH_EVAL_PCTS])).alias("pct"),
+        )
+        .withColumn("k", F.greatest(F.lit(1).cast("bigint"), F.expr("n * pct DIV 100")))
+        .withColumn("vbase", F.expr("slice(base, 1, CAST(k AS INT))"))
+        .withColumn("j_bp", F.expr("10000 * k DIV n"))
+    )
+    sigo = based.select("doc_id", minhash_signature(F.col("base")).alias("sig"))
+    sigv = _barrier(
+        var.select("doc_id", "pct", "j_bp", minhash_signature(F.col("vbase")).alias("sig"))
+    )
+
+    def bands_of(df: DataFrame, extra: list) -> DataFrame:
+        return df.select(
+            *extra,
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(
+                                    F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS
+                                ).cast("array<string>"),
+                            )
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(*extra, "doc_id", "bb.band", "bb.bucket")
+
+    bando = bands_of(sigo, [])
+    bandv = bands_of(sigv, ["pct"])
+    caught = (
+        bandv.alias("v")
+        .join(
+            bando.alias("o"),
+            (F.col("o.doc_id") == F.col("v.doc_id"))
+            & (F.col("o.band") == F.col("v.band"))
+            & (F.col("o.bucket") == F.col("v.bucket")),
+        )
+        .select(F.col("v.doc_id").alias("doc_id"), F.col("v.pct").alias("pct"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        var.select("doc_id", "pct", "j_bp")
+        .join(caught, ["doc_id", "pct"], "left")
+        .groupBy(F.col("pct").alias("nominal_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_caught"),
+            F.sum("j_bp").cast("bigint").alias("sum_j_bp"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )

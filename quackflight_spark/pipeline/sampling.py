@@ -492,13 +492,14 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("pipeline_importance_sample", oracle="""
     WITH scored AS (
       SELECT doc_id,
-             CAST(10000 * len(regexp_extract_all(text, '[A-Za-z ]'))
-                  / greatest(n_chars, 1) AS BIGINT) AS score_bp,
+             10000 * len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+               // greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)
+               AS score_bp,
              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 12)
                   AS BIGINT) AS u
       FROM documents
     )
-    SELECT doc_id, score_bp
+    SELECT doc_id, CAST(score_bp AS BIGINT) AS score_bp
     FROM scored
     WHERE u * 10000 < score_bp * 281474976710656
 """)
@@ -509,27 +510,34 @@ def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2023) and quality-weighted corpus mixing: instead of a hard
     quality CUTOFF (pipeline_corpus_prep's filter), the corpus is
     THINNED so better documents survive more often, preserving tail
-    diversity while shifting the quality distribution. Here the weight
-    is the in-repo quality proxy (clean-character share in basis
-    points); a production DSIR run swaps in the importance ratio of
-    two n-gram LMs — the acceptance machinery is identical.
+    diversity while shifting the quality distribution. The weight is
+    the type-token ratio in basis points (distinct words / words) — a
+    quality proxy that genuinely VARIES on the fixture (r7's
+    clean-character share was 10000 for every document, so the
+    accept/reject path — the operator's entire point — was never
+    exercised; r8 advice item). A production DSIR run swaps in the
+    importance ratio of two n-gram LMs — the acceptance machinery is
+    identical.
 
     Exactness (the pipeline_dp_counts / events_bootstrap_ci zero-RNG
     recipe): accept doc d iff u48(d) · 10⁴ < score_bp(d) · 2⁴⁸ — a pure
     BIGINT cross-multiplication of the 48-bit md5 draw against the
     basis-point score (max product 2.8e18, inside int64), so the draw
     is deterministic, engine-identical, and reproducible run-over-run
-    (the property a training pipeline needs for data lineage).
+    (the property a training pipeline needs for data lineage). The
+    score itself is an integer FLOOR division on both texts (Spark DIV
+    / DuckDB //): a double->bigint CAST would round half-away in
+    DuckDB but truncate in Spark — the half-case divergence the r8
+    advice flagged.
 
     Scale shape: zero shuffles — score, draw and accept are one
     codegen projection over the scan; downstream consumers see a
     corpus whose size concentrates toward quality mass with no
     repartition."""
     d = load_table(spark, sf_dir, "documents")
-    score_bp = (
-        10000
-        * F.regexp_count(F.col("text"), F.lit("[A-Za-z ]"))
-        / F.greatest(F.col("n_chars"), F.lit(1))
+    score_bp = F.expr(
+        "(10000 * CAST(size(array_distinct(split(trim(text), '\\\\s+'))) AS BIGINT))"
+        " DIV greatest(CAST(size(split(trim(text), '\\\\s+')) AS BIGINT), 1)"
     ).cast("bigint")
     u = F.conv(
         F.substring(
@@ -554,7 +562,7 @@ def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT)) AS BIGINT) AS content_xor,
            CAST(sum(CAST('0x' || substr(
                   md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 12)
-                AS BIGINT)) AS BIGINT) AS content_sum
+                AS BIGINT)) % 281474976710656 AS BIGINT) AS content_sum
     FROM documents
     GROUP BY GROUPING SETS ((source), ())
 """)
@@ -573,6 +581,12 @@ def pipeline_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the digest is identical under ANY partitioning, row order, or
     engine — and mergeable: per-shard partial digests fold into the
     corpus root without rescanning (the agg_bitmap_distinct argument).
+    The SUM digest accumulates in 128-bit (Spark DECIMAL(38,0), DuckDB
+    HUGEINT) and emits sum mod 2^48: a raw BIGINT sum of 48-bit row
+    hashes overflows int64 at ~65k docs, exactly the corpus scale the
+    mergeability claim targets, and the engines disagree on overflow
+    (DuckDB raises on the HUGEINT->BIGINT cast, non-ANSI Spark wraps) —
+    r8 advice item, made unrepresentable by construction.
     One map-side-combinable GROUPING SETS pass emits per-source rows
     and the '__ALL__' root together."""
     d = load_table(spark, sf_dir, "documents")
@@ -598,7 +612,9 @@ def pipeline_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.bit_xor("h").cast("bigint").alias("content_xor"),
-            F.sum("h").cast("bigint").alias("content_sum"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(2**48))
+            .cast("bigint")
+            .alias("content_sum"),
         )
         .select(
             F.coalesce("source", F.lit("__ALL__")).alias("source"),

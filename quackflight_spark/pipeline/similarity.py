@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from quackflight_spark.registry import ORACLES, QUERIES, query
 from quackflight_spark.sources.fixtures import load_table
+from quackflight_spark.staging import stage_root
 
 TOP_K = 5
 N_QUERIES = 10          # query set = vec_id < 10
@@ -531,7 +532,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Materialized IVF index: the build-once / prune-on-read layout
 
-IVF_LAYOUT_ROOT = "/tmp/qf_ivf_layout"  # derived data; fixtures untouched
+IVF_LAYOUT_ROOT = stage_root("ivf_layout")  # derived data; fixtures untouched
 
 
 def ivf_build_index(spark: SparkSession, sf_dir: str) -> str:

@@ -36,71 +36,40 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 # Keys the driver's budget-limited correctness gate should reach FIRST,
 # in order. The gate walks queries() in dict order and truncates at 50
-# keys (observed every round). r7 rotation, regenerated from
-# CORRECTNESS_r01-06: (1) the operators added in r7 (never checked),
-# (2) the 13 keys that STILL have no driver row (the r4-r6 windows
-# truncated before reaching them), (3) everything else ordered by
-# last-checked round ascending so the stalest evidence refreshes first.
-# Rows-only keys dead last: each costs a gate slot for an
-# `err:"no_oracle"` row (r4's ann_lsh_topk slot proved that), so they
-# must never sit ahead of an unproven oracle key.
+# keys (observed every round). r8 rotation, regenerated from
+# CORRECTNESS_r01-07: (1) the 9 keys whose OUTPUT SCHEMA changed this
+# round (decimal->double, re-proof required — the six r6/r7 red rows
+# lead), (2) the 3 advice-hardened keys whose query/oracle texts
+# changed, (3) the r8-new key, (4) everything else ordered by
+# last-driver-row round ascending so the stalest evidence refreshes
+# first (as of r7 every key has at least one row). Rows-only keys dead
+# last: each costs a gate slot for an `err:"no_oracle"` row (r4's
+# ann_lsh_topk slot proved that), so they must never sit ahead of an
+# unproven oracle key.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block R7: operators added in round 7, never driver-checked --
-    "graph_bfs",
-    "graph_kcore",
-    "graph_adamic_adar",
-    "events_did",
-    "events_attribution_position",
-    "events_qte",
-    "timeseries_downsample_lttb",
-    "pipeline_dp_counts",
+    # -- Block R8-FIX: the 9 keys whose output schema changed this round
+    # (decimal final columns -> DOUBLE, the r6/r7 canonicalizer hazard).
+    # The six driver-red rows first (oldest reds lead), then the three
+    # lucky survivors whose schemas also changed and need fresh rows.
+    "scan_time_travel",
+    "merge_cdc_apply",
+    "timeseries_ohlc",
     "scan_schema_evolution",
     "join_bloom_prefilter",
-    "mm_scene_cuts",
-    "text_url_normalize",
     "stream_cdc_apply",
-    "timeseries_ewma_control",
-    "pipeline_importance_sample",
-    "graph_lpa_communities",
-    "cluster_dbscan",
-    "text_collocations_pmi",
-    "events_concurrency",
-    "scan_csv_badrecords",
-    "mm_audio_vad",
-    "pipeline_dataset_fingerprint",
-    "events_anova_dow",
-    "events_ratio_delta_method",
-    "timeseries_vwap",
-    "agg_winsorized_mean",
-    "events_power_mde",
-    "scan_jsonl_nested",
-    "ann_recall_eval",
-    "fn_date_spine",
     "orderby_limit_ties",
-    # -- Block U: keys that have NEVER had a driver CORRECTNESS row
-    # (the r4-r6 gate windows truncated before reaching them) --
-    "events_pattern_match",
-    "layout_zorder",
-    "stream_pattern_match",
-    "join_ip_lpm",
-    "timeseries_holt",
-    "stream_holt",
-    "fn_geohash",
-    "scan_xml",
-    "scan_orc",
-    "scan_binary_files",
-    "fn_format_ch",
-    "events_ab_srm",
-    "sample_reservoir",
-    # -- everything else, stalest driver evidence first (last-checked
-    # round ascending; r7 rotation regenerated from CORRECTNESS_r01-06) --
-    # last checked r1:
-    "sample_percent",
-    "scan_parquet",
-    "scan_table",
-    "project_cols",
-    "filter_eq",
-    "filter_conj",
+    "agg_weighted_median",
+    "join_bucketed_colocated",
+    # -- Block R8-ADV: keys whose query/oracle text changed per ADVICE
+    # (advice-driven semantic hardening — need re-proof rows) --
+    "pipeline_importance_sample",
+    "pipeline_dataset_fingerprint",
+    "events_concurrency",
+    # -- Block R8-NEW: operators added in round 8, never driver-checked --
+    "dedup_lsh_recall_curve",
+    # -- everything else, stalest driver evidence first (last driver
+    # CORRECTNESS row, ascending round; regenerated at r8 from
+    # CORRECTNESS_r01-r07 — every key now has at least one row) --
     "filter_param",
     "filter_between_in",
     "filter_like_regex",
@@ -137,7 +106,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    # last checked r2:
     "join_asof",
     "win_rank",
     "win_percent",
@@ -179,7 +147,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q18",
     "tpch_q2",
     "tpch_q7",
-    # last checked r3:
     "split_train_test",
     "sample_stratified",
     "sample_quota",
@@ -204,7 +171,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # last checked r4:
     "dedup_incremental",
     "dedup_lines",
     "events_sessionize",
@@ -253,7 +219,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mm_resize",
     "fmt_jsoncompact",
     "stream_watermark_late",
-    # last checked r5:
     "dedup_clusters",
     "basket_pair_lift",
     "join_fuzzy_names",
@@ -303,7 +268,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_corpus_prep",
     "mm_binary_meta",
     "mm_frame_sample",
-    # last checked r6:
     "layout_hilbert",
     "join_scd2_pointintime",
     "dedup_containment",
@@ -318,8 +282,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_ltv_triangle",
     "timeseries_forecast_snaive",
     "join_nearest",
-    "scan_time_travel",
-    "agg_weighted_median",
     "text_code_detect",
     "agg_skew_kurtosis",
     "events_time_to_convert",
@@ -339,23 +301,63 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_hll_portable",
     "timeseries_cusum",
     "events_ks_test",
-    "merge_cdc_apply",
-    "join_bucketed_colocated",
     "join_spatial_grid",
     "events_welch_ttest",
     "join_spatial_nn",
     "join_interval_overlap",
     "text_readability",
     "agg_cms_frequency",
-    "timeseries_ohlc",
     "graph_jaccard",
     "events_ab_test",
     "sample_random",
     "text_entropy",
     "graph_triangles",
     "events_cuped",
-    # -- rows-only by design, dead last (would burn a gate slot on a
-    # weaker no-oracle check) --
+    "graph_bfs",
+    "graph_kcore",
+    "graph_adamic_adar",
+    "events_did",
+    "events_attribution_position",
+    "events_qte",
+    "timeseries_downsample_lttb",
+    "pipeline_dp_counts",
+    "mm_scene_cuts",
+    "text_url_normalize",
+    "timeseries_ewma_control",
+    "graph_lpa_communities",
+    "cluster_dbscan",
+    "text_collocations_pmi",
+    "scan_csv_badrecords",
+    "mm_audio_vad",
+    "events_anova_dow",
+    "events_ratio_delta_method",
+    "timeseries_vwap",
+    "agg_winsorized_mean",
+    "events_power_mde",
+    "scan_jsonl_nested",
+    "ann_recall_eval",
+    "fn_date_spine",
+    "events_pattern_match",
+    "layout_zorder",
+    "stream_pattern_match",
+    "join_ip_lpm",
+    "timeseries_holt",
+    "stream_holt",
+    "fn_geohash",
+    "scan_xml",
+    "scan_orc",
+    "scan_binary_files",
+    "fn_format_ch",
+    "events_ab_srm",
+    "sample_reservoir",
+    "sample_percent",
+    "scan_parquet",
+    "scan_table",
+    "project_cols",
+    "filter_eq",
+    "filter_conj",
+    # rows-only keys dead last: each costs a gate slot for an
+    # err:"no_oracle" row (r4's ann_lsh_topk slot proved that)
     "agg_hll_sketch_table",
 )
 

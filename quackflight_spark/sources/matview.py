@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
-MV_ROOT = "/tmp/qf_events_mv"  # derived data; fixtures untouched
+from quackflight_spark.staging import stage_root
+
+MV_ROOT = stage_root("events_mv")  # derived data; fixtures untouched
 SPLIT_DAY = "2024-01-20"  # days <= SPLIT_DAY are the initial build
 
 

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
-MERGE_ROOT = "/tmp/qf_merge_target"  # derived data; fixtures untouched
+from quackflight_spark.staging import stage_root
+
+MERGE_ROOT = stage_root("merge_target")  # derived data; fixtures untouched
 
 
 def merge_upsert_cow(
@@ -476,7 +478,7 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            last_[3] AS last_op,
-           CAST(last_[4] AS DECIMAL(18,2)) AS last_value,
+           CAST(last_[4] AS DOUBLE) AS last_value,
            last_[1] AS last_ts,
            n_changes
     FROM compacted
@@ -525,7 +527,7 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("last_.op").alias("last_op"),
-            F.col("last_.v").alias("last_value"),
+            F.col("last_.v").cast("double").alias("last_value"),
             F.col("last_.ts").alias("last_ts"),
             "n_changes",
         )

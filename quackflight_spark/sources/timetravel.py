@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
-TT_ROOT = "/tmp/qf_timetravel"
+from quackflight_spark.staging import stage_root
+
+TT_ROOT = stage_root("timetravel")
 TT_UPD_NATION_MOD = 3   # nations n % 5 == 3 get the v1 balance update
 TT_UPD_KEY_MOD = 3      # ... for customers c_custkey % 10 == 3
 TT_DEL_KEY_MOD = 2      # v2 deletes c_custkey % 7 == 2
@@ -140,11 +142,11 @@ def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
     v2 AS (SELECT * FROM v1 WHERE c_custkey % 7 <> {TT_DEL_KEY_MOD})
     SELECT 1 AS version, c_nationkey,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(bal) AS DECIMAL(28,2)) AS total_bal
+           CAST(sum(bal) AS DOUBLE) AS total_bal
     FROM v1 GROUP BY c_nationkey
     UNION ALL
     SELECT 2, c_nationkey, CAST(count(*) AS BIGINT),
-           CAST(sum(bal) AS DECIMAL(28,2))
+           CAST(sum(bal) AS DOUBLE)
     FROM v2 GROUP BY c_nationkey
 """)
 def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,7 +157,9 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL v0 files (never copied), v2 proves a delete that
     touched zero data files (the broadcast anti-join applies the key
     sidecar at read time). The oracle replays both versions'
-    transformations from the raw fixture. Balances are DECIMAL-exact.
+    transformations from the raw fixture. Balances stay DECIMAL-exact
+    internally; the final total casts to DOUBLE (decimal output is a
+    driver-canonicalizer hazard — r6/r7 lesson).
 
     Scale shape: the manifest IS the scale mechanism — commit cost is
     proportional to changed data, not table size; snapshot isolation is
@@ -171,7 +175,7 @@ def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             snap.groupBy("c_nationkey")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum("bal").cast("decimal(28,2)").alias("total_bal"),
+                F.sum("bal").cast("double").alias("total_bal"),
             )
             .select(
                 F.lit(v).cast("int").alias("version"),

@@ -674,7 +674,7 @@ CONC_GAP_MIN = 30  # session gap, matches events_sessionize
 
 @query("events_concurrency", oracle=f"""
     WITH marked AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                     OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
                        > INTERVAL {CONC_GAP_MIN} MINUTE
@@ -687,7 +687,7 @@ CONC_GAP_MIN = 30  # session gap, matches events_sessionize
              epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
       FROM (
         SELECT user_id, ts,
-               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
       ) GROUP BY user_id, sid
@@ -742,6 +742,7 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -753,9 +754,13 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
+    # event_id tiebreaks the cumulative sum: without it, a user with
+    # two events at the same ts straddling a session start would get
+    # engine/partition-order-dependent session membership (r8 advice;
+    # the same total-(ts, event_id) order the is_start lag already uses)
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = (

@@ -429,7 +429,7 @@ def cdc_compactor(
     )
     SELECT user_id,
            last_[3] AS last_op,
-           CAST(last_[4] AS DECIMAL(18,2)) AS last_value,
+           CAST(last_[4] AS DOUBLE) AS last_value,
            last_[1] AS last_ts,
            n_changes
     FROM compacted
@@ -483,7 +483,7 @@ def stream_cdc_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             "user_id",
             "last_op",
             (F.col("last_cents").cast("decimal(18,2)") / 100)
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("last_value"),
             F.timestamp_micros(F.col("last_ts_us")).alias("last_ts"),
             "n_changes",

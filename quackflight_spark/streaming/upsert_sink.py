@@ -31,7 +31,9 @@ from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 from quackflight_spark.sources.merge import _COLS, _SEGS, merge_upsert_cow
 
-SINK_ROOT = "/tmp/qf_stream_upsert"  # derived data; fixtures untouched
+from quackflight_spark.staging import stage_root
+
+SINK_ROOT = stage_root("stream_upsert")  # derived data; fixtures untouched
 
 
 def run_upsert_stream(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
+from quackflight_spark.staging import stage_root
 
 
 @query("stream_tumbling", oracle="""
@@ -171,7 +172,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replayed.dropDuplicates(["event_id"])
 
 
-EVENTS_LAYOUT_ROOT = "/tmp/qf_events_layout"  # derived data; fixtures untouched
+EVENTS_LAYOUT_ROOT = stage_root("events_layout")  # derived data; fixtures untouched
 ROLLUP_FROM, ROLLUP_TO = "2024-01-08", "2024-01-14"
 
 
@@ -2040,10 +2041,10 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY event_type, day
     )
     SELECT event_type, day,
-           CAST(o[3] AS DECIMAL(18,2)) AS open,
-           high, low,
-           CAST(c[3] AS DECIMAL(18,2)) AS close,
-           n_ticks, CAST(total AS DECIMAL(28,2)) AS total
+           CAST(o[3] AS DOUBLE) AS open,
+           CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
+           CAST(c[3] AS DOUBLE) AS close,
+           n_ticks, CAST(total AS DOUBLE) AS total
     FROM agg
 """)
 def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2057,8 +2058,12 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id, value)) — the shuffle-once argmin idiom (same as
     pipeline_dedup_keep_best / join_spatial_nn), so there is no window
     function and no per-bucket sort anywhere; high/low/total are plain
-    DECIMAL-exact aggregates. Every output column is integer/decimal —
-    nothing floats, both engines hash-match bit-for-bit.
+    DECIMAL-exact aggregates internally. The FINAL projection casts to
+    DOUBLE on both engine texts: DECIMAL in an output schema is a gate
+    hazard (DuckDB's pandas path renders it float64 while Spark keeps
+    Decimal objects, so trailing-zero cells stringify differently) —
+    the r6/r7 lesson; exactness lives upstream, the emitted type is
+    canonicalizer-safe.
 
     Scale shape: ONE map-side-combinable groupBy on (series, bucket) —
     the partial aggregates are constant-size per group, so 100 TB of
@@ -2089,12 +2094,12 @@ def timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "day",
-            F.col("o.v").alias("open"),
-            "high",
-            "low",
-            F.col("c.v").alias("close"),
+            F.col("o.v").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("c.v").cast("double").alias("close"),
             "n_ticks",
-            "total",
+            F.col("total").cast("double").alias("total"),
         )
     )
 

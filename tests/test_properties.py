@@ -696,8 +696,10 @@ def test_ohlc_open_close_are_first_last_ticks(spark, sf_dir, q):
     assert set(got) == set(buckets)
     for k, ticks in buckets.items():
         ticks.sort()
-        assert got[k]["open"] == ticks[0][2], k
-        assert got[k]["close"] == ticks[-1][2], k
+        # outputs are DOUBLE since r8 (decimal-output gate hazard);
+        # the decimal->double cast of a 2-dp cents value is exact
+        assert got[k]["open"] == float(ticks[0][2]), k
+        assert got[k]["close"] == float(ticks[-1][2]), k
         assert got[k]["n_ticks"] == len(ticks)
 
 
@@ -842,7 +844,9 @@ def test_cdc_apply_matches_sequential_replay(spark, sf_dir, q):
         counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
         state[r["user_id"]] = (op, r["v"], r["ts"])
     want = {
-        k: (op, v, ts, counts[k])
+        # last_value is DOUBLE since r8 (decimal-output gate hazard);
+        # the decimal->double cast of a 2-dp value is exact
+        k: (op, float(v), ts, counts[k])
         for k, (op, v, ts) in state.items()
         if op != "D"
     }

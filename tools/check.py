@@ -1,8 +1,23 @@
 """Local differential harness mimicking the driver's t2 oracle compare.
 
 Runs every __spark_entry__.queries()[k] on Spark and oracle_sql()[k] on
-DuckDB over the same parquet fixtures, then compares row count, column
-names, and order-insensitive values (column-name-sorted, like the driver).
+DuckDB over the same parquet fixtures, then compares the two results in
+the DRIVER'S canonicalizer, not a lookalike: both sides are materialized
+as pandas frames (Spark via df.toPandas(), the oracle via con.execute().
+df()), columns sorted by name, every cell stringified, rows sorted, then
+compared string-for-string.
+
+This is the r7 post-mortem fix. The previous compare normalized Python-
+native rowsets (fetchall tuples, `.10g` floats) and a separate
+`_gate_risk` emulation flagged only int-vs-float dtype splits — so it
+was structurally blind to object-Decimal-vs-float64 splits (six r6/r7
+driver-red rows: Decimal('45624.60') stringifies '45624.60', float64
+45624.6 stringifies '45624.6') and would have been blind to datetime-
+resolution splits too. The lesson is the same as r5's ANSI gap one layer
+up: validate in the grader's canonicalizer. Now ANY cross-frame dtype
+split (object-vs-numeric, datetime unit, int width) is reported, and the
+value compare itself happens on the stringified pandas cells the driver
+hashes.
 
 Usage:
     python tools/check.py                 # all keys at sf0.01
@@ -22,7 +37,6 @@ the ANSI-off-only harness).
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -39,68 +53,103 @@ TABLES = (
 )
 
 
-def _gate_risk(key: str, s_cols, s_rows, con, oracle: str) -> list[str]:
-    """Emulate the DRIVER's canonicalizer (pandas-based) to surface
-    gate-compatibility hazards the value compare below tolerates:
+def _cell_str(v) -> str:
+    """Stringify one pandas cell the way an order-insensitive hasher
+    sees it. Floats are repr'd (shortest round-trip — what pandas/str
+    emit for float64); date/datetime-likes all normalize to the
+    pd.Timestamp str form (DuckDB's .df() renders DATE as a midnight
+    Timestamp while Spark's toPandas keeps datetime.date objects, and
+    driver-green keys like fn_date_spine prove the driver treats those
+    as equal); everything else is str()."""
+    import datetime as _dt
 
-    - unhashable cells: raw array/map values break pandas sort_values
-      (r2: fn_array_hof/fn_array_ops/fn_map_access, r1: agg_list)
-    - dtype artifacts: DuckDB HUGEINT reaches pandas as float64 while the
-      Spark column is int64, so equal values hash differently
-      (r2: tpch_q12)
-    """
+    import numpy as np
     import pandas as pd
 
-    risks: list[str] = []
-    try:
-        spd = pd.DataFrame(s_rows, columns=s_cols)
-        spd = spd[sorted(spd.columns)]
-        spd.sort_values(list(spd.columns))
-    except TypeError as ex:
-        risks.append(f"spark frame not pandas-sortable ({ex})")
-    try:
-        dpd = con.execute(oracle).df()
-        dpd = dpd[sorted(dpd.columns)]
-        dpd.sort_values(list(dpd.columns))
-    except TypeError as ex:
-        risks.append(f"oracle frame not pandas-sortable ({ex})")
-        dpd = None
-    except Exception:
-        dpd = None
-    if dpd is not None and not risks and len(spd.columns) == len(dpd.columns):
-        for c in spd.columns:
-            sk, dk = spd[c].dtype.kind, dpd[c].dtype.kind
-            if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
-                risks.append(
-                    f"column {c!r}: int-vs-float dtype split "
-                    f"(spark={spd[c].dtype}, oracle={dpd[c].dtype}) — "
-                    "HUGEINT-style hash artifact"
-                )
-    return risks
-
-
-def _norm(v):
-    """Normalize one cell for comparison."""
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.10g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat()
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        if f != f:
+            return "<NaN>"
+        return repr(f)
+    if v is pd.NaT or v is pd.NA:
+        return "<NULL>"
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        return str(pd.Timestamp(v))
+    if isinstance(v, (pd.Timestamp, _dt.datetime, np.datetime64)):
+        return str(pd.Timestamp(v))
+    if isinstance(v, (np.ndarray, list, tuple)):
+        return "[" + ",".join(_cell_str(x) for x in v) + "]"
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
-    return v
+        return (
+            "{"
+            + ",".join(
+                f"{k}:{_cell_str(x)}" for k, x in sorted(v.items(), key=lambda t: str(t[0]))
+            )
+            + "}"
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
 
 
-def _rowset(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
-    """Sort columns by name (driver behavior) and normalize values."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return sorted_cols, out
+def canonical_frame(pdf) -> tuple[list[str], list[tuple], dict[str, str]]:
+    """Driver-faithful canonicalization of a pandas frame: sort columns
+    by name, stringify every cell, sort the stringified rows. Returns
+    (sorted column names, sorted string rows, column dtype map)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    dtypes = {c: str(pdf[c].dtype) for c in cols}
+    rows = [
+        tuple(_cell_str(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return cols, rows, dtypes
+
+
+def dtype_splits(
+    s_dtypes: dict[str, str], d_dtypes: dict[str, str]
+) -> tuple[list[str], list[str]]:
+    """Cross-frame dtype divergences, partitioned into (hard, soft).
+
+    Hard splits FAIL: different dtype families stringify differently
+    even when values are equal — the proven driver-red classes are
+    object-Decimal vs float64 (r6/r7, six red rows) and int vs float
+    (r2 tpch_q12 HUGEINT).
+
+    Soft splits WARN only — each class proven driver-tolerated by
+    green rows that carry it: datetime64 unit differences (Spark
+    toPandas emits [ns], DuckDB .df() emits [us] — every driver-green
+    timestamp key), object-date vs datetime64 (fn_date_spine green),
+    and integer WIDTH (int32 vs int64 — win_rank/tpch_q7-q9/
+    fn_string_basic/fn_udtf_split/agg_list all green since r1-r4;
+    np.int32(5) and np.int64(5) stringify identically)."""
+
+    def fam(dt: str) -> str:
+        if dt.startswith("datetime64"):
+            return "dt"
+        if dt.startswith(("int", "uint")):
+            return "int"
+        return dt
+
+    hard, soft = [], []
+    for c in s_dtypes:
+        if c not in d_dtypes or s_dtypes[c] == d_dtypes[c]:
+            continue
+        msg = f"column {c!r}: spark={s_dtypes[c]} oracle={d_dtypes[c]}"
+        sf, df_ = fam(s_dtypes[c]), fam(d_dtypes[c])
+        if sf == df_:  # same family (dt unit, int width) — driver-tolerated
+            soft.append(msg)
+        elif {sf, df_} == {"dt", "object"}:
+            # object side may be datetime.date cells (Spark DateType);
+            # the stringifier normalizes both — soft. A non-date object
+            # column against datetime64 would fail the value compare.
+            soft.append(msg)
+        else:
+            hard.append(msg)
+    return hard, soft
 
 
 def main(keys: list[str]) -> int:
@@ -109,6 +158,7 @@ def main(keys: list[str]) -> int:
     from quackflight_spark.session import get_spark
 
     ansi = os.environ.get("ANSI", "") == "1"
+    strict_dtypes = os.environ.get("DTYPE_STRICT", "1") != "0"
     if "--ansi" in keys:
         keys = [k for k in keys if k != "--ansi"]
         ansi = True
@@ -117,7 +167,6 @@ def main(keys: list[str]) -> int:
     oracles = e.oracle_sql()
     if keys:
         queries = {k: queries[k] for k in keys}
-
     spark = get_spark(app_name="check", master="local[8]")
     if ansi:
         # Runtime-settable: flips this session to the driver's grading
@@ -136,26 +185,36 @@ def main(keys: list[str]) -> int:
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            s_cols = df.columns
-            s_rows = [tuple(r) for r in df.collect()]
+            spd = df.toPandas()
         except Exception as ex:
             print(f"FAIL  {key}: spark error: {ex}")
             n_fail += 1
             continue
         if key not in oracles:
-            print(f"rows  {key}: {len(s_rows)} rows (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {key}: {len(spd)} rows (no oracle, rows-only) "
+                f"[{time.time()-t0:.1f}s]"
+            )
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[key])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            dpd = con.execute(oracles[key]).df()
         except Exception as ex:
             print(f"FAIL  {key}: duckdb error: {ex}")
             n_fail += 1
             continue
-        sc, sr = _rowset(s_cols, s_rows)
-        dc, dr = _rowset(d_cols, d_rows)
+        try:
+            sc, sr, sd = canonical_frame(spd)
+        except Exception as ex:
+            print(f"FAIL  {key}: spark frame not canonicalizable: {ex}")
+            n_fail += 1
+            continue
+        try:
+            dc, dr, dd = canonical_frame(dpd)
+        except Exception as ex:
+            print(f"FAIL  {key}: oracle frame not canonicalizable: {ex}")
+            n_fail += 1
+            continue
         if sc != dc:
             print(f"FAIL  {key}: columns differ spark={sc} duckdb={dc}")
             n_fail += 1
@@ -169,12 +228,14 @@ def main(keys: list[str]) -> int:
             print(f"      duckdb: {dr[diff]}")
             n_fail += 1
         else:
-            risks = _gate_risk(key, s_cols, s_rows, con, oracles[key])
-            if risks:
-                for r in risks:
-                    print(f"RISK  {key}: {r}")
+            hard, soft = dtype_splits(sd, dd)
+            if hard and strict_dtypes:
+                for s in hard:
+                    print(f"RISK  {key}: dtype split — {s}")
                 n_fail += 1
             else:
+                for s in hard + soft:
+                    print(f"warn  {key}: dtype split (values equal) — {s}")
                 print(f"ok    {key}: {len(sr)} rows [{time.time()-t0:.1f}s]")
                 n_pass += 1
 
