@@ -852,3 +852,133 @@ def test_cdc_apply_matches_sequential_replay(spark, sf_dir, q):
     }
     assert got == want
     assert len(want) < len(counts)  # some keys really tombstoned
+
+
+def _both2(spark, a_rows, b_rows, sql: str):
+    """Two-table differential: register prop_a(k,a) / prop_b(k,b) in both
+    engines, run the SAME SQL text, return repr-sorted row lists. Key 0
+    is turned into NULL inside the queries (NULLIF) so hypothesis
+    reaches the null-semantics paths without nullable-dtype plumbing."""
+    pa = pd.DataFrame(a_rows, columns=["k", "a"], dtype="int64")
+    pb = pd.DataFrame(b_rows, columns=["k", "b"], dtype="int64")
+    spark.createDataFrame(pa).createOrReplaceTempView("prop_a")
+    spark.createDataFrame(pb).createOrReplaceTempView("prop_b")
+    s = [tuple(r) for r in spark.sql(sql).collect()]
+    con = duckdb.connect()
+    con.register("prop_a", pa)
+    con.register("prop_b", pb)
+    d = con.execute(sql).fetchall()
+    return sorted(map(repr, s)), sorted(map(repr, d))
+
+
+_PAIRS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), st.integers(min_value=-9, max_value=9)),
+    min_size=1,
+    max_size=12,
+)
+_PAIRS_B = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), st.integers(min_value=-9, max_value=9)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(_PAIRS, _PAIRS_B)
+def test_outer_join_null_key_semantics(spark, a_rows, b_rows):
+    """FULL OUTER JOIN over duplicate AND NULL keys must agree row-for-row:
+    null keys never match (each side's null rows surface unmatched), and
+    duplicate keys produce the full multiset product."""
+    if not b_rows:
+        b_rows = [(0, 0)]
+    sql = """
+        SELECT a.k AS ka, b.k AS kb, a.a AS a, b.b AS b
+        FROM (SELECT NULLIF(k, 0) AS k, a FROM prop_a) a
+        FULL JOIN (SELECT NULLIF(k, 0) AS k, b FROM prop_b) b
+          ON a.k = b.k
+    """
+    s, d = _both2(spark, a_rows, b_rows, sql)
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(_PAIRS, _PAIRS_B)
+def test_not_in_vs_not_exists_null_trap(spark, a_rows, b_rows):
+    """The classic ANSI null trap, pinned differentially: k NOT IN
+    (subquery containing NULL) yields NO rows, while NOT EXISTS treats
+    the null as simply unmatched — both engines must agree on BOTH
+    spellings for arbitrary generated inputs."""
+    if not b_rows:
+        b_rows = [(0, 0)]
+    sql = """
+        SELECT
+          (SELECT count(*) FROM prop_a
+            WHERE k NOT IN (SELECT NULLIF(k, 0) FROM prop_b)) AS n_not_in,
+          (SELECT count(*) FROM prop_a ta
+            WHERE NOT EXISTS (SELECT 1 FROM prop_b tb
+                              WHERE NULLIF(tb.k, 0) = ta.k)) AS n_not_exists
+    """
+    s, d = _both2(spark, a_rows, b_rows, sql)
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(_PAIRS, _PAIRS_B)
+def test_multiset_setops_match(spark, a_rows, b_rows):
+    """INTERSECT ALL / EXCEPT ALL multiset arithmetic (min/than-difference
+    of per-value multiplicities, with NULL equal to NULL per ANSI set-op
+    rules) must agree on generated multisets."""
+    if not b_rows:
+        b_rows = [(0, 0)]
+    sql = """
+        SELECT 'i' AS op, v FROM (
+          SELECT NULLIF(a, 0) AS v FROM prop_a
+          INTERSECT ALL
+          SELECT NULLIF(b, 0) AS v FROM prop_b
+        )
+        UNION ALL
+        SELECT 'e' AS op, v FROM (
+          SELECT NULLIF(a, 0) AS v FROM prop_a
+          EXCEPT ALL
+          SELECT NULLIF(b, 0) AS v FROM prop_b
+        )
+    """
+    s, d = _both2(spark, a_rows, b_rows, sql)
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(_PAIRS)
+def test_window_ties_and_null_order_semantics(spark, a_rows):
+    """rank/dense_rank under ties and a RANGE cumulative sum must agree —
+    with the ORDER BY null placement PINNED (NULLS FIRST): Spark defaults
+    ascending NULLS FIRST while DuckDB defaults NULLS LAST, so any window
+    oracle in this repo must spell the placement explicitly (this property
+    is the regression guard for that rule)."""
+    sql = """
+        SELECT k, v,
+               rank()       OVER (PARTITION BY k ORDER BY v NULLS FIRST) AS rk,
+               dense_rank() OVER (PARTITION BY k ORDER BY v NULLS FIRST) AS drk,
+               CAST(sum(v) OVER (PARTITION BY k ORDER BY v NULLS FIRST
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM (SELECT k, NULLIF(a, 0) AS v FROM prop_a)
+    """
+    s, d = _both2(spark, a_rows, [(0, 0)], sql)
+    assert s == d
+
+
+@settings(**SETTINGS)
+@given(_PAIRS)
+def test_groupby_null_group_semantics(spark, a_rows):
+    """A NULL group key forms ONE group (ANSI grouping equality, unlike
+    join equality) in both engines; aggregates over it must match."""
+    sql = """
+        SELECT NULLIF(k, 0) AS g,
+               count(*) AS n,
+               count(NULLIF(a, 0)) AS n_nonnull,
+               CAST(sum(a) AS BIGINT) AS total
+        FROM prop_a GROUP BY NULLIF(k, 0)
+    """
+    s, d = _both2(spark, a_rows, [(0, 0)], sql)
+    assert s == d
