@@ -199,6 +199,7 @@ BENCH_KEYS = [
     "orderby_limit_ties",
     # new r8
     "dedup_lsh_recall_curve",
+    "pipeline_dsir_logratio",
 ]
 
 

@@ -1161,3 +1161,85 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi"), "w1", "w2"
     ).limit(PMI_TOP_K)
+
+
+@query("pipeline_dsir_logratio", oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source, lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+      FROM documents
+    ),
+    tgt AS (SELECT min(source) AS ts FROM documents),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS rc,
+             CAST(sum(CASE WHEN source = (SELECT ts FROM tgt)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      FROM tok GROUP BY w
+    ),
+    totals AS (SELECT CAST(sum(rc) AS BIGINT) AS r_tot,
+                      CAST(sum(tc) AS BIGINT) AS t_tot,
+                      count(*) AS v_sz FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((v.tc + 1.0) / (tt.t_tot + tt.v_sz))
+                   - ln((v.rc + 1.0) / (tt.r_tot + tt.v_sz))), 6) AS dsir_lr
+    FROM tok t JOIN vocab v USING (w) CROSS JOIN totals tt
+    GROUP BY t.doc_id
+""")
+def pipeline_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-ratio (new r8) — the actual data-selection
+    score from Xie et al. 2023 ("Data Selection for Language Models via
+    Importance Resampling"): per document, the mean per-token log ratio
+    of an add-one-smoothed word model trained on the TARGET domain
+    (deterministically the lexicographically-first source) against one
+    trained on the RAW corpus. Positive dsir_lr = the document reads
+    like the target domain; this is the importance weight a production
+    DSIR run feeds into pipeline_importance_sample's acceptance
+    machinery (which here uses the TTR proxy so its accept/reject path
+    stays exercised on the fixture).
+
+    Exactness: counts are exact BIGINTs through both shuffles; the only
+    float is the final per-token log expression, written ONCE with the
+    identical operator tree in both engine texts and averaged under
+    round(·, 6) — the text_unigram_logprob recipe, driver-green since
+    r4 (the sub-1e-12 relative error of a ~500-term double average is
+    absorbed by the rounding).
+
+    Scale shape: ONE token-keyed shuffle builds both models in the same
+    map-side-combinable aggregate (rc and tc are conditional sums over
+    the identical rows), one doc_id-keyed average — shuffled volume is
+    |vocab| + |corpus tokens|, never corpus x vocab; AQE broadcasts the
+    model join while the (frequency-capped, in production) vocabulary
+    fits, same gating rationale as text_unigram_logprob."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    words = d.select(
+        "doc_id", "source", F.explode(toks).alias("t")
+    ).select("doc_id", "source", F.lower(F.col("t")).alias("w"))
+    ts = d.agg(F.min("source").alias("ts"))
+    words_m = words.join(F.broadcast(ts)).withColumn(
+        "is_t", (F.col("source") == F.col("ts")).cast("int")
+    )
+    vocab = words_m.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rc"),
+        F.sum("is_t").cast("bigint").alias("tc"),
+    )
+    totals = vocab.agg(
+        F.sum("rc").cast("bigint").alias("r_tot"),
+        F.sum("tc").cast("bigint").alias("t_tot"),
+        F.count(F.lit(1)).alias("v_sz"),
+    )
+    return (
+        words.join(vocab, "w")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lr",
+            F.log((F.col("tc") + 1.0) / (F.col("t_tot") + F.col("v_sz")))
+            - F.log((F.col("rc") + 1.0) / (F.col("r_tot") + F.col("v_sz"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("dsir_lr"),
+        )
+    )

@@ -67,6 +67,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_concurrency",
     # -- Block R8-NEW: operators added in round 8, never driver-checked --
     "dedup_lsh_recall_curve",
+    "pipeline_dsir_logratio",
     # -- everything else, stalest driver evidence first (last driver
     # CORRECTNESS row, ascending round; regenerated at r8 from
     # CORRECTNESS_r01-r07 — every key now has at least one row) --
