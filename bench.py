@@ -200,6 +200,7 @@ BENCH_KEYS = [
     # new r8
     "dedup_lsh_recall_curve",
     "pipeline_dsir_logratio",
+    "ann_pq_distortion",
 ]
 
 

@@ -1246,3 +1246,103 @@ ORACLES["ann_recall_eval"] = (
     .replace("{IVF_ORACLE}", ORACLES["ann_ivf_topk"])
     .replace("{BF_ORACLE}", ORACLES["ann_bruteforce_topk"])
 )
+
+
+@query("ann_pq_distortion", oracle=f"""
+    WITH {{IVF_PREFIX}},
+    {{PQ_PREFIX}},
+    recon AS (
+      SELECT cd.m,
+             list_transform(range(1, {_PQ_DSUB} + 1),
+               d -> en.e[cd.m * {_PQ_DSUB} + d] - b.cb[d]) AS diff
+      FROM codes cd
+      JOIN en ON en.vec_id = cd.vec_id
+      JOIN books b ON b.m = cd.m AND b.cid = cd.code
+    )
+    SELECT CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(list_dot_product(diff, diff)), 6) AS mse
+    FROM recon GROUP BY m
+""")
+def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook quality evaluation (new r8) — mean squared
+    reconstruction error per subspace, the FAISS quantization-error
+    discipline: a PQ index ships with its measured distortion or
+    it ships blind. Complements the family's other two honesty
+    artifacts (ann_recall_eval for IVF pruning loss, the ADC rerank for
+    ranking fidelity): distortion quantifies how much signal the 5-bit
+    codes destroy BEFORE any search runs, per subspace — a skewed
+    per-m profile is the canonical sign the subspace split misaligns
+    with the data's variance structure (the motivation for OPQ).
+
+    Exactness: the per-vector squared error is an 8-element fold (both
+    engines evaluate it left-to-right over the same values); the only
+    cross-engine float surface is the corpus average, absorbed by
+    round(·, 6) — the text_unigram_logprob recipe. Codebooks and codes
+    replay in the oracle via the shared _pq_oracle_prefix CTEs, so the
+    evaluator itself is differential-checked end-to-end.
+
+    Scale shape: one broadcast of the (M×K, tiny) codebook table, one
+    map over the code table joined back to its vectors on vec_id
+    (co-keyed, no fan-out), one M-group aggregate — cost is a single
+    corpus scan regardless of M/K."""
+    import numpy as np  # noqa: F401 — books array indexing below
+
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+    from quackflight_spark.pipeline.veckernels import pq_encode_udf
+
+    books = _pq_books_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    codes = shared_frame(
+        "pq_codes",
+        sf_dir,
+        lambda: emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            pq_encode_udf(books)(F.col("e")).alias("codes"),
+        ),
+    ).select(F.col("neighbor_id").alias("vec_id"), "codes")
+    books_rows = [
+        (m, k, [float(x) for x in books[m, k]])
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    ]
+    books_df = spark.createDataFrame(
+        books_rows, "m int, cid int, cb array<double>"
+    )
+    per_m = (
+        codes.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "e",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda m: F.struct(
+                        m.cast("int").alias("m"),
+                        F.element_at(F.col("codes"), m + 1).cast("int").alias("cid"),
+                        F.slice(F.col("e"), m * _PQ_DSUB + 1, _PQ_DSUB).alias("x"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.cid", "s.x")
+        .join(F.broadcast(books_df), ["m", "cid"])
+        .withColumn(
+            "err",
+            F.expr(
+                "aggregate(zip_with(x, cb, (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    return per_m.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("err"), 6).alias("mse"),
+    )
+
+
+ORACLES["ann_pq_distortion"] = (
+    ORACLES["ann_pq_distortion"]
+    .replace("{IVF_PREFIX}", _ivf_oracle_prefix())
+    .replace("{PQ_PREFIX}", _pq_oracle_prefix())
+)

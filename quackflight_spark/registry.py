@@ -68,6 +68,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- Block R8-NEW: operators added in round 8, never driver-checked --
     "dedup_lsh_recall_curve",
     "pipeline_dsir_logratio",
+    "ann_pq_distortion",
     # -- everything else, stalest driver evidence first (last driver
     # CORRECTNESS row, ascending round; regenerated at r8 from
     # CORRECTNESS_r01-r07 — every key now has at least one row) --
