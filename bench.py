@@ -201,6 +201,7 @@ BENCH_KEYS = [
     "dedup_lsh_recall_curve",
     "pipeline_dsir_logratio",
     "ann_pq_distortion",
+    "search_hybrid_rrf",
 ]
 
 

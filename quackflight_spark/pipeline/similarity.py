@@ -1346,3 +1346,163 @@ ORACLES["ann_pq_distortion"] = (
     .replace("{IVF_PREFIX}", _ivf_oracle_prefix())
     .replace("{PQ_PREFIX}", _pq_oracle_prefix())
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (r8): lexical + vector legs fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the canonical RRF smoothing constant (Cormack et al.)
+RRF_DEPTH = 20    # per-leg candidate depth
+RRF_TOP = 5       # fused results per query
+
+
+@query("search_hybrid_rrf", oracle=rf"""
+    WITH {{EN}},
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> ''),
+               x -> lower(x)))) AS w
+      FROM documents
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    lex AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS cand,
+             round(sum(ln((nn.n + 1.0) / (df.df + 1.0))), 6) AS s
+      FROM tok q
+      JOIN tok d ON d.w = q.w AND d.doc_id <> q.doc_id
+      JOIN df ON df.w = q.w
+      CROSS JOIN nn
+      WHERE q.doc_id < {N_QUERIES}
+      GROUP BY q.doc_id, d.doc_id
+    ),
+    lexr AS (
+      SELECT query_id, cand, rl FROM (
+        SELECT query_id, cand,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cand) AS rl
+        FROM lex) WHERE rl <= {RRF_DEPTH}
+    ),
+    vec AS (
+      SELECT q.vec_id AS query_id, t.vec_id AS cand,
+             round(list_dot_product(q.e, t.e), 6) AS cs
+      FROM en q JOIN en t ON t.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    vecr AS (
+      SELECT query_id, cand, rv FROM (
+        SELECT query_id, cand,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, cand) AS rv
+        FROM vec) WHERE rv <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.cand, v.cand) AS doc_id,
+             CAST(COALESCE(l.rl, 0) AS INT) AS r_lex,
+             CAST(COALESCE(v.rv, 0) AS INT) AS r_vec,
+             round(COALESCE(1.0 / ({RRF_K} + l.rl), 0)
+                 + COALESCE(1.0 / ({RRF_K} + v.rv), 0), 9) AS rrf
+      FROM lexr l FULL JOIN vecr v
+        ON v.query_id = l.query_id AND v.cand = l.cand
+    )
+    SELECT query_id, doc_id, r_lex, r_vec, rrf, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= {RRF_TOP}
+""")
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (new r8) — the
+    standard RAG retrieval stack: a LEXICAL leg (shared-term IDF score
+    over the word inverted index) and a VECTOR leg (exact cosine over
+    the normalized embeddings, doc_id ≡ vec_id on the fixture corpus)
+    each produce a depth-{RRF_DEPTH} ranking per query; the fusion
+    score is Σ_legs 1/({RRF_K}+rank) (Cormack et al.'s RRF, the
+    score-free fusion every hybrid search engine ships because it
+    needs NO score calibration between legs).
+
+    Exactness: fusion happens on integer RANKS, so the only float
+    surfaces are each leg's rank cut (round-6 scores with doc-id
+    tiebreakers, the proven r5 recipe) and 1/(60+r) terms both engines
+    evaluate identically from identical ints. A leg miss contributes 0
+    (rank 0 in the output = not in that leg's top-{RRF_DEPTH}).
+
+    Scale shape: the query set is bounded by definition, so the
+    lexical leg is a broadcast of query terms against the corpus
+    inverted index (shuffle keyed on the word, volume = postings of
+    query terms only — never corpus x corpus) and the vector leg is
+    the ann_bruteforce shape (queries broadcast, corpus scanned once;
+    swap in the IVF leg past memory). Fusion joins two k-bounded rank
+    lists — negligible. At 100 TB each leg is the already-audited
+    index path; RRF adds one tiny join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(toks, lambda x: F.lower(x)))
+        ).alias("w"),
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = tok.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    lex = (
+        q.join(tok.withColumnRenamed("doc_id", "cand"), "w")
+        .filter(F.col("cand") != F.col("query_id"))
+        .join(dfreq, "w")
+        .join(F.broadcast(nn))
+        .withColumn("idf", F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)))
+        .groupBy("query_id", "cand")
+        .agg(F.round(F.sum("idf"), 6).alias("s"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("s"), "cand")
+    lexr = (
+        lex.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= RRF_DEPTH)
+        .select("query_id", "cand", "rl")
+    )
+    emb = _emb_normed(spark, sf_dir)
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    vec = (
+        emb.select(F.col("vec_id").alias("cand"), "e")
+        .join(F.broadcast(qe), F.col("cand") != F.col("query_id"))
+        .withColumn("cs", F.round(_dot(F.col("qe"), F.col("e")), 6))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("cs"), "cand")
+    vecr = (
+        vec.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= RRF_DEPTH)
+        .select("query_id", "cand", "rv")
+    )
+    fused = lexr.join(vecr, ["query_id", "cand"], "full").select(
+        "query_id",
+        F.col("cand").alias("doc_id"),
+        F.coalesce("rl", F.lit(0)).cast("int").alias("r_lex"),
+        F.coalesce("rv", F.lit(0)).cast("int").alias("r_vec"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("rl")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rv")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= RRF_TOP)
+        .select(
+            "query_id", "doc_id", "r_lex", "r_vec", "rrf",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+ORACLES["search_hybrid_rrf"] = ORACLES["search_hybrid_rrf"].replace(
+    "{EN}", _EN_SQL.strip()
+)

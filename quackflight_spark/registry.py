@@ -69,6 +69,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_recall_curve",
     "pipeline_dsir_logratio",
     "ann_pq_distortion",
+    "search_hybrid_rrf",
     # -- everything else, stalest driver evidence first (last driver
     # CORRECTNESS row, ascending round; regenerated at r8 from
     # CORRECTNESS_r01-r07 — every key now has at least one row) --

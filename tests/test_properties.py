@@ -982,3 +982,37 @@ def test_groupby_null_group_semantics(spark, a_rows):
     """
     s, d = _both2(spark, a_rows, [(0, 0)], sql)
     assert s == d
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=25000),  # 1970..2038 epoch days
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_date_arithmetic_semantics(spark, days):
+    """Calendar arithmetic must agree on generated dates, including the
+    end-of-month clamp (+1 MONTH from Jan 31 lands on Feb 28/29 in both
+    engines), truncation anchors, and last_day."""
+    sql_body = (
+        "CAST(d + INTERVAL 1 DAY AS DATE) AS d1, "
+        "CAST(d + INTERVAL 1 MONTH AS DATE) AS m1, "
+        "CAST(date_trunc('month', d) AS DATE) AS t_mon, "
+        "CAST(date_trunc('week', d) AS DATE) AS t_wk, "
+        "last_day(d) AS eom, "
+        "CAST(year(d) AS INT) AS y, CAST(month(d) AS INT) AS mo, "
+        "CAST(day(d) AS INT) AS dd"
+    )
+    # materialize epoch-day ints, derive the DATE inside each engine with
+    # the same expression (DATE + INT days is shared syntax; INTERVAL
+    # with a column operand is not) so no pandas date dtype is involved
+    dexpr = "(DATE '1970-01-01' + CAST(v AS INT))"
+    s, d = _both(
+        spark,
+        days,
+        sql_body.replace("d ", dexpr + " ").replace("d)", dexpr + ")"),
+        "int64",
+    )
+    assert s == d
