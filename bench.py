@@ -202,6 +202,7 @@ BENCH_KEYS = [
     "pipeline_dsir_logratio",
     "ann_pq_distortion",
     "search_hybrid_rrf",
+    "search_bm25_topk",
 ]
 
 

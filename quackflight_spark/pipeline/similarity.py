@@ -1506,3 +1506,114 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["search_hybrid_rrf"] = ORACLES["search_hybrid_rrf"].replace(
     "{EN}", _EN_SQL.strip()
 )
+
+
+BM25_K1 = 1.2    # Okapi tf-saturation
+BM25_B = 0.75    # Okapi length normalization
+BM25_TOP = 5
+
+
+@query("search_bm25_topk", oracle=rf"""
+    WITH tokf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, lower(unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+        FROM documents) GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len FROM tokf GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(len) AS BIGINT) AS total_len
+              FROM dl),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokf GROUP BY w),
+    scored AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS cand,
+             round(sum(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * (d.tf * ({BM25_K1} + 1.0))
+               / (d.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * dl.len * s.n / (1.0 * s.total_len)))
+             ), 6) AS score
+      FROM tokf q
+      JOIN tokf d ON d.w = q.w AND d.doc_id <> q.doc_id
+      JOIN df ON df.w = q.w
+      JOIN dl ON dl.doc_id = d.doc_id
+      CROSS JOIN stats s
+      WHERE q.doc_id < {N_QUERIES}
+      GROUP BY q.doc_id, d.doc_id
+    )
+    SELECT query_id, cand AS doc_id, score, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cand) AS rn
+          FROM scored)
+    WHERE rn <= {BM25_TOP}
+""")
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (new r8) — THE canonical lexical
+    ranking function (Robertson/Sparck Jones probabilistic idf + tf
+    saturation k1={BM25_K1} + length normalization b={BM25_B}), using
+    each of the first {N_QUERIES} documents as its own query (the
+    more-like-this shape). Complements search_hybrid_rrf: that key's
+    lexical leg is deliberately idf-only (rank-fusion needs no
+    calibration); this is the full scoring function a lexical engine
+    serves standalone.
+
+    Exactness: tf/df/len/N are exact BIGINTs; the score is ONE float
+    expression evaluated from identical integer inputs with the
+    identical operator tree in both engines (avgdl enters as len*N/
+    total_len to keep the division order pinned), summed per (q,d)
+    under round(·,6) with doc-id tiebreakers at the rank cut — the
+    repo's standard recipe.
+
+    Scale shape: the (doc, term, tf) table is the inverted index; the
+    bounded query set joins it keyed on the term, volume = postings of
+    query terms only. df/dl/stats are map-side-combinable rollups read
+    once. At 100 TB this is the same broadcast-query-terms plan as the
+    hybrid key's lexical leg — BM25 adds only per-posting arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    words = d.select(
+        "doc_id", F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w")
+    )
+    tokf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tokf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("len").cast("bigint").alias("total_len"),
+    )
+    dfreq = tokf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    q = tokf.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0
+        - BM25_B
+        + BM25_B * F.col("len") * F.col("n") / (1.0 * F.col("total_len"))
+    )
+    scored = (
+        q.join(
+            tokf.select(F.col("doc_id").alias("cand"), "w", "tf"), "w"
+        )
+        .filter(F.col("cand") != F.col("query_id"))
+        .join(dfreq, "w")
+        .join(dl.select(F.col("doc_id").alias("cand"), "len"), "cand")
+        .join(F.broadcast(stats))
+        .withColumn("term_score", idf * (F.col("tf") * (BM25_K1 + 1.0)) / norm)
+        .groupBy("query_id", "cand")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP)
+        .select(
+            "query_id",
+            F.col("cand").alias("doc_id"),
+            "score",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
