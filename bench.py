@@ -203,6 +203,7 @@ BENCH_KEYS = [
     "ann_pq_distortion",
     "search_hybrid_rrf",
     "search_bm25_topk",
+    "search_mmr_rerank",
 ]
 
 

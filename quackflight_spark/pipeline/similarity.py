@@ -1617,3 +1617,191 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+MMR_LAMBDA = 0.7   # relevance weight; 1-λ penalizes redundancy
+MMR_K = 5          # diversified picks per query
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR rounds (DuckDB CTE text). Each pick is an
+    argmax over round-6 scores with doc-id tiebreak — the same
+    sequential-fold-as-unrolled-CTEs idiom as BPE/kmeans/Holt."""
+    lam, om = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
+    parts = [f"""
+    cand AS (
+      SELECT query_id, cand AS doc_id, cs AS rel FROM (
+        SELECT q.vec_id AS query_id, t.vec_id AS cand,
+               round(list_dot_product(q.e, t.e), 6) AS cs,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, t.e), 6) DESC,
+                          t.vec_id) AS rn
+        FROM en q JOIN en t ON t.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}) WHERE rn <= {RRF_DEPTH}
+    ),
+    sims AS (
+      SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+             round(list_dot_product(ea.e, eb.e), 6) AS sim
+      FROM cand a
+      JOIN cand b ON b.query_id = a.query_id AND b.doc_id <> a.doc_id
+      JOIN en ea ON ea.vec_id = a.doc_id
+      JOIN en eb ON eb.vec_id = b.doc_id
+    ),
+    pick1 AS (
+      SELECT query_id, doc_id, rel,
+             CAST(round(CAST(rel AS DECIMAL(18,6))
+                        * CAST({lam} AS DECIMAL(2,1)), 6) AS DOUBLE) AS mmr,
+             1 AS pick
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel DESC, doc_id) AS rn FROM cand)
+      WHERE rn = 1
+    ),
+    selcum1 AS (SELECT query_id, doc_id, rel, mmr, pick FROM pick1)"""]
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        parts.append(f"""
+    m{i} AS (
+      SELECT c.query_id, c.doc_id, c.rel,
+             CAST(round(CAST(c.rel AS DECIMAL(18,6))
+                          * CAST({lam} AS DECIMAL(2,1))
+                        - CAST(max(s.sim) AS DECIMAL(18,6))
+                          * CAST({om} AS DECIMAL(2,1)), 6) AS DOUBLE) AS mmr
+      FROM cand c
+      JOIN sims s ON s.query_id = c.query_id AND s.da = c.doc_id
+      JOIN selcum{p} x ON x.query_id = s.query_id AND x.doc_id = s.db
+      WHERE NOT EXISTS (SELECT 1 FROM selcum{p} z
+                        WHERE z.query_id = c.query_id
+                          AND z.doc_id = c.doc_id)
+      GROUP BY c.query_id, c.doc_id, c.rel
+    ),
+    pick{i} AS (
+      SELECT query_id, doc_id, rel, mmr, {i} AS pick
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY mmr DESC, doc_id) AS rn FROM m{i})
+      WHERE rn = 1
+    ),
+    selcum{i} AS (SELECT * FROM selcum{p}
+                  UNION ALL SELECT * FROM pick{i})""")
+    return ",".join(parts)
+
+
+@query("search_mmr_rerank", oracle=f"""
+    WITH {{EN}},
+    {{MMR}}
+    SELECT query_id, doc_id, CAST(pick AS INT) AS pick, rel, mmr
+    FROM selcum{MMR_K}
+""")
+def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (new r8) — the diversity stage
+    of a retrieval stack (Carbonell & Goldstein 1998; every RAG
+    pipeline's answer to near-duplicate hits): from each query's
+    vector top-{RRF_DEPTH}, greedily pick {MMR_K} documents maximizing
+    λ·rel(d) − (1−λ)·max_s sim(d, s∈picked), λ={MMR_LAMBDA} — the
+    first pick is pure relevance, each later pick trades relevance
+    against redundancy with what's already chosen.
+
+    Exactness: greedy selection is inherently sequential, so the
+    rounds are UNROLLED into the plan (the BPE/kmeans/Holt idiom —
+    {MMR_K} rounds of join-against-picked + argmax); every rel/sim is
+    round-6 cosine from the sequential-fold kernel, every mmr is
+    rounded BEFORE its argmax, and ties break on doc_id, so the picks
+    replay move-for-move in the oracle's unrolled CTEs.
+
+    Scale shape: candidates are k-bounded per query by construction
+    (the top-{RRF_DEPTH} vector leg), so the pairwise sim table is
+    |queries|·k² tiny rows and each greedy round is a broadcast join
+    against a ≤{MMR_K}-row picked set — the rerank costs nothing next
+    to the candidate search feeding it, at any corpus size."""
+    emb = _emb_normed(spark, sf_dir)
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("doc_id"), "e")
+        .join(F.broadcast(qe), F.col("doc_id") != F.col("query_id"))
+        .withColumn("rel", F.round(_dot(F.col("qe"), F.col("e")), 6))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= RRF_DEPTH)
+        .select("query_id", "doc_id", "rel", "e")
+        .localCheckpoint()
+    )
+    a = cand.select("query_id", F.col("doc_id").alias("da"), F.col("e").alias("ea"))
+    b = cand.select("query_id", F.col("doc_id").alias("db"), F.col("e").alias("eb"))
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("da") != F.col("db"))
+        .withColumn("sim", F.round(_dot(F.col("ea"), F.col("eb")), 6))
+        .select("query_id", "da", "db", "sim")
+        .localCheckpoint()
+    )
+    lam, om = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
+    w1 = W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    pick1 = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            "rel",
+            F.expr(
+                f"CAST(round(CAST(rel AS DECIMAL(18,6))"
+                f" * CAST({MMR_LAMBDA} AS DECIMAL(2,1)), 6) AS DOUBLE)"
+            ).alias("mmr"),
+            F.lit(1).alias("pick"),
+        )
+    )
+    selcum = pick1
+    for i in range(2, MMR_K + 1):
+        sel = selcum.select(
+            F.col("query_id").alias("sq"), F.col("doc_id").alias("sel_id")
+        )
+        remaining = cand.join(
+            F.broadcast(sel),
+            (F.col("query_id") == F.col("sq")) & (F.col("doc_id") == F.col("sel_id")),
+            "left_anti",
+        )
+        sims_sel = (
+            sims.withColumnRenamed("query_id", "pq")
+            .join(
+                F.broadcast(sel),
+                (F.col("pq") == F.col("sq")) & (F.col("db") == F.col("sel_id")),
+            )
+            .select("pq", "da", "sim")
+        )
+        m = (
+            remaining.join(
+                sims_sel,
+                (F.col("pq") == F.col("query_id")) & (F.col("da") == F.col("doc_id")),
+            )
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+            .withColumn(
+                "mmr",
+                F.expr(
+                    f"CAST(round(CAST(rel AS DECIMAL(18,6))"
+                    f" * CAST({lam} AS DECIMAL(2,1))"
+                    f" - CAST(maxsim AS DECIMAL(18,6))"
+                    f" * CAST({om} AS DECIMAL(2,1)), 6) AS DOUBLE)"
+                ),
+            )
+        )
+        wi = W.partitionBy("query_id").orderBy(F.desc("mmr"), "doc_id")
+        pick_i = (
+            m.withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "doc_id", "rel", "mmr", F.lit(i).alias("pick"))
+        )
+        selcum = selcum.unionByName(pick_i).localCheckpoint()
+    return selcum.select(
+        "query_id", "doc_id", F.col("pick").cast("int").alias("pick"), "rel", "mmr"
+    )
+
+
+ORACLES["search_mmr_rerank"] = (
+    ORACLES["search_mmr_rerank"]
+    .replace("{EN}", _EN_SQL.strip())
+    .replace("{MMR}", _mmr_oracle())
+)

@@ -71,6 +71,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_pq_distortion",
     "search_hybrid_rrf",
     "search_bm25_topk",
+    "search_mmr_rerank",
     # -- everything else, stalest driver evidence first (last driver
     # CORRECTNESS row, ascending round; regenerated at r8 from
     # CORRECTNESS_r01-r07 — every key now has at least one row) --
