@@ -2899,3 +2899,37 @@ def test_streaks_bruteforce(spark, sf_dir):
             run = run + 1 if (y - x) == datetime.timedelta(days=1) else 1
             best = max(best, run)
         assert got[u] == (best, len(s)), u
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR must (a) pick exactly MMR_K docs per query with pick order
+    1..K, (b) make its first pick the pure-relevance argmax, and (c)
+    actually exercise the redundancy penalty: on at least one query the
+    MMR pick set must differ from the plain top-K-by-relevance set
+    (otherwise λ-diversification is dead weight on this corpus)."""
+    from quackflight_spark.pipeline.similarity import MMR_K
+
+    rows = _queries()["search_mmr_rerank"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    diverged = 0
+    for qid, picks in by_q.items():
+        assert sorted(p.pick for p in picks) == list(range(1, MMR_K + 1)), qid
+        first = next(p for p in picks if p.pick == 1)
+        assert first.rel == max(p.rel for p in picks), qid
+    # divergence check: compare each query's MMR pick set against the
+    # pure top-K-by-relevance set (the brute-force key's top-K)
+    cand_top = (
+        _queries()["ann_bruteforce_topk"](spark, sf_dir)
+        .filter(F.col("rn") <= MMR_K)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"))
+        .collect()
+    )
+    top_sets = {}
+    for r in cand_top:
+        top_sets.setdefault(r.query_id, set()).add(r.doc_id)
+    for qid, picks in by_q.items():
+        if {p.doc_id for p in picks} != top_sets.get(qid, set()):
+            diverged += 1
+    assert diverged > 0, "MMR never deviated from pure top-K relevance"
