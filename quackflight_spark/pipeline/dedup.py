@@ -1154,7 +1154,7 @@ LSH_EVAL_PCTS = (5, 10, 20, 30, 50, 70)  # nominal prefix-overlap levels
              list_transform(sh, s ->
                CAST('0x' || substr(md5('0' || ':' || s), 1, 15) AS BIGINT)
                % {MINHASH_P}) AS base
-      FROM t
+      FROM t WHERE len(sh) > 0
     ),
     var AS (
       SELECT doc_id, n, pct,
@@ -1235,7 +1235,15 @@ def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     each a bounded array), band matching is an equi-join on (doc, band,
     bucket) — no all-pairs anywhere; at 100 TB the same eval runs on a
     fixed-size sampled slice, cost independent of corpus size."""
-    d = doc_shingles(spark, sf_dir).filter(F.col("doc_id") % LSH_EVAL_MOD == 0)
+    # n > 0 in BOTH texts: a token-free doc has an empty shingle set,
+    # where DuckDB's list_min([]) yields NULL while the Spark minhash
+    # fold's empty-input value is unpinned — exclude degenerate docs
+    # from the eval population by construction (r8 ADVICE).
+    d = (
+        doc_shingles(spark, sf_dir)
+        .filter(F.col("doc_id") % LSH_EVAL_MOD == 0)
+        .filter(F.size("sh") > 0)
+    )
     based = _barrier(
         d.select(
             "doc_id",

@@ -1286,8 +1286,6 @@ def ann_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     map over the code table joined back to its vectors on vec_id
     (co-keyed, no fan-out), one M-group aggregate — cost is a single
     corpus scan regardless of M/K."""
-    import numpy as np  # noqa: F401 — books array indexing below
-
     from quackflight_spark.pipeline.frame_cache import shared_frame
     from quackflight_spark.pipeline.veckernels import pq_encode_udf
 

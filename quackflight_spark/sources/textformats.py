@@ -416,15 +416,33 @@ def avro_available(spark: SparkSession) -> bool:
     try:
         # Functional probe: resolving a read against a nonexistent path
         # fails with PATH_NOT_FOUND when the source IS registered, and
-        # with FAILED_TO_FIND_DATA_SOURCE when it is not. (A bare
-        # Class.forName is wrong here: the Spark distribution can carry
-        # avro CLASSES without registering the data source.)
+        # with a DATA_SOURCE_NOT_FOUND-class error when it is not. (A
+        # bare Class.forName is wrong here: the Spark distribution can
+        # carry avro CLASSES without registering the data source.)
         spark.read.format("avro").schema("x int").load(
             "/nonexistent_qf_avro_probe"
         ).schema
         return True
     except Exception as ex:
-        return "Failed to find data source" not in str(ex)
+        msg = str(ex)
+        # Source registered → the probe dies on the missing PATH.
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return True
+        # Source missing → any of Spark's wordings across versions:
+        # the error class, its sqlState, the legacy 3.x message, or
+        # the Spark 4 "the data source" variant.
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "42K02" in msg
+            or "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+        ):
+            return False
+        # Unrecognized probe failure (permissions, conf, transient):
+        # fail CLOSED — the documented gate error is actionable, a raw
+        # classpath/stage failure downstream is not (r8 ADVICE: the
+        # old text-match defaulted to "available" here).
+        return False
 
 
 def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
