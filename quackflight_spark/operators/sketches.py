@@ -7,13 +7,16 @@ distinct keys every time it is asked.  The warehouse-scale answer is a
 built once at ingest (map-side, mergeable, a few KB each), stored next
 to the data, and every later query MERGES sketches instead of rescanning
 rows — distinct counts over arbitrary group rollups become metadata-size
-work.  Spark ships the Apache DataSketches HLL family natively
-(hll_sketch_agg / hll_union_agg / hll_sketch_estimate), so the whole
-pattern stays JVM-side columnar with zero UDFs.
+work.
 
-No DuckDB oracle: DuckDB's approx_count_distinct uses a different
-estimator, so cross-engine value equality is impossible by construction
-— the key is rows-only in the driver gate and the ≤2 % relative-error
+Since r9 the sketch table stores the PORTABLE register representation
+(md5 bucket + leading-zero rank, the agg_hll_portable recipe below)
+instead of opaque JVM DataSketches blobs: the registers are bit-exact
+engine-neutral integers, so the materialized sketch table AND every
+rollup answered from it replay exactly in DuckDB SQL — the key that was
+the suite's last rows-only row is now value-oracled like everything
+else.  (Native DataSketches stays exercised by agg_theta_sketch_ops,
+where the set-algebra surface is the point.)  The ≤3σ relative-error
 contract vs exact COUNT(DISTINCT) is asserted in
 tests/test_operators.py::test_hll_sketch_table_accuracy.
 """
@@ -33,37 +36,138 @@ from quackflight_spark.staging import stage_root
 SKETCH_ROOT = stage_root("sketch_tables")  # derived data; fixtures untouched
 
 
+# Register geometry for the stored sketch table. m=256 buckets — the
+# md5 first byte IS the bucket (no mod bias); stderr 1.04/sqrt(256)
+# ≈ 6.5%. alpha_256 = 0.7213/(1 + 1.079/256) rounded to the 0.7183
+# literal; the numerator scales that double by the dyadic m^2 = 65536
+# and 2^48 (exponent shifts only, no mantissa rounding), so the single
+# FP rounding in the estimate is the final divide — identical under
+# IEEE in both engines, then floor. The 2^48 scale (not 2^56) bounds
+# the register sum at 256 * 2^48 = 2^56 ≪ 2^63, overflow-safe even
+# for a degenerate all-zero segment; ranks ≥ 48 (probability 2^-47
+# per key) truncate to the same 2^0 term in both engines via
+# greatest(48 - m_j, 0).
+SKT_M = 256
+_SKT_NUM = "(CAST(0.7183 AS DOUBLE) * 65536 * 281474976710656)"
+_SKT_EST = (
+    f"CAST(floor({_SKT_NUM} / CAST(sum(shiftleft(CAST(1 AS BIGINT),"
+    " greatest(48 - m_j, 0))) AS DOUBLE)) AS BIGINT)"
+)
+
+
 def build_sketch_table(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the per-(returnflag, linestatus) HLL sketch table for
-    lineitem.l_orderkey (idempotent per corpus). This is the one-time
-    ingest job; at scale it is partitioned by load date and appended."""
+    """Materialize the per-(returnflag, linestatus) portable-HLL register
+    table for lineitem.l_orderkey (idempotent per corpus). This is the
+    one-time ingest job; at scale it is partitioned by load date and
+    appended. Output: a dense (flag, status, bucket, m_j) lattice —
+    #groups × {SKT_M} rows of four small integers; per-partition
+    partial maxes ARE the mergeable sketch (max is the merge), so the
+    build is ONE map-side-combined groupBy over the fact table."""
     path = f"{SKETCH_ROOT}/{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
     import os
 
     if not os.path.exists(f"{path}/_SUCCESS"):
+        li = load_table(spark, sf_dir, "lineitem")
+        h = li.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.md5(F.col("l_orderkey").cast("string")).alias("hx"),
+        )
+        nz = F.regexp_replace(F.substring("hx", 3, 14), "^0+", "")
+        digit_lz = (
+            F.when(F.substring(nz, 1, 1) == "1", 3)
+            .when(F.substring(nz, 1, 1).isin("2", "3"), 2)
+            .when(F.substring(nz, 1, 1).isin("4", "5", "6", "7"), 1)
+            .otherwise(0)
+        )
+        rho = h.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint").alias("bucket"),
+            F.when(nz == "", 57)
+            .otherwise(4 * (14 - F.length(nz)) + digit_lz + 1)
+            .alias("rho"),
+        )
+        lattice = (
+            li.select("l_returnflag", "l_linestatus")
+            .distinct()
+            .crossJoin(
+                spark.range(SKT_M).select(F.col("id").cast("bigint").alias("bucket"))
+            )
+        )
         (
-            load_table(spark, sf_dir, "lineitem")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+            lattice.join(rho, ["l_returnflag", "l_linestatus", "bucket"], "left")
+            .groupBy("l_returnflag", "l_linestatus", "bucket")
+            .agg(F.coalesce(F.max("rho"), F.lit(0)).cast("int").alias("m_j"))
             .write.mode("overwrite")
             .parquet(path)
         )
     return path
 
 
-@query("agg_hll_sketch_table")  # rows-only: no cross-engine estimator parity
+@query("agg_hll_sketch_table", oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS hx
+      FROM lineitem
+    ),
+    rho AS (
+      SELECT l_returnflag,
+             CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS bucket,
+             CASE WHEN regexp_replace(substr(hx, 3, 14), '^0+', '') = ''
+                  THEN 57
+                  ELSE 4 * (14 - length(regexp_replace(substr(hx, 3, 14), '^0+', '')))
+                       + CASE substr(regexp_replace(substr(hx, 3, 14), '^0+', ''), 1, 1)
+                           WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                           WHEN '7' THEN 1 ELSE 0 END
+                       + 1 END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT seg.l_returnflag, b.bucket,
+             COALESCE(max(r.rho), 0) AS m_j
+      FROM (SELECT DISTINCT l_returnflag FROM lineitem) seg
+      CROSS JOIN (SELECT unnest(range({SKT_M})) AS bucket) b
+      LEFT JOIN rho r ON r.l_returnflag = seg.l_returnflag
+                     AND r.bucket = b.bucket
+      GROUP BY seg.l_returnflag, b.bucket
+    )
+    SELECT l_returnflag,
+           CAST(floor({_SKT_NUM} / CAST(sum(CAST(1 AS BIGINT)
+                  << GREATEST(48 - m_j, 0)) AS DOUBLE)) AS BIGINT)
+             AS approx_orders
+    FROM regs GROUP BY l_returnflag
+""")
 def agg_hll_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct orderkeys per returnflag, answered from the stored sketch
-    table: read the (flag, status, sketch) parquet, hll_union_agg the
-    sketches up to the flag level, estimate. The fact table is not
-    scanned — the rollup touches #groups rows of a few KB each."""
+    """Distinct orderkeys per returnflag answered from the STORED sketch
+    table — the fact table is not scanned: the rollup reads #groups ×
+    {SKT_M} register rows, merges registers to the flag level with
+    max() (max IS the HLL merge), and evaluates the estimate. Was the
+    suite's only rows-only key through r8; the portable md5-register
+    representation (recipe proven bit-identical cross-engine by
+    agg_hll_portable since r4) makes the whole pipeline SQL-replayable,
+    so the oracle recomputes the identical registers from lineitem —
+    associativity of max guarantees flag-level registers derived from
+    the stored (flag, status) sketches equal registers built directly.
+
+    Scale shape: the ingest build is one map-side-combined groupBy
+    (output bounded at #groups × {SKT_M} small-int rows regardless of
+    corpus size); the query side touches only the sketch table —
+    distinct-count rollups at 100 TB become metadata-size work, the
+    materialized-sketch pattern every warehouse ships.
+
+    Parity with reference: approx distinct per segment mirrors the
+    delegated approx_count_distinct surface (/root/reference/main.py:231
+    pass-through)."""
     path = build_sketch_table(spark, sf_dir)
-    return (
+    flag_regs = (
         spark.read.parquet(path)
-        .groupBy("l_returnflag")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_orders"),
-        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    return (
+        flag_regs.groupBy("l_returnflag")
+        .agg(F.expr(_SKT_EST).alias("approx_orders"))
         .orderBy("l_returnflag")
     )
 

