@@ -302,3 +302,88 @@ def test_stream_cdc_apply_equals_batch(spark, sf_dir):
         for r in q["merge_cdc_apply"](spark, sf_dir).collect()
     }
     assert got == want and want
+
+
+def test_stream_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-restart durability: the stateful running-totals query is
+    drained over HALF the feed, stopped, then a NEW query restarts from
+    the same checkpointLocation with the second half added to the
+    source — the restored state must continue the fold exactly (final
+    per-user totals equal the kernel's batch semantics over the WHOLE
+    feed). This is the restart-safety the O(1)-state docstrings
+    promise; previous tests only proved micro-batch slicing within one
+    query lifetime."""
+    import glob
+    import os
+    import shutil as sh
+
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.stateful import attach_exact
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = ev.schema
+    for tag, pred in (("h1", "event_id % 2 = 0"), ("h2", "event_id % 2 = 1")):
+        ev.filter(pred).coalesce(1).write.parquet(str(tmp_path / tag))
+
+    def add_half(tag: str) -> None:
+        part = glob.glob(str(tmp_path / tag / "part-*.parquet"))[0]
+        sh.copy(part, f"{src}/{tag}.parquet")
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name: str):
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # appending to parquet is the recovery-capable sink shape
+        stream = events_ts_normalized(
+            spark.readStream.schema(schema).parquet(src)
+        ).select("user_id", "value")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            attach_exact(stream.groupBy("user_id"))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out_dir).collect()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        add_half("h1")
+        rows1 = run("rt_restart_a")
+        assert rows1, "first run drained nothing"
+        add_half("h2")
+        rows2 = run("rt_restart_b")  # NEW query, restored state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # the restarted query must have CONTINUED, not restarted, the fold:
+    # for every user it touched, n covers both halves
+    best: dict = {}
+    for r in list(rows1) + list(rows2):
+        if r.user_id not in best or r.n > best[r.user_id].n:
+            best[r.user_id] = r
+
+    # expected = the kernel's exact-cents semantics over the whole feed
+    pdf = ev.select("user_id", "value").toPandas()
+    exp: dict = {}
+    for uid, grp in pdf.groupby("user_id"):
+        v = grp["value"].to_numpy(dtype="float64") * 100.0
+        cents = int(np.trunc(v + np.copysign(0.5, v)).astype("int64").sum())
+        exp[uid] = (len(grp), cents / 100.0)
+
+    got = {u: (r.n, r.total) for u, r in best.items()}
+    assert got == exp
