@@ -555,3 +555,121 @@ def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(true_d, "o_orderpriority").select(
         "o_orderpriority", "est_distinct", "true_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch table (r9) — the quantile member of the mergeable-
+# sketch-table trio (HLL = distinct counts, theta = set algebra,
+# histogram = quantiles). A fixed-width integer-cents histogram is the
+# simplest fully-mergeable quantile sketch (merge = bucket-wise count
+# sum, exactly associative), and unlike t-digest/KLL its registers and
+# its estimator are pure integer arithmetic — SQL-replayable with exact
+# value parity, like the portable HLL above. Estimate error is bounded
+# by one bucket width (QSK_WIDTH_CENTS = $256 on a ~$104k domain →
+# ≤0.25% of range), the honesty number the docstring carries.
+# ---------------------------------------------------------------------------
+
+QSK_WIDTH_CENTS = 25600     # $256 bucket width → ~410 buckets over the domain
+QSK_QUANTILES = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+def build_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the per-(returnflag, linestatus) histogram sketch of
+    l_extendedprice (idempotent per corpus): bucket = exact integer
+    cents DIV {QSK_WIDTH_CENTS}, register = row count. ONE map-side-
+    combined groupBy; output bounded at #groups × #buckets tiny-int
+    rows regardless of corpus size; counts merge by sum, so per-
+    partition partials ARE the sketch (appended per load partition at
+    scale, like the HLL table)."""
+    path = f"{SKETCH_ROOT}/q_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    import os
+
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        li = load_table(spark, sf_dir, "lineitem")
+        cents = (
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+        )
+        (
+            li.select(
+                "l_returnflag",
+                "l_linestatus",
+                (cents / QSK_WIDTH_CENTS).cast("bigint").alias("bucket"),
+            )
+            .groupBy("l_returnflag", "l_linestatus", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@query("agg_quantile_sketch_table", oracle=f"""
+    WITH regs AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {QSK_WIDTH_CENTS} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS c,
+             sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM regs
+    )
+    SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      {", ".join(
+        f'''CAST(min(CASE WHEN c * 100 >= {q} * n THEN bucket END)
+             * {QSK_WIDTH_CENTS} AS DOUBLE) / 100.0 AS {name}'''
+        for q, name in QSK_QUANTILES)}
+    FROM cum GROUP BY l_returnflag
+""")
+def agg_quantile_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles per returnflag answered from the STORED
+    histogram sketch table — the fact table is not scanned. Registers
+    (flag, status, bucket, cnt) merge to the flag level by SUM (counts
+    are exactly associative); the q-quantile estimate is the lower
+    edge of the first bucket whose cumulative count reaches ⌈q·N⌉,
+    computed as the all-integer predicate c·100 ≥ q·N — no float
+    enters until the final cents→dollars divide, so the DuckDB replay
+    (which rebuilds identical registers from lineitem — merge
+    associativity makes stored-(flag,status) vs direct-(flag) register
+    builds equal) is hash-exact. Error ≤ one bucket width ($256 on a
+    $104k domain, ≤0.25% of range); the exact-quantile siblings are
+    agg_quantile (exact percentile_disc) and agg_approx.
+
+    Scale shape: ingest is ONE map-side-combined groupBy bounded at
+    #groups × #buckets rows; the query reads only the sketch table,
+    merges ≤ #buckets rows per flag, and runs a flag-partitioned
+    cumulative window over ≤410 rows per partition — quantile rollups
+    at 100 TB become metadata-size work, and appended load partitions
+    merge by re-summing, never re-scanning."""
+    path = build_quantile_sketch_table(spark, sf_dir)
+    regs = (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag").orderBy("bucket")
+    cum = regs.select(
+        "l_returnflag",
+        "bucket",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n")] + [
+        (
+            F.min(F.when(F.col("c") * 100 >= q * F.col("n"), F.col("bucket")))
+            * QSK_WIDTH_CENTS
+        ).cast("double").alias(name)
+        for q, name in QSK_QUANTILES
+    ]
+    out = cum.groupBy("l_returnflag").agg(*aggs)
+    return out.select(
+        "l_returnflag",
+        "n",
+        *[(F.col(name) / 100.0).alias(name) for _, name in QSK_QUANTILES],
+    )

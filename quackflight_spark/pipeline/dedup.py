@@ -1318,3 +1318,107 @@ def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (r9) — the token-window granularity of the
+# exact family (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better": suffix-array exact-substring dedup). The
+# distributed shape replaces the suffix array with rolling k-token
+# window hashes: any document sharing ANY window with a lower-id
+# document is flagged — between dedup_exact (whole doc), dedup_lines
+# (line chunks), and dedup_ngram_jaccard (bag overlap), this is the
+# contiguous-span detector that catches boilerplate injected inside
+# otherwise-unique documents.
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 8    # tokens per window (Lee et al. use 50 BPE tokens; the
+                # fixture docs are ~30-80 words, so 8 keeps multiple
+                # windows per doc while staying selective on the
+                # 31-word synthetic vocabulary)
+
+
+@query("dedup_substring", oracle=rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(text),
+               '\s+'), x -> x <> ''), x -> lower(x)) AS w
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(w) - {SUBSTR_W} + 1),
+               i -> md5(array_to_string(w[i + 1 : i + {SUBSTR_W}], ' ')))) AS h
+      FROM tk WHERE len(w) >= {SUBSTR_W}
+    ),
+    owner AS (SELECT h, min(doc_id) AS owner FROM win GROUP BY h),
+    flags AS (
+      SELECT win.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN o.owner < win.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shared
+      FROM win JOIN owner o USING (h)
+      GROUP BY win.doc_id
+    )
+    SELECT tk.doc_id,
+           COALESCE(f.n_windows, 0) AS n_windows,
+           COALESCE(f.n_shared, 0) AS n_shared,
+           COALESCE(f.n_shared, 0) > 0 AS is_dup
+    FROM tk LEFT JOIN flags f USING (doc_id)
+""")
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup via rolling {SUBSTR_W}-token window hashes:
+    every document emits md5 hashes of its consecutive token windows;
+    windows group by hash to find their minimum-doc-id owner; a doc
+    with any window owned by an earlier doc is flagged (n_shared
+    counts its borrowed windows). Docs shorter than {SUBSTR_W} tokens
+    carry zero windows and are never flagged.
+
+    Exactness: md5 over the space-joined window (proven identical
+    cross-engine), integer counts, boolean flag — no float anywhere.
+    DuckDB 1-based list slice w[i+1 : i+{SUBSTR_W}] ≡ Spark
+    slice(w, i+1, {SUBSTR_W}) (both length-{SUBSTR_W} from 0-based i).
+
+    Scale shape: windows/doc is linear in doc length; the owner
+    resolution is ONE map-side-combinable min-groupBy keyed on the
+    window hash (uniform md5 keys — no skew), and the flag join is
+    keyed on the same hash — never doc×doc. This is the Spark-native
+    replacement for the suffix-array pass in Lee et al.: same spans
+    caught at window granularity, embarrassingly parallel, no global
+    sort. At 100 TB the window table is the big intermediate (~L
+    hashes per doc); a length-{SUBSTR_W} stride or Bloom pre-filter
+    halves it when needed — documented, not silently applied."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
+        lambda x: F.lower(x),
+    )
+    tk = _barrier(d.select("doc_id", toks.alias("w")))
+    win = tk.filter(F.size("w") >= SUBSTR_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - SUBSTR_W),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("w"), i + 1, SUBSTR_W))
+                ),
+            )
+        ).alias("h"),
+    )
+    owner = win.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    flags = (
+        win.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum((F.col("owner") < F.col("doc_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return tk.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("is_dup"),
+    )

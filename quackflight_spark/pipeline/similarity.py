@@ -1842,3 +1842,96 @@ ORACLES["search_mmr_rerank"] = (
     .replace("{EN}", _EN_SQL.strip())
     .replace("{MMR}", _mmr_oracle())
 )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase match (r9) — the exact-phrase constraint of a
+# lexical engine, completing the retrieval stack: BM25 scores bags of
+# words; phrase queries ("exact quote" search, plagiarism spans,
+# boilerplate detection) need the POSITIONAL inverted index
+# (doc, term, position) and a position-chained join.
+# ---------------------------------------------------------------------------
+
+PHRASE_LEN = 3   # tokens per query phrase (the first 3 of each query doc)
+
+
+@query("search_phrase_match", oracle=rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(regexp_split_to_array(trim(text),
+               '\s+'), x -> x <> ''), x -> lower(x)) AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(w) AS w,
+             unnest(range(0, len(w))) AS p
+      FROM tk
+    ),
+    ph AS (
+      SELECT doc_id AS query_id, w[1] AS w1, w[2] AS w2, w[3] AS w3
+      FROM tk WHERE doc_id < {N_QUERIES} AND len(w) >= {PHRASE_LEN}
+    ),
+    hits AS (
+      SELECT ph.query_id, p1.doc_id AS cand
+      FROM ph
+      JOIN pos p1 ON p1.w = ph.w1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.p = p1.p + 1
+                 AND p2.w = ph.w2
+      JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.p = p1.p + 2
+                 AND p3.w = ph.w3
+      WHERE p1.doc_id <> ph.query_id
+    )
+    SELECT query_id, cand AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches
+    FROM hits GROUP BY query_id, cand
+""")
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {PHRASE_LEN}-token phrase search over the positional
+    inverted index: each query doc's leading trigram is matched
+    against every other document at consecutive positions — the
+    MATCH PHRASE / "quoted query" primitive of a lexical engine, and
+    the span-level sibling of dedup_substring (there: any shared
+    window flags a doc; here: a specific phrase is located and
+    counted per candidate).
+
+    Exactness: positions are integers from the same tokenizer split
+    in both engines (0-based posexplode ≡ zipped unnest(range)); the
+    output is pure integer counts — no float surface at all.
+
+    Scale shape: the positional index is (doc, term, pos) — the
+    standard 3-column layout; a phrase probe joins the FIRST term's
+    postings (keyed on the term), then chains +1/+2 position checks
+    as equi-joins keyed on (doc, pos) — each hop's volume is bounded
+    by the surviving candidate spans, never a cross product. At
+    100 TB the first hop picks the rarest phrase term first (the
+    classic phrase-query optimization; Catalyst's join reordering
+    does this from size stats when the index is a table)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""),
+        lambda x: F.lower(x),
+    )
+    tk = d.select("doc_id", toks.alias("w"))
+    pos = tk.select("doc_id", F.posexplode("w").alias("p", "w"))
+    ph = (
+        tk.filter((F.col("doc_id") < N_QUERIES) & (F.size("w") >= PHRASE_LEN))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("w")[0].alias("w1"),
+            F.col("w")[1].alias("w2"),
+            F.col("w")[2].alias("w3"),
+        )
+    )
+    p1 = pos.select(F.col("doc_id").alias("cand"), F.col("p"), F.col("w").alias("w1"))
+    p2 = pos.select(F.col("doc_id").alias("cand"), (F.col("p") - 1).alias("p"), F.col("w").alias("w2"))
+    p3 = pos.select(F.col("doc_id").alias("cand"), (F.col("p") - 2).alias("p"), F.col("w").alias("w3"))
+    hits = (
+        F.broadcast(ph)
+        .join(p1, "w1")
+        .join(p2, ["cand", "p", "w2"])
+        .join(p3, ["cand", "p", "w3"])
+        .filter(F.col("cand") != F.col("query_id"))
+    )
+    return hits.groupBy("query_id", F.col("cand").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
