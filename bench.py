@@ -204,6 +204,12 @@ BENCH_KEYS = [
     "search_hybrid_rrf",
     "search_bm25_topk",
     "search_mmr_rerank",
+    # new r9
+    "agg_hll_sketch_table",
+    "agg_quantile_sketch_table",
+    "search_phrase_match",
+    "dedup_substring",
+    "graph_scc",
 ]
 
 

@@ -461,3 +461,289 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(F.broadcast(sizes), "lbl").select(
         "node", F.col("lbl").alias("community"), "community_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (r9) — the DIRECTED sibling of
+# graph_wcc: mutual-reachability classes over an oriented co-purchase
+# graph. WCC answers "touches the same cluster"; SCC answers "is in a
+# feedback loop with" — link-farm and citation-cycle detection, the
+# dependency-cycle primitive.
+# ---------------------------------------------------------------------------
+
+SCC_MIN_CO = 2        # support threshold for the co-purchase edge set
+SCC_MAX_OUTER = 15    # peel rounds: ≥1 SCC (the remaining-min's) resolves/round
+SCC_MAX_INNER = 40    # jumped propagation: bound ≫ observed (17 on the fixture)
+
+
+def _scc_materialize(df: DataFrame, tag: str) -> DataFrame:
+    """Parquet round-trip: truncates lineage AND Catalyst statistics.
+    localCheckpoint is NOT enough for this loop: its LogicalRDD carries
+    the origin plan's stats forward, and a round plan that multiplies k
+    leaf sizes (SizeInBytesOnlyStatsPlanVisitor.visitJoin takes the
+    PRODUCT of children) compounds sizeInBytes as S^k per round — the
+    stat is a BigInt whose bit-length grows exponentially, and by round
+    ~12 the driver burns minutes inside BigInteger multiply (measured:
+    0.5 s → 108 s/round; jstack showed Thread-3 pinned in
+    multiplyToomCook3 under visitJoin). Reading back from parquet
+    resets stats to the real file size — the batch analogue of reliable
+    checkpointing, and what a cluster deployment would do anyway."""
+    import uuid
+
+    path = f"{_SCC_STAGE}/{tag}_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+from quackflight_spark.staging import stage_root  # noqa: E402
+
+_SCC_STAGE = stage_root("scc_iter")
+
+
+def _fb_labels(edges: DataFrame, nodes: DataFrame, caller: str) -> DataFrame:
+    """(node, f, b): f = min node id REACHABLE FROM node along edge
+    direction, b = min node id REACHING node (both including itself).
+    The two propagations share ONE loop (same rounds, one checkpoint +
+    one count action per round — the fixed per-job floor dominates at
+    fixture scale, so fusing halves wall-clock vs two legs): per round
+    each direction does a one-hop pull (f: u ← min f(v) over u→v;
+    b: v ← min b(u) over u→v) then a pointer jump f ← min(f, f[f])
+    via the PREVIOUS round's materialized map — valid because
+    f(u)=m means u →* m, so anything m reaches, u reaches (directed
+    generalization of pipeline/dedup.py:min_label_components). The
+    per-round truncation is a parquet round-trip, NOT localCheckpoint
+    — see _scc_materialize for the Catalyst-stats compounding this
+    avoids. Loud non-convergence."""
+    labels = nodes.select(
+        "node", F.col("node").alias("f"), F.col("node").alias("b")
+    ).localCheckpoint()
+    changed = -1
+    for _ in range(SCC_MAX_INNER):
+        nmf = (
+            edges.join(labels.select("node", "f"), edges.dst == F.col("node"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("f").alias("nf"))
+        )
+        nmb = (
+            edges.join(labels.select("node", "b"), edges.src == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("b").alias("nb"))
+        )
+        stepped = (
+            labels.join(nmf, "node", "left")
+            .join(nmb, "node", "left")
+            .select(
+                "node",
+                F.least("f", F.coalesce("nf", "f")).alias("f"),
+                F.least("b", F.coalesce("nb", "b")).alias("b"),
+                F.col("f").alias("of"),
+                F.col("b").alias("ob"),
+            )
+        )
+        fmap = labels.select(F.col("node").alias("fk"), F.col("f").alias("fv"))
+        bmap = labels.select(F.col("node").alias("bk"), F.col("b").alias("bv"))
+        new_labels = (
+            stepped.join(fmap, stepped.f == fmap.fk, "left")
+            .join(bmap, stepped.b == bmap.bk, "left")
+            .select(
+                "node",
+                F.least("f", F.coalesce("fv", "f")).alias("f"),
+                F.least("b", F.coalesce("bv", "b")).alias("b"),
+                "of",
+                "ob",
+            )
+        )
+        new_labels = _scc_materialize(new_labels, "lab")
+        changed = new_labels.filter("f != of OR b != ob").count()
+        labels = new_labels.select("node", "f", "b")
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"{caller}: min-reach propagation did not converge in "
+            f"{SCC_MAX_INNER} rounds — raise SCC_MAX_INNER"
+        )
+    return labels
+
+
+@query("graph_scc", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {SCC_MIN_CO}
+    ),
+    ed AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ','
+                    || CAST(v AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+                  THEN u ELSE v END AS src,
+             CASE WHEN CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ','
+                    || CAST(v AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+                  THEN v ELSE u END AS dst
+      FROM e0
+    ),
+    nodes AS (SELECT src AS n FROM ed UNION SELECT dst FROM ed),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT src, dst FROM ed
+        UNION
+        SELECT r.a, e.dst FROM r JOIN ed e ON e.src = r.b
+      ) SELECT a, b FROM r UNION SELECT n, n FROM nodes
+    ),
+    scc AS (
+      SELECT r1.a AS node, min(r1.b) AS scc_id
+      FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+      GROUP BY r1.a
+    )
+    SELECT s.node, s.scc_id, z.scc_size
+    FROM scc s JOIN (
+      SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+      FROM scc GROUP BY scc_id
+    ) z USING (scc_id)
+""")
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components over the md5-oriented co-purchase
+    graph (support ≥ {SCC_MIN_CO}; each undirected pair gets a
+    deterministic direction from its md5 parity, so both engines see
+    the identical digraph). scc_id = the component's min node id.
+
+    Algorithm (forward-backward min-label peel, the distributed-SCC
+    coloring family of Orzan 2004 / FW-BW): per outer round compute
+    f(u) = min id reachable FROM u and b(u) = min id reaching u (two
+    pointer-jumped propagations); f(u) = b(u) = m certifies u ↔ m, and
+    since f,b are constant on an SCC whose min member's own f=b=min,
+    ENTIRE components match at once and matched components can be
+    removed safely (any two survivors mutually reachable only through
+    a removed SCC would belong to it). The remaining-minimum's SCC
+    always matches, so each peel assigns ≥1 component; loud bound
+    {SCC_MAX_OUTER}.
+
+    Oracle: exact mutual-reachability closure (recursive CTE) over the
+    same digraph — tractable because the support threshold keeps the
+    fixture closure small, while the Spark path needs no closure.
+
+    Scale shape: every step is keyed equi-joins + min-groupBys on the
+    (shrinking) node/edge frames; pointer jumping makes each
+    propagation O(log diameter) shuffles; no windows, no driver-side
+    data plane (counts only). The edge build reuses the bounded
+    support-thresholded pair expansion (hub explosion filtered in the
+    HAVING, as graph_wcc)."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= SCC_MIN_CO)
+        .select("u", "v")
+    )
+    par = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("u").cast("string"),
+                        F.lit(","),
+                        F.col("v").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0
+    )
+    edges = e0.select(
+        F.when(par, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(par, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    # The support-thresholded graph is orders of magnitude smaller than
+    # the fact table; the iterative phase runs dozens of tiny keyed
+    # shuffles where 32 partitions is pure scheduling overhead. Narrow
+    # to 8 for the loop (still executor-parallel), restore after — at
+    # real scale size this to nodes/partition-budget, same one knob.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _scc_peel(spark, edges)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Trim + forward/backward min-label peel over a checkpointed edge
+    frame (see graph_scc docstring)."""
+    remaining = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges_rem = edges
+    assigned = None
+    for _ in range(SCC_MAX_OUTER):
+        # TRIM (the standard FW-BW accelerator): a remaining node with
+        # no outgoing or no incoming edge lies on no cycle — it is a
+        # singleton SCC, assigned immediately without any propagation.
+        # Each peel exposes a fresh layer of sources/sinks, so DAG
+        # remnants drain via cheap anti-joins instead of f/b rounds.
+        srcs = edges_rem.select(F.col("src").alias("node")).distinct()
+        dsts = edges_rem.select(F.col("dst").alias("node")).distinct()
+        core_nodes = remaining.join(srcs, "node", "semi").join(
+            dsts, "node", "semi"
+        )
+        trimmed = remaining.join(core_nodes, "node", "anti").select(
+            "node", F.col("node").alias("scc_id")
+        )
+        assigned = (
+            trimmed if assigned is None else assigned.unionByName(trimmed)
+        ).localCheckpoint()
+        remaining = core_nodes.localCheckpoint()
+        if remaining.count() == 0:
+            break
+        keep = remaining.withColumnRenamed("node", "k")
+        edges_rem = (
+            edges_rem.join(keep, edges_rem.src == keep.k)
+            .drop("k")
+            .join(keep, edges_rem.dst == keep.k)
+            .drop("k")
+            .localCheckpoint()
+        )
+        # fused f/b match on the trimmed core
+        fb = _fb_labels(edges_rem, remaining, "graph_scc.fb")
+        done = fb.filter(F.col("f") == F.col("b")).select(
+            "node", F.col("f").alias("scc_id")
+        )
+        assigned = assigned.unionByName(done).localCheckpoint()
+        remaining = (
+            fb.filter(F.col("f") != F.col("b"))
+            .select("node")
+            .localCheckpoint()
+        )
+        if remaining.count() == 0:
+            break
+        keep = remaining.withColumnRenamed("node", "k")
+        edges_rem = (
+            edges_rem.join(keep, edges_rem.src == keep.k)
+            .drop("k")
+            .join(keep, edges_rem.dst == keep.k)
+            .drop("k")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"graph_scc: peel did not converge in {SCC_MAX_OUTER} rounds"
+        )
+    sizes = assigned.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size")
+    )
+    return assigned.join(F.broadcast(sizes), "scc_id").select(
+        "node", "scc_id", "scc_size"
+    )

@@ -36,137 +36,94 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 
 # Keys the driver's budget-limited correctness gate should reach FIRST,
 # in order. The gate walks queries() in dict order and truncates at 50
-# keys (observed every round). r8 rotation, regenerated from
-# CORRECTNESS_r01-07: (1) the 9 keys whose OUTPUT SCHEMA changed this
-# round (decimal->double, re-proof required — the six r6/r7 red rows
-# lead), (2) the 3 advice-hardened keys whose query/oracle texts
-# changed, (3) the r8-new key, (4) everything else ordered by
-# last-driver-row round ascending so the stalest evidence refreshes
-# first (as of r7 every key has at least one row). Rows-only keys dead
-# last: each costs a gate slot for an `err:"no_oracle"` row (r4's
-# ann_lsh_topk slot proved that), so they must never sit ahead of an
-# unproven oracle key.
+# keys (observed every round). THE STANDING RULE (restated per the r8
+# verdict, apply every round): (1) any key whose implementing file
+# changed since its last green driver row leads, (2) everything else
+# follows stalest-evidence-first (latest green CORRECTNESS row,
+# ascending round). With zero red rows the gate's risk is staleness,
+# not breakage; at ~50 keys/round the rotation refreshes every key
+# within ~6 rounds. (Rows-only keys used to sit dead last because an
+# err:"no_oracle" row wastes a gate slot — moot since r9: every key
+# has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block R8-FIX: the 9 keys whose output schema changed this round
-    # (decimal final columns -> DOUBLE, the r6/r7 canonicalizer hazard).
-    # The six driver-red rows first (oldest reds lead), then the three
-    # lucky survivors whose schemas also changed and need fresh rows.
-    "scan_time_travel",
-    "merge_cdc_apply",
-    "timeseries_ohlc",
-    "scan_schema_evolution",
-    "join_bloom_prefilter",
-    "stream_cdc_apply",
-    "orderby_limit_ties",
-    "agg_weighted_median",
-    "join_bucketed_colocated",
-    # -- Block R8-ADV: keys whose query/oracle text changed per ADVICE
-    # (advice-driven semantic hardening — need re-proof rows) --
-    "pipeline_importance_sample",
-    "pipeline_dataset_fingerprint",
-    "events_concurrency",
-    # -- Block R8-NEW: operators added in round 8, never driver-checked --
-    "dedup_lsh_recall_curve",
-    "pipeline_dsir_logratio",
-    "ann_pq_distortion",
-    "search_hybrid_rrf",
+    # -- Block R9-NEW/CHANGED: keys whose implementing file changed
+    # since their last green driver row — the four r9-new operators,
+    # the de-rows-only'd HLL sketch table (first-ever hash check), the
+    # df-ceiling'd lexical keys, the ADVICE-hardened recall curve, and
+    # the phash key whose kernel was refactored for the PIL gate --
+    "agg_quantile_sketch_table",
+    "search_phrase_match",
+    "dedup_substring",
+    "graph_scc",
+    "agg_hll_sketch_table",
     "search_bm25_topk",
-    "search_mmr_rerank",
-    # -- everything else, stalest driver evidence first (last driver
-    # CORRECTNESS row, ascending round; regenerated at r8 from
-    # CORRECTNESS_r01-r07 — every key now has at least one row) --
-    "filter_param",
-    "filter_between_in",
-    "filter_like_regex",
-    "filter_null_case",
-    "join_using",
-    "join_inner_on",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_cross",
-    "join_semi",
-    "join_anti",
-    "join_theta",
-    "join_lateral",
-    "join_positional",
-    "agg_count_star",
-    "agg_groupby",
-    "agg_basic",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_cube",
-    "agg_filter",
-    "agg_argminmax",
-    "agg_quantile",
-    "agg_stats",
-    "agg_approx",
-    "agg_having",
-    "agg_distinct_rows",
-    "agg_distinct_on",
-    "orderby_desc_limit",
-    "orderby_multi",
+    "search_hybrid_rrf",
+    "dedup_lsh_recall_curve",
+    "mm_image_phash",
+    # -- everything else, stalest driver evidence first (latest green
+    # CORRECTNESS row ascending, regenerated at r9 from r01-r08; with
+    # zero red rows the gate's job is refreshing stale evidence, and
+    # at ~50 keys/round the rotation revisits every key within ~6
+    # rounds). Rule for r10+: changed-implementation keys first, then
+    # stalest-first — regenerate this tuple each round. --
     "limit_offset",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "join_asof",
-    "win_rank",
-    "win_percent",
-    "win_lag",
-    "win_firstlast",
-    "win_agg_frame",
-    "win_range_frame",
-    "win_qualify",
     "cte_with",
-    "subquery_scalar",
-    "subquery_correlated",
-    "subquery_in",
-    "pivot",
-    "unpivot",
-    "join_range_bucket",
     "exists_agg",
-    "set_union_all",
-    "set_union",
-    "set_union_byname",
-    "set_intersect",
-    "set_intersect_all",
-    "set_except",
-    "set_except_all",
-    "fn_string_basic",
-    "fn_regexp",
-    "fn_date_parts",
-    "fn_date_arith",
-    "fn_math",
-    "fn_unnest",
-    "fn_generate_series",
-    "fn_struct",
-    "fn_json_extract",
     "fn_cast",
     "fn_conditional",
-    "tpch_q4",
-    "tpch_q6",
+    "fn_date_arith",
+    "fn_date_parts",
+    "fn_generate_series",
+    "fn_json_extract",
+    "fn_math",
+    "fn_regexp",
+    "fn_string_basic",
+    "fn_struct",
+    "fn_unnest",
+    "join_asof",
+    "join_range_bucket",
+    "pivot",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "set_union_all",
+    "set_union_byname",
+    "subquery_correlated",
+    "subquery_in",
+    "subquery_scalar",
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
     "tpch_q2",
+    "tpch_q4",
+    "tpch_q6",
     "tpch_q7",
-    "split_train_test",
-    "sample_stratified",
-    "sample_quota",
-    "merge_upsert",
+    "unpivot",
+    "win_agg_frame",
+    "win_firstlast",
+    "win_lag",
+    "win_percent",
+    "win_qualify",
+    "win_range_frame",
+    "win_rank",
     "delete_where",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
+    "merge_upsert",
+    "rollup_time_partitioned",
+    "sample_quota",
+    "sample_stratified",
+    "split_train_test",
     "stream_dedup",
     "stream_interval_join",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
     "stream_upsert_sink",
-    "rollup_time_partitioned",
     "timeseries_gapfill",
-    "tpch_q8",
-    "tpch_q9",
     "tpch_q11",
     "tpch_q13",
     "tpch_q15",
@@ -176,194 +133,239 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "tpch_q8",
+    "tpch_q9",
+    "agg_approx_topk",
+    "agg_bitmap_distinct",
+    "agg_grouping_id",
+    "agg_histogram",
+    "agg_listagg",
+    "agg_mode_median",
+    "agg_regression",
+    "agg_theta_sketch_ops",
+    "ann_filtered_topk",
     "dedup_incremental",
     "dedup_lines",
-    "events_sessionize",
-    "retention_cohorts",
-    "events_funnel",
-    "text_pii_scrub",
-    "text_bigram_topk",
-    "text_unigram_logprob",
-    "pipeline_mix_domains",
-    "pipeline_shuffle_shards",
-    "fn_variant",
-    "agg_approx_topk",
-    "agg_mode_median",
-    "fn_udtf_split",
-    "timeseries_interpolate",
-    "join_skew_salted",
-    "text_winnowing",
-    "agg_listagg",
-    "fn_bitwise",
-    "ann_filtered_topk",
-    "stream_running_totals",
-    "agg_regression",
-    "fn_time_bucket",
-    "text_tfidf_topterms",
-    "agg_theta_sketch_ops",
-    "mv_incremental_refresh",
-    "scan_csv",
-    "scan_jsonl",
     "events_anomaly_mad",
-    "fn_hashing",
-    "subquery_any_all",
-    "stream_enrich_join",
-    "agg_histogram",
-    "mm_audio_energy",
-    "win_time_range",
-    "pipeline_quality_audit",
-    "join_asof_forward",
-    "agg_grouping_id",
-    "pipeline_overlap_matrix",
     "events_dau_wau",
+    "events_funnel",
+    "events_sessionize",
     "events_transition_matrix",
+    "fmt_jsoncompact",
+    "fn_bitwise",
     "fn_edit_distance",
-    "agg_bitmap_distinct",
+    "fn_hashing",
+    "fn_time_bucket",
+    "fn_udtf_split",
+    "fn_variant",
+    "join_asof_forward",
+    "join_skew_salted",
+    "mm_audio_energy",
     "mm_decode",
     "mm_feature_extract",
     "mm_resize",
-    "fmt_jsoncompact",
+    "mv_incremental_refresh",
+    "pipeline_mix_domains",
+    "pipeline_overlap_matrix",
+    "pipeline_quality_audit",
+    "pipeline_shuffle_shards",
+    "retention_cohorts",
+    "scan_csv",
+    "scan_jsonl",
+    "stream_enrich_join",
+    "stream_running_totals",
     "stream_watermark_late",
-    "dedup_clusters",
-    "basket_pair_lift",
-    "join_fuzzy_names",
-    "dedup_semantic",
-    "pipeline_dedup_keep_best",
-    "ann_range_search",
-    "join_asof_tolerance",
-    "topk_per_group",
-    "mm_image_phash",
-    "win_ntile",
-    "events_attribution",
-    "events_top_paths",
-    "merge_scd2",
-    "graph_pagerank",
-    "pipeline_bpe_merges",
-    "pipeline_bpe_tokenize",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "subquery_any_all",
+    "text_bigram_topk",
+    "text_pii_scrub",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    "text_winnowing",
+    "timeseries_interpolate",
+    "win_time_range",
+    "agg_list",
+    "ann_bruteforce_topk",
     "ann_ivf_pruned",
-    "cluster_kmeans",
-    "ann_pq_topk",
+    "ann_ivf_topk",
     "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_range_search",
+    "basket_pair_lift",
+    "cluster_kmeans",
+    "dedup_clusters",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "dedup_simhash",
+    "events_attribution",
     "events_rfm",
-    "recursive_cte",
-    "fn_cast_ch",
-    "fn_date_ch",
-    "fn_url_ip",
+    "events_top_paths",
     "fn_array_hof",
     "fn_array_ops",
+    "fn_cast_ch",
+    "fn_date_ch",
     "fn_map_access",
-    "tpch_q12",
-    "agg_list",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "ann_bruteforce_topk",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_vocab_topk",
-    "text_repetition",
-    "pipeline_pack_sequences",
-    "pipeline_decontaminate",
-    "pipeline_corpus_prep",
+    "fn_url_ip",
+    "graph_pagerank",
+    "join_asof_tolerance",
+    "join_fuzzy_names",
+    "merge_scd2",
     "mm_binary_meta",
     "mm_frame_sample",
-    "layout_hilbert",
-    "join_scd2_pointintime",
-    "dedup_containment",
-    "timeseries_autocorr",
-    "timeseries_seasonal_decompose",
-    "events_funnel_windowed",
-    "graph_wcc",
-    "events_bootstrap_ci",
-    "pipeline_mix_temperature",
-    "stream_topk",
-    "pipeline_chunk_windows",
-    "events_ltv_triangle",
-    "timeseries_forecast_snaive",
-    "join_nearest",
-    "text_code_detect",
-    "agg_skew_kurtosis",
-    "events_time_to_convert",
-    "agg_gini",
-    "timeseries_anomaly_stl",
-    "events_slo_burn",
-    "join_trajectory_hausdorff",
-    "text_lang_confusion",
-    "events_churn_hazard",
-    "text_novelty",
-    "pipeline_shard_balance",
-    "events_incidents",
-    "timeseries_rolling_median",
-    "pipeline_normalize_zscore",
-    "events_streaks",
-    "events_mannwhitney",
-    "agg_hll_portable",
-    "timeseries_cusum",
-    "events_ks_test",
-    "join_spatial_grid",
-    "events_welch_ttest",
-    "join_spatial_nn",
-    "join_interval_overlap",
-    "text_readability",
+    "pipeline_bpe_merges",
+    "pipeline_bpe_tokenize",
+    "pipeline_corpus_prep",
+    "pipeline_decontaminate",
+    "pipeline_dedup_keep_best",
+    "pipeline_pack_sequences",
+    "recursive_cte",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_repetition",
+    "text_tokens",
+    "text_vocab_topk",
+    "topk_per_group",
+    "tpch_q12",
+    "win_ntile",
     "agg_cms_frequency",
-    "graph_jaccard",
+    "agg_gini",
+    "agg_hll_portable",
+    "agg_skew_kurtosis",
+    "dedup_containment",
     "events_ab_test",
-    "sample_random",
-    "text_entropy",
-    "graph_triangles",
+    "events_bootstrap_ci",
+    "events_churn_hazard",
     "events_cuped",
+    "events_funnel_windowed",
+    "events_incidents",
+    "events_ks_test",
+    "events_ltv_triangle",
+    "events_mannwhitney",
+    "events_slo_burn",
+    "events_streaks",
+    "events_time_to_convert",
+    "events_welch_ttest",
+    "graph_jaccard",
+    "graph_triangles",
+    "graph_wcc",
+    "join_interval_overlap",
+    "join_nearest",
+    "join_scd2_pointintime",
+    "join_spatial_grid",
+    "join_spatial_nn",
+    "join_trajectory_hausdorff",
+    "layout_hilbert",
+    "pipeline_chunk_windows",
+    "pipeline_mix_temperature",
+    "pipeline_normalize_zscore",
+    "pipeline_shard_balance",
+    "sample_random",
+    "stream_topk",
+    "text_code_detect",
+    "text_entropy",
+    "text_lang_confusion",
+    "text_novelty",
+    "text_readability",
+    "timeseries_anomaly_stl",
+    "timeseries_autocorr",
+    "timeseries_cusum",
+    "timeseries_forecast_snaive",
+    "timeseries_rolling_median",
+    "timeseries_seasonal_decompose",
+    "agg_winsorized_mean",
+    "ann_recall_eval",
+    "cluster_dbscan",
+    "events_ab_srm",
+    "events_anova_dow",
+    "events_attribution_position",
+    "events_did",
+    "events_pattern_match",
+    "events_power_mde",
+    "events_qte",
+    "events_ratio_delta_method",
+    "filter_conj",
+    "filter_eq",
+    "fn_date_spine",
+    "fn_format_ch",
+    "fn_geohash",
+    "graph_adamic_adar",
     "graph_bfs",
     "graph_kcore",
-    "graph_adamic_adar",
-    "events_did",
-    "events_attribution_position",
-    "events_qte",
-    "timeseries_downsample_lttb",
-    "pipeline_dp_counts",
-    "mm_scene_cuts",
-    "text_url_normalize",
-    "timeseries_ewma_control",
     "graph_lpa_communities",
-    "cluster_dbscan",
-    "text_collocations_pmi",
-    "scan_csv_badrecords",
-    "mm_audio_vad",
-    "events_anova_dow",
-    "events_ratio_delta_method",
-    "timeseries_vwap",
-    "agg_winsorized_mean",
-    "events_power_mde",
-    "scan_jsonl_nested",
-    "ann_recall_eval",
-    "fn_date_spine",
-    "events_pattern_match",
-    "layout_zorder",
-    "stream_pattern_match",
     "join_ip_lpm",
-    "timeseries_holt",
-    "stream_holt",
-    "fn_geohash",
-    "scan_xml",
-    "scan_orc",
-    "scan_binary_files",
-    "fn_format_ch",
-    "events_ab_srm",
-    "sample_reservoir",
+    "layout_zorder",
+    "mm_audio_vad",
+    "mm_scene_cuts",
+    "pipeline_dp_counts",
+    "project_cols",
     "sample_percent",
+    "sample_reservoir",
+    "scan_binary_files",
+    "scan_csv_badrecords",
+    "scan_jsonl_nested",
+    "scan_orc",
     "scan_parquet",
     "scan_table",
-    "project_cols",
-    "filter_eq",
-    "filter_conj",
-    # rows-only keys dead last: each costs a gate slot for an
-    # err:"no_oracle" row (r4's ann_lsh_topk slot proved that)
-    "agg_hll_sketch_table",
+    "scan_xml",
+    "stream_holt",
+    "stream_pattern_match",
+    "text_collocations_pmi",
+    "text_url_normalize",
+    "timeseries_downsample_lttb",
+    "timeseries_ewma_control",
+    "timeseries_holt",
+    "timeseries_vwap",
+    "agg_approx",
+    "agg_argminmax",
+    "agg_basic",
+    "agg_count_star",
+    "agg_cube",
+    "agg_distinct",
+    "agg_distinct_on",
+    "agg_distinct_rows",
+    "agg_filter",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_quantile",
+    "agg_rollup",
+    "agg_stats",
+    "agg_weighted_median",
+    "ann_pq_distortion",
+    "events_concurrency",
+    "filter_between_in",
+    "filter_like_regex",
+    "filter_null_case",
+    "filter_param",
+    "join_anti",
+    "join_bloom_prefilter",
+    "join_bucketed_colocated",
+    "join_cross",
+    "join_full",
+    "join_inner_on",
+    "join_lateral",
+    "join_left",
+    "join_positional",
+    "join_right",
+    "join_semi",
+    "join_theta",
+    "join_using",
+    "merge_cdc_apply",
+    "orderby_desc_limit",
+    "orderby_limit_ties",
+    "orderby_multi",
+    "pipeline_dataset_fingerprint",
+    "pipeline_dsir_logratio",
+    "pipeline_importance_sample",
+    "scan_schema_evolution",
+    "scan_time_travel",
+    "search_mmr_rerank",
+    "stream_cdc_apply",
+    "timeseries_ohlc",
 )
 
 

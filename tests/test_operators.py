@@ -49,11 +49,10 @@ def test_gate_priority_ordering():
     assert len(set(GATE_PRIORITY)) == len(GATE_PRIORITY)
     assert set(GATE_PRIORITY) <= set(q)
     assert q[: len(GATE_PRIORITY)] == list(GATE_PRIORITY)
-    # every key in the 50-key gate window is oracle-backed, and the
-    # rows-only keys sit at the very end of the walk
+    # since r9 EVERY key is oracle-backed — no gate slot can be wasted
+    # on an err:"no_oracle" row anywhere in the walk
     o = _oracles()
-    assert all(k in o for k in q[:50])
-    assert all(k not in o for k in q[len(q) - 1:])
+    assert all(k in o for k in q)
 
 
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):
