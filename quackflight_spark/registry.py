@@ -51,6 +51,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the de-rows-only'd HLL sketch table (first-ever hash check), the
     # df-ceiling'd lexical keys, the ADVICE-hardened recall curve, and
     # the phash key whose kernel was refactored for the PIL gate --
+    "events_chisq",
+    "events_sprt",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",
@@ -417,6 +419,7 @@ def load_all() -> None:
     import quackflight_spark.serving.formats  # noqa: F401
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.streaming.analytics_extra  # noqa: F401
+    import quackflight_spark.streaming.stats_tests  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401
     import quackflight_spark.streaming.stateful  # noqa: F401
     import quackflight_spark.operators.relational  # noqa: F401

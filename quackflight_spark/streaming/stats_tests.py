@@ -1,0 +1,302 @@
+"""Categorical / sequential hypothesis tests — round-9 additions to the
+experimentation suite (SURVEY.md §2.12; same beyond-reference family as
+events_welch_ttest / events_mannwhitney / events_ks_test in
+streaming/windowed.py). The reference (a DuckDB serving shim,
+/root/reference/main.py) has no analytics surface; these are the two
+tests that suite still lacked: independence of two CATEGORICAL
+dimensions (chi-square — guardrail metrics, sample-ratio checks on
+segment×variant grids) and ALWAYS-VALID sequential monitoring (Wald's
+SPRT — the peeking-safe test an experimentation platform runs on every
+arriving event instead of waiting for a fixed horizon).
+
+Exactness doctrine (the mannwhitney device): every count is an exact
+BIGINT; float work is either a single shared expression over exact
+integers or a fold over a DETERMINISTICALLY ORDERED array so both
+engines add the same doubles in the same sequence. Log-likelihood
+constants are computed ONCE in Python and embedded as identical
+17-digit literals in both engine texts — never `log()` in SQL, whose
+libm may differ in the last ulp between the JVM and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# events_chisq — chi-square test of independence, event_type × md5-cohort
+# ---------------------------------------------------------------------------
+
+CHISQ_COHORTS = 3  # deterministic md5 user segmentation, as events_mannwhitney
+
+
+@query("events_chisq", oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % {CHISQ_COHORTS} AS cohort,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rowt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+    colt AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot  AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                    CAST(count(*) AS BIGINT) AS n_cells,
+                    CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+                    CAST(count(DISTINCT cohort) AS BIGINT) AS n_cols
+             FROM cells),
+    terms AS (
+      SELECT cells.event_type, cells.cohort,
+             CAST(CAST(cells.n AS DECIMAL(38,0)) * cells.n AS DOUBLE)
+               / CAST(CAST(rowt.r AS DECIMAL(38,0)) * colt.c AS DOUBLE) AS term
+      FROM cells JOIN rowt USING (event_type) JOIN colt USING (cohort)
+    ),
+    s AS (
+      SELECT list_reduce(
+               list_transform(
+                 list_sort(list({{'et': event_type, 'co': cohort, 't': term}})),
+                 x -> x.t),
+               (a, b) -> a + b) AS s_fit
+      FROM terms
+    )
+    SELECT tot.n_rows, tot.n_cols,
+           CAST((tot.n_rows - 1) * (tot.n_cols - 1) AS BIGINT) AS dof,
+           tot.n_total,
+           round(CAST(tot.n_total AS DOUBLE) * s.s_fit
+                 - CAST(tot.n_total AS DOUBLE), 8) AS chi2,
+           round(sqrt((CAST(tot.n_total AS DOUBLE) * s.s_fit
+                       - CAST(tot.n_total AS DOUBLE))
+                 / (CAST(tot.n_total AS DOUBLE)
+                    * CAST(least(tot.n_rows, tot.n_cols) - 1 AS DOUBLE))),
+                 8) AS cramers_v
+    FROM tot, s
+""")
+def events_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the event_type × user-cohort
+    contingency table (new r9) — the categorical counterpart to the
+    suite's numeric tests: is traffic composition independent of the
+    deterministic md5 user segmentation? (The same machinery is the
+    sample-ratio-mismatch / guardrail-grid check an experimentation
+    platform runs per segment.) Reports χ² and Cramér's V effect size;
+    the p-value needs the incomplete gamma, which neither engine
+    exposes deterministically, so the key honestly stops at the
+    statistic (as events_mannwhitney stops at z).
+
+    Exactness: cell/row/column counts are exact BIGINTs; χ² uses the
+    textbook rearrangement χ² = N·Σ n²/(r·c) − N so each cell
+    contributes ONE double division of exact integers (products held in
+    DECIMAL(38,0) so a 100 TB cell count cannot overflow), and the
+    Σ over the ≤|types|×|cohorts| cells is a fold over the array sorted
+    by cell key — both engines add identical doubles in identical
+    order, so the sum is bit-reproducible under any partitioning.
+
+    Scale shape: one map-side-combinable groupBy of the raw stream to
+    the |types|×|cohorts| cell grid; everything after runs on that
+    constant-size grid (two broadcast-size rollups and a single-row
+    fold). No window over raw events, no ordered scan at data grain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % CHISQ_COHORTS
+    )
+    cells = ev.groupBy(
+        "event_type", cohort.alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rowt = cells.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("r"))
+    colt = cells.groupBy("cohort").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.countDistinct("event_type").cast("bigint").alias("n_rows"),
+        F.countDistinct("cohort").cast("bigint").alias("n_cols"),
+    )
+    terms = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "cohort")
+        .select(
+            "event_type",
+            "cohort",
+            (
+                (F.col("n").cast("decimal(38,0)") * F.col("n")).cast("double")
+                / (F.col("r").cast("decimal(38,0)") * F.col("c")).cast("double")
+            ).alias("term"),
+        )
+    )
+    s = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("event_type").alias("et"),
+                            F.col("cohort").alias("co"),
+                            F.col("term").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s_fit")
+    )
+    n_d = F.col("n_total").cast("double")
+    chi2 = n_d * F.col("s_fit") - n_d
+    return tot.crossJoin(F.broadcast(s)).select(
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "n_total",
+        F.round(chi2, 8).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (n_d * (F.least("n_rows", "n_cols") - 1).cast("double"))
+            ),
+            8,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sprt — Wald's sequential probability ratio test on conversion
+# ---------------------------------------------------------------------------
+
+SPRT_P0 = 0.1   # H0 conversion rate
+SPRT_P1 = 0.2   # H1 conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+# log-likelihood-ratio constants, computed once here and embedded as
+# IDENTICAL literals in both engine texts (never log() in SQL: JVM and
+# DuckDB libm may round the last ulp differently)
+SPRT_L1 = math.log(SPRT_P1 / SPRT_P0)                  # per-success increment
+SPRT_L0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))      # per-failure increment
+SPRT_A = math.log((1 - SPRT_BETA) / SPRT_ALPHA)        # accept-H1 boundary
+SPRT_B = math.log(SPRT_BETA / (1 - SPRT_ALPHA))        # accept-H0 boundary
+
+
+@query("events_sprt", oracle=f"""
+    WITH trials AS (
+      SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      FROM events
+    ),
+    walk AS (
+      SELECT variant, succ,
+             CAST(row_number() OVER w AS BIGINT) AS n,
+             CAST(sum(succ) OVER w AS BIGINT) AS k
+      FROM trials
+      WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    llr AS (
+      SELECT variant, n, k,
+             CAST(k AS DOUBLE) * {SPRT_L1!r}
+               + CAST(n - k AS DOUBLE) * {SPRT_L0!r} AS llr
+      FROM walk
+    )
+    SELECT variant,
+           CAST(max(n) AS BIGINT) AS n_trials,
+           CAST(max(k) AS BIGINT) AS k_succ,
+           round(arg_max(llr, n), 8) AS llr_final,
+           CAST(min(CASE WHEN llr >= {SPRT_A!r} THEN n END) AS BIGINT)
+             AS first_up,
+           CAST(min(CASE WHEN llr <= {SPRT_B!r} THEN n END) AS BIGINT)
+             AS first_dn,
+           CASE
+             WHEN min(CASE WHEN llr >= {SPRT_A!r} THEN n END) IS NOT NULL
+              AND (min(CASE WHEN llr <= {SPRT_B!r} THEN n END) IS NULL
+                   OR min(CASE WHEN llr >= {SPRT_A!r} THEN n END)
+                      < min(CASE WHEN llr <= {SPRT_B!r} THEN n END))
+               THEN 'accept_h1'
+             WHEN min(CASE WHEN llr <= {SPRT_B!r} THEN n END) IS NOT NULL
+               THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision
+    FROM llr GROUP BY variant
+""")
+def events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per A/B variant (new
+    r9) — the ALWAYS-VALID monitor the fixed-horizon tests in this
+    suite are not: the log-likelihood ratio of H1 (p={SPRT_P1}) vs H0
+    (p={SPRT_P0}) is updated on every arriving trial and the test stops
+    the moment it crosses log((1−β)/α) above (accept H1) or log(β/(1−α))
+    below (accept H0) — peeking at every event is exactly the designed
+    use. Success = 'purchase' among all events; trials ordered by
+    (ts, event_id) — the events_concurrency tiebreaker, so the walk is
+    deterministic under timestamp ties.
+
+    Exactness: the walk state is two exact BIGINTs (trial index n,
+    success count k) from one window pass; LLR_n = k·L1 + (n−k)·L0
+    where L1/L0/A/B are module-level Python constants embedded as
+    identical 17-digit literals in BOTH texts — so every per-row double
+    and every boundary comparison is bit-identical across engines. The
+    first-crossing indices are conditional MINs of exact integers, and
+    the decision is pure CASE logic over them.
+
+    Scale shape: one ordered window scan partitioned by variant (the
+    per-variant order is intrinsic to a sequential test), then a
+    per-variant aggregate; no joins, no data-grain second pass. On a
+    cluster the per-variant scan parallelizes across variants;
+    within-variant it is the same single-pass prefix sum every
+    cumulative metric here pays.
+    """
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    trials = load_table(spark, sf_dir, "events").select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2
+        ).alias("variant"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("succ"),
+    )
+    walk = trials.select(
+        "variant",
+        F.row_number()
+        .over(Window.partitionBy("variant").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum("succ").over(w).cast("bigint").alias("k"),
+    )
+    llr_col = (
+        F.col("k").cast("double") * F.lit(SPRT_L1)
+        + (F.col("n") - F.col("k")).cast("double") * F.lit(SPRT_L0)
+    )
+    llr = walk.select("variant", "n", "k", llr_col.alias("llr"))
+    first_up = F.min(F.when(F.col("llr") >= SPRT_A, F.col("n")))
+    first_dn = F.min(F.when(F.col("llr") <= SPRT_B, F.col("n")))
+    return llr.groupBy("variant").agg(
+        F.max("n").cast("bigint").alias("n_trials"),
+        F.max("k").cast("bigint").alias("k_succ"),
+        F.round(
+            F.max_by(F.col("llr"), F.col("n")), 8
+        ).alias("llr_final"),
+        first_up.cast("bigint").alias("first_up"),
+        first_dn.cast("bigint").alias("first_dn"),
+        F.when(
+            first_up.isNotNull() & (first_dn.isNull() | (first_up < first_dn)),
+            F.lit("accept_h1"),
+        )
+        .when(first_dn.isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -3002,3 +3002,82 @@ def test_phash_real_codec_gate():
     strip = np.zeros(PHASH_BITS, dtype=np.int64)
     strip[7] = 1000
     assert _cells_to_hash(strip) == 1 << 7
+
+
+def test_chisq_matches_reference(spark, sf_dir):
+    """chi2 and Cramer's V must match a from-scratch contingency-table
+    recompute over the same md5 cohorts."""
+    import hashlib
+    from collections import Counter
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import CHISQ_COHORTS
+
+    r = _queries()["events_chisq"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect()
+    cells: Counter = Counter()
+    for x in ev:
+        co = int(hashlib.md5(str(x.user_id).encode()).hexdigest()[:4], 16) % CHISQ_COHORTS
+        cells[(x.event_type, co)] += 1
+    rows: Counter = Counter()
+    cols: Counter = Counter()
+    for (et, co), n in cells.items():
+        rows[et] += n
+        cols[co] += n
+    n_tot = sum(cells.values())
+    chi2 = sum(
+        (n - rows[et] * cols[co] / n_tot) ** 2 / (rows[et] * cols[co] / n_tot)
+        for (et, co), n in cells.items()
+    )
+    v = (chi2 / (n_tot * (min(len(rows), len(cols)) - 1))) ** 0.5
+    assert (r.n_rows, r.n_cols, r.n_total) == (len(rows), len(cols), n_tot)
+    assert r.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(r.chi2 - chi2) < 1e-6, (r.chi2, chi2)
+    assert abs(r.cramers_v - v) < 1e-6, (r.cramers_v, v)
+
+
+def test_sprt_matches_reference(spark, sf_dir):
+    """First boundary crossings and final LLR must match a Python
+    sequential walk over the identically-ordered trials."""
+    import hashlib
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_L0,
+        SPRT_L1,
+    )
+
+    got = {r.variant: r for r in _queries()["events_sprt"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    walks: dict = {0: [], 1: []}
+    for x in ev:
+        va = int(hashlib.md5(str(x.user_id).encode()).hexdigest()[:4], 16) % 2
+        walks[va].append((x.ts, x.event_id, 1 if x.event_type == "purchase" else 0))
+    for va, trail in walks.items():
+        trail.sort()
+        k = 0
+        first_up = first_dn = None
+        llr = 0.0
+        for n, (_, _, s) in enumerate(trail, start=1):
+            k += s
+            llr = k * SPRT_L1 + (n - k) * SPRT_L0
+            if first_up is None and llr >= SPRT_A:
+                first_up = n
+            if first_dn is None and llr <= SPRT_B:
+                first_dn = n
+        r = got[va]
+        assert (r.n_trials, r.k_succ) == (len(trail), k)
+        assert r.first_up == first_up and r.first_dn == first_dn
+        assert abs(r.llr_final - llr) < 1e-6
+        want = (
+            "accept_h1"
+            if first_up is not None and (first_dn is None or first_up < first_dn)
+            else ("accept_h0" if first_dn is not None else "continue")
+        )
+        assert r.decision == want
