@@ -53,6 +53,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the phash key whose kernel was refactored for the PIL gate --
     "events_chisq",
     "events_sprt",
+    "timeseries_hampel",
+    "timeseries_sax",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",
@@ -420,6 +422,7 @@ def load_all() -> None:
     import quackflight_spark.streaming.windowed  # noqa: F401
     import quackflight_spark.streaming.analytics_extra  # noqa: F401
     import quackflight_spark.streaming.stats_tests  # noqa: F401
+    import quackflight_spark.streaming.timeseries_extra  # noqa: F401
     import quackflight_spark.streaming.upsert_sink  # noqa: F401
     import quackflight_spark.streaming.stateful  # noqa: F401
     import quackflight_spark.operators.relational  # noqa: F401

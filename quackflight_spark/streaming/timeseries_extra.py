@@ -1,0 +1,291 @@
+"""Time-series symbolic representation + robust repair — round-9
+additions to the timeseries family (SURVEY.md §2.12; same
+beyond-reference family as timeseries_rolling_median /
+timeseries_anomaly_stl in streaming/windowed.py). The reference (a
+DuckDB serving shim, /root/reference/main.py) has no time-series
+surface; these add the two classic primitives the family still lacked:
+SAX (Lin/Keogh symbolic aggregate approximation — the discretization
+that turns a series into a WORD so motif mining / indexing / hashing
+can run on strings) and the Hampel filter (rolling-median ± k·MAD
+outlier REPAIR — the robust despiker that rolling_median only smooths).
+
+Exactness doctrine: daily counts and their window order statistics are
+exact BIGINTs end-to-end (the Hampel decision |x−med| > k·MAD compares
+pure integers — zero float anywhere in that key); SAX's z-scores are
+single shared double expressions over exact integer moment sums, with
+Gaussian breakpoints embedded as identical literals in both texts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quackflight_spark.registry import query
+from quackflight_spark.sources.fixtures import load_table
+
+HAMPEL_W = 7   # trailing window width (days), the rolling_median convention
+HAMPEL_K = 3   # repair threshold in MAD units (integer: no 1.4826 scaling,
+               # so the decision stays exact integer arithmetic)
+
+SAX_ANCHOR = "2024-01-01"  # fixture epoch; weeks = trailing 7-day buckets
+SAX_BP_LO = -0.6745        # Gaussian quartile breakpoints for a 4-symbol
+SAX_BP_HI = 0.6745         # alphabet (P25/P50/P75 of N(0,1))
+
+
+@query("timeseries_hampel", oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    expanded AS (
+      SELECT d.event_type, d.day + CAST(o.o AS INT) AS anchor, d.x
+      FROM daily d, (SELECT unnest(range(0, {HAMPEL_W})) AS o) o
+    ),
+    win AS (
+      SELECT event_type, anchor AS day,
+             CAST(count(*) AS BIGINT) AS n_window,
+             list_sort(list(x)) AS a
+      FROM expanded GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, day, n_window,
+             a[CAST(ceil(n_window / 2.0) AS INT)] AS med, a
+      FROM win
+    ),
+    mad AS (
+      SELECT event_type, day, n_window, med,
+             list_sort(list_transform(a, v -> abs(v - med)))
+               [CAST(ceil(n_window / 2.0) AS INT)] AS mad
+      FROM med
+    )
+    SELECT m.event_type, m.day, d.x, m.n_window,
+           CAST(m.med AS BIGINT) AS med, CAST(m.mad AS BIGINT) AS mad,
+           abs(d.x - m.med) > {HAMPEL_K} * m.mad AS is_outlier,
+           CAST(CASE WHEN abs(d.x - m.med) > {HAMPEL_K} * m.mad
+                     THEN m.med ELSE d.x END AS BIGINT) AS x_repaired
+    FROM mad m JOIN daily d ON d.event_type = m.event_type AND d.day = m.day
+""")
+def timeseries_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily event counts (new r9): each day is
+    tested against the TRAILING {HAMPEL_W}-day rolling median, and
+    flagged + repaired (replaced by that median) when its absolute
+    deviation exceeds {HAMPEL_K}× the window's median absolute
+    deviation — the robust despiker standard in sensor/ops pipelines,
+    completing rolling_median (which smooths but never repairs) and
+    anomaly_mad (whose MAD is global, not windowed).
+
+    Exactness: fully integer. The window's lower median and the MAD
+    (lower median of integer absolute deviations) are exact order
+    statistics of a ≤{HAMPEL_W}-element sorted array, and the decision
+    |x − med| > {HAMPEL_K}·MAD compares exact BIGINTs — no float exists
+    anywhere in the key, so it is bit-deterministic under any
+    partitioning by construction.
+
+    Scale shape: the trailing window materializes by the bounded
+    ×{HAMPEL_W} explode of the |series|×|days| rollup (the
+    rolling_median device) — never raw events; per-anchor groups are
+    ≤{HAMPEL_W} rows, map-side combinable, and the two order
+    statistics are array ops INSIDE the group row (no second shuffle,
+    unlike a self-join formulation)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    expanded = daily.select(
+        "event_type",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(HAMPEL_W - 1))).alias("o"),
+        "day",
+    ).select("event_type", "x", F.expr("date_add(day, o)").alias("anchor"))
+    win = expanded.groupBy("event_type", F.col("anchor").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_window"),
+        F.sort_array(F.collect_list("x")).alias("a"),
+    )
+    mid = F.ceil(F.col("n_window") / 2).cast("int")
+    med = win.withColumn("med", F.element_at(F.col("a"), mid))
+    mad = med.withColumn(
+        "mad",
+        F.element_at(
+            F.sort_array(
+                F.transform(F.col("a"), lambda v: F.abs(v - F.col("med")))
+            ),
+            mid,
+        ),
+    )
+    out = mad.join(daily, ["event_type", "day"])
+    is_out = F.abs(F.col("x") - F.col("med")) > HAMPEL_K * F.col("mad")
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        "n_window",
+        F.col("med").cast("bigint").alias("med"),
+        F.col("mad").cast("bigint").alias("mad"),
+        is_out.alias("is_outlier"),
+        F.when(is_out, F.col("med"))
+        .otherwise(F.col("x"))
+        .cast("bigint")
+        .alias("x_repaired"),
+    )
+
+
+@query("timeseries_sax", oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS s1,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2
+      FROM daily GROUP BY 1
+    ),
+    weekly AS (
+      SELECT event_type,
+             datediff('day', DATE '{SAX_ANCHOR}', day) // 7 AS wk,
+             CAST(sum(x) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS wdays
+      FROM daily GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT w.event_type, w.wk,
+             (CAST(w.wsum AS DOUBLE) / CAST(w.wdays AS DOUBLE)
+              - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt((CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                     - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                    / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE))) AS z
+      FROM weekly w JOIN stats s USING (event_type)
+    ),
+    sym AS (
+      SELECT event_type, wk,
+             CASE WHEN z < {SAX_BP_LO!r} THEN 'a'
+                  WHEN z < 0.0 THEN 'b'
+                  WHEN z < {SAX_BP_HI!r} THEN 'c'
+                  ELSE 'd' END AS sym
+      FROM z
+    )
+    SELECT s.event_type,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           string_agg(s.sym, '' ORDER BY s.wk) AS sax_word,
+           round(CAST(any_value(st.s1) AS DOUBLE)
+                 / CAST(any_value(st.n) AS DOUBLE), 8) AS mean_daily,
+           round(sqrt((CAST(any_value(st.n) AS DOUBLE)
+                       * CAST(any_value(st.s2) AS DOUBLE)
+                       - CAST(any_value(st.s1) AS DOUBLE)
+                         * CAST(any_value(st.s1) AS DOUBLE))
+                      / (CAST(any_value(st.n) AS DOUBLE)
+                         * CAST(any_value(st.n) - 1 AS DOUBLE))), 8)
+             AS std_daily
+    FROM sym s JOIN stats st USING (event_type)
+    GROUP BY s.event_type
+""")
+def timeseries_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — symbolic aggregate approximation (new r9): each series of
+    daily counts is PAA-reduced to weekly means, z-normalized against
+    the series' own daily mean/std, and discretized through the
+    Gaussian quartile breakpoints (±0.6745, 0) into a 4-symbol
+    alphabet, emitting one WORD per series — the Lin/Keogh
+    representation that lets motif mining, suffix indexing and
+    hash-based similarity run on plain strings (and pairs naturally
+    with this repo's winnowing/fingerprint string machinery).
+
+    Exactness: the PAA buckets are exact integer (weekly sum, day
+    count) pairs; the series moments are exact BIGINT/DECIMAL(38,0)
+    sums; each week's z-score is ONE shared double expression over
+    those exact integers, compared against breakpoint literals embedded
+    identically in both texts — so every symbol decision is
+    bit-deterministic. The word assembles with an explicit ORDER BY
+    week on both sides (string_agg ORDER BY / sorted-struct fold).
+
+    Scale shape: two map-side-combinable rollups (daily → weekly,
+    daily → per-series moments) and a broadcast-size join on series id;
+    the word concatenation is per-series over a |weeks|-bounded array.
+    Nothing after the first rollup touches raw-event grain."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    weekly = daily.groupBy(
+        "event_type",
+        F.expr(f"datediff(day, DATE '{SAX_ANCHOR}') div 7").alias("wk"),
+    ).agg(
+        F.sum("x").cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).cast("bigint").alias("wdays"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    z = weekly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "wk",
+        (
+            (F.col("wsum").cast("double") / F.col("wdays").cast("double")
+             - s1_d / n_d)
+            / F.sqrt(
+                (n_d * s2_d - s1_d * s1_d)
+                / (n_d * (F.col("n") - 1).cast("double"))
+            )
+        ).alias("z"),
+    )
+    sym = z.select(
+        "event_type",
+        "wk",
+        F.when(F.col("z") < SAX_BP_LO, "a")
+        .when(F.col("z") < 0.0, "b")
+        .when(F.col("z") < SAX_BP_HI, "c")
+        .otherwise("d")
+        .alias("sym"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("wk"), F.col("sym")))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax_word"),
+        )
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n_weeks",
+            "sax_word",
+            F.round(F.col("s1").cast("double") / F.col("n").cast("double"), 8)
+            .alias("mean_daily"),
+            F.round(
+                F.sqrt(
+                    (F.col("n").cast("double") * F.col("s2").cast("double")
+                     - F.col("s1").cast("double") * F.col("s1").cast("double"))
+                    / (F.col("n").cast("double")
+                       * (F.col("n") - 1).cast("double"))
+                ),
+                8,
+            ).alias("std_daily"),
+        )
+    )

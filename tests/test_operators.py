@@ -3081,3 +3081,69 @@ def test_sprt_matches_reference(spark, sf_dir):
             else ("accept_h0" if first_dn is not None else "continue")
         )
         assert r.decision == want
+
+
+def test_hampel_matches_reference(spark, sf_dir):
+    """Rolling median, MAD, and repair decisions must match a Python
+    trailing-window scan over the same daily rollup."""
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.timeseries_extra import HAMPEL_K, HAMPEL_W
+
+    got = {
+        (r.event_type, r.day): r
+        for r in _queries()["timeseries_hampel"](spark, sf_dir).collect()
+    }
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r["count"]
+    import datetime
+
+    n_checked = 0
+    for et, series in daily.items():
+        for day, x in series.items():
+            win = sorted(
+                series[day - datetime.timedelta(days=o)]
+                for o in range(HAMPEL_W)
+                if day - datetime.timedelta(days=o) in series
+            )
+            med = win[-(-len(win) // 2) - 1]  # lower median, 0-based
+            devs = sorted(abs(v - med) for v in win)
+            mad = devs[-(-len(devs) // 2) - 1]
+            r = got[(et, day)]
+            is_out = abs(x - med) > HAMPEL_K * mad
+            assert (r.n_window, r.med, r.mad) == (len(win), med, mad), (et, day)
+            assert r.is_outlier == is_out
+            assert r.x_repaired == (med if is_out else x)
+            n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_sax_word_shape_and_znorm(spark, sf_dir):
+    """SAX words must have one symbol per week, symbols must come from
+    the 4-letter alphabet, and the per-series mean/std must match a
+    numpy recompute of the daily rollup."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    rows = _queries()["timeseries_sax"](spark, sf_dir).collect()
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, []).append(r["count"])
+    assert len(rows) == len(daily)
+    for r in rows:
+        assert len(r.sax_word) == r.n_weeks > 0
+        assert set(r.sax_word) <= set("abcd")
+        xs = np.array(daily[r.event_type], dtype=np.float64)
+        assert abs(r.mean_daily - xs.mean()) < 1e-6
+        assert abs(r.std_daily - xs.std(ddof=1)) < 1e-6
