@@ -1243,3 +1243,225 @@ def pipeline_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lr"), 6).alias("dsir_lr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_gopher_rules — the named Gopher quality-filter ruleset (r9)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+@query("pipeline_gopher_rules", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             regexp_split_to_array(text, '\\n') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS BIGINT) AS n_wchars,
+             CAST(len(regexp_extract_all(text, '#')) AS BIGINT)
+               + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+               AS n_symbols,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(toks, x -> list_contains(
+                    ['and','in','is','of','that','the','to'], lower(x))))
+                  AS BIGINT) AS n_stop,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines, x ->
+                    regexp_matches(x, '^\\s*([-*•])'))) AS BIGINT)
+               AS n_bullet,
+             CAST(len(list_filter(lines, x ->
+                    regexp_matches(x, '\\.\\.\\.\\s*$'))) AS BIGINT) AS n_ell
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           n_words >= {GOPHER_MIN_WORDS}
+             AND n_words <= {GOPHER_MAX_WORDS} AS ok_word_count,
+           n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words
+             AS ok_mean_word_len,
+           10 * n_symbols <= n_words AS ok_symbol_ratio,
+           5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
+           n_stop >= 2 AS ok_stopwords,
+           10 * n_bullet <= 9 * n_lines AS ok_bullets,
+           10 * n_ell <= 3 * n_lines AS ok_ellipsis,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AND (n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words)
+             AND 10 * n_symbols <= n_words
+             AND 5 * n_alpha_words >= 4 * n_words
+             AND n_stop >= 2
+             AND 10 * n_bullet <= 9 * n_lines
+             AND 10 * n_ell <= 3 * n_lines AS keep
+    FROM m
+""")
+def pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter RULESET applied as keep/drop decisions
+    (new r9) — text_quality computes the raw SIGNALS; this key is the
+    named filter itself (Rae et al. 2021 'Scaling Language Models'
+    C.2, as reused by MassiveText/RefinedWeb/Dolma): word count in
+    [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}], mean word length in
+    [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1, >=80% of
+    words containing an alphabetic character, >=2 stop words, <=90%
+    bullet-started lines, <=30% ellipsis-ended lines — one boolean per
+    rule plus the conjunction, so a pipeline can audit WHICH rule
+    killed a document, not just that one did.
+
+    Exactness: every ratio threshold is cross-multiplied into exact
+    integer comparisons (mean word length in [3,10] becomes
+    3·words <= chars <= 10·words; 10% becomes 10·symbols <= words) —
+    the key contains NO float, so decisions are bit-deterministic by
+    construction in both engines.
+
+    Scale shape: a pure per-row map over documents (zero shuffle,
+    embarrassingly parallel at 100 TB) — token/line arrays never leave
+    the row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    lines = F.split(F.col("text"), r"\n")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_wchars"),
+        (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("#"), F.lit(0)))
+            + F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\.\.\."), F.lit(0))
+            )
+        ).cast("bigint").alias("n_symbols"),
+        F.size(
+            F.filter(toks, lambda x: x.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("n_alpha_words"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x)))
+        ).cast("bigint").alias("n_stop"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"^\s*([-*•])"))
+        ).cast("bigint").alias("n_bullet"),
+        F.size(
+            F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))
+        ).cast("bigint").alias("n_ell"),
+    )
+    ok_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    ok_mwl = (F.col("n_wchars") >= 3 * F.col("n_words")) & (
+        F.col("n_wchars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_symbols") <= F.col("n_words")
+    ok_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    ok_bul = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    ok_ell = 10 * F.col("n_ell") <= 3 * F.col("n_lines")
+    return m.select(
+        "doc_id",
+        "n_words",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        ok_bul.alias("ok_bullets"),
+        ok_ell.alias("ok_ellipsis"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop & ok_bul & ok_ell)
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_tokenizer_fertility — per-language tokenizer cost profile (r9)
+# ---------------------------------------------------------------------------
+
+FERTILITY_CHUNK = 4  # deterministic subword proxy: ceil(len/4) pieces/word
+
+
+@query("pipeline_tokenizer_fertility", oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, n_bytes,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(toks,
+                    x -> (length(x) + {FERTILITY_CHUNK - 1})
+                         // {FERTILITY_CHUNK}), 'sum') AS BIGINT) AS n_sub
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           round(CAST(sum(n_sub) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 8)
+             AS fertility,
+           round(CAST(sum(n_bytes) AS DOUBLE) / CAST(sum(n_sub) AS DOUBLE), 8)
+             AS bytes_per_subword
+    FROM m GROUP BY lang
+""")
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility profile (new r9) — the
+    multilingual budgeting table every training-mix decision reads:
+    subwords per word (fertility) and UTF-8 bytes per subword, by
+    language. High-fertility languages cost more sequence length per
+    word; bytes/subword exposes the CJK-vs-Latin compression asymmetry
+    (zh packs ~3 bytes/char into few 'words'). The subword count is a
+    deterministic proxy tokenizer — each word splits into
+    ceil(len/{FERTILITY_CHUNK}) pieces, the fixed-chunk stand-in for a
+    real BPE (whose learned merges live in pipeline_bpe_tokenize; this
+    key is the corpus-level COST AGGREGATE, cheap enough to run on
+    every ingest batch).
+
+    Exactness: word/subword/byte counts are exact BIGINTs (byte length
+    via octet_length over the UTF-8 blob in both engines — never char
+    length); the two ratios are single double divisions of exact
+    integer totals, rounded once.
+
+    Scale shape: pure per-row map + one map-side-combinable groupBy on
+    the |languages|-bounded key. Nothing shuffles at document grain."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    m = d.select(
+        "lang",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                toks,
+                lambda x: (
+                    (F.length(x) + (FERTILITY_CHUNK - 1))
+                    .cast("bigint")
+                    / FERTILITY_CHUNK
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_sub"),
+    )
+    return m.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round(
+            F.sum("n_sub").cast("double") / F.sum("n_words").cast("double"), 8
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_sub").cast("double"), 8
+        ).alias("bytes_per_subword"),
+    )

@@ -55,6 +55,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_sprt",
     "timeseries_hampel",
     "timeseries_sax",
+    "pipeline_gopher_rules",
+    "pipeline_tokenizer_fertility",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

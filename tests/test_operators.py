@@ -3147,3 +3147,72 @@ def test_sax_word_shape_and_znorm(spark, sf_dir):
         xs = np.array(daily[r.event_type], dtype=np.float64)
         assert abs(r.mean_daily - xs.mean()) < 1e-6
         assert abs(r.std_daily - xs.std(ddof=1)) < 1e-6
+
+
+def test_gopher_rules_match_python(spark, sf_dir):
+    """Every rule flag must match a from-scratch Python evaluation of
+    the Gopher ruleset on the raw text."""
+    import re
+
+    from quackflight_spark.pipeline.text_analysis import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.doc_id: r for r in
+           _queries()["pipeline_gopher_rules"](spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    stop = {"and", "in", "is", "of", "that", "the", "to"}
+    n_keep = 0
+    for d in docs:
+        toks = [t for t in re.split(r"\s+", d.text.strip()) if t]
+        lines = d.text.split("\n")
+        w = len(toks)
+        wchars = sum(len(t) for t in toks)
+        sym = d.text.count("#") + len(re.findall(r"\.\.\.", d.text))
+        alpha = sum(1 for t in toks if re.search("[A-Za-z]", t))
+        nstop = sum(1 for t in toks if t.lower() in stop)
+        bullets = sum(1 for ln in lines if re.match(r"^\s*([-*•])", ln))
+        ell = sum(1 for ln in lines if re.search(r"\.\.\.\s*$", ln))
+        r = got[d.doc_id]
+        flags = {
+            "ok_word_count": GOPHER_MIN_WORDS <= w <= GOPHER_MAX_WORDS,
+            "ok_mean_word_len": 3 * w <= wchars <= 10 * w,
+            "ok_symbol_ratio": 10 * sym <= w,
+            "ok_alpha_words": 5 * alpha >= 4 * w,
+            "ok_stopwords": nstop >= 2,
+            "ok_bullets": 10 * bullets <= 9 * len(lines),
+            "ok_ellipsis": 10 * ell <= 3 * len(lines),
+        }
+        for k, v in flags.items():
+            assert getattr(r, k) == v, (d.doc_id, k)
+        assert r.keep == all(flags.values())
+        n_keep += r.keep
+    assert 0 < n_keep < len(docs)  # the ruleset must actually discriminate
+
+
+def test_tokenizer_fertility_recompute(spark, sf_dir):
+    """Fertility and bytes/subword must match a Python recompute with
+    the ceil(len/4) proxy tokenizer."""
+    import re
+
+    from quackflight_spark.pipeline.text_analysis import FERTILITY_CHUNK
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.lang: r for r in
+           _queries()["pipeline_tokenizer_fertility"](spark, sf_dir).collect()}
+    agg: dict = {}
+    for d in load_table(spark, sf_dir, "documents").select("lang", "text").collect():
+        toks = [t for t in re.split(r"\s+", d.text.strip()) if t]
+        a = agg.setdefault(d.lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        a[2] += sum(-(-len(t) // FERTILITY_CHUNK) for t in toks)
+        a[3] += len(d.text.encode("utf-8"))
+    assert set(got) == set(agg)
+    for lang, (nd, nw, ns, nb) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.n_words, r.n_subwords, r.n_bytes) == (nd, nw, ns, nb)
+        assert abs(r.fertility - ns / nw) < 1e-6
+        assert abs(r.bytes_per_subword - nb / ns) < 1e-6
