@@ -683,3 +683,140 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_matrix — pairwise Pearson correlation matrix in one pass (r9)
+# ---------------------------------------------------------------------------
+
+CORR_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(CORR_MEASURES)
+    for b in CORR_MEASURES[i + 1:]
+]
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    ax, bx = a[2:], b[2:]  # strip 'l_' for the moment-column names
+    return f"""
+      SELECT '{a}' AS var_x, '{b}' AS var_y, n,
+             round(CAST(CAST(n AS DECIMAL(18,0)) * sxy_{ax}_{bx}
+                        - sx_{ax} * sx_{bx} AS DOUBLE)
+                   / sqrt(CAST(CAST(n AS DECIMAL(18,0)) * sxx_{ax}
+                               - sx_{ax} * sx_{ax} AS DOUBLE)
+                          * CAST(CAST(n AS DECIMAL(18,0)) * sxx_{bx}
+                                 - sx_{bx} * sx_{bx} AS DOUBLE)), 8) AS corr
+      FROM m"""
+
+
+_CORR_MOMENTS_SQL = ", ".join(
+    [
+        "CAST(count(*) AS BIGINT) AS n",
+        *[
+            f"CAST(sum(c_{m[2:]}) AS DECIMAL(38,0)) AS sx_{m[2:]}"
+            for m in CORR_MEASURES
+        ],
+        *[
+            f"CAST(sum(CAST(c_{m[2:]} AS DECIMAL(38,0)) * c_{m[2:]}) "
+            f"AS DECIMAL(38,0)) AS sxx_{m[2:]}"
+            for m in CORR_MEASURES
+        ],
+        *[
+            f"CAST(sum(CAST(c_{a[2:]} AS DECIMAL(38,0)) * c_{b[2:]}) "
+            f"AS DECIMAL(38,0)) AS sxy_{a[2:]}_{b[2:]}"
+            for a, b in CORR_PAIRS
+        ],
+    ]
+)
+
+
+@query("agg_corr_matrix", oracle=f"""
+    WITH cents AS (
+      SELECT {", ".join(
+        f"CAST(CAST({m} AS DECIMAL(18,2)) * 100 AS BIGINT) AS c_{m[2:]}"
+        for m in CORR_MEASURES)}
+      FROM lineitem
+    ),
+    m AS (SELECT {_CORR_MOMENTS_SQL} FROM cents)
+    {" UNION ALL ".join(_corr_pair_sql(a, b) for a, b in CORR_PAIRS)}
+""")
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures, all six pairs from ONE scan (new r9) — the feature-
+    screening primitive (collinearity checks, feature selection) that
+    naive per-pair corr() calls would pay six scans for. The single
+    aggregate computes every first/second moment (n, Σx, Σx², Σxy for
+    each pair) map-side-combinably; the 6-row matrix then unpivots from
+    that one-row moment table.
+
+    Exactness: measures are cents-quantized to exact BIGINTs (the
+    events_mannwhitney device), all moments are exact DECIMAL(38,0)
+    sums, and each correlation is ONE shared double expression
+    (n·Σxy − ΣxΣy)/√((n·Σx²−Σx²ᵗ)(n·Σy²−Σy²ᵗ)) whose numerator and
+    variance terms are computed as exact DECIMAL differences BEFORE the
+    single cast to double — no cancellation, no accumulation order
+    dependence, bit-identical across engines and partitionings.
+
+    Scale shape: one map-side-combinable full-scan aggregate to a
+    single row (15 exact sums), then constant work. The measure count
+    k costs k(k+1)/2 sum columns in the same pass — quadratic in k,
+    linear in data, zero extra shuffles."""
+    cents = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            (F.col(m).cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias(f"c_{m[2:]}")
+            for m in CORR_MEASURES
+        ]
+    )
+    moments = cents.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(f"c_{m[2:]}").cast("decimal(38,0)").alias(f"sx_{m[2:]}")
+            for m in CORR_MEASURES
+        ],
+        *[
+            F.sum(
+                F.col(f"c_{m[2:]}").cast("decimal(38,0)") * F.col(f"c_{m[2:]}")
+            )
+            .cast("decimal(38,0)")
+            .alias(f"sxx_{m[2:]}")
+            for m in CORR_MEASURES
+        ],
+        *[
+            F.sum(
+                F.col(f"c_{a[2:]}").cast("decimal(38,0)") * F.col(f"c_{b[2:]}")
+            )
+            .cast("decimal(38,0)")
+            .alias(f"sxy_{a[2:]}_{b[2:]}")
+            for a, b in CORR_PAIRS
+        ],
+    )
+    n_dec = F.col("n").cast("decimal(18,0)")
+
+    def pair_struct(a: str, b: str):
+        ax, bx = a[2:], b[2:]
+        cov = (
+            n_dec * F.col(f"sxy_{ax}_{bx}") - F.col(f"sx_{ax}") * F.col(f"sx_{bx}")
+        ).cast("double")
+        vx = (
+            n_dec * F.col(f"sxx_{ax}") - F.col(f"sx_{ax}") * F.col(f"sx_{ax}")
+        ).cast("double")
+        vy = (
+            n_dec * F.col(f"sxx_{bx}") - F.col(f"sx_{bx}") * F.col(f"sx_{bx}")
+        ).cast("double")
+        return F.struct(
+            F.lit(a).alias("var_x"),
+            F.lit(b).alias("var_y"),
+            F.col("n").alias("n"),
+            F.round(cov / F.sqrt(vx * vy), 8).alias("corr"),
+        )
+
+    # ONE aggregate row exploded to the 6 matrix rows — a union of six
+    # pair-selects would replay the full-scan aggregate per branch
+    return moments.select(
+        F.explode(
+            F.array(*[pair_struct(a, b) for a, b in CORR_PAIRS])
+        ).alias("p")
+    ).select("p.var_x", "p.var_y", "p.n", "p.corr")

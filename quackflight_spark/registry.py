@@ -57,6 +57,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_sax",
     "pipeline_gopher_rules",
     "pipeline_tokenizer_fertility",
+    "agg_corr_matrix",
+    "layout_zone_map_prune",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

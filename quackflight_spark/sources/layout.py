@@ -25,7 +25,7 @@ shrinks on BOTH columns vs the single-column-sort layout.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 Z_BITS = 8  # 256 rank buckets per dimension
@@ -385,4 +385,116 @@ def fn_geohash(spark, sf_dir: str) -> DataFrame:
         "lat",
         "lon",
         F.expr(_geohash_sql("lat", "lon")).alias("geohash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_zone_map_prune — file-skipping effectiveness of a layout (r9)
+# ---------------------------------------------------------------------------
+
+ZM_FILES = 16
+ZM_LO = "1997-06-01"   # the probe predicate: one ship month
+ZM_HI = "1997-06-30"
+
+
+@query("layout_zone_map_prune", oracle=f"""
+    WITH li AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber,
+             l_shipdate
+      FROM lineitem
+    ),
+    sorted_files AS (
+      SELECT d, CAST(ntile({ZM_FILES}) OVER (
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INT)
+               AS file_id
+      FROM li
+    ),
+    hash_files AS (
+      SELECT d, CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR)), 1, 4) AS INT)
+               % {ZM_FILES} AS file_id
+      FROM li
+    ),
+    both_layouts AS (
+      SELECT 'sorted' AS layout, file_id, d FROM sorted_files
+      UNION ALL
+      SELECT 'hash' AS layout, file_id, d FROM hash_files
+    )
+    SELECT layout, file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(d) AS min_day, max(d) AS max_day,
+           max(d) < DATE '{ZM_LO}' OR min(d) > DATE '{ZM_HI}' AS can_prune
+    FROM both_layouts GROUP BY 1, 2
+""")
+def layout_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file-statistics) pruning evaluation (new r9) — the
+    quantified version of the claim every layout key here makes: a
+    shipdate-SORTED {ZM_FILES}-file layout gives each file a tight
+    min/max envelope so a one-month predicate skips ~15/16 files, while
+    the same data HASH-distributed gives every file the full date span
+    and skips nothing. This is exactly the min/max row-group statistics
+    a parquet/Delta reader consults; the key computes the per-file zone
+    maps for both layouts and the skip decision for the probe month
+    [{ZM_LO}, {ZM_HI}] — the audit a table-layout job should emit
+    BEFORE rewriting 100 TB (compare layout_zorder, which asserts the
+    envelope-tightening on real written files in its test).
+
+    Exactness: file assignment is exact in both engines — the sorted
+    layout via NTILE over the total order (l_shipdate, l_orderkey,
+    l_linenumber) [Spark side: the distributed-exact ntile device from
+    win_ntile — range partition + per-slice rank + broadcast offsets,
+    no single-task sort], the hash layout via the md5 device; zone
+    bounds are exact DATE min/max and the skip decision is pure date
+    comparison.
+
+    Scale shape: one range-partitioned exchange for the sorted leg
+    (what any sort-based layout rewrite pays), one map-side-combinable
+    groupBy per leg to {ZM_FILES} rows each. The evaluation never
+    writes the files — it costs two rollups, not a table rewrite."""
+    from quackflight_spark.streaming.windowed import _ntile_distributed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+    )
+    sorted_leg = _ntile_distributed(
+        li, ["l_shipdate", "l_orderkey", "l_linenumber"], "file_id", ZM_FILES
+    ).select(F.lit("sorted").alias("layout"), F.col("file_id").cast("int"), "d")
+    hash_leg = li.select(
+        F.lit("hash").alias("layout"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % ZM_FILES
+        ).alias("file_id"),
+        "d",
+    )
+    return (
+        sorted_leg.unionByName(hash_leg)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+        )
+        .withColumn(
+            "can_prune",
+            (F.col("max_day") < F.lit(ZM_LO).cast("date"))
+            | (F.col("min_day") > F.lit(ZM_HI).cast("date")),
+        )
     )

@@ -3216,3 +3216,48 @@ def test_tokenizer_fertility_recompute(spark, sf_dir):
         assert (r.n_docs, r.n_words, r.n_subwords, r.n_bytes) == (nd, nw, ns, nb)
         assert abs(r.fertility - ns / nw) < 1e-6
         assert abs(r.bytes_per_subword - nb / ns) < 1e-6
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """All six pairwise correlations must match numpy corrcoef on the
+    cents-quantized measures."""
+    import numpy as np
+
+    from quackflight_spark.functions.modern import CORR_MEASURES
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {(r.var_x, r.var_y): r for r in
+           _queries()["agg_corr_matrix"](spark, sf_dir).collect()}
+    pdf = load_table(spark, sf_dir, "lineitem").select(*CORR_MEASURES).toPandas()
+    cents = (pdf * 100).round().astype("int64")
+    c = np.corrcoef(cents.to_numpy().T)
+    idx = {m: i for i, m in enumerate(CORR_MEASURES)}
+    assert len(got) == 6
+    for (a, b), r in got.items():
+        assert abs(r.corr - c[idx[a], idx[b]]) < 1e-6, (a, b)
+        assert r.n == len(pdf)
+
+
+def test_zone_map_prune_contrast(spark, sf_dir):
+    """The sorted layout must skip most files for the one-month probe;
+    the hash layout must skip none — and zone maps must partition the
+    full row count."""
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.sources.layout import ZM_FILES
+
+    rows = _queries()["layout_zone_map_prune"](spark, sf_dir).collect()
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    by_layout: dict = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    for layout, fs in by_layout.items():
+        assert len(fs) == ZM_FILES
+        assert sum(f.n_rows for f in fs) == n_li
+        for f in fs:
+            assert f.min_day <= f.max_day
+    pruned_sorted = sum(f.can_prune for f in by_layout["sorted"])
+    pruned_hash = sum(f.can_prune for f in by_layout["hash"])
+    # probe month is ~1/82 of the 1995-2001 span: a sorted layout skips
+    # all but the 1-2 files containing it; a hash layout can skip nothing
+    assert pruned_sorted >= ZM_FILES - 2, pruned_sorted
+    assert pruned_hash == 0
