@@ -1935,3 +1935,155 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("query_id", F.col("cand").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# search_trigram_fuzzy — trigram-index fuzzy lexical match (r9)
+# ---------------------------------------------------------------------------
+
+TRIGRAM_QUERIES = [
+    "windw", "tabel", "colunm", "streem", "filtr", "vectro", "custmer",
+    "querry",
+]
+TRIGRAM_TOPK = 5
+TRIGRAM_MIN_J = 0.05   # jaccard floor — drops the long tail before ranking
+TRIGRAM_MIN_LEN = 4    # vocab words shorter than this have <=2 trigrams
+
+
+def _trigram_query_values() -> str:
+    return ", ".join(f"('{q}')" for q in TRIGRAM_QUERIES)
+
+
+@query("search_trigram_fuzzy", oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT lower(w) AS w
+      FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text),
+                     '\\s+'), x -> x <> '')) AS w FROM documents)
+      WHERE length(w) >= {TRIGRAM_MIN_LEN} AND regexp_matches(w, '^[a-z]+$')
+    ),
+    vt AS (
+      SELECT w,
+             list_distinct(list_transform(
+               range(1, length('^' || w || '$') - 1),
+               i -> substr('^' || w || '$', CAST(i AS INT), 3))) AS tris
+      FROM vocab
+    ),
+    vpost AS (SELECT w, CAST(len(tris) AS BIGINT) AS n_w, unnest(tris) AS tri
+              FROM vt),
+    qs AS (SELECT q FROM (VALUES {_trigram_query_values()}) AS t(q)),
+    qt AS (
+      SELECT q,
+             list_distinct(list_transform(
+               range(1, length('^' || q || '$') - 1),
+               i -> substr('^' || q || '$', CAST(i AS INT), 3))) AS tris
+      FROM qs
+    ),
+    qpost AS (SELECT q, CAST(len(tris) AS BIGINT) AS n_q, unnest(tris) AS tri
+              FROM qt),
+    common AS (
+      SELECT q.q, v.w, CAST(count(*) AS BIGINT) AS n_common,
+             any_value(q.n_q) AS n_q, any_value(v.n_w) AS n_w
+      FROM qpost q JOIN vpost v USING (tri)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT q, w, n_common, n_q, n_w,
+             CAST(n_common AS DOUBLE)
+               / CAST(n_q + n_w - n_common AS DOUBLE) AS jaccard
+      FROM common
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q
+                 ORDER BY jaccard DESC, w) AS INT) AS rank
+      FROM scored WHERE jaccard >= {TRIGRAM_MIN_J!r}
+    )
+    SELECT q AS query, w AS word, n_common, n_q, n_w,
+           round(jaccard, 8) AS jaccard, rank
+    FROM ranked WHERE rank <= {TRIGRAM_TOPK}
+""")
+def search_trigram_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index fuzzy vocabulary search (new r9) — the pg_trgm /
+    Elasticsearch-fuzzy primitive: misspelled query terms match
+    dictionary words by Jaccard similarity of their boundary-padded
+    character trigram SETS, served from an inverted trigram index —
+    never an all-pairs edit-distance scan (join_fuzzy_names does
+    bounded edit distance on names; this key is the index-served
+    vocabulary variant a search box or query-rewriter needs).
+
+    Exactness: trigram sets are distinct string arrays built by the
+    same padded substring recipe in both texts; |common| is an exact
+    BIGINT from the posting join; Jaccard is ONE double division of
+    exact integers, so ranking (jaccard DESC, word) is deterministic —
+    and the rank window partitions by query, never a global sort.
+
+    Scale shape: the index join is bounded by the POSTINGS OF THE
+    QUERY'S TRIGRAMS — each of the ~|q| query trigrams pulls one
+    posting list, so candidate volume is Σ df(tri), independent of
+    corpus size beyond the vocabulary rollup (which is itself the
+    |vocab|-bounded distinct — the text_* family's standard bound). A
+    production index would additionally cap pathological trigram df
+    the way search_bm25_topk's df ceiling does; the boundary-padded
+    trigrams here keep df naturally sub-linear in |vocab|."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    vocab = (
+        d.select(F.explode(toks).alias("w0"))
+        .select(F.lower("w0").alias("w"))
+        .filter(
+            (F.length("w") >= TRIGRAM_MIN_LEN) & F.col("w").rlike("^[a-z]+$")
+        )
+        .distinct()
+    )
+
+    def tri_set(col: Column) -> Column:
+        padded = F.concat(F.lit("^"), col, F.lit("$"))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - 2),
+                lambda i: F.substring(padded, i, F.lit(3)),
+            )
+        )
+
+    vt = vocab.select("w", tri_set(F.col("w")).alias("tris"))
+    vpost = vt.select(
+        "w",
+        F.size("tris").cast("bigint").alias("n_w"),
+        F.explode("tris").alias("tri"),
+    )
+    qs = spark.createDataFrame([(q,) for q in TRIGRAM_QUERIES], "q string")
+    qt = qs.select("q", tri_set(F.col("q")).alias("tris"))
+    qpost = qt.select(
+        "q",
+        F.size("tris").cast("bigint").alias("n_q"),
+        F.explode("tris").alias("tri"),
+    )
+    common = (
+        F.broadcast(qpost)
+        .join(vpost, "tri")
+        .groupBy("q", "w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.any_value("n_q").alias("n_q"),
+            F.any_value("n_w").alias("n_w"),
+        )
+    )
+    scored = common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("n_q") + F.col("n_w") - F.col("n_common")).cast("double"),
+    ).filter(F.col("jaccard") >= TRIGRAM_MIN_J)
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("q").orderBy(F.desc("jaccard"), F.asc("w")))
+        .cast("int"),
+    ).filter(F.col("rank") <= TRIGRAM_TOPK)
+    return ranked.select(
+        F.col("q").alias("query"),
+        F.col("w").alias("word"),
+        "n_common",
+        "n_q",
+        "n_w",
+        F.round("jaccard", 8).alias("jaccard"),
+        "rank",
+    )

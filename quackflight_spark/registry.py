@@ -59,6 +59,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_tokenizer_fertility",
     "agg_corr_matrix",
     "layout_zone_map_prune",
+    "search_trigram_fuzzy",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

@@ -3261,3 +3261,29 @@ def test_zone_map_prune_contrast(spark, sf_dir):
     # all but the 1-2 files containing it; a hash layout can skip nothing
     assert pruned_sorted >= ZM_FILES - 2, pruned_sorted
     assert pruned_hash == 0
+
+
+def test_trigram_fuzzy_finds_intended_words(spark, sf_dir):
+    """Every misspelled query's intended vocabulary word must rank #1,
+    and every reported jaccard must match a Python trigram recompute."""
+    from quackflight_spark.pipeline.similarity import TRIGRAM_QUERIES
+
+    intended = {
+        "windw": "window", "tabel": "table", "colunm": "column",
+        "streem": "stream", "filtr": "filter", "vectro": "vector",
+        "custmer": "customer", "querry": "query",
+    }
+
+    def tris(w):
+        p = f"^{w}$"
+        return {p[i:i + 3] for i in range(len(p) - 2)}
+
+    rows = _queries()["search_trigram_fuzzy"](spark, sf_dir).collect()
+    top1 = {r.query: r.word for r in rows if r.rank == 1}
+    for q in TRIGRAM_QUERIES:
+        assert top1[q] == intended[q], q
+    for r in rows:
+        tq, tw = tris(r.query), tris(r.word)
+        assert r.n_common == len(tq & tw)
+        assert (r.n_q, r.n_w) == (len(tq), len(tw))
+        assert abs(r.jaccard - len(tq & tw) / len(tq | tw)) < 1e-8
