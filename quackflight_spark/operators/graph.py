@@ -747,3 +747,140 @@ def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return assigned.join(F.broadcast(sizes), "scc_id").select(
         "node", "scc_id", "scc_size"
     )
+
+
+CLOSE_MAX_HOPS = 6
+CLOSE_SRC_MOD = 400  # seeds = graph nodes with part id ≡ 0 (mod this)
+
+
+@query("graph_closeness", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {BFS_MIN_CO}
+    ),
+    edges AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+    src AS (SELECT DISTINCT a AS seed FROM edges
+            WHERE a % {CLOSE_SRC_MOD} = 0),
+    walk AS (
+      WITH RECURSIVE w(seed, node, d) AS (
+        SELECT seed, seed, 0 FROM src
+        UNION
+        SELECT w.seed, e.b, w.d + 1
+        FROM w JOIN edges e ON e.a = w.node
+        WHERE w.d < {CLOSE_MAX_HOPS}
+      ) SELECT seed, node, d FROM w
+    ),
+    dist AS (
+      SELECT seed, node, CAST(min(d) AS BIGINT) AS d
+      FROM walk GROUP BY 1, 2
+    ),
+    per_d AS (
+      SELECT seed, d, CAST(count(*) AS BIGINT) AS n_d
+      FROM dist WHERE d >= 1 GROUP BY 1, 2
+    )
+    SELECT seed,
+           CAST(sum(n_d) AS BIGINT) AS n_reached,
+           CAST(sum(d * n_d) AS BIGINT) AS sum_dist,
+           round(CAST(sum(n_d) AS DOUBLE) / CAST(sum(d * n_d) AS DOUBLE), 8)
+             AS closeness,
+           round(  CAST(sum(CASE WHEN d = 1 THEN n_d ELSE 0 END) AS DOUBLE)
+                 + CAST(sum(CASE WHEN d = 2 THEN n_d ELSE 0 END) AS DOUBLE) / 2.0
+                 + CAST(sum(CASE WHEN d = 3 THEN n_d ELSE 0 END) AS DOUBLE) / 3.0
+                 + CAST(sum(CASE WHEN d = 4 THEN n_d ELSE 0 END) AS DOUBLE) / 4.0
+                 + CAST(sum(CASE WHEN d = 5 THEN n_d ELSE 0 END) AS DOUBLE) / 5.0
+                 + CAST(sum(CASE WHEN d = 6 THEN n_d ELSE 0 END) AS DOUBLE) / 6.0,
+                 8) AS harmonic
+    FROM per_d GROUP BY seed
+""")
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated closeness + harmonic centrality per seed (new r9):
+    for every seed (graph nodes ≡ 0 mod {CLOSE_SRC_MOD}), BFS out to
+    {CLOSE_MAX_HOPS} hops on the co-purchase graph and report
+    |reached| / Σdist (closeness over the hop-bounded ball — the
+    Wasserman–Faust style truncation that makes centrality computable
+    without all-pairs shortest paths) and Σ 1/d (harmonic centrality,
+    the disconnected-graph-safe variant Boldi–Vigna recommend). This is
+    the hub/influence scorer the graph family lacked — pagerank ranks
+    by link mass, closeness ranks by REACH per hop.
+
+    Exactness: the multi-seed BFS carries exact (seed, node, hop)
+    labels with min-merge (graph_bfs's device keyed by seed); the
+    per-distance node counts n_d are exact BIGINTs, closeness is one
+    double division of exact integers, and harmonic unrolls to the
+    FIXED {CLOSE_MAX_HOPS}-term expression n1/1 + n2/2 + … — identical
+    literal order in both texts, so no float accumulation order exists
+    at all.
+
+    Scale shape: {CLOSE_MAX_HOPS} bounded level-synchronous joins over
+    the shared staged edge list (the graph_bfs plan, state keyed by
+    seed×node — bounded by |seeds|·|reachable|, and |seeds| is modulus-
+    bounded); the rollup to (seed, d) counts is map-side combinable.
+    The oracle replays the same walk as a recursive CTE."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(
+                b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+            )
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= BFS_MIN_CO)
+            .select("u", "v")
+        )
+        return e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    edges = shared_frame("bfs_edges", sf_dir, build_edges)
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .filter(F.col("seed") % CLOSE_SRC_MOD == 0)
+        .distinct()
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("d")
+    )
+    frontier = dist
+    for hop in range(1, CLOSE_MAX_HOPS + 1):
+        reached = frontier.join(edges, frontier.node == edges.src).select(
+            "seed", F.col("dst").alias("node"), F.lit(hop).alias("d")
+        )
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("seed", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        frontier = dist.filter(F.col("d") == hop)
+    per_d = (
+        dist.filter(F.col("d") >= 1)
+        .groupBy("seed", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    )
+    harmonic = None
+    for k in range(1, CLOSE_MAX_HOPS + 1):
+        term = (
+            F.sum(F.when(F.col("d") == k, F.col("n_d")).otherwise(0))
+            .cast("double")
+            / float(k)
+        )
+        harmonic = term if harmonic is None else harmonic + term
+    return per_d.groupBy("seed").agg(
+        F.sum("n_d").cast("bigint").alias("n_reached"),
+        F.sum(F.col("d") * F.col("n_d")).cast("bigint").alias("sum_dist"),
+        F.round(
+            F.sum("n_d").cast("double")
+            / F.sum(F.col("d") * F.col("n_d")).cast("double"),
+            8,
+        ).alias("closeness"),
+        F.round(harmonic, 8).alias("harmonic"),
+    )

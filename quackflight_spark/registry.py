@@ -60,6 +60,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_corr_matrix",
     "layout_zone_map_prune",
     "search_trigram_fuzzy",
+    "graph_closeness",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

@@ -3287,3 +3287,65 @@ def test_trigram_fuzzy_finds_intended_words(spark, sf_dir):
         assert r.n_common == len(tq & tw)
         assert (r.n_q, r.n_w) == (len(tq), len(tw))
         assert abs(r.jaccard - len(tq & tw) / len(tq | tw)) < 1e-8
+
+
+def test_closeness_matches_python_bfs(spark, sf_dir):
+    """Per-seed truncated closeness and harmonic centrality must match
+    a Python BFS over the same support-thresholded edge set."""
+    from collections import deque
+
+    from quackflight_spark.operators.graph import (
+        BFS_MIN_CO,
+        CLOSE_MAX_HOPS,
+        CLOSE_SRC_MOD,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.seed: r for r in _queries()["graph_closeness"](spark, sf_dir).collect()}
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in op:
+        baskets.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    from collections import Counter
+
+    pair_n: Counter = Counter()
+    for ps in baskets.values():
+        ps = sorted(set(ps))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                pair_n[(u, v)] += 1
+    adj: dict = {}
+    for (u, v), c in pair_n.items():
+        if c >= BFS_MIN_CO:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    seeds = [n for n in adj if n % CLOSE_SRC_MOD == 0]
+    assert set(got) <= set(seeds)
+    n_with_rows = 0
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= CLOSE_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reach = {v: d for v, d in dist.items() if d >= 1}
+        if not reach:
+            assert s not in got
+            continue
+        n_with_rows += 1
+        r = got[s]
+        assert r.n_reached == len(reach)
+        assert r.sum_dist == sum(reach.values())
+        assert abs(r.closeness - len(reach) / sum(reach.values())) < 1e-8
+        assert abs(r.harmonic - sum(1 / d for d in reach.values())) < 1e-6
+    assert n_with_rows == len(got) > 0
