@@ -61,6 +61,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "layout_zone_map_prune",
     "search_trigram_fuzzy",
     "graph_closeness",
+    "events_mutual_info",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

@@ -300,3 +300,171 @@ def events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_mutual_info — mutual information / entropy decomposition (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("events_mutual_info", oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % {CHISQ_COHORTS} AS cohort,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rowt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+    colt AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot  AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+    terms AS (
+      SELECT cells.event_type AS et, cells.cohort AS co,
+             (CAST(cells.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+               * ln(CAST(CAST(cells.n AS DECIMAL(38,0)) * tot.nt AS DOUBLE)
+                    / CAST(CAST(rowt.r AS DECIMAL(38,0)) * colt.c AS DOUBLE))
+               AS mi_term,
+             CAST(rowt.r AS BIGINT) AS r, CAST(colt.c AS BIGINT) AS c,
+             CAST(tot.nt AS BIGINT) AS nt
+      FROM cells JOIN rowt USING (event_type) JOIN colt USING (cohort), tot
+    ),
+    hx AS (
+      SELECT -list_reduce(
+               list_transform(
+                 list_sort(list({{'k': event_type,
+                   't': (CAST(r AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * ln(CAST(r AS DOUBLE) / CAST(nt AS DOUBLE))}})),
+                 x -> x.t),
+               (a, b) -> a + b) AS h_row
+      FROM (SELECT r.event_type, r.r, tot.nt FROM rowt r, tot) t(event_type, r, nt)
+    ),
+    hy AS (
+      SELECT -list_reduce(
+               list_transform(
+                 list_sort(list({{'k': cohort,
+                   't': (CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))}})),
+                 x -> x.t),
+               (a, b) -> a + b) AS h_col
+      FROM (SELECT c.cohort, c.c, tot.nt FROM colt c, tot) t(cohort, c, nt)
+    ),
+    mi AS (
+      SELECT list_reduce(
+               list_transform(
+                 list_sort(list({{'et': et, 'co': co, 't': mi_term}})),
+                 x -> x.t),
+               (a, b) -> a + b) AS mi
+      FROM terms
+    )
+    SELECT round(mi.mi, 6) AS mutual_info,
+           round(hx.h_row, 6) AS h_event_type,
+           round(hy.h_col, 6) AS h_cohort,
+           round(mi.mi / least(hx.h_row, hy.h_col), 6) AS norm_mi
+    FROM mi, hx, hy
+""")
+def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of the event_type × cohort contingency grid
+    (new r9) — the information-theoretic companion to events_chisq:
+    I(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), plus both marginal
+    entropies and the normalized MI (I/min(H_x,H_y)) — the feature-
+    selection / clustering-agreement score ML pipelines standardize on
+    where χ² is the hypothesis test.
+
+    Exactness: the grid counts and marginals are exact BIGINTs; each
+    cell's ln() argument is a ratio of DECIMAL(38,0)-held exact
+    products (n·N)/(r·c) — ONE division, one ln per cell — and every
+    float sum (MI over ≤|types|×|cohorts| cells, entropies over the
+    marginals) is a fold over the array sorted by cell key, so both
+    engines add identical doubles in identical order. ln() itself is
+    evaluated on bit-identical inputs; the round(…,6) margin absorbs
+    any last-ulp libm divergence (the text_unigram_logprob precedent).
+
+    Scale shape: identical to events_chisq — one map-side-combinable
+    rollup to the constant-size grid, then constant-size folds. The
+    two keys deliberately share the cell rollup so a real pipeline
+    computes both from one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % CHISQ_COHORTS
+    )
+    cells = ev.groupBy("event_type", cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rowt = cells.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("r"))
+    colt = cells.groupBy("cohort").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))
+
+    def _entropy_fold(df: DataFrame, key: str, cnt: str):
+        t = (
+            (F.col(cnt).cast("double") / F.col("nt").cast("double"))
+            * F.log(F.col(cnt).cast("double") / F.col("nt").cast("double"))
+        )
+        return df.crossJoin(F.broadcast(tot)).agg(
+            (
+                -F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(F.col(key).alias("k"), t.alias("t"))
+                            )
+                        ),
+                        lambda x: x["t"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("h")
+        )
+
+    hx = _entropy_fold(rowt, "event_type", "r").withColumnRenamed("h", "h_row")
+    hy = _entropy_fold(colt, "cohort", "c").withColumnRenamed("h", "h_col")
+    terms = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "cohort")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("event_type").alias("et"),
+            F.col("cohort").alias("co"),
+            (
+                (F.col("n").cast("double") / F.col("nt").cast("double"))
+                * F.log(
+                    (F.col("n").cast("decimal(38,0)") * F.col("nt")).cast(
+                        "double"
+                    )
+                    / (F.col("r").cast("decimal(38,0)") * F.col("c")).cast(
+                        "double"
+                    )
+                )
+            ).alias("mi_term"),
+        )
+    )
+    mi = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("et").alias("et"),
+                            F.col("co").alias("co"),
+                            F.col("mi_term").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("mi")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round("mi", 6).alias("mutual_info"),
+            F.round("h_row", 6).alias("h_event_type"),
+            F.round("h_col", 6).alias("h_cohort"),
+            F.round(F.col("mi") / F.least("h_row", "h_col"), 6).alias("norm_mi"),
+        )
+    )

@@ -3349,3 +3349,39 @@ def test_closeness_matches_python_bfs(spark, sf_dir):
         assert abs(r.closeness - len(reach) / sum(reach.values())) < 1e-8
         assert abs(r.harmonic - sum(1 / d for d in reach.values())) < 1e-6
     assert n_with_rows == len(got) > 0
+
+
+def test_mutual_info_matches_scipy_style_recompute(spark, sf_dir):
+    """MI, marginal entropies, and normalized MI must match a Python
+    recompute on the same contingency grid."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import CHISQ_COHORTS
+
+    r = _queries()["events_mutual_info"](spark, sf_dir).collect()[0]
+    cells: Counter = Counter()
+    for x in load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    ).collect():
+        co = int(hashlib.md5(str(x.user_id).encode()).hexdigest()[:4], 16) % CHISQ_COHORTS
+        cells[(x.event_type, co)] += 1
+    n = sum(cells.values())
+    rows: Counter = Counter()
+    cols: Counter = Counter()
+    for (et, co), c in cells.items():
+        rows[et] += c
+        cols[co] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (rows[et] * cols[co]))
+        for (et, co), c in cells.items()
+    )
+    hx = -sum((v / n) * math.log(v / n) for v in rows.values())
+    hy = -sum((v / n) * math.log(v / n) for v in cols.values())
+    assert abs(r.mutual_info - mi) < 1e-5
+    assert abs(r.h_event_type - hx) < 1e-5
+    assert abs(r.h_cohort - hy) < 1e-5
+    assert abs(r.norm_mi - mi / min(hx, hy)) < 1e-5
+    assert 0 <= r.norm_mi <= 1
