@@ -62,6 +62,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_trigram_fuzzy",
     "graph_closeness",
     "events_mutual_info",
+    "timeseries_spectral_dft",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

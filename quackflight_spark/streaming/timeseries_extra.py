@@ -289,3 +289,159 @@ def timeseries_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("std_daily"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_spectral_dft — weekly-period periodogram power (r9)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+DFT_PERIOD = 7
+# cos/sin tables computed ONCE here and embedded as identical literals in
+# both engine texts — never cos()/sin() in SQL (the SPRT libm rationale)
+DFT_COS = [_math.cos(2 * _math.pi * k / DFT_PERIOD) for k in range(DFT_PERIOD)]
+DFT_SIN = [_math.sin(2 * _math.pi * k / DFT_PERIOD) for k in range(DFT_PERIOD)]
+_DFT_COS_SQL = "[" + ", ".join(repr(v) for v in DFT_COS) + "]"
+_DFT_SIN_SQL = "[" + ", ".join(repr(v) for v in DFT_SIN) + "]"
+
+
+@query("timeseries_spectral_dft", oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '{SAX_ANCHOR}',
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2,
+             list_sort(list({{'t': t, 'x': x}})) AS a
+      FROM daily GROUP BY 1
+    ),
+    folds AS (
+      SELECT event_type, n_days, s1, s2,
+             list_reduce(list_transform(a, e ->
+               CAST(e.x AS DOUBLE) * {_DFT_COS_SQL}[(e.t % {DFT_PERIOD}) + 1]),
+               (p, q) -> p + q) AS sxc,
+             list_reduce(list_transform(a, e ->
+               CAST(e.x AS DOUBLE) * {_DFT_SIN_SQL}[(e.t % {DFT_PERIOD}) + 1]),
+               (p, q) -> p + q) AS sxs,
+             list_reduce(list_transform(a, e ->
+               {_DFT_COS_SQL}[(e.t % {DFT_PERIOD}) + 1]), (p, q) -> p + q) AS sc,
+             list_reduce(list_transform(a, e ->
+               {_DFT_SIN_SQL}[(e.t % {DFT_PERIOD}) + 1]), (p, q) -> p + q) AS ss
+      FROM arr
+    )
+    SELECT event_type, n_days,
+           round(sxc - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * sc, 6)
+             AS dft_real,
+           round(sxs - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * ss, 6)
+             AS dft_imag,
+           round(  (sxc - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * sc)
+                 * (sxc - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * sc)
+                 + (sxs - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * ss)
+                 * (sxs - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * ss),
+                 6) AS power,
+           round((  (sxc - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * sc)
+                  * (sxc - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * sc)
+                  + (sxs - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * ss)
+                  * (sxs - (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) * ss))
+                 / (CAST(s2 AS DOUBLE)
+                    - CAST(CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                      / CAST(n_days AS DOUBLE)), 6) AS strength
+    FROM folds
+""")
+def timeseries_spectral_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT periodogram at the weekly period (new r9) —
+    the seasonality DETECTOR the family's decomposers assume: project
+    each series of daily counts onto cos/sin at period {DFT_PERIOD}
+    (mean-removed via the DC cross-terms, the textbook Goertzel-free
+    single-bin periodogram) and report the spectral power plus its
+    fraction of the series' total centered energy (Σx²−S1²/n) — the
+    'seasonal strength' score that decides whether snaive/STL modeling
+    is even warranted.
+
+    Exactness: the cos/sin tables are Python-computed module constants
+    embedded as identical 17-digit literal arrays in BOTH texts (the
+    SPRT device — never trig in SQL, whose libm can differ in the last
+    ulp between JVM and DuckDB); each product x·c[t mod {DFT_PERIOD}]
+    is exact-int × identical-literal, and all four projections fold
+    over the SAME day-sorted array, so both engines add identical
+    doubles in identical order. The energy denominator is exact
+    BIGINT/DECIMAL moments with one final division.
+
+    Scale shape: one map-side-combinable rollup to |series|×|days|,
+    then per-series folds over |days|-bounded arrays. At 100 TB the
+    array per series is bounded by the calendar, not the corpus; a
+    longer horizon chunks by (series, year) and merges the complex
+    sums — they are associative — without changing the math."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit(SAX_ANCHOR).cast("date"),
+            ).alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    cos_arr = F.array(*[F.lit(v) for v in DFT_COS])
+    sin_arr = F.array(*[F.lit(v) for v in DFT_SIN])
+    arr = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("x")))
+        ).alias("a"),
+    )
+
+    def fold(expr_fn):
+        return F.aggregate(
+            F.transform(F.col("a"), expr_fn), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    folds = arr.select(
+        "event_type",
+        "n_days",
+        "s1",
+        "s2",
+        fold(
+            lambda e: e["x"].cast("double")
+            * F.element_at(cos_arr, (e["t"] % DFT_PERIOD) + 1)
+        ).alias("sxc"),
+        fold(
+            lambda e: e["x"].cast("double")
+            * F.element_at(sin_arr, (e["t"] % DFT_PERIOD) + 1)
+        ).alias("sxs"),
+        fold(
+            lambda e: F.element_at(cos_arr, (e["t"] % DFT_PERIOD) + 1)
+        ).alias("sc"),
+        fold(
+            lambda e: F.element_at(sin_arr, (e["t"] % DFT_PERIOD) + 1)
+        ).alias("ss"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days").cast("double")
+    re = F.col("sxc") - mean * F.col("sc")
+    im = F.col("sxs") - mean * F.col("ss")
+    energy = (
+        F.col("s2").cast("double")
+        - (F.col("s1").cast("decimal(38,0)") * F.col("s1")).cast("double")
+        / F.col("n_days").cast("double")
+    )
+    return folds.select(
+        "event_type",
+        "n_days",
+        F.round(re, 6).alias("dft_real"),
+        F.round(im, 6).alias("dft_imag"),
+        F.round(re * re + im * im, 6).alias("power"),
+        F.round((re * re + im * im) / energy, 6).alias("strength"),
+    )

@@ -3385,3 +3385,43 @@ def test_mutual_info_matches_scipy_style_recompute(spark, sf_dir):
     assert abs(r.h_cohort - hy) < 1e-5
     assert abs(r.norm_mi - mi / min(hx, hy)) < 1e-5
     assert 0 <= r.norm_mi <= 1
+
+
+def test_spectral_dft_matches_numpy(spark, sf_dir):
+    """Weekly-bin periodogram power must match a numpy recompute of
+    the mean-removed single-frequency DFT."""
+    import datetime
+
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.timeseries_extra import (
+        DFT_PERIOD,
+        SAX_ANCHOR,
+    )
+
+    got = {r.event_type: r for r in
+           _queries()["timeseries_spectral_dft"](spark, sf_dir).collect()}
+    anchor = datetime.date.fromisoformat(SAX_ANCHOR)
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[(r.day - anchor).days] = r["count"]
+    for et, series in daily.items():
+        t = np.array(sorted(series))
+        x = np.array([series[k] for k in sorted(series)], dtype=np.float64)
+        xc = x - x.mean()
+        re = float(np.sum(xc * np.cos(2 * np.pi * (t % DFT_PERIOD) / DFT_PERIOD)))
+        im = float(np.sum(xc * np.sin(2 * np.pi * (t % DFT_PERIOD) / DFT_PERIOD)))
+        r = got[et]
+        assert r.n_days == len(t)
+        assert abs(r.dft_real - re) < 1e-4, et
+        assert abs(r.dft_imag - im) < 1e-4, et
+        assert abs(r.power - (re * re + im * im)) < 1e-2
+        energy = float(np.sum(xc * xc))
+        assert abs(r.strength - (re * re + im * im) / energy) < 1e-5
+        assert 0 <= r.strength <= 1
