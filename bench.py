@@ -210,6 +210,18 @@ BENCH_KEYS = [
     "search_phrase_match",
     "dedup_substring",
     "graph_scc",
+    "events_chisq",
+    "events_sprt",
+    "events_mutual_info",
+    "timeseries_hampel",
+    "timeseries_sax",
+    "timeseries_spectral_dft",
+    "pipeline_gopher_rules",
+    "pipeline_tokenizer_fertility",
+    "agg_corr_matrix",
+    "layout_zone_map_prune",
+    "search_trigram_fuzzy",
+    "graph_closeness",
 ]
 
 
