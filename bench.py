@@ -222,6 +222,7 @@ BENCH_KEYS = [
     "layout_zone_map_prune",
     "search_trigram_fuzzy",
     "graph_closeness",
+    "stream_sprt",
 ]
 
 

@@ -63,6 +63,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_closeness",
     "events_mutual_info",
     "timeseries_spectral_dft",
+    "stream_sprt",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

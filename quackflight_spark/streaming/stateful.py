@@ -489,3 +489,167 @@ def stream_cdc_apply(spark: "SparkSession", sf_dir: str) -> "DataFrame":
             "n_changes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_sprt — Wald's SPRT as an O(1)-state streaming monitor (r9)
+# ---------------------------------------------------------------------------
+
+SPRT_OUTPUT_SCHEMA = (
+    "variant int, n_trials bigint, k_succ bigint, "
+    "first_up bigint, first_dn bigint"
+)
+SPRT_STATE_SCHEMA = "n bigint, k bigint, first_up bigint, first_dn bigint"
+
+
+def sprt_monitor(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Per-variant SPRT walk state: trial count n, success count k, and
+    the first boundary-crossing trial indices (−1 = not yet crossed).
+    O(1) per key forever — the monitor never retains a trial. The LLR
+    is evaluated per arriving trial from (n, k) and the module
+    constants; crossings latch once (a sequential test STOPS at its
+    first crossing, later trials cannot un-cross it), so the fold is
+    exact as long as trials arrive in (ts, event_id) order across
+    batches — the stream_pattern_match ordering contract (within-batch
+    sort here; cross-batch order is the source's per-key delivery
+    order, which time-split files / Kafka per-partition order give)."""
+    from quackflight_spark.streaming.stats_tests import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_L0,
+        SPRT_L1,
+    )
+
+    if state.exists:
+        n, k, first_up, first_dn = state.get
+    else:
+        n, k, first_up, first_dn = 0, 0, -1, -1
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for et in pdf["event_type"]:
+            n += 1
+            k += 1 if et == "purchase" else 0
+            llr = k * SPRT_L1 + (n - k) * SPRT_L0
+            if first_up < 0 and llr >= SPRT_A:
+                first_up = n
+            if first_dn < 0 and llr <= SPRT_B:
+                first_dn = n
+    state.update((n, k, first_up, first_dn))
+    yield pd.DataFrame(
+        {
+            "variant": [key[0]],
+            "n_trials": [n],
+            "k_succ": [k],
+            "first_up": [first_up],
+            "first_dn": [first_dn],
+        }
+    )
+
+
+def _stream_sprt_oracle() -> str:
+    from quackflight_spark.registry import ORACLES
+
+    # strict oracle: the batch events_sprt (same walk, same constants)
+    return ORACLES["events_sprt"]
+
+
+@query("stream_sprt", oracle=None)
+def stream_sprt(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming SPRT (new r9): events_sprt's always-valid sequential
+    monitor run the way it is DESIGNED to run — incrementally on every
+    arriving trial, per A/B variant, with O(1) state (n, k, and the two
+    latched first-crossing indices). The batch key proves what the
+    answer must be; this key proves the monitor maintains it from a
+    live feed without ever retaining a trial — the state store holds
+    4 BIGINTs per variant regardless of feed length (contrast a naive
+    'recompute LLR over history' which replays the log per batch).
+
+    Strictness: the drained state is compared against events_sprt's
+    DuckDB oracle verbatim (registered at import; the decision and
+    final LLR are derived from the drained exact-integer state by the
+    same literal-constant expressions). Ordering contract as
+    stream_pattern_match: order-sensitive fold, within-batch sort +
+    in-order batch delivery."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
+    from quackflight_spark.streaming.stats_tests import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_L0,
+        SPRT_L1,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream = events_ts_normalized(
+        stage_events_stream(spark, sf_dir, "sprt")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2
+        ).alias("variant"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    out = stream.groupBy("variant").applyInPandasWithState(
+        sprt_monitor,
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    snap = drain_to_memory(
+        spark, out, f"stream_sprt_{tag}", "update", shuffle_partitions=8
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("variant").orderBy(F.desc("n_trials"))
+    latest = (
+        snap.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    first_up = F.when(F.col("first_up") >= 0, F.col("first_up"))
+    first_dn = F.when(F.col("first_dn") >= 0, F.col("first_dn"))
+    llr_final = (
+        F.col("k_succ").cast("double") * F.lit(SPRT_L1)
+        + (F.col("n_trials") - F.col("k_succ")).cast("double") * F.lit(SPRT_L0)
+    )
+    return latest.select(
+        "variant",
+        "n_trials",
+        "k_succ",
+        F.round(llr_final, 8).alias("llr_final"),
+        first_up.cast("bigint").alias("first_up"),
+        first_dn.cast("bigint").alias("first_dn"),
+        F.when(
+            first_up.isNotNull() & (first_dn.isNull() | (first_up < first_dn)),
+            F.lit("accept_h1"),
+        )
+        .when(first_dn.isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+# register the strict batch oracle for the streaming key (import-time;
+# the @query decorator ran before events_sprt's oracle was guaranteed
+# loadable, so wire it lazily here)
+def _wire_stream_sprt_oracle() -> None:
+    from quackflight_spark import registry
+
+    import quackflight_spark.streaming.stats_tests  # noqa: F401
+
+    registry.ORACLES["stream_sprt"] = registry.ORACLES["events_sprt"]
+
+
+_wire_stream_sprt_oracle()

@@ -387,3 +387,19 @@ def test_stream_restart_from_checkpoint(spark, sf_dir, tmp_path):
 
     got = {u: (r.n, r.total) for u, r in best.items()}
     assert got == exp
+
+
+def test_stream_sprt_equals_batch(spark, sf_dir):
+    """The streaming SPRT monitor's drained state must equal the batch
+    events_sprt exactly — crossings latched at the same trial indices,
+    identical final LLR and decision."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    got = {r.variant: (r.n_trials, r.k_succ, r.llr_final, r.first_up,
+                       r.first_dn, r.decision)
+           for r in q["stream_sprt"](spark, sf_dir).collect()}
+    want = {r.variant: (r.n_trials, r.k_succ, r.llr_final, r.first_up,
+                        r.first_dn, r.decision)
+            for r in q["events_sprt"](spark, sf_dir).collect()}
+    assert got == want and want
