@@ -223,6 +223,7 @@ BENCH_KEYS = [
     "search_trigram_fuzzy",
     "graph_closeness",
     "stream_sprt",
+    "timeseries_pacf",
 ]
 
 

@@ -64,6 +64,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_mutual_info",
     "timeseries_spectral_dft",
     "stream_sprt",
+    "timeseries_pacf",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

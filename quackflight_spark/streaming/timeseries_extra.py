@@ -445,3 +445,170 @@ def timeseries_spectral_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(re * re + im * im, 6).alias("power"),
         F.round((re * re + im * im) / energy, 6).alias("strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_pacf — ACF + PACF via unrolled Durbin–Levinson (r9)
+# ---------------------------------------------------------------------------
+
+PACF_LAGS = 3
+
+
+@query("timeseries_pacf", oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS x1,
+             lag(x, 2) OVER w AS x2,
+             lag(x, 3) OVER w AS x3
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS sl1,
+             CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS b1,
+             CAST(sum(x1) AS BIGINT) AS a1,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS sl2,
+             CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS b2,
+             CAST(sum(x2) AS BIGINT) AS a2,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS sl3,
+             CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT) AS b3,
+             CAST(sum(x3) AS BIGINT) AS a3
+      FROM lagged GROUP BY 1
+    ),
+    acf AS (
+      SELECT event_type, n,
+        ( (CAST(sl1 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a1 + b1 AS DOUBLE)
+           + CAST(n - 1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) ) AS r1,
+        ( (CAST(sl2 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a2 + b2 AS DOUBLE)
+           + CAST(n - 2 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) ) AS r2,
+        ( (CAST(sl3 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a3 + b3 AS DOUBLE)
+           + CAST(n - 3 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) ) AS r3
+      FROM m
+    ),
+    dl AS (
+      SELECT event_type, n, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+      FROM acf
+    )
+    SELECT event_type, n,
+           round(r1, 8) AS r1, round(r2, 8) AS r2, round(r3, 8) AS r3,
+           round(r1, 8) AS pacf1,
+           round(phi22, 8) AS pacf2,
+           round((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+                 / (1.0 - (r1 - phi22 * r1) * r1 - phi22 * r2), 8) AS pacf3
+    FROM dl
+""")
+def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation + PARTIAL autocorrelation at lags 1–{PACF_LAGS}
+    (new r9) — the ARIMA order-selection pair: ACF tails off / PACF
+    cuts off at the AR order (Box–Jenkins identification). PACF comes
+    from the Durbin–Levinson recursion UNROLLED for the fixed lag
+    count: φ11=r1, φ22=(r2−r1²)/(1−r1²), φ21=r1(1−φ22),
+    φ33=(r3−φ21·r2−φ22·r1)/(1−φ21·r1−φ22·r2) — each a scalar
+    expression over the ACF values, written identically in both texts
+    (timeseries_autocorr reports the raw ACF; this key adds the
+    recursion that makes it actionable).
+
+    Exactness: each c_k expands to exact integer moments —
+    S_k = Σx_t·x_{{t+k}} (DECIMAL(38,0)), the head/tail partial sums
+    A_k/B_k (conditional BIGINT sums over the same window pass) — so
+    every r_k is one shared double expression over exact integers, and
+    the DL recursion is deterministic scalar arithmetic on identical
+    doubles. No float ever aggregates.
+
+    Scale shape: one rollup to |series|×|days|, ONE window pass
+    partitioned by series producing all {PACF_LAGS} lags, one
+    map-side-combinable aggregate. The series must be gap-free at the
+    rollup grain (lag = positional step); timeseries_gapfill is the
+    documented pre-step for sparse series."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, PACF_LAGS + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    ]
+    for k in range(1, PACF_LAGS + 1):
+        aggs += [
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col(f"x{k}"))
+            .cast("decimal(38,0)")
+            .alias(f"sl{k}"),
+            F.sum(F.when(F.col(f"x{k}").isNotNull(), F.col("x")))
+            .cast("bigint")
+            .alias(f"b{k}"),
+            F.sum(f"x{k}").cast("bigint").alias(f"a{k}"),
+        ]
+    m = lagged.groupBy("event_type").agg(*aggs)
+    n_d = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n_d
+    c0 = F.col("s2").cast("double") - n_d * mean * mean
+
+    def r(k: int):
+        return (
+            F.col(f"sl{k}").cast("double")
+            - mean * (F.col(f"a{k}") + F.col(f"b{k}")).cast("double")
+            + (F.col("n") - k).cast("double") * mean * mean
+        ) / c0
+
+    acf = m.select("event_type", "n", r(1).alias("r1"), r(2).alias("r2"), r(3).alias("r3"))
+    dl = acf.withColumn(
+        "phi22",
+        (F.col("r2") - F.col("r1") * F.col("r1"))
+        / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+    )
+    phi21 = F.col("r1") - F.col("phi22") * F.col("r1")
+    return dl.select(
+        "event_type",
+        "n",
+        F.round("r1", 8).alias("r1"),
+        F.round("r2", 8).alias("r2"),
+        F.round("r3", 8).alias("r3"),
+        F.round("r1", 8).alias("pacf1"),
+        F.round("phi22", 8).alias("pacf2"),
+        F.round(
+            (F.col("r3") - phi21 * F.col("r2") - F.col("phi22") * F.col("r1"))
+            / (F.lit(1.0) - phi21 * F.col("r1") - F.col("phi22") * F.col("r2")),
+            8,
+        ).alias("pacf3"),
+    )

@@ -3425,3 +3425,37 @@ def test_spectral_dft_matches_numpy(spark, sf_dir):
         energy = float(np.sum(xc * xc))
         assert abs(r.strength - (re * re + im * im) / energy) < 1e-5
         assert 0 <= r.strength <= 1
+
+
+def test_pacf_matches_statsmodels_style_recompute(spark, sf_dir):
+    """ACF (the c_k/c_0 estimator) and the Durbin–Levinson PACF must
+    match a numpy recompute over the same daily series."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.event_type: r for r in
+           _queries()["timeseries_pacf"](spark, sf_dir).collect()}
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, []).append((r.day, r["count"]))
+    for et, pairs in daily.items():
+        x = np.array([c for _, c in sorted(pairs)], dtype=np.float64)
+        n = len(x)
+        xc = x - x.mean()
+        c0 = float(np.sum(xc * xc))
+        rs = [float(np.sum(xc[:-k] * xc[k:])) / c0 for k in (1, 2, 3)]
+        r1, r2, r3 = rs
+        phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        phi21 = r1 - phi22 * r1
+        phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+        g = got[et]
+        assert g.n == n
+        for name, want in (("r1", r1), ("r2", r2), ("r3", r3),
+                           ("pacf1", r1), ("pacf2", phi22), ("pacf3", phi33)):
+            assert abs(getattr(g, name) - want) < 1e-6, (et, name)
