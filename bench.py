@@ -224,6 +224,7 @@ BENCH_KEYS = [
     "graph_closeness",
     "stream_sprt",
     "timeseries_pacf",
+    "events_cmh",
 ]
 
 

@@ -65,6 +65,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_spectral_dft",
     "stream_sprt",
     "timeseries_pacf",
+    "events_cmh",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

@@ -468,3 +468,166 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi") / F.least("h_row", "h_col"), 6).alias("norm_mi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# events_cmh — Cochran–Mantel–Haenszel stratified 2×2 test (r9)
+# ---------------------------------------------------------------------------
+
+CMH_ANCHOR = "2024-01-01"  # strata = day-of-week via engine-neutral datediff
+
+
+@query("events_cmh", oracle=f"""
+    WITH pts AS (
+      SELECT datediff('day', DATE '{CMH_ANCHOR}',
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               % 7 AS dow,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
+               % 2 AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    strata AS (
+      SELECT dow,
+             CAST(sum(CASE WHEN variant = 0 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN variant = 0 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN variant = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN variant = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS t
+      FROM pts GROUP BY dow
+    ),
+    folds AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             list_reduce(list_transform(list_sort(list({{'k': dow,
+               'v': CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c) AS DOUBLE)
+                    / CAST(t AS DOUBLE)}})), x -> x.v),
+               (p, q) -> p + q) AS sum_e,
+             list_reduce(list_transform(list_sort(list({{'k': dow,
+               'v': CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c)
+                         * (b + d) AS DOUBLE)
+                    / CAST(CAST(t AS DECIMAL(38,0)) * t * (t - 1)
+                           AS DOUBLE)}})), x -> x.v),
+               (p, q) -> p + q) AS sum_v,
+             list_reduce(list_transform(list_sort(list({{'k': dow,
+               'v': CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)
+                    / CAST(t AS DOUBLE)}})), x -> x.v),
+               (p, q) -> p + q) AS sum_ad,
+             list_reduce(list_transform(list_sort(list({{'k': dow,
+               'v': CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)
+                    / CAST(t AS DOUBLE)}})), x -> x.v),
+               (p, q) -> p + q) AS sum_bc
+      FROM strata
+    )
+    SELECT n_strata, sum_a,
+           round((CAST(sum_a AS DOUBLE) - sum_e)
+                 * (CAST(sum_a AS DOUBLE) - sum_e) / sum_v, 8) AS cmh_stat,
+           round(sum_ad / sum_bc, 8) AS or_mh
+    FROM folds
+""")
+def events_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified association test (new r9) —
+    the confounder-adjusted sibling of events_chisq: is conversion
+    associated with the md5 variant AFTER stratifying by day-of-week?
+    (Simpson's-paradox protection — the per-stratum 2×2 tables are
+    combined without pooling their rows.) Reports the CMH statistic
+    (1 dof, no continuity correction — documented) and the
+    Mantel–Haenszel pooled odds ratio Σ(aᵢdᵢ/Tᵢ)/Σ(bᵢcᵢ/Tᵢ).
+
+    Exactness: each stratum's 2×2 cells are exact BIGINTs from one
+    map-side-combinable rollup; Eᵢ, Vᵢ and the OR terms are single
+    double divisions of DECIMAL(38,0)-held exact products, and all
+    four cross-stratum sums fold over the dow-sorted array (identical
+    doubles, identical order in both engines). The stratum key is the
+    engine-neutral datediff-mod-7, never locale-dependent dayofweek.
+
+    Scale shape: one groupBy of the raw stream to 7×2×2 cells, then
+    constant-size folds — the events_chisq plan with a stratum axis."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit(CMH_ANCHOR).cast("date"),
+            )
+            % 7
+        ).alias("dow"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % 2
+        ).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    strata = pts.groupBy("dow").agg(
+        F.sum(F.when((F.col("variant") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("variant") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("variant") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+
+    def fold_of(expr) -> "F.Column":
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("dow").alias("k"), expr.alias("v"))
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e_i = (
+        ((F.col("a") + F.col("b")).cast("decimal(38,0)") * (F.col("a") + F.col("c")))
+        .cast("double")
+        / F.col("t").cast("double")
+    )
+    v_i = (
+        (
+            (F.col("a") + F.col("b")).cast("decimal(38,0)")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        ).cast("double")
+        / (F.col("t").cast("decimal(38,0)") * F.col("t") * (F.col("t") - 1)).cast(
+            "double"
+        )
+    )
+    ad_i = (F.col("a").cast("decimal(38,0)") * F.col("d")).cast("double") / F.col(
+        "t"
+    ).cast("double")
+    bc_i = (F.col("b").cast("decimal(38,0)") * F.col("c")).cast("double") / F.col(
+        "t"
+    ).cast("double")
+    folds = strata.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        fold_of(e_i).alias("sum_e"),
+        fold_of(v_i).alias("sum_v"),
+        fold_of(ad_i).alias("sum_ad"),
+        fold_of(bc_i).alias("sum_bc"),
+    )
+    diff = F.col("sum_a").cast("double") - F.col("sum_e")
+    return folds.select(
+        "n_strata",
+        "sum_a",
+        F.round(diff * diff / F.col("sum_v"), 8).alias("cmh_stat"),
+        F.round(F.col("sum_ad") / F.col("sum_bc"), 8).alias("or_mh"),
+    )

@@ -3459,3 +3459,39 @@ def test_pacf_matches_statsmodels_style_recompute(spark, sf_dir):
         for name, want in (("r1", r1), ("r2", r2), ("r3", r3),
                            ("pacf1", r1), ("pacf2", phi22), ("pacf3", phi33)):
             assert abs(getattr(g, name) - want) < 1e-6, (et, name)
+
+
+def test_cmh_matches_reference_recompute(spark, sf_dir):
+    """CMH statistic and MH pooled OR must match a from-scratch
+    stratified 2x2 recompute."""
+    import datetime
+    import hashlib
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import CMH_ANCHOR
+
+    r = _queries()["events_cmh"](spark, sf_dir).collect()[0]
+    anchor = datetime.date.fromisoformat(CMH_ANCHOR)
+    cells: dict = {}
+    for x in load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type"
+    ).collect():
+        dow = (x.ts.date() - anchor).days % 7
+        va = int(hashlib.md5(str(x.user_id).encode()).hexdigest()[:4], 16) % 2
+        y = 1 if x.event_type == "purchase" else 0
+        st = cells.setdefault(dow, [0, 0, 0, 0])
+        st[va * 2 + (1 - y)] += 1  # [a, b, c, d]
+    sum_a = sum_e = sum_v = sum_ad = sum_bc = 0.0
+    for dow in sorted(cells):
+        a, b, c, d = cells[dow]
+        t = a + b + c + d
+        sum_a += a
+        sum_e += (a + b) * (a + c) / t
+        sum_v += (a + b) * (c + d) * (a + c) * (b + d) / (t * t * (t - 1))
+        sum_ad += a * d / t
+        sum_bc += b * c / t
+    cmh = (sum_a - sum_e) ** 2 / sum_v
+    assert r.n_strata == len(cells) == 7
+    assert r.sum_a == int(sum_a)
+    assert abs(r.cmh_stat - cmh) < 1e-6
+    assert abs(r.or_mh - sum_ad / sum_bc) < 1e-6
