@@ -225,6 +225,7 @@ BENCH_KEYS = [
     "stream_sprt",
     "timeseries_pacf",
     "events_cmh",
+    "text_perplexity_bigram",
 ]
 
 

@@ -1465,3 +1465,114 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("double") / F.sum("n_sub").cast("double"), 8
         ).alias("bytes_per_subword"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_perplexity_bigram — corpus bigram-LM negative log-likelihood (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("text_perplexity_bigram", oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+             toks[CAST(r.i AS INT)] AS w
+      FROM docs, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
+    ),
+    pairs AS (
+      SELECT doc_id, pos, w,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+      FROM tok
+    ),
+    big AS (
+      SELECT w_prev, w, CAST(count(*) AS BIGINT) AS c2
+      FROM pairs WHERE w_prev IS NOT NULL GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok GROUP BY 1
+    ),
+    vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             -ln(CAST(b.c2 + 1 AS DOUBLE) / CAST(u.c1 + vsz.v AS DOUBLE))
+               AS nll
+      FROM pairs p
+      JOIN big b ON b.w_prev = p.w_prev AND b.w = p.w
+      JOIN uni u ON u.w = p.w_prev
+      CROSS JOIN vsz
+      WHERE p.w_prev IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(nll), 6) AS avg_nll
+    FROM scored GROUP BY doc_id
+""")
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity scoring (new r9) — the CCNet /
+    Wikipedia-LM quality filter shape: train an add-1-smoothed bigram
+    model ON THE CORPUS ITSELF (one pass), then score every document's
+    average negative log-likelihood under it. Low NLL = the document
+    looks like the corpus (fluent); high NLL = boilerplate, word salad,
+    wrong language — the standard perplexity-bucket filter for training
+    data (perplexity = e^avg_nll, monotone in the reported score;
+    thresholds operate on NLL directly, so the key emits the score
+    whose last-digit determinism is provable and leaves the exp to the
+    consumer).
+
+    Exactness: bigram/unigram/vocab counts are exact BIGINTs; each
+    position's NLL is one ln() of a single exact-integer ratio
+    (c2+1)/(c1+V) — identical double inputs in both engines — and the
+    per-document average reorders at most ~1e-13 relative error,
+    absorbed by round(…,6) (the text_unigram_logprob precedent, one
+    model order up).
+
+    Scale shape: the model build is one token-keyed map-side-combinable
+    groupBy at bigram grain (|model| ≤ corpus bigrams, Heaps-bounded);
+    scoring joins positions against the model on the bigram key —
+    shuffled volume is |corpus tokens| + |model|, never corpus×model.
+    The per-doc position window is bounded by document length (the
+    chunking pre-step bounds it in production)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tok = d.select("doc_id", F.posexplode(toks).alias("pos0", "w")).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "w"
+    )
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = tok.select(
+        "doc_id", "pos", "w", F.lag("w").over(w_doc).alias("w_prev")
+    )
+    big = (
+        pairs.filter(F.col("w_prev").isNotNull())
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vsz = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    scored = (
+        pairs.filter(F.col("w_prev").isNotNull())
+        .join(big, ["w_prev", "w"])
+        .join(uni.withColumnRenamed("w", "w_prev"), "w_prev")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

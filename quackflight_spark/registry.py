@@ -66,6 +66,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_sprt",
     "timeseries_pacf",
     "events_cmh",
+    "text_perplexity_bigram",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

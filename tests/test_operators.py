@@ -3495,3 +3495,36 @@ def test_cmh_matches_reference_recompute(spark, sf_dir):
     assert r.sum_a == int(sum_a)
     assert abs(r.cmh_stat - cmh) < 1e-6
     assert abs(r.or_mh - sum_ad / sum_bc) < 1e-6
+
+
+def test_perplexity_bigram_matches_python_lm(spark, sf_dir):
+    """Per-doc average NLL must match a from-scratch add-1 bigram LM
+    trained on the same corpus."""
+    import math
+    import re
+    from collections import Counter
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.doc_id: r for r in
+           _queries()["text_perplexity_bigram"](spark, sf_dir).collect()}
+    docs = {
+        d.doc_id: [t for t in re.split(r"\s+", d.text.strip().lower()) if t]
+        for d in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text").collect()
+    }
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for toks in docs.values():
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    v = len(uni)
+    for doc_id, toks in docs.items():
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            assert doc_id not in got
+            continue
+        nll = [-math.log((big[p] + 1) / (uni[p[0]] + v)) for p in pairs]
+        r = got[doc_id]
+        assert r.n_scored == len(pairs)
+        assert abs(r.avg_nll - sum(nll) / len(nll)) < 1e-5, doc_id
