@@ -226,6 +226,7 @@ BENCH_KEYS = [
     "timeseries_pacf",
     "events_cmh",
     "text_perplexity_bigram",
+    "pipeline_hard_negatives",
 ]
 
 

@@ -2087,3 +2087,87 @@ def search_trigram_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 8).alias("jaccard"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_hard_negatives — contrastive-training negative mining (r9)
+# ---------------------------------------------------------------------------
+
+HN_TOPK = 5
+HN_FLOOR = 0.05  # easy-negative cutoff: below this, the pair teaches nothing
+
+
+@query("pipeline_hard_negatives", oracle=f"""
+    WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS q_label, e AS qe
+          FROM t WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.q_label, t.vec_id AS neighbor_id,
+             t.label AS n_label,
+             round(list_cosine_similarity(q.qe, t.e), 6) AS cos_sim
+      FROM q JOIN t ON t.vec_id <> q.query_id AND t.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rn
+      FROM scored WHERE cos_sim >= {HN_FLOOR!r}
+    )
+    SELECT query_id, q_label, neighbor_id, n_label, cos_sim, rn
+    FROM ranked WHERE rn <= {HN_TOPK}
+""")
+def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (new r9) — the
+    dataset-construction step every retrieval/embedding trainer needs:
+    for each query vector, the top-{HN_TOPK} most-similar vectors with
+    a DIFFERENT label (similar-but-wrong = the gradient-rich negatives;
+    random negatives are too easy, same-label neighbors are false
+    negatives). An easy-negative floor ({HN_FLOOR}) drops pairs too
+    dissimilar to teach anything — the in-batch-negatives replacement
+    policy (DPR/ANCE-style mining, done as a set operation).
+
+    Exactness: reuses the ANN family's contract — cosine via the
+    dim-order Arrow kernel (bit-identical to DuckDB's fold), scores
+    rounded to 6 BEFORE ranking in both engines, ties broken by
+    neighbor_id; the label-mismatch predicate is exact.
+
+    Scale shape: identical to ann_bruteforce_topk — broadcast the
+    bounded query set against one corpus scan, per-query top-k window
+    (never a global sort). The documented scale path for an unbounded
+    query set is the IVF route (mine within probed cells), which
+    trades the false-negative-free guarantee for pruning exactly as
+    ann_ivf_topk documents."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    emb = shared_frame(
+        "emb_normed_lbl",
+        sf_dir,
+        lambda: _normed(
+            load_table(spark, sf_dir, "embeddings")
+        ).select("vec_id", "label", "e"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        "e",
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("n_label") != F.col("q_label")),
+        )
+        .withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("e")), 6))
+        .filter(F.col("cos_sim") >= HN_FLOOR)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= HN_TOPK)
+        .select("query_id", "q_label", "neighbor_id", "n_label", "cos_sim", "rn")
+    )

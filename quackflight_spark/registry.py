@@ -67,6 +67,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_pacf",
     "events_cmh",
     "text_perplexity_bigram",
+    "pipeline_hard_negatives",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

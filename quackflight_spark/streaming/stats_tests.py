@@ -36,6 +36,31 @@ from quackflight_spark.sources.fixtures import load_table
 CHISQ_COHORTS = 3  # deterministic md5 user segmentation, as events_mannwhitney
 
 
+def _contingency_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_type, cohort, n) contingency grid, materialized once
+    per corpus dir (frame_cache) and shared by events_chisq and
+    events_mutual_info — the 'compute both tests from one rollup pass'
+    contract their docstrings state. The staged grid is
+    |types|×|cohorts| rows, so every downstream reference is a tiny
+    file scan instead of replaying the raw-event groupBy per branch
+    (the plan-audit exchange count is the tripwire this answers)."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build() -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        cohort = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+            ).cast("int")
+            % CHISQ_COHORTS
+        )
+        return ev.groupBy("event_type", cohort.alias("cohort")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+
+    return shared_frame("events_contingency", sf_dir, build)
+
+
 @query("events_chisq", oracle=f"""
     WITH cells AS (
       SELECT event_type,
@@ -101,15 +126,7 @@ def events_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size grid (two broadcast-size rollups and a single-row
     fold). No window over raw events, no ordered scan at data grain.
     """
-    ev = load_table(spark, sf_dir, "events")
-    cohort = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % CHISQ_COHORTS
-    )
-    cells = ev.groupBy(
-        "event_type", cohort.alias("cohort")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = _contingency_cells(spark, sf_dir)
     rowt = cells.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("r"))
     colt = cells.groupBy("cohort").agg(F.sum("n").cast("bigint").alias("c"))
     tot = cells.agg(
@@ -383,15 +400,7 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup to the constant-size grid, then constant-size folds. The
     two keys deliberately share the cell rollup so a real pipeline
     computes both from one pass."""
-    ev = load_table(spark, sf_dir, "events")
-    cohort = (
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
-        .cast("int")
-        % CHISQ_COHORTS
-    )
-    cells = ev.groupBy("event_type", cohort.alias("cohort")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    cells = _contingency_cells(spark, sf_dir)
     rowt = cells.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("r"))
     colt = cells.groupBy("cohort").agg(F.sum("n").cast("bigint").alias("c"))
     tot = cells.agg(F.sum("n").cast("bigint").alias("nt"))

@@ -3528,3 +3528,34 @@ def test_perplexity_bigram_matches_python_lm(spark, sf_dir):
         r = got[doc_id]
         assert r.n_scored == len(pairs)
         assert abs(r.avg_nll - sum(nll) / len(nll)) < 1e-5, doc_id
+
+
+def test_hard_negatives_semantics(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query, scores must be ordered per query, and each reported pair
+    must match a numpy cosine recompute."""
+    import numpy as np
+
+    from quackflight_spark.pipeline.similarity import HN_FLOOR, HN_TOPK
+    from quackflight_spark.sources.fixtures import load_table
+
+    rows = _queries()["pipeline_hard_negatives"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert r.q_label != r.n_label
+        assert r.cos_sim >= HN_FLOOR
+        assert r.rn <= HN_TOPK
+        ql, qe = emb[r.query_id]
+        nl, ne = emb[r.neighbor_id]
+        assert (ql, nl) == (r.q_label, r.n_label)
+        want = float(qe @ ne / (np.linalg.norm(qe) * np.linalg.norm(ne)))
+        assert abs(r.cos_sim - want) < 1e-5
+        by_q.setdefault(r.query_id, []).append((r.rn, r.cos_sim))
+    for q, pairs in by_q.items():
+        pairs.sort()
+        sims = [s for _, s in pairs]
+        assert sims == sorted(sims, reverse=True), q
