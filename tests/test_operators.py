@@ -3559,3 +3559,24 @@ def test_hard_negatives_semantics(spark, sf_dir):
         pairs.sort()
         sims = [s for _, s in pairs]
         assert sims == sorted(sims, reverse=True), q
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_dir):
+    """The reported distribution must sum to 1, be converged (delta at
+    most a few scaled units), and satisfy pi ~= pi @ P for the
+    empirical transition matrix."""
+    import numpy as np
+
+    rows = _queries()["events_markov_stationary"](spark, sf_dir).collect()
+    tm = _queries()["events_transition_matrix"](spark, sf_dir).collect()
+    states = sorted(r.state for r in rows)
+    idx = {s: i for i, s in enumerate(states)}
+    p = np.zeros((len(states), len(states)))
+    for r in tm:
+        p[idx[r.from_type], idx[r.to_type]] = r.p
+    pi = np.zeros(len(states))
+    for r in rows:
+        pi[idx[r.state]] = r.pi
+        assert r.delta_scaled <= 100, (r.state, r.delta_scaled)  # converged
+    assert abs(pi.sum() - 1.0) < 1e-6
+    assert np.max(np.abs(pi @ p - pi)) < 1e-4  # fixed point of pi = pi P
