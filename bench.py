@@ -228,6 +228,7 @@ BENCH_KEYS = [
     "text_perplexity_bigram",
     "pipeline_hard_negatives",
     "events_markov_stationary",
+    "join_point_in_polygon",
 ]
 
 

@@ -986,3 +986,134 @@ def join_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ub").alias("user_b"),
         F.col("h2").cast("bigint").alias("hausdorff_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_point_in_polygon — exact integer ray-casting containment join (r9)
+# ---------------------------------------------------------------------------
+
+# fixture polygons over the md5-uniform [0,2000)×[0,1999) deci-degree
+# domain of the spatial keys: a rectangle, a triangle, and a non-convex
+# (arrow-shaped) quad — closed rings, integer vertices
+PIP_POLYGONS: dict[str, list[tuple[int, int]]] = {
+    "rect": [(200, 200), (900, 200), (900, 800), (200, 800)],
+    "tri": [(1000, 1000), (1800, 1100), (1300, 1900)],
+    "arrow": [(100, 1200), (600, 1400), (100, 1600), (900, 1500)],
+}
+
+
+def _pip_edges() -> list[tuple[str, int, int, int, int]]:
+    out = []
+    for pid, ring in PIP_POLYGONS.items():
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            out.append((pid, x1, y1, x2, y2))
+    return out
+
+
+def _pip_edges_values() -> str:
+    return ", ".join(
+        f"('{p}', {x1}, {y1}, {x2}, {y2})" for p, x1, y1, x2, y2 in _pip_edges()
+    )
+
+
+@query("join_point_in_polygon", oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)
+                  AS BIGINT) % 2000 AS py,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 5, 4)
+                  AS BIGINT) % 1999 AS px
+      FROM customer
+    ),
+    edges AS (
+      SELECT * FROM (VALUES {_pip_edges_values()})
+        AS t(poly_id, x1, y1, x2, y2)
+    ),
+    crossings AS (
+      SELECT e.poly_id, p.c_custkey,
+             CAST(sum(CASE
+               WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                AND CASE WHEN e.y2 - e.y1 > 0
+                  THEN (p.px - e.x1) * (e.y2 - e.y1)
+                       < (p.py - e.y1) * (e.x2 - e.x1)
+                  ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                       > (p.py - e.y1) * (e.x2 - e.x1)
+                END
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+      FROM pts p CROSS JOIN edges e
+      GROUP BY 1, 2
+    )
+    SELECT poly_id,
+           CAST(count(*) AS BIGINT) AS n_inside,
+           CAST(sum(c_custkey) AS BIGINT) AS key_checksum
+    FROM crossings WHERE n_cross % 2 = 1
+    GROUP BY poly_id
+""")
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment join by ray casting (new r9) — the
+    geofencing primitive completing the spatial family (grid radius
+    join, NN join, trajectory Hausdorff — and now region containment):
+    a horizontal ray from each point crosses polygon edges; odd
+    crossings = inside (Jordan curve / even-odd rule, non-convex-safe —
+    the 'arrow' fixture polygon proves it).
+
+    Exactness: the crossing test is EXACT INTEGER arithmetic — the
+    intersection comparison px < x1 + (py−y1)(x2−x1)/(y2−y1) is
+    cross-multiplied by (y2−y1) with the inequality flipped on its
+    sign, so no division ever happens; points are the md5 integer
+    deci-degree synthesis shared with join_spatial_grid, vertices are
+    integer literals. Both engines evaluate identical integer
+    comparisons — bit-deterministic by construction.
+
+    Scale shape: points × edges is a BROADCAST nested-loop over a
+    constant-size edge table (|polygons|·|ring| rows) — per-point cost
+    is O(total edges), embarrassingly parallel, no shuffle until the
+    |polygons|-bounded aggregate. At real-world polygon counts the
+    standard upgrade is the join_spatial_grid cell index on polygon
+    bounding boxes (prune candidate polygons per cell), then this
+    exact test on the survivors — the plumbing composes unchanged."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 2000
+        ).alias("py"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 5, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 1999
+        ).alias("px"),
+    )
+    edges = spark.createDataFrame(
+        _pip_edges(), "poly_id string, x1 long, y1 long, x2 long, y2 long"
+    )
+    dy = F.col("y2") - F.col("y1")
+    lhs = (F.col("px") - F.col("x1")) * dy
+    rhs = (F.col("py") - F.col("y1")) * (F.col("x2") - F.col("x1"))
+    crosses = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & F.when(dy > 0, lhs < rhs).otherwise(lhs > rhs)
+    )
+    crossings = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("poly_id", "c_custkey")
+        .agg(
+            F.sum(F.when(crosses, 1).otherwise(0)).cast("bigint").alias("n_cross")
+        )
+    )
+    return (
+        crossings.filter(F.col("n_cross") % 2 == 1)
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_inside"),
+            F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+        )
+    )

@@ -69,6 +69,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_perplexity_bigram",
     "pipeline_hard_negatives",
     "events_markov_stationary",
+    "join_point_in_polygon",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

@@ -3580,3 +3580,46 @@ def test_markov_stationary_is_fixed_point(spark, sf_dir):
         assert r.delta_scaled <= 100, (r.state, r.delta_scaled)  # converged
     assert abs(pi.sum() - 1.0) < 1e-6
     assert np.max(np.abs(pi @ p - pi)) < 1e-4  # fixed point of pi = pi P
+
+
+def test_point_in_polygon_matches_matplotlib_style_raycast(spark, sf_dir):
+    """Containment counts must match a from-scratch Python even-odd
+    ray cast, and area fractions must be sane (rect area is exact)."""
+    import hashlib
+
+    from quackflight_spark.operators.tpch_extra import PIP_POLYGONS
+    from quackflight_spark.sources.fixtures import load_table
+
+    def inside(px, py, ring):
+        n = 0
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 > py) != (y2 > py):
+                dy = y2 - y1
+                lhs = (px - x1) * dy
+                rhs = (py - y1) * (x2 - x1)
+                if (lhs < rhs) if dy > 0 else (lhs > rhs):
+                    n += 1
+        return n % 2 == 1
+
+    got = {r.poly_id: r for r in
+           _queries()["join_point_in_polygon"](spark, sf_dir).collect()}
+    keys = [r.c_custkey for r in
+            load_table(spark, sf_dir, "customer").select("c_custkey").collect()]
+    for pid, ring in PIP_POLYGONS.items():
+        n_in = checksum = 0
+        for k in keys:
+            h = hashlib.md5(str(k).encode()).hexdigest()
+            py_, px_ = int(h[:4], 16) % 2000, int(h[4:8], 16) % 1999
+            if inside(px_, py_, ring):
+                n_in += 1
+                checksum += k
+        if n_in == 0:
+            assert pid not in got
+            continue
+        assert got[pid].n_inside == n_in, pid
+        assert got[pid].key_checksum == checksum, pid
+    # md5 points are uniform: the 700x600 rect over the 1999x2000 domain
+    # should contain ~10.5% of points
+    frac = got["rect"].n_inside / len(keys)
+    assert 0.07 < frac < 0.14, frac
