@@ -229,6 +229,7 @@ BENCH_KEYS = [
     "pipeline_hard_negatives",
     "events_markov_stationary",
     "join_point_in_polygon",
+    "timeseries_twap",
 ]
 
 

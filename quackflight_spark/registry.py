@@ -70,6 +70,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_hard_negatives",
     "events_markov_stationary",
     "join_point_in_polygon",
+    "timeseries_twap",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

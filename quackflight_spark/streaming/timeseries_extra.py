@@ -612,3 +612,90 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("pacf3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_twap — time-weighted average over irregular samples (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("timeseries_twap", oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ),
+    held AS (
+      SELECT event_type, cents,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS held_us
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(held_us) AS BIGINT) AS span_us,
+             CAST(sum(CAST(cents AS DECIMAL(38,0)) * held_us)
+                  AS DECIMAL(38,0)) AS wsum
+      FROM held WHERE held_us IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n_intervals, span_us,
+           round(CAST(wsum AS DOUBLE)
+                 / CAST(span_us AS DOUBLE) / 100.0, 8) AS twap
+    FROM agg
+""")
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value over IRREGULAR samples (new
+    r9) — the metric a plain AVG gets wrong on event-driven data: each
+    observation is weighted by how long it was the latest value (hold
+    time until the next sample), the step-function integral divided by
+    the span. The companion to timeseries_vwap (volume-weighted):
+    vwap answers 'average paid', twap answers 'average quoted over
+    time' — the ops/finance pair. Last sample per series contributes
+    no interval (no successor), the standard convention.
+
+    Exactness: hold times are exact integer MICROSECONDS
+    (epoch_us/unix_micros of the same timestamps), values are exact
+    cents (the mannwhitney quantization), the weighted sum is an exact
+    DECIMAL(38,0), and twap is one shared double expression — no float
+    accumulates. Ordering ties break on event_id (the
+    events_concurrency tiebreaker).
+
+    Scale shape: ONE window pass partitioned by series (lead), one
+    map-side-combinable aggregate — identical cost to any per-series
+    cumulative metric; no join, no second data-grain pass."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    held = pts.select(
+        "event_type",
+        "cents",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("held_us"),
+    ).filter(F.col("held_us").isNotNull())
+    agg = held.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("held_us").cast("bigint").alias("span_us"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("held_us"))
+        .cast("decimal(38,0)")
+        .alias("wsum"),
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        "span_us",
+        F.round(
+            F.col("wsum").cast("double") / F.col("span_us").cast("double")
+            / F.lit(100.0),
+            8,
+        ).alias("twap"),
+    )

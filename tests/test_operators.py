@@ -3623,3 +3623,31 @@ def test_point_in_polygon_matches_matplotlib_style_raycast(spark, sf_dir):
     # should contain ~10.5% of points
     frac = got["rect"].n_inside / len(keys)
     assert 0.07 < frac < 0.14, frac
+
+
+def test_twap_matches_python_step_integral(spark, sf_dir):
+    """TWAP must equal the step-function integral / span computed in
+    Python over the identically-ordered samples."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.event_type: r for r in
+           _queries()["timeseries_twap"](spark, sf_dir).collect()}
+    series: dict = {}
+    for x in load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect():
+        series.setdefault(x.event_type, []).append(
+            (x.ts, x.event_id, round(float(x.value) * 100))
+        )
+    for et, pts in series.items():
+        pts.sort()
+        wsum = span = 0
+        for (t1, _, c), (t2, _, _) in zip(pts, pts[1:]):
+            d = t2 - t1
+            dt = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+            wsum += c * dt
+            span += dt
+        r = got[et]
+        assert r.n_intervals == len(pts) - 1
+        assert r.span_us == span
+        assert abs(r.twap - wsum / span / 100) < 1e-6
