@@ -230,6 +230,7 @@ BENCH_KEYS = [
     "events_markov_stationary",
     "join_point_in_polygon",
     "timeseries_twap",
+    "fn_udf_slugify",
 ]
 
 

@@ -820,3 +820,61 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[pair_struct(a, b) for a, b in CORR_PAIRS])
         ).alias("p")
     ).select("p.var_x", "p.var_y", "p.n", "p.corr")
+
+
+# ---------------------------------------------------------------------------
+# fn_udf_slugify — Arrow-batched scalar pandas UDF, first-class key (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("fn_udf_slugify", oracle=r"""
+    WITH t AS (
+      SELECT p_partkey,
+             trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-')
+               AS slug
+      FROM part
+    )
+    SELECT p_partkey, slug,
+           CAST(length(slug) AS INT) AS slug_len
+    FROM t WHERE p_partkey % 10 = 0
+""")
+def fn_udf_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF as a first-class operator (new r9) — §2.10's
+    vectorized-UDF surface exercised end-to-end as its own key rather
+    than inside a kernel: a @pandas_udf slugifier (lowercase, collapse
+    non-alphanumeric runs to '-', trim) registered and applied over the
+    part names. The UDF body is vectorized pandas .str ops over Arrow
+    batches — never a Python-per-row loop — and its CONTRACT is
+    SQL-replayable, so the DuckDB oracle re-expresses it as
+    regexp_replace and the hash match proves the UDF path computes
+    exactly what the declarative path would (the mm_* kernels' contract
+    discipline, applied to the scalar-UDF API).
+
+    Scale shape: embarrassingly parallel per-row map; the only cost
+    delta vs a built-in expression is the Arrow serialization boundary
+    (PLANS.md shows the ArrowEvalPython signal — the audit
+    distinguishes it from row-wise BatchEvalPython, which this key
+    must never show).
+
+    Exactness: pure string algebra on ASCII part names — identical
+    regex semantics in pandas and DuckDB ('+' runs, 'g' global),
+    deterministic trivially."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def slugify(s):  # noqa: ANN001 — PEP-563 stringized hints break
+        # pandas_udf signature inspection under `from __future__ import
+        # annotations`; the return type lives in the decorator
+        assert isinstance(s, pd.Series)
+        return (
+            s.str.lower()
+            .str.replace(r"[^a-z0-9]+", "-", regex=True)
+            .str.strip("-")
+        )
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    return p.select(
+        "p_partkey",
+        slugify(F.col("p_name")).alias("slug"),
+    ).withColumn("slug_len", F.length("slug").cast("int"))

@@ -71,6 +71,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_markov_stationary",
     "join_point_in_polygon",
     "timeseries_twap",
+    "fn_udf_slugify",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

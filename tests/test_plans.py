@@ -356,3 +356,14 @@ def test_bucketed_join_is_colocated_no_exchange(spark, sf_dir, q):
     assert tree.count("Exchange") == 1, out
     assert tree.index("Exchange") < tree.index("SortMergeJoin"), out
     assert "SelectedBucketsCount: 16 out of 16" in out
+
+
+def test_slugify_is_arrow_batched_not_rowwise(spark):
+    """The scalar pandas UDF must show ArrowEvalPython in the physical
+    plan — never row-wise BatchEvalPython."""
+    import __spark_entry__ as e
+
+    df = e.queries()["fn_udf_slugify"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:500]
+    assert "BatchEvalPython" not in plan
