@@ -231,6 +231,7 @@ BENCH_KEYS = [
     "join_point_in_polygon",
     "timeseries_twap",
     "fn_udf_slugify",
+    "pipeline_data_card",
 ]
 
 

@@ -1576,3 +1576,102 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_data_card — one-row dataset summary card (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("pipeline_data_card", oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, source, n_bytes, h,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(list_filter(toks, x -> list_contains(
+                    ['and','in','is','of','that','the','to'], lower(x))))
+                  AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+           round(CAST(count(*) - count(DISTINCT h) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 8) AS dup_rate,
+           CAST(sum(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                          AND n_words <= {GOPHER_MAX_WORDS}
+                          AND n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_pass,
+           round(CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE), 8)
+             AS mean_words_per_doc,
+           round(CAST(sum(n_bytes) AS DOUBLE)
+                 / CAST(sum(n_words) AS DOUBLE), 8) AS bytes_per_word
+    FROM m
+""")
+def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset summary card (new r9) — the governance artifact
+    (HF dataset card / Datasheets-for-Datasets header) a pipeline
+    stamps on every published snapshot: corpus counts, language/source
+    cardinalities, token and byte totals, exact-duplicate rate
+    (md5-content), and the fraction passing the core quality screen
+    (word-count bounds + stopword floor — the cheap subset of
+    pipeline_gopher_rules that needs no line analysis). One scan,
+    every stat from the same pass, so the card is CONSISTENT — stats
+    sampled from different pipeline stages never are.
+
+    Exactness: counts/distincts are exact; the three ratios are single
+    double divisions of exact BIGINTs.
+
+    Scale shape: one map-side-combinable full-scan aggregate; the two
+    COUNT(DISTINCT)s over low-cardinality columns expand in the same
+    aggregate, and the content-hash distinct is the dedup_exact
+    shuffle — the one genuinely keyed cost, shared shape with that
+    key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    m = d.select(
+        "lang",
+        "source",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("h"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x)))
+        ).cast("bigint").alias("n_stop"),
+    )
+    n = F.count(F.lit(1))
+    dups = n - F.countDistinct("h")
+    return m.agg(
+        n.cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        dups.cast("bigint").alias("n_exact_dups"),
+        F.round(dups.cast("double") / n.cast("double"), 8).alias("dup_rate"),
+        F.sum(
+            F.when(
+                (F.col("n_words") >= GOPHER_MIN_WORDS)
+                & (F.col("n_words") <= GOPHER_MAX_WORDS)
+                & (F.col("n_stop") >= 2),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_quality_pass"),
+        F.round(
+            F.sum("n_words").cast("double") / n.cast("double"), 8
+        ).alias("mean_words_per_doc"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_words").cast("double"), 8
+        ).alias("bytes_per_word"),
+    )

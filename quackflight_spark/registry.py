@@ -72,6 +72,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_point_in_polygon",
     "timeseries_twap",
     "fn_udf_slugify",
+    "pipeline_data_card",
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",

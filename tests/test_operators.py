@@ -3651,3 +3651,23 @@ def test_twap_matches_python_step_integral(spark, sf_dir):
         assert r.n_intervals == len(pts) - 1
         assert r.span_us == span
         assert abs(r.twap - wsum / span / 100) < 1e-6
+
+
+def test_data_card_consistent_with_component_keys(spark, sf_dir):
+    """The card's stats must agree with the standalone keys computing
+    the same quantities (fertility totals, exact-dup count)."""
+    q = _queries()
+    card = q["pipeline_data_card"](spark, sf_dir).collect()[0]
+    fert = q["pipeline_tokenizer_fertility"](spark, sf_dir).collect()
+    assert card.n_words == sum(r.n_words for r in fert)
+    assert card.n_bytes == sum(r.n_bytes for r in fert)
+    assert card.n_langs == len(fert)
+    from quackflight_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert card.n_docs == n
+    assert card.n_exact_dups == n - n_distinct
+    assert 0 <= card.dup_rate < 1
+    assert 0 < card.n_quality_pass <= n
