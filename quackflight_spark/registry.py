@@ -46,11 +46,10 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block R9-NEW/CHANGED: keys whose implementing file changed
-    # since their last green driver row — the four r9-new operators,
-    # the de-rows-only'd HLL sketch table (first-ever hash check), the
-    # df-ceiling'd lexical keys, the ADVICE-hardened recall curve, and
-    # the phash key whose kernel was refactored for the PIL gate --
+    # -- Block R9-SECOND-WAVE: the 22 operators added after the r9
+    # verdict tasks closed — never driver-checked, so they consume the
+    # head of the gate budget (builder-side proof: full dual-ANSI-leg
+    # sweeps green, per-key recompute tests in tests/) --
     "events_chisq",
     "events_sprt",
     "timeseries_hampel",
@@ -73,6 +72,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_twap",
     "fn_udf_slugify",
     "pipeline_data_card",
+    # -- Block R9-FIRST-WAVE-CHANGED: the four r9-new operators, the
+    # de-rows-only'd HLL sketch table, the df-ceiling'd lexical keys,
+    # the ADVICE-hardened recall curve, the PIL-gated phash --
     "agg_quantile_sketch_table",
     "search_phrase_match",
     "dedup_substring",
@@ -82,6 +84,31 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_hybrid_rrf",
     "dedup_lsh_recall_curve",
     "mm_image_phash",
+    # -- Block R9-FILE-CHANGED: keys living in modules the second wave
+    # APPENDED to (similarity/text_analysis/modern/layout/tpch_extra/
+    # stateful/graph) — the appends add new functions only, but the
+    # file-granularity rule says re-prove them before merely-stale keys
+    "search_mmr_rerank",
+    "ann_bruteforce_topk",
+    "dedup_embedding",
+    "dedup_semantic",
+    "text_quality",
+    "text_tokens",
+    "text_langid",
+    "text_unigram_logprob",
+    "agg_weighted_median",
+    "agg_gini",
+    "fn_variant",
+    "fn_udtf_split",
+    "layout_zorder",
+    "layout_hilbert",
+    "fn_geohash",
+    "join_spatial_grid",
+    "join_fuzzy_names",
+    "stream_pattern_match",
+    "stream_holt",
+    "graph_bfs",
+    "graph_kcore",
     # -- everything else, stalest driver evidence first (latest green
     # CORRECTNESS row ascending, regenerated at r9 from r01-r08; with
     # zero red rows the gate's job is refreshing stale evidence, and
@@ -178,8 +205,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fn_edit_distance",
     "fn_hashing",
     "fn_time_bucket",
-    "fn_udtf_split",
-    "fn_variant",
     "join_asof_forward",
     "join_skew_salted",
     "mm_audio_energy",
@@ -201,12 +226,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_bigram_topk",
     "text_pii_scrub",
     "text_tfidf_topterms",
-    "text_unigram_logprob",
     "text_winnowing",
     "timeseries_interpolate",
     "win_time_range",
     "agg_list",
-    "ann_bruteforce_topk",
     "ann_ivf_pruned",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
@@ -216,11 +239,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "basket_pair_lift",
     "cluster_kmeans",
     "dedup_clusters",
-    "dedup_embedding",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_semantic",
     "dedup_simhash",
     "events_attribution",
     "events_rfm",
@@ -233,7 +254,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fn_url_ip",
     "graph_pagerank",
     "join_asof_tolerance",
-    "join_fuzzy_names",
     "merge_scd2",
     "mm_binary_meta",
     "mm_frame_sample",
@@ -245,16 +265,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "recursive_cte",
     "text_fingerprint",
-    "text_langid",
-    "text_quality",
     "text_repetition",
-    "text_tokens",
     "text_vocab_topk",
     "topk_per_group",
     "tpch_q12",
     "win_ntile",
     "agg_cms_frequency",
-    "agg_gini",
     "agg_hll_portable",
     "agg_skew_kurtosis",
     "dedup_containment",
@@ -277,10 +293,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_interval_overlap",
     "join_nearest",
     "join_scd2_pointintime",
-    "join_spatial_grid",
     "join_spatial_nn",
     "join_trajectory_hausdorff",
-    "layout_hilbert",
     "pipeline_chunk_windows",
     "pipeline_mix_temperature",
     "pipeline_normalize_zscore",
@@ -313,13 +327,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "filter_eq",
     "fn_date_spine",
     "fn_format_ch",
-    "fn_geohash",
     "graph_adamic_adar",
-    "graph_bfs",
-    "graph_kcore",
     "graph_lpa_communities",
     "join_ip_lpm",
-    "layout_zorder",
     "mm_audio_vad",
     "mm_scene_cuts",
     "pipeline_dp_counts",
@@ -333,8 +343,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scan_parquet",
     "scan_table",
     "scan_xml",
-    "stream_holt",
-    "stream_pattern_match",
     "text_collocations_pmi",
     "text_url_normalize",
     "timeseries_downsample_lttb",
@@ -356,7 +364,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_quantile",
     "agg_rollup",
     "agg_stats",
-    "agg_weighted_median",
     "ann_pq_distortion",
     "events_concurrency",
     "filter_between_in",
@@ -385,7 +392,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_importance_sample",
     "scan_schema_evolution",
     "scan_time_travel",
-    "search_mmr_rerank",
     "stream_cdc_apply",
     "timeseries_ohlc",
 )
