@@ -232,6 +232,7 @@ BENCH_KEYS = [
     "timeseries_twap",
     "fn_udf_slugify",
     "pipeline_data_card",
+    "timeseries_holt_winters",
 ]
 
 

@@ -699,3 +699,151 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_holt_winters — additive triple exponential smoothing (r9)
+# ---------------------------------------------------------------------------
+
+HW_PERIOD = 7  # weekly seasonality; α = β = γ = 1/2 as floor-halving
+
+
+@query("timeseries_holt_winters", oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    arr AS (
+      SELECT event_type,
+             list(x ORDER BY d) AS a,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1
+    ),
+    st AS (
+      SELECT event_type, CAST({HW_PERIOD} AS BIGINT) AS i,
+             CAST(list_aggregate(a[1:{HW_PERIOD}], 'sum')
+                  // {HW_PERIOD} AS BIGINT) AS l,
+             CAST(0 AS BIGINT) AS b,
+             list_transform(a[1:{HW_PERIOD}],
+               v -> CAST(v - list_aggregate(a[1:{HW_PERIOD}], 'sum')
+                         // {HW_PERIOD} AS BIGINT)) AS s,
+             a, n
+      FROM arr WHERE n >= {HW_PERIOD}
+      UNION ALL
+      SELECT event_type, i + 1,
+             CAST(floor((a[CAST(i + 1 AS INT)] - s[1] + l + b) / 2.0)
+                  AS BIGINT),
+             CAST(floor((b
+               + CAST(floor((a[CAST(i + 1 AS INT)] - s[1] + l + b) / 2.0)
+                      AS BIGINT) - l) / 2.0) AS BIGINT),
+             list_append(s[2:{HW_PERIOD}],
+               CAST(floor((s[1] + (a[CAST(i + 1 AS INT)]
+                 - CAST(floor((a[CAST(i + 1 AS INT)] - s[1] + l + b) / 2.0)
+                        AS BIGINT))) / 2.0) AS BIGINT)),
+             a, n
+      FROM st WHERE i < n
+    )
+    SELECT event_type, n AS n_days,
+           l AS level, b AS trend,
+           CAST(l + b + s[1] AS BIGINT) AS forecast_next,
+           s[1] AS s1, s[2] AS s2, s[3] AS s3, s[4] AS s4,
+           s[5] AS s5, s[6] AS s6, s[7] AS s7
+    FROM st WHERE i = n
+""")
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing (new r9) —
+    the seasonal completion of timeseries_holt: per-series (level,
+    trend, {HW_PERIOD} seasonal offsets) state advanced one observation
+    at a time with α = β = γ = 1/2 as INTEGER floor-halving, seeded the
+    textbook way (level = first-week mean, seasonals = first-week
+    deviations, trend = 0). Output is the converged state and the
+    one-step forecast level + trend + next-season offset — the
+    operational forecaster for any metric with a weekly shape.
+
+    Exactness: the whole recursion is exact integer arithmetic —
+    floor((…)/2.0) on small-magnitude integers is exact in IEEE and
+    floors toward −∞ identically in both engines (deliberately NOT
+    `div`, which truncates toward zero and diverges on the negative
+    seasonal deviations). Bit-identical under any partitioning, like
+    graph_pagerank.
+
+    Engine note: the inherently sequential fold runs as ONE Catalyst
+    higher-order `aggregate` over each series' sorted day array with a
+    (level, trend, seasonal-array) struct accumulator — per-series
+    sequential, series-parallel, no UDF; the oracle replays it as a
+    recursive CTE advancing every series one observation per step
+    (the timeseries_holt idiom with a list-typed state column added).
+
+    Scale shape: one map-side-combinable rollup, one series-keyed
+    collect; a years-long series shards the fold by time range and
+    carries the (l, b, s) state across boundaries — exactly the state
+    a streaming sibling would hold per key."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    arr = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("x")))),
+            lambda e: e["x"],
+        ).alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).filter(F.col("n") >= HW_PERIOD)
+
+    week = F.slice(F.col("a"), 1, HW_PERIOD)
+    l0 = (
+        F.aggregate(week, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+        / HW_PERIOD
+    ).cast("bigint")  # positive mean: floor == truncate, both exact
+    seeded = arr.select(
+        "event_type",
+        "a",
+        "n",
+        F.struct(
+            l0.alias("l"),
+            F.lit(0).cast("bigint").alias("b"),
+            F.transform(week, lambda v: (v - l0).cast("bigint")).alias("s"),
+        ).alias("init"),
+    )
+
+    def half_floor(col):
+        return F.floor(col / F.lit(2.0)).cast("bigint")
+
+    def step(acc, x):
+        s_head = F.element_at(acc["s"], 1)
+        l1 = half_floor(x - s_head + acc["l"] + acc["b"])
+        b1 = half_floor(acc["b"] + l1 - acc["l"])
+        s_t = half_floor(s_head + (x - l1))
+        return F.struct(
+            l1.alias("l"),
+            b1.alias("b"),
+            F.concat(
+                F.slice(acc["s"], 2, HW_PERIOD - 1), F.array(s_t)
+            ).alias("s"),
+        )
+
+    rest = F.slice(
+        F.col("a"), HW_PERIOD + 1, F.size("a") - HW_PERIOD
+    )
+    final = seeded.select(
+        "event_type",
+        "n",
+        F.aggregate(rest, F.col("init"), step).alias("st"),
+    )
+    s = final["st"]["s"]
+    return final.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        final["st"]["l"].alias("level"),
+        final["st"]["b"].alias("trend"),
+        (final["st"]["l"] + final["st"]["b"] + F.element_at(s, 1))
+        .cast("bigint")
+        .alias("forecast_next"),
+        *[F.element_at(s, i).alias(f"s{i}") for i in range(1, HW_PERIOD + 1)],
+    )

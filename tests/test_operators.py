@@ -3671,3 +3671,42 @@ def test_data_card_consistent_with_component_keys(spark, sf_dir):
     assert card.n_exact_dups == n - n_distinct
     assert 0 <= card.dup_rate < 1
     assert 0 < card.n_quality_pass <= n
+
+
+def test_holt_winters_matches_python_recursion(spark, sf_dir):
+    """Level/trend/seasonals must match a from-scratch integer
+    floor-halving Holt-Winters recursion with the same seeding."""
+    import math
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.timeseries_extra import HW_PERIOD
+
+    got = {r.event_type: r for r in
+           _queries()["timeseries_holt_winters"](spark, sf_dir).collect()}
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, []).append((r.day, r["count"]))
+    for et, pairs in daily.items():
+        xs = [x for _, x in sorted(pairs)]
+        if len(xs) < HW_PERIOD:
+            assert et not in got
+            continue
+        l = sum(xs[:HW_PERIOD]) // HW_PERIOD
+        b = 0
+        s = [x - l for x in xs[:HW_PERIOD]]
+        for x in xs[HW_PERIOD:]:
+            sh = s[0]
+            l1 = math.floor((x - sh + l + b) / 2.0)
+            b = math.floor((b + l1 - l) / 2.0)
+            s = s[1:] + [math.floor((sh + (x - l1)) / 2.0)]
+            l = l1
+        r = got[et]
+        assert (r.level, r.trend) == (l, b), et
+        assert [getattr(r, f"s{i+1}") for i in range(HW_PERIOD)] == s, et
+        assert r.forecast_next == l + b + s[0]
+        assert r.n_days == len(xs)
