@@ -233,6 +233,7 @@ BENCH_KEYS = [
     "fn_udf_slugify",
     "pipeline_data_card",
     "timeseries_holt_winters",
+    "graph_betweenness",
 ]
 
 

@@ -884,3 +884,236 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("closeness"),
         F.round(harmonic, 8).alias("harmonic"),
     )
+
+
+BETW_MAX_HOPS = 3     # truncated (k-)betweenness radius
+BETW_SRC_MOD = 200    # seeds = graph nodes with part id ≡ 0 (mod this)
+
+
+def _betw_edges_sql() -> str:
+    return f"""
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {BFS_MIN_CO}
+    ),
+    edges AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0
+    ),
+    src AS (SELECT DISTINCT a AS seed FROM edges
+            WHERE a % {BETW_SRC_MOD} = 0)"""
+
+
+def _betw_forward_sql() -> str:
+    """Unrolled level-synchronous σ-BFS: lv{d} = (seed, v, sigma)."""
+    parts = ["lv0 AS MATERIALIZED (SELECT seed, seed AS v, CAST(1 AS BIGINT) AS sigma FROM src)",
+             "vis0 AS MATERIALIZED (SELECT seed, v FROM lv0)"]
+    for d in range(1, BETW_MAX_HOPS + 1):
+        parts.append(f"""
+    lv{d} AS MATERIALIZED (
+      SELECT f.seed, e.b AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM lv{d - 1} f JOIN edges e ON e.a = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM vis{d - 1} x
+                        WHERE x.seed = f.seed AND x.v = e.b)
+      GROUP BY 1, 2
+    )""")
+        parts.append(f"""
+    vis{d} AS MATERIALIZED (
+      SELECT seed, v FROM vis{d - 1} UNION ALL SELECT seed, v FROM lv{d}
+    )""")
+    return ",\n".join(parts)
+
+
+def _betw_backward_sql() -> str:
+    """Unrolled dependency accumulation: del{d} = (seed, v, delta) for
+    nodes at level d, folding contributions over the w-sorted list."""
+    deepest = BETW_MAX_HOPS
+    parts = [f"del{deepest} AS MATERIALIZED (SELECT seed, v, 0.0 AS delta FROM lv{deepest})"]
+    for d in range(BETW_MAX_HOPS - 1, 0, -1):
+        parts.append(f"""
+    del{d} AS MATERIALIZED (
+      SELECT v0.seed, v0.v,
+             COALESCE((
+               SELECT list_reduce(
+                 list_transform(
+                   list_sort(list({{'w': w.v,
+                     'c': (CAST(v0.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                          * (1.0 + dw.delta)}})),
+                   x -> x.c),
+                 (p, q) -> p + q)
+               FROM lv{d + 1} w
+               JOIN edges e ON e.a = v0.v AND e.b = w.v
+               JOIN del{d + 1} dw ON dw.seed = w.seed AND dw.v = w.v
+               WHERE w.seed = v0.seed
+             ), 0.0) AS delta
+      FROM lv{d} v0
+    )""")
+    return ",\n".join(parts)
+
+
+@query("graph_betweenness", oracle=f"""
+    WITH {_betw_edges_sql()},
+    {_betw_forward_sql()},
+    {_betw_backward_sql()},
+    alldel AS (
+      {" UNION ALL ".join(f"SELECT seed, v, delta FROM del{d}"
+                          for d in range(1, BETW_MAX_HOPS))}
+    )
+    SELECT * FROM (
+      SELECT v AS node,
+             CAST(count(*) AS BIGINT) AS n_seeds_reaching,
+             round(list_reduce(
+               list_transform(list_sort(list({{'s': seed, 'd': delta}})),
+                              x -> x.d),
+               (p, q) -> p + q), 6) AS betweenness
+      FROM alldel GROUP BY v
+    ) WHERE betweenness > 0
+""")
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-truncated betweenness centrality (new r9) — Brandes'
+    algorithm bounded to {BETW_MAX_HOPS} hops from a modulus-sampled
+    seed set (k-betweenness / ego-betweenness, the standard making the
+    all-pairs definition computable at scale): forward level-synchronous
+    BFS accumulates exact shortest-path COUNTS σ per (seed, node);
+    backward sweep folds the dependency recursion
+    δ(v) = Σ_w (σ_v/σ_w)(1+δ_w) level by level; betweenness(v) sums
+    δ over seeds. Brokers — nodes many shortest paths must cross —
+    score high; pagerank ranks by mass, closeness by reach, this by
+    CONTROL.
+
+    Exactness: σ values are exact BIGINT sums (level-synchronous, no
+    float); every float fold (the per-node dependency sum and the
+    cross-seed final sum) runs over a KEY-SORTED array so both engines
+    add identical doubles (each term is one exact-integer division ×
+    (1+δ) chain) in identical order; round-6 absorbs nothing ulp-wise
+    because there is nothing unordered left.
+
+    Scale shape: {BETW_MAX_HOPS} forward joins (frontier×edges with
+    visited anti-join — graph_bfs's plan keyed by seed) and
+    {BETW_MAX_HOPS}−1 backward joins (level d × edges × level d+1);
+    state bounded by |seeds|·|ball|. The per-node contribution lists
+    are bounded by forward-degree into the next level. The oracle
+    unrolls the identical levels as MATERIALIZED CTEs."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(
+                b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+            )
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= BFS_MIN_CO)
+            .select("u", "v")
+        )
+        return e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+
+    edges = shared_frame("bfs_edges", sf_dir, build_edges)
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .filter(F.col("seed") % BETW_SRC_MOD == 0)
+        .distinct()
+    )
+    lv = {0: seeds.select("seed", F.col("seed").alias("v"),
+                          F.lit(1).cast("bigint").alias("sigma"))}
+    visited = lv[0].select("seed", "v")
+    for d in range(1, BETW_MAX_HOPS + 1):
+        nxt = (
+            lv[d - 1]
+            .join(edges, lv[d - 1].v == edges.src)
+            .select("seed", F.col("dst").alias("v"), "sigma")
+            .join(visited, ["seed", "v"], "left_anti")
+            .groupBy("seed", "v")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .localCheckpoint()
+        )
+        lv[d] = nxt
+        visited = visited.unionByName(nxt.select("seed", "v")).localCheckpoint()
+    delta = {
+        BETW_MAX_HOPS: lv[BETW_MAX_HOPS].select(
+            "seed", "v", F.lit(0.0).alias("delta")
+        )
+    }
+    for d in range(BETW_MAX_HOPS - 1, 0, -1):
+        succ = (
+            lv[d].alias("v0")
+            .join(edges, F.col("v0.v") == edges.src)
+            .join(
+                lv[d + 1].alias("w"),
+                (F.col("dst") == F.col("w.v"))
+                & (F.col("v0.seed") == F.col("w.seed")),
+            )
+            .join(
+                delta[d + 1].alias("dw"),
+                (F.col("w.seed") == F.col("dw.seed"))
+                & (F.col("w.v") == F.col("dw.v")),
+            )
+            .select(
+                F.col("v0.seed").alias("seed"),
+                F.col("v0.v").alias("v"),
+                F.col("w.v").alias("w"),
+                (
+                    (F.col("v0.sigma").cast("double")
+                     / F.col("w.sigma").cast("double"))
+                    * (F.lit(1.0) + F.col("dw.delta"))
+                ).alias("c"),
+            )
+        )
+        folded = succ.groupBy("seed", "v").agg(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("w").alias("w"), F.col("c").alias("c"))
+                        )
+                    ),
+                    lambda x: x["c"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("delta")
+        )
+        delta[d] = (
+            lv[d]
+            .join(folded, ["seed", "v"], "left")
+            .select(
+                "seed",
+                "v",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint()
+        )
+    alldel = None
+    for d in range(1, BETW_MAX_HOPS):
+        alldel = delta[d] if alldel is None else alldel.unionByName(delta[d])
+    bc = alldel.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seeds_reaching"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("seed").alias("s"),
+                                F.col("delta").alias("d"),
+                            )
+                        )
+                    ),
+                    lambda x: x["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("betweenness"),
+    )
+    return bc.filter(F.col("betweenness") > 0)

@@ -73,6 +73,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "fn_udf_slugify",
     "pipeline_data_card",
     "timeseries_holt_winters",
+    "graph_betweenness",
     # -- Block R9-FIRST-WAVE-CHANGED: the four r9-new operators, the
     # de-rows-only'd HLL sketch table, the df-ceiling'd lexical keys,
     # the ADVICE-hardened recall curve, the PIL-gated phash --

@@ -3710,3 +3710,74 @@ def test_holt_winters_matches_python_recursion(spark, sf_dir):
         assert [getattr(r, f"s{i+1}") for i in range(HW_PERIOD)] == s, et
         assert r.forecast_next == l + b + s[0]
         assert r.n_days == len(xs)
+
+
+def test_betweenness_matches_python_brandes(spark, sf_dir):
+    """Truncated betweenness must match a from-scratch Brandes run
+    bounded to the same hop radius and seed set."""
+    from collections import Counter, defaultdict, deque
+
+    from quackflight_spark.operators.graph import (
+        BETW_MAX_HOPS,
+        BETW_SRC_MOD,
+        BFS_MIN_CO,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.node: r for r in
+           _queries()["graph_betweenness"](spark, sf_dir).collect()}
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct().collect()
+    )
+    baskets: dict = {}
+    for r in op:
+        baskets.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pair_n: Counter = Counter()
+    for ps in baskets.values():
+        ps = sorted(set(ps))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                pair_n[(u, v)] += 1
+    adj: dict = defaultdict(set)
+    for (u, v), c in pair_n.items():
+        if c >= BFS_MIN_CO:
+            adj[u].add(v)
+            adj[v].add(u)
+    bc: Counter = Counter()
+    reach: Counter = Counter()
+    for s in sorted(adj):
+        if s % BETW_SRC_MOD:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1}
+        levels = defaultdict(list)
+        levels[0] = [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= BETW_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    sigma[v] = 0
+                    levels[dist[v]].append(v)
+                    q.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] += sigma[u]
+        delta = defaultdict(float)
+        for d in range(BETW_MAX_HOPS - 1, 0, -1):
+            for v in levels[d]:
+                acc = 0.0
+                for w in sorted(adj[v]):
+                    if dist.get(w) == d + 1:
+                        acc += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+                delta[v] = acc
+                bc[v] += acc
+                reach[v] += 1
+    for v, r in got.items():
+        assert abs(r.betweenness - bc[v]) < 1e-4, v
+        assert r.n_seeds_reaching == reach[v]
+    missing = {v for v, x in bc.items() if round(x, 6) > 0} - set(got)
+    assert not missing
