@@ -234,6 +234,7 @@ BENCH_KEYS = [
     "pipeline_data_card",
     "timeseries_holt_winters",
     "graph_betweenness",
+    "scan_csv_gzip",
 ]
 
 

@@ -59,6 +59,14 @@ def _staged(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             n.coalesce(1).write.mode("overwrite").orc(path)
         elif fmt == "avro":
             n.coalesce(1).write.mode("overwrite").format("avro").save(path)
+        elif fmt == "csv_gz":
+            (
+                n.coalesce(1)
+                .write.mode("overwrite")
+                .option("header", True)
+                .option("compression", "gzip")
+                .csv(path)
+            )
         else:
             n.coalesce(1).write.mode("overwrite").json(path)
     return path
@@ -465,3 +473,18 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     path = _staged(spark, sf_dir, "avro")
     return spark.read.schema(NATION_SCHEMA).format("avro").load(path)
+
+
+@query("scan_csv_gzip", oracle="SELECT * FROM nation")
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed CSV scan (new r9) — the compressed-text landing
+    zone most real ingest starts from (log shippers emit .csv.gz /
+    .json.gz). Spark's text sources decode the codec transparently from
+    the extension; the operative 100 TB caveat this key documents is
+    that gzip is NOT SPLITTABLE — one .gz file = one task regardless of
+    size, so the ingest contract is many-moderate-files (the staged
+    layout here), or bzip2/zstd-frames when single-file parallelism is
+    required. Rows must equal the parquet truth (type-faithful
+    round-trip through the codec, declared schema, no inference)."""
+    path = _staged(spark, sf_dir, "csv_gz")
+    return spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)

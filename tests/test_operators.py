@@ -3781,3 +3781,26 @@ def test_betweenness_matches_python_brandes(spark, sf_dir):
         assert r.n_seeds_reaching == reach[v]
     missing = {v for v, x in bc.items() if round(x, 6) > 0} - set(got)
     assert not missing
+
+
+def test_csv_gzip_actually_compressed(spark, sf_dir):
+    """The staged files must really be gzip (magic bytes), and the scan
+    must round-trip every nation row."""
+    import glob
+    import gzip
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.sources.textformats import _staged
+
+    path = _staged(spark, sf_dir, "csv_gz")
+    files = glob.glob(f"{path}/*.csv.gz")
+    assert files, path
+    with open(files[0], "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"  # gzip magic
+    with gzip.open(files[0], "rt") as f:
+        header = f.readline().strip()
+    assert "n_nationkey" in header
+    got = _queries()["scan_csv_gzip"](spark, sf_dir)
+    want = load_table(spark, sf_dir, "nation")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
