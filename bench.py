@@ -235,6 +235,7 @@ BENCH_KEYS = [
     "timeseries_holt_winters",
     "graph_betweenness",
     "scan_csv_gzip",
+    "timeseries_croston",
 ]
 
 

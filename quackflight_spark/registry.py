@@ -75,6 +75,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_holt_winters",
     "graph_betweenness",
     "scan_csv_gzip",
+    "timeseries_croston",
     # -- Block R9-FIRST-WAVE-CHANGED: the four r9-new operators, the
     # de-rows-only'd HLL sketch table, the df-ceiling'd lexical keys,
     # the ADVICE-hardened recall curve, the PIL-gated phash --

@@ -847,3 +847,121 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("forecast_next"),
         *[F.element_at(s, i).alias(f"s{i}") for i in range(1, HW_PERIOD + 1)],
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_croston — intermittent-demand forecasting (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("timeseries_croston", oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, cents,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(coalesce(datediff('day', lag(d) OVER w, d), 0)
+                  AS BIGINT) AS q
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    st AS (
+      SELECT user_id, CAST(1 AS BIGINT) AS i, cents AS z,
+             CAST(1 AS BIGINT) AS p, n
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT s.user_id, s.i + 1,
+             CAST(floor((s.z + r.cents) / 2.0) AS BIGINT),
+             CAST(floor((s.p + r.q) / 2.0) AS BIGINT),
+             s.n
+      FROM st s JOIN ranked r ON r.user_id = s.user_id AND r.i = s.i + 1
+    )
+    SELECT user_id, n AS n_demands, z AS z_cents, p AS p_days,
+           round(CAST(z AS DOUBLE) / CAST(p AS DOUBLE) / 100.0, 6)
+             AS forecast_per_day
+    FROM st WHERE i = n
+""")
+def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (new r9) — the
+    forecaster for series that are mostly zero (spare parts, per-user
+    purchases): smooth the demand SIZE and the inter-demand INTERVAL as
+    two separate exponential averages over demand points only, forecast
+    rate = size / interval. The family's holt/holt_winters assume a
+    dense series; per-user purchase days are sparse, which is exactly
+    Croston's case. α = 1/2 as integer floor-halving (the holt device);
+    seeds: size = first demand, interval = 1 (updates begin at the
+    second demand with its observed gap — documented convention).
+
+    Exactness: demand sizes are exact cents, intervals exact day
+    counts; the whole recursion is integer floor-halving — bit-exact
+    in any engine/partitioning; the forecast rate is one shared double
+    expression.
+
+    Scale shape: identical to timeseries_holt — one (user, day)
+    map-side-combinable rollup, one lag window, one user-keyed fold
+    over the bounded demand array (Catalyst higher-order aggregate, no
+    UDF); the oracle advances every user one demand per recursive-CTE
+    step."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    ranked = daily.select(
+        "user_id",
+        "cents",
+        F.coalesce(F.datediff(F.col("d"), F.lag("d").over(w)), F.lit(0))
+        .cast("bigint")
+        .alias("q"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    arr = ranked.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("i"), F.col("q"), F.col("cents")))
+            ),
+            lambda e: F.struct(e["q"].alias("q"), e["cents"].alias("x")),
+        ).alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def half_floor(col):
+        return F.floor(col / F.lit(2.0)).cast("bigint")
+
+    def step(acc, e):
+        return F.struct(
+            half_floor(acc["z"] + e["x"]).alias("z"),
+            half_floor(acc["p"] + e["q"]).alias("p"),
+        )
+
+    init = F.struct(
+        F.element_at(F.col("a"), 1)["x"].alias("z"),
+        F.lit(1).cast("bigint").alias("p"),
+    )
+    rest = F.slice(F.col("a"), 2, F.greatest(F.size("a") - 1, F.lit(0)))
+    final = arr.select(
+        "user_id", "n", F.aggregate(rest, init, step).alias("st")
+    )
+    return final.select(
+        "user_id",
+        F.col("n").alias("n_demands"),
+        final["st"]["z"].alias("z_cents"),
+        final["st"]["p"].alias("p_days"),
+        F.round(
+            final["st"]["z"].cast("double")
+            / final["st"]["p"].cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("forecast_per_day"),
+    )

@@ -3804,3 +3804,34 @@ def test_csv_gzip_actually_compressed(spark, sf_dir):
     want = load_table(spark, sf_dir, "nation")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_croston_matches_python_recursion(spark, sf_dir):
+    """Size/interval EWMAs must match a from-scratch integer Croston
+    recursion over the same per-user demand series."""
+    import math
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.user_id: r for r in
+           _queries()["timeseries_croston"](spark, sf_dir).collect()}
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg((F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("cents"))
+        .collect()
+    ):
+        daily.setdefault(r.user_id, []).append((r.d, r.cents))
+    for uid, pts in daily.items():
+        pts.sort()
+        z, p = pts[0][1], 1
+        for (d0, _), (d1, x) in zip(pts, pts[1:]):
+            q = (d1 - d0).days
+            z = math.floor((z + x) / 2.0)
+            p = math.floor((p + q) / 2.0)
+        r = got[uid]
+        assert (r.n_demands, r.z_cents, r.p_days) == (len(pts), z, p), uid
+        assert abs(r.forecast_per_day - z / p / 100) < 1e-6
