@@ -236,6 +236,7 @@ BENCH_KEYS = [
     "graph_betweenness",
     "scan_csv_gzip",
     "timeseries_croston",
+    "events_decay_score",
 ]
 
 

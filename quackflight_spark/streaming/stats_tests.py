@@ -769,3 +769,99 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "state string, pi_scaled bigint, delta_scaled bigint, pi double",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_decay_score — recency-decayed engagement score (r9)
+# ---------------------------------------------------------------------------
+
+DECAY_ANCHOR = "2024-02-01"  # scoring date: day after the fixture horizon
+
+
+@query("events_decay_score", oracle=f"""
+    WITH aged AS (
+      SELECT user_id,
+             datediff('day',
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+                      DATE '{DECAY_ANCHOR}') AS age,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    buckets AS (
+      SELECT user_id, age,
+             CAST(sum(cents) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM aged GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(c) AS BIGINT) AS total_cents,
+           round(list_reduce(
+             list_transform(list_sort(list({{'a': age,
+               'v': CAST(c AS DOUBLE) * power(2.0, -CAST(age AS DOUBLE))}})),
+               x -> x.v),
+             (p, q) -> p + q) / 100.0, 8) AS decayed_value
+    FROM buckets GROUP BY user_id
+""")
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score (new r9) — the half-life
+    weighting every ranking/LTV/churn feature store keeps: each
+    purchase contributes value·2^(−age_days) (one-day half-life against
+    the fixed scoring date), so yesterday counts half of today and last
+    month is noise. The standard alternative to hard recency windows
+    (events_rfm buckets recency; this key integrates it).
+
+    Exactness: 2^(−k) for integer k is EXACT in IEEE double (pure
+    exponent), so each age bucket's term is one exact-BIGINT-cents ×
+    exact-power product (a single rounding, identical in both engines
+    — power(2.0, -k) is exact, not libm-approximated, for integral k);
+    the per-user sum folds over the AGE-SORTED bucket array, identical
+    order both engines. Cents and counts stay exact BIGINTs.
+
+    Scale shape: one map-side-combinable (user, age) rollup — age is
+    calendar-bounded, so per-user arrays are ≤ horizon days — then a
+    per-user fold. No window, no join."""
+    aged = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.datediff(
+                F.lit(DECAY_ANCHOR).cast("date"),
+                F.date_trunc("day", F.col("ts")).cast("date"),
+            ).alias("age"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    buckets = aged.groupBy("user_id", "age").agg(
+        F.sum("cents").cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return buckets.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("c").cast("bigint").alias("total_cents"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("age").alias("a"),
+                                (
+                                    F.col("c").cast("double")
+                                    * F.pow(F.lit(2.0), -F.col("age").cast("double"))
+                                ).alias("v"),
+                            )
+                        )
+                    ),
+                    lambda x: x["v"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(100.0),
+            8,
+        ).alias("decayed_value"),
+    )

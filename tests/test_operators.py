@@ -3835,3 +3835,30 @@ def test_croston_matches_python_recursion(spark, sf_dir):
         r = got[uid]
         assert (r.n_demands, r.z_cents, r.p_days) == (len(pts), z, p), uid
         assert abs(r.forecast_per_day - z / p / 100) < 1e-6
+
+
+def test_decay_score_matches_python(spark, sf_dir):
+    """Decayed values must match a from-scratch 2^-age weighting."""
+    import datetime
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import DECAY_ANCHOR
+
+    got = {r.user_id: r for r in
+           _queries()["events_decay_score"](spark, sf_dir).collect()}
+    anchor = datetime.date.fromisoformat(DECAY_ANCHOR)
+    per_user: dict = {}
+    for x in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value").collect()
+    ):
+        age = (anchor - x.ts.date()).days
+        c = round(float(x.value) * 100)
+        a = per_user.setdefault(x.user_id, {})
+        a[age] = a.get(age, 0) + c
+    for uid, buckets in per_user.items():
+        want = sum(c * 2.0 ** (-a) for a, c in sorted(buckets.items())) / 100
+        r = got[uid]
+        assert r.total_cents == sum(buckets.values())
+        assert abs(r.decayed_value - want) < 1e-6, uid
