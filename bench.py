@@ -237,6 +237,7 @@ BENCH_KEYS = [
     "scan_csv_gzip",
     "timeseries_croston",
     "events_decay_score",
+    "pipeline_triplet_mining",
 ]
 
 

@@ -2171,3 +2171,118 @@ def pipeline_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HN_TOPK)
         .select("query_id", "q_label", "neighbor_id", "n_label", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_triplet_mining — metric-learning triplet construction (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("pipeline_triplet_mining", oracle=f"""
+    WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS anchor, label AS a_label, e AS qe
+          FROM t WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.anchor, q.a_label, t.vec_id AS cand, t.label AS c_label,
+             round(list_cosine_similarity(q.qe, t.e), 6) AS cos_sim
+      FROM q JOIN t ON t.vec_id <> q.anchor
+    ),
+    pos AS (
+      SELECT anchor, cand AS pos_id, cos_sim AS pos_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+              ORDER BY cos_sim DESC, cand) AS rn
+            FROM scored WHERE c_label = a_label)
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor, cand AS neg_id, cos_sim AS neg_sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY anchor
+              ORDER BY cos_sim DESC, cand) AS rn
+            FROM scored WHERE c_label <> a_label)
+      WHERE rn = 1
+    )
+    SELECT q.anchor, q.a_label, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim,
+           round(p.pos_sim - n.neg_sim, 6) AS margin,
+           p.pos_sim < n.neg_sim AS violates
+    FROM q JOIN pos p ON p.anchor = q.anchor
+           JOIN neg n ON n.anchor = q.anchor
+""")
+def pipeline_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet construction for metric learning (new r9) — the
+    dataset-builder for triplet/contrastive losses: per anchor, the
+    nearest SAME-label vector (hardest positive — far positives are
+    easy; near ones carry gradient) and the nearest DIFFERENT-label
+    vector (hardest negative — pipeline_hard_negatives' rank 1), plus
+    the margin pos_sim − neg_sim and a `violates` flag where the
+    negative outranks the positive — exactly the semi-hard/violating
+    triplets FaceNet-style training samples first.
+
+    Exactness: the ANN family contract — cosine via the dim-order
+    Arrow kernel, rounded to 6 BEFORE ranking in both engines, ties by
+    candidate id; margin is a difference of already-rounded values,
+    rounded again identically.
+
+    Scale shape: ONE broadcast of the bounded anchor set against one
+    corpus scan scores all candidates; both argmaxes are rank-1 windows
+    partitioned by anchor over the same scored table (Catalyst reuses
+    the scan via the shared subplan). Unbounded anchor sets route
+    through IVF cells as documented on ann_ivf_topk."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    emb = shared_frame(
+        "emb_normed_lbl",
+        sf_dir,
+        lambda: _normed(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "label", "e"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("cand"), F.col("label").alias("c_label"), "e"
+        )
+        .join(F.broadcast(q), F.col("cand") != F.col("anchor"))
+        .withColumn("cos_sim", F.round(_dot(F.col("qe"), F.col("e")), 6))
+        .select("anchor", "a_label", "cand", "c_label", "cos_sim")
+    )
+    w = W.partitionBy("anchor").orderBy(F.desc("cos_sim"), F.asc("cand"))
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "anchor",
+            F.col("cand").alias("pos_id"),
+            F.col("cos_sim").alias("pos_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "anchor",
+            F.col("cand").alias("neg_id"),
+            F.col("cos_sim").alias("neg_sim"),
+        )
+    )
+    return (
+        q.select("anchor", "a_label")
+        .join(pos, "anchor")
+        .join(neg, "anchor")
+        .select(
+            "anchor",
+            "a_label",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            "neg_sim",
+            F.round(F.col("pos_sim") - F.col("neg_sim"), 6).alias("margin"),
+            (F.col("pos_sim") < F.col("neg_sim")).alias("violates"),
+        )
+    )

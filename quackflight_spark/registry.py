@@ -77,6 +77,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scan_csv_gzip",
     "timeseries_croston",
     "events_decay_score",
+    "pipeline_triplet_mining",
     # -- Block R9-FIRST-WAVE-CHANGED: the four r9-new operators, the
     # de-rows-only'd HLL sketch table, the df-ceiling'd lexical keys,
     # the ADVICE-hardened recall curve, the PIL-gated phash --

@@ -3862,3 +3862,42 @@ def test_decay_score_matches_python(spark, sf_dir):
         r = got[uid]
         assert r.total_cents == sum(buckets.values())
         assert abs(r.decayed_value - want) < 1e-6, uid
+
+
+def test_triplet_mining_semantics(spark, sf_dir):
+    """Positives must share the anchor's label, negatives must not,
+    both must be the argmax similarity in their class, and the margin
+    must be their difference."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    rows = _queries()["pipeline_triplet_mining"](spark, sf_dir).collect()
+    emb = {
+        r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    assert rows
+    for r in rows:
+        al, ae = emb[r.anchor]
+        pl, pe = emb[r.pos_id]
+        nl, ne = emb[r.neg_id]
+        assert (al, pl) == (r.a_label, r.a_label) and nl != al
+        assert abs(r.pos_sim - cos(ae, pe)) < 2e-6
+        assert abs(r.neg_sim - cos(ae, ne)) < 2e-6
+        best_pos = max(
+            (cos(ae, e), -k) for k, (l, e) in emb.items()
+            if k != r.anchor and l == al
+        )[0]
+        best_neg = max(
+            (cos(ae, e), -k) for k, (l, e) in emb.items()
+            if k != r.anchor and l != al
+        )[0]
+        assert abs(r.pos_sim - best_pos) < 2e-6
+        assert abs(r.neg_sim - best_neg) < 2e-6
+        assert abs(r.margin - round(r.pos_sim - r.neg_sim, 6)) < 1e-9
+        assert r.violates == (r.pos_sim < r.neg_sim)
