@@ -238,6 +238,7 @@ BENCH_KEYS = [
     "timeseries_croston",
     "events_decay_score",
     "pipeline_triplet_mining",
+    "text_script_ratio",
 ]
 
 

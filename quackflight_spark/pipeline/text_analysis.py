@@ -1675,3 +1675,95 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("double") / F.sum("n_words").cast("double"), 8
         ).alias("bytes_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_script_ratio — Unicode script composition per document (r9)
+# ---------------------------------------------------------------------------
+
+
+@query("text_script_ratio", oracle=r"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(length(text) AS BIGINT) AS n_chars_s,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT)
+               AS n_latin,
+             CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
+                  AS BIGINT) AS n_cjk,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+             CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars_s, n_latin, n_cjk, n_digit, n_space,
+           CAST(n_chars_s - n_latin - n_cjk - n_digit - n_space AS BIGINT)
+             AS n_other,
+           round(CAST(n_latin AS DOUBLE) / CAST(n_chars_s AS DOUBLE), 8)
+             AS latin_ratio,
+           round(CAST(n_cjk AS DOUBLE) / CAST(n_chars_s AS DOUBLE), 8)
+             AS cjk_ratio,
+           CASE WHEN 2 * n_cjk > n_latin THEN 'cjk' ELSE 'latin' END
+             AS dominant_script
+    FROM m WHERE n_chars_s > 0
+""")
+def text_script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode SCRIPT composition per document (new r9) — the
+    pre-language-ID triage a multilingual pipeline runs first: script
+    ranges are deterministic codepoint classes (no model), so routing
+    CJK text away from a Latin-stopword quality filter is a pure
+    per-row map. Counts Latin letters, CJK unified ideographs, digits
+    and whitespace; everything else (punctuation, other scripts) is the
+    remainder — the triage signal for mixed-script spam too. The
+    complement to text_langid (which needs a tokenizer and marker
+    lists; this key needs neither — CJK has no whitespace tokens, which
+    is exactly why script detection must come first).
+
+    Exactness: pure integer codepoint-class counts — Java regex and
+    RE2 agree on explicit Unicode ranges (the \\u4e00/\\x{{4e00}}
+    spelling differs per engine, the CLASS is identical); ratios are
+    single double divisions. The dominant-script decision is
+    cross-multiplied integer comparison (2·cjk > latin — CJK carries
+    ~2× information density per char, the weighting langid uses).
+
+    Scale shape: zero-shuffle per-row map over documents."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def count_re(pat: str):
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_s"),
+        count_re("[A-Za-z]").alias("n_latin"),
+        count_re("[一-鿿]").alias("n_cjk"),
+        count_re("[0-9]").alias("n_digit"),
+        count_re(r"\s").alias("n_space"),
+    ).filter(F.col("n_chars_s") > 0)
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_chars_s",
+        "n_latin",
+        "n_cjk",
+        "n_digit",
+        "n_space",
+        (
+            F.col("n_chars_s")
+            - F.col("n_latin")
+            - F.col("n_cjk")
+            - F.col("n_digit")
+            - F.col("n_space")
+        ).cast("bigint").alias("n_other"),
+        F.round(
+            F.col("n_latin").cast("double") / F.col("n_chars_s").cast("double"),
+            8,
+        ).alias("latin_ratio"),
+        F.round(
+            F.col("n_cjk").cast("double") / F.col("n_chars_s").cast("double"), 8
+        ).alias("cjk_ratio"),
+        F.when(2 * F.col("n_cjk") > F.col("n_latin"), "cjk")
+        .otherwise("latin")
+        .alias("dominant_script"),
+    )

@@ -3901,3 +3901,42 @@ def test_triplet_mining_semantics(spark, sf_dir):
         assert abs(r.neg_sim - best_neg) < 2e-6
         assert abs(r.margin - round(r.pos_sim - r.neg_sim, 6)) < 1e-9
         assert r.violates == (r.pos_sim < r.neg_sim)
+
+
+def test_script_ratio_matches_python_codepoints(spark, sf_dir):
+    """Script-class counts must match Python codepoint classification,
+    and zh docs must carry the corpus's CJK characters (the fixture's
+    zh docs are Latin word soup with CJK marker tokens, so they are
+    NOT cjk-dominant — the count check is the real contract)."""
+    import re
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.doc_id: r for r in
+           _queries()["text_script_ratio"](spark, sf_dir).collect()}
+    cjk_by_lang: dict = {}
+    for d in load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect():
+        latin = len(re.findall("[A-Za-z]", d.text))
+        cjk = sum(1 for ch in d.text if 0x4E00 <= ord(ch) <= 0x9FFF)
+        digit = len(re.findall("[0-9]", d.text))
+        space = len(re.findall(r"\s", d.text))
+        r = got[d.doc_id]
+        assert (r.n_latin, r.n_cjk, r.n_digit, r.n_space) == (
+            latin, cjk, digit, space), d.doc_id
+        assert r.n_other == len(d.text) - latin - cjk - digit - space
+        assert r.dominant_script == ("cjk" if 2 * cjk > latin else "latin")
+        cjk_by_lang[d.lang] = cjk_by_lang.get(d.lang, 0) + cjk
+    # the fixture corpus carries NO CJK codepoints (its 'zh' docs are
+    # Latin word soup), so prove the CJK class on a synthetic row: the
+    # range must count ideographs and the dominance rule must flip
+    from pyspark.sql import Row
+
+    syn = spark.createDataFrame([Row(s="ab的是了c 123")])
+    counted = syn.select(
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("[一-鿿]"), F.lit(0)))
+        .alias("cjk")
+    ).collect()[0]
+    assert counted.cjk == 3
+    assert all(v == 0 for v in cjk_by_lang.values())
