@@ -239,6 +239,7 @@ BENCH_KEYS = [
     "events_decay_score",
     "pipeline_triplet_mining",
     "text_script_ratio",
+    "stream_alert_hysteresis",
 ]
 
 

@@ -653,3 +653,137 @@ def _wire_stream_sprt_oracle() -> None:
 
 
 _wire_stream_sprt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# stream_alert_hysteresis — threshold alerting with hysteresis (r9)
+# ---------------------------------------------------------------------------
+
+ALERT_HI = 6    # raise when an hour bucket exceeds this count
+ALERT_LO = 3    # clear only when a bucket drops below this
+ALERT_OUTPUT_SCHEMA = (
+    "event_type string, n_buckets bigint, n_alerts bigint, alerting boolean"
+)
+ALERT_STATE_SCHEMA = "alerting boolean, n_alerts bigint, n_buckets bigint"
+
+
+def alert_hysteresis(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Two-threshold alert automaton per series: RAISE when an hourly
+    count exceeds ALERT_HI, CLEAR only below ALERT_LO — the hysteresis
+    band that stops a series oscillating around one threshold from
+    paging every hour (the PagerDuty/Alertmanager debounce semantics).
+    State is O(1): (alerting, alert count, bucket count). Buckets are
+    completed within the batch (the stream_pattern_match ordering
+    contract: within-batch sort; cross-batch delivery must be
+    bucket-aligned, which time-split files / watermarked upstream
+    aggregation give)."""
+    if state.exists:
+        alerting, n_alerts, n_buckets = state.get
+    else:
+        alerting, n_alerts, n_buckets = False, 0, 0
+    for pdf in pdfs:
+        pdf = pdf.copy()
+        pdf["hr"] = pdf["ts"].dt.floor("h")
+        counts = pdf.groupby("hr").size().sort_index()
+        for c in counts:
+            n_buckets += 1
+            if not alerting and c > ALERT_HI:
+                alerting = True
+                n_alerts += 1
+            elif alerting and c < ALERT_LO:
+                alerting = False
+    state.update((alerting, n_alerts, n_buckets))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_buckets": [n_buckets],
+            "n_alerts": [n_alerts],
+            "alerting": [alerting],
+        }
+    )
+
+
+@query("stream_alert_hysteresis", oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hourly
+    ),
+    st AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS i,
+             c > {ALERT_HI} AS alerting,
+             CAST(CASE WHEN c > {ALERT_HI} THEN 1 ELSE 0 END AS BIGINT)
+               AS n_alerts,
+             n
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i + 1,
+             CASE WHEN NOT s.alerting AND r.c > {ALERT_HI} THEN true
+                  WHEN s.alerting AND r.c < {ALERT_LO} THEN false
+                  ELSE s.alerting END,
+             s.n_alerts + CASE WHEN NOT s.alerting AND r.c > {ALERT_HI}
+                               THEN 1 ELSE 0 END,
+             s.n
+      FROM st s JOIN ranked r ON r.event_type = s.event_type
+       AND r.i = s.i + 1
+    )
+    SELECT event_type, n AS n_buckets, n_alerts, alerting
+    FROM st WHERE i = n
+""")
+def stream_alert_hysteresis(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming threshold alerting with HYSTERESIS (new r9): hourly
+    counts per event_type run through a two-threshold automaton —
+    raise above {ALERT_HI}, clear only below {ALERT_LO} — maintained
+    incrementally with O(1) state per series. A single-threshold alert
+    flaps on every boundary-straddling series; the hysteresis band is
+    the ops-monitoring debounce every alerting system implements, here
+    as a custom stateful operator whose drained state is STRICTLY
+    oracle-checked (the recursive-CTE replay advances every series one
+    bucket per step — the timeseries_holt idiom over an automaton).
+
+    Order contract as stream_pattern_match: the fold is
+    order-sensitive (an alert at bucket i depends on the state left by
+    bucket i−1), so buckets sort within batch and batches must arrive
+    bucket-aligned."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream = events_ts_normalized(
+        stage_events_stream(spark, sf_dir, "alert")
+    ).select("event_type", "ts")
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        alert_hysteresis,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    snap = drain_to_memory(
+        spark, out, f"stream_alert_{tag}", "update", shuffle_partitions=8
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("n_buckets"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_type", "n_buckets", "n_alerts", "alerting")
+    )

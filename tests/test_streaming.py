@@ -403,3 +403,44 @@ def test_stream_sprt_equals_batch(spark, sf_dir):
                         r.first_dn, r.decision)
             for r in q["events_sprt"](spark, sf_dir).collect()}
     assert got == want and want
+
+
+def test_alert_hysteresis_debounces(spark, sf_dir):
+    """The streaming automaton must match a Python hysteresis fold over
+    the hourly rollup, and must alert strictly less often than a
+    single-threshold (no-hysteresis) detector on the same series."""
+    import __spark_entry__ as e
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stateful import ALERT_HI, ALERT_LO
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in
+           e.queries()["stream_alert_hysteresis"](spark, sf_dir).collect()}
+    hourly: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .count()
+        .collect()
+    ):
+        hourly.setdefault(r.event_type, []).append((r.hr, r["count"]))
+    for et, pts in hourly.items():
+        pts.sort()
+        alerting, n_alerts, flaps = False, 0, 0
+        for _, c in pts:
+            if not alerting and c > ALERT_HI:
+                alerting, n_alerts = True, n_alerts + 1
+            elif alerting and c < ALERT_LO:
+                alerting = False
+        # single-threshold comparator: alert on every upward crossing of HI
+        prev_hi = False
+        for _, c in pts:
+            hi = c > ALERT_HI
+            flaps += hi and not prev_hi
+            prev_hi = hi
+        r = got[et]
+        assert (r.n_buckets, r.n_alerts, r.alerting) == (
+            len(pts), n_alerts, alerting), et
+        if any(c > ALERT_HI for _, c in pts):
+            assert n_alerts > 0  # thresholds live when a spike exists
+        assert n_alerts <= flaps  # hysteresis can only debounce
