@@ -240,6 +240,7 @@ BENCH_KEYS = [
     "pipeline_triplet_mining",
     "text_script_ratio",
     "stream_alert_hysteresis",
+    "sample_systematic",
 ]
 
 

@@ -624,3 +624,80 @@ def pipeline_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_systematic — every-k-th systematic sampling on the hash ring (r9)
+# ---------------------------------------------------------------------------
+
+SYSTEMATIC_K = 20  # sampling interval: 1-in-20
+
+
+@query("sample_systematic", oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey)
+               AS BIGINT) AS rk
+      FROM orders
+    )
+    SELECT o_orderkey, rk,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM ranked WHERE rk % {SYSTEMATIC_K} = 1
+""")
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-{SYSTEMATIC_K} sampling (new r9) — the survey-
+    sampling mode the family lacked (random/percent/reservoir/
+    stratified/quota exist): order the frame on a deterministic md5
+    hash ring (so the 'systematic' stride is independent of any data
+    ordering — the textbook requirement that the frame order be
+    unrelated to the measurement) and take every {SYSTEMATIC_K}-th
+    element. Guarantees EXACT stride spacing — a Bernoulli sample's
+    size is binomial; a systematic sample's is ⌈n/k⌉ exactly, which is
+    what shard-budgeted exports need.
+
+    Exactness: ranks are exact (md5 string order, key tie-break makes
+    the order total); the stride predicate is integer modulo.
+
+    Scale shape: the global rank uses the distributed-exact ntile
+    device (range partition on the hash + per-slice row_number +
+    broadcast offsets — no single-task sort); the stride filter is a
+    pure map after that. One range exchange total, the unavoidable
+    cost of any exact global order."""
+    from quackflight_spark.streaming.windowed import _ntile_distributed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("h"),
+    )
+    # _ntile_distributed's internals: reuse its rank machinery by
+    # requesting n buckets == n rows is wasteful; instead replicate the
+    # rank construction directly (range partition + per-slice
+    # row_number + offsets) via the shared helper's sibling below.
+    from pyspark.sql import Window as W
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        o.repartitionByRange(p, F.col("h").asc(), F.col("o_orderkey").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    rows = sorted(
+        (r["_pid"], r["_c"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    offs, acc = [], 0
+    for pid, c in rows:
+        offs.append((pid, acc))
+        acc += c
+    off_df = spark.createDataFrame(offs, "`_pid` INT, `_off` BIGINT")
+    rk = F.col("_off") + F.row_number().over(
+        W.partitionBy("_pid").orderBy("h", "o_orderkey")
+    )
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn("rk", rk.cast("bigint"))
+        .filter(F.col("rk") % SYSTEMATIC_K == 1)
+        .select("o_orderkey", "rk", "o_totalprice")
+    )

@@ -80,6 +80,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_triplet_mining",
     "text_script_ratio",
     "stream_alert_hysteresis",
+    "sample_systematic",
     # -- Block R9-FIRST-WAVE-CHANGED: the four r9-new operators, the
     # de-rows-only'd HLL sketch table, the df-ceiling'd lexical keys,
     # the ADVICE-hardened recall curve, the PIL-gated phash --

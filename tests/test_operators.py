@@ -3940,3 +3940,23 @@ def test_script_ratio_matches_python_codepoints(spark, sf_dir):
     ).collect()[0]
     assert counted.cjk == 3
     assert all(v == 0 for v in cjk_by_lang.values())
+
+
+def test_systematic_sample_exact_stride(spark, sf_dir):
+    """The sample must be exactly every k-th element of the md5 ring:
+    exact size ceil(n/k), ranks 1, k+1, 2k+1, ..., matching a Python
+    sort of the same keys."""
+    import hashlib
+    import math
+
+    from quackflight_spark.pipeline.sampling import SYSTEMATIC_K
+    from quackflight_spark.sources.fixtures import load_table
+
+    rows = _queries()["sample_systematic"](spark, sf_dir).collect()
+    keys = [r.o_orderkey for r in
+            load_table(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    ring = sorted(keys, key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k))
+    want = {(i + 1, k) for i, k in enumerate(ring) if i % SYSTEMATIC_K == 0}
+    got = {(r.rk, r.o_orderkey) for r in rows}
+    assert got == want
+    assert len(rows) == math.ceil(len(keys) / SYSTEMATIC_K)
