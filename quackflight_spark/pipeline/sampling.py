@@ -664,8 +664,6 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offsets — no single-task sort); the stride filter is a
     pure map after that. One range exchange total, the unavoidable
     cost of any exact global order."""
-    from quackflight_spark.streaming.windowed import _ntile_distributed
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("o_totalprice"),

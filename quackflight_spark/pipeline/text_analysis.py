@@ -1691,7 +1691,8 @@ def pipeline_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]'))
                   AS BIGINT) AS n_cjk,
              CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
-             CAST(len(regexp_extract_all(text, '\s')) AS BIGINT) AS n_space
+             CAST(len(regexp_extract_all(text, '[ \t\n\f\r]')) AS BIGINT)
+               AS n_space
       FROM documents
     )
     SELECT doc_id, lang, n_chars_s, n_latin, n_cjk, n_digit, n_space,
@@ -1739,7 +1740,10 @@ def text_script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_re("[A-Za-z]").alias("n_latin"),
         count_re("[一-鿿]").alias("n_cjk"),
         count_re("[0-9]").alias("n_digit"),
-        count_re(r"\s").alias("n_space"),
+        # spelled explicitly and identically in both texts: Java's \s is
+        # [ \t\n\x0B\f\r] while RE2's is [\t\n\f\r ] — a document with a
+        # vertical tab (U+000B) would diverge under the shorthand
+        count_re("[ \t\n\f\r]").alias("n_space"),
     ).filter(F.col("n_chars_s") > 0)
     return m.select(
         "doc_id",

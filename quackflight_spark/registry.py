@@ -46,7 +46,7 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block R9-SECOND-WAVE: the 22 operators added after the r9
+    # -- Block R9-SECOND-WAVE: the 31 operators added after the r9
     # verdict tasks closed — never driver-checked, so they consume the
     # head of the gate budget (builder-side proof: full dual-ANSI-leg
     # sweeps green, per-key recompute tests in tests/) --

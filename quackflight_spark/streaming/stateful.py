@@ -526,8 +526,17 @@ def sprt_monitor(
         n, k, first_up, first_dn = state.get
     else:
         n, k, first_up, first_dn = 0, 0, -1, -1
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # The pdfs iterator delivers the group in ~10k-row Arrow chunks
+    # (spark.sql.execution.arrow.maxRecordsPerBatch); chunk order is not
+    # an ordering guarantee, so concatenate and sort ONCE per batch —
+    # sorting each chunk independently would leave the cross-chunk order
+    # at the mercy of shuffle fetch order.
+    chunks = [c for c in pdfs if len(c)]
+    for pdf in (
+        [pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])]
+        if chunks
+        else []
+    ):
         for et in pdf["event_type"]:
             n += 1
             k += 1 if et == "purchase" else 0
@@ -683,10 +692,15 @@ def alert_hysteresis(
         alerting, n_alerts, n_buckets = state.get
     else:
         alerting, n_alerts, n_buckets = False, 0, 0
-    for pdf in pdfs:
-        pdf = pdf.copy()
-        pdf["hr"] = pdf["ts"].dt.floor("h")
-        counts = pdf.groupby("hr").size().sort_index()
+    # Accumulate hour counts across ALL Arrow chunks before folding:
+    # applyInPandasWithState splits a group into ~10k-row chunks
+    # (spark.sql.execution.arrow.maxRecordsPerBatch), so an hour bucket
+    # straddling a chunk boundary would otherwise be counted as two
+    # buckets and fed through the automaton twice.
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        counts = batch.groupby(batch["ts"].dt.floor("h")).size().sort_index()
         for c in counts:
             n_buckets += 1
             if not alerting and c > ALERT_HI:

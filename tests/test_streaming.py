@@ -444,3 +444,79 @@ def test_alert_hysteresis_debounces(spark, sf_dir):
         if any(c > ALERT_HI for _, c in pts):
             assert n_alerts > 0  # thresholds live when a spike exists
         assert n_alerts <= flaps  # hysteresis can only debounce
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update."""
+
+    def __init__(self, initial=None):
+        self._v = initial
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_alert_hysteresis_merges_arrow_chunks():
+    """Regression (r10): applyInPandasWithState delivers a group in
+    ~10k-row Arrow chunks; an hour bucket straddling a chunk boundary
+    must be counted ONCE, not fed through the automaton twice. Feed the
+    same rows as one chunk vs split mid-hour and require identical
+    drained state."""
+    import pandas as pd
+
+    from quackflight_spark.streaming.stateful import alert_hysteresis
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:15", "2024-01-01 00:25",
+         "2024-01-01 00:35", "2024-01-01 00:45", "2024-01-01 00:55",
+         "2024-01-01 00:59", "2024-01-01 01:10"]
+    )
+    pdf = pd.DataFrame({"event_type": "x", "ts": ts})
+
+    def run(chunks):
+        st = _FakeGroupState()
+        list(alert_hysteresis(("x",), iter(chunks), st))
+        return st.get
+
+    whole = run([pdf])
+    # split inside hour 00 (4 rows / 4 rows): the 7-count hour-00 bucket
+    # straddles the boundary as 4 + 3
+    split = run([pdf.iloc[:4], pdf.iloc[4:]])
+    assert whole == split
+    alerting, n_alerts, n_buckets = whole
+    assert n_buckets == 2          # exactly two hour buckets exist
+    assert n_alerts == 1           # hour 00 has 7 > ALERT_HI events
+    assert alerting is False       # hour 01 count 1 < ALERT_LO clears it
+
+
+def test_sprt_monitor_sorts_across_chunks():
+    """Regression (r10): the SPRT fold is order-sensitive; rows arriving
+    in reverse-(ts) chunk order must still fold in (ts, event_id) order
+    — chunks are concatenated and sorted once per batch."""
+    import pandas as pd
+
+    from quackflight_spark.streaming.stateful import sprt_monitor
+
+    n = 40
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="m")
+    et = ["purchase" if i < 20 else "view" for i in range(n)]
+    pdf = pd.DataFrame({"ts": ts, "event_id": range(n), "event_type": et})
+
+    def run(chunks):
+        st = _FakeGroupState()
+        list(sprt_monitor((0,), iter(chunks), st))
+        return st.get
+
+    ordered = run([pdf])
+    # deliver the later half FIRST — a chunk-local sort would fold the
+    # view-heavy tail before the purchase-heavy head and move first_up
+    shuffled = run([pdf.iloc[20:], pdf.iloc[:20]])
+    assert ordered == shuffled
