@@ -262,6 +262,41 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    jvm_trace: dict[str, dict] = {}
+
+    def jvm_snapshot() -> dict:
+        """Per-key JVM accumulation telemetry (r10 in-session-drift A/B):
+        segmented code-cache pools, metaspace, loaded classes, heap, and
+        catalog temp-view count. A full 'CodeHeap non-profiled nmethods'
+        pool disables the C2 JIT and turns codegen'd loops interpreted —
+        the prime suspect for unchanged-code keys slowing 5-7x late in a
+        208-key session (VERDICT r9 What's-wrong #1)."""
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        snap: dict = {}
+        pools = mf.getMemoryPoolMXBeans()
+        it = pools.iterator()
+        while it.hasNext():
+            p = it.next()
+            name = p.getName()
+            if "CodeHeap" in name or name == "Metaspace":
+                u = p.getUsage()
+                snap[name] = {
+                    "used_mb": round(u.getUsed() / 1e6, 1),
+                    "max_mb": round(u.getMax() / 1e6, 1),
+                }
+        snap["classes_loaded"] = int(
+            mf.getClassLoadingMXBean().getLoadedClassCount()
+        )
+        rt = spark._jvm.java.lang.Runtime.getRuntime()
+        snap["heap_used_mb"] = round(
+            (rt.totalMemory() - rt.freeMemory()) / 1e6
+        )
+        try:
+            snap["temp_views"] = len(spark.catalog.listTables())
+        except Exception:
+            snap["temp_views"] = -1
+        return snap
+
     for key in BENCH_KEYS:
         fn = queries[key]
         fn(spark, SF_DIR).count()  # warm-up (untimed)
@@ -298,6 +333,7 @@ def main() -> None:
         import gc
 
         gc.collect()
+        jvm_trace[key] = jvm_snapshot()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver keeps only the last 2000 chars of stdout and parses the
@@ -312,6 +348,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "samples": spread,
+        "jvm": jvm_trace,
         "sf": sf_val,
         "spark": spark.version,
         "conf": {

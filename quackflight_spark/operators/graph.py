@@ -18,6 +18,13 @@ from pyspark.sql import functions as F
 from quackflight_spark.registry import query
 from quackflight_spark.sources.fixtures import load_table
 
+# Evidence hook (r10, tools/scale_curve_graph.py): the iterative
+# operators record how many rounds they actually ran here, keyed by
+# loop name — turns "bounded by MAX_ROUNDS" docstring claims into
+# measured per-SF numbers in PERF.md. Write-only from the operators;
+# no behavior depends on it.
+ROUND_TRACE: dict[str, int] = {}
+
 BFS_MIN_CO = 2   # co-purchase support threshold for the BFS edge set
 BFS_MAX_HOPS = 4
 BFS_SRC_MOD = 100  # sources = graph nodes with part id ≡ 0 (mod this)
@@ -252,7 +259,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alive = incidence.select("node").distinct().localCheckpoint()
     n_alive = alive.count()
+    ROUND_TRACE["kcore_peel"] = 0
     for _ in range(KCORE_MAX_ROUNDS):
+        ROUND_TRACE["kcore_peel"] += 1
         deg = (
             incidence.join(alive.hint("broadcast"), "node", "left_semi")
             .join(
@@ -518,7 +527,9 @@ def _fb_labels(edges: DataFrame, nodes: DataFrame, caller: str) -> DataFrame:
         "node", F.col("node").alias("f"), F.col("node").alias("b")
     ).localCheckpoint()
     changed = -1
+    ROUND_TRACE["scc_fb_inner"] = ROUND_TRACE.get("scc_fb_inner", 0)
     for _ in range(SCC_MAX_INNER):
+        ROUND_TRACE["scc_fb_inner"] += 1
         nmf = (
             edges.join(labels.select("node", "f"), edges.dst == F.col("node"))
             .groupBy(F.col("src").alias("node"))
@@ -688,7 +699,10 @@ def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
     )
     edges_rem = edges
     assigned = None
+    ROUND_TRACE["scc_outer"] = 0
+    ROUND_TRACE["scc_fb_inner"] = 0
     for _ in range(SCC_MAX_OUTER):
+        ROUND_TRACE["scc_outer"] += 1
         # TRIM (the standard FW-BW accelerator): a remaining node with
         # no outgoing or no incoming edge lies on no cycle — it is a
         # singleton SCC, assigned immediately without any propagation.

@@ -289,19 +289,10 @@ def _audio_energy_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     for pdf in batches:
         out_doc, out_win, out_rms = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples = np.frombuffer(payload, dtype=np.uint8)
-            n_win = len(samples) // AUDIO_WIN
-            if n_win == 0:
-                continue
-            w = (
-                samples[: n_win * AUDIO_WIN]
-                .astype(np.float64)
-                .reshape(n_win, AUDIO_WIN)
-            )
-            rms = np.round(np.sqrt((w * w).sum(axis=1) / float(AUDIO_WIN)), 6)
-            out_doc.extend([doc_id] * n_win)
-            out_win.extend(range(1, n_win + 1))
-            out_rms.extend(rms.tolist())
+            wins, rms = _windowed_rms(np.frombuffer(payload, dtype=np.uint8))
+            out_doc.extend([doc_id] * len(wins))
+            out_win.extend(wins)
+            out_rms.extend(rms)
         yield pd.DataFrame(
             {"doc_id": out_doc, "win_idx": out_win, "rms": out_rms}
         )
@@ -336,6 +327,117 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return d.mapInPandas(_audio_energy_kernel, AUDIO_SCHEMA)
+
+
+def wav_pcm_samples_real(payload: bytes):
+    """REAL codec branch for the audio modality (r10): decode an actual
+    RIFF/WAVE container with stdlib `wave` — unlike the PIL (image) and
+    avro gates this needs NO availability probe, the stdlib is
+    guaranteed present on any build. Returns int64 mono samples:
+    8-bit PCM is unsigned (0..255) per the WAV spec; 16/32-bit is
+    signed little-endian; multi-channel is downmixed by per-frame
+    channel SUM (integer-exact — a mean would truncate; the VAD
+    cross-multiply is unaffected by any uniform scale and the RMS
+    branch documents the convention). Non-WAV bytes raise wave.Error —
+    the caller decides whether to skip or fail the clip.
+
+    Feeds the SAME windowed loops as the byte-strip stand-in
+    (_windowed_rms / _windowed_ss): swapping the codec drops the SQL
+    oracle (real WAV bytes are not SQL-replayable), never the Spark
+    plumbing — the mm_image_phash contract (phash_cells_real) applied
+    to the audio modality."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    with wave.open(BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    elif width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width} bytes")
+    if n_ch > 1:
+        samples = samples[: (len(samples) // n_ch) * n_ch]
+        samples = samples.reshape(-1, n_ch).sum(axis=1)
+    return samples
+
+
+def _windowed_rms(samples):
+    """Windowed RMS shared by BOTH audio decode branches: AUDIO_WIN
+    samples per window, float64 RMS rounded to 6 places — the exact
+    arithmetic the mm_audio_energy oracle replays on the stand-in."""
+    import numpy as np
+
+    n_win = len(samples) // AUDIO_WIN
+    if n_win == 0:
+        return [], []
+    w = (
+        np.asarray(samples[: n_win * AUDIO_WIN], dtype=np.float64)
+        .reshape(n_win, AUDIO_WIN)
+    )
+    rms = np.round(np.sqrt((w * w).sum(axis=1) / float(AUDIO_WIN)), 6)
+    return list(range(1, n_win + 1)), rms.tolist()
+
+
+def _windowed_ss(samples):
+    """Windowed integer sum-of-squares shared by BOTH audio decode
+    branches — the float-free surface mm_audio_vad's integer
+    cross-multiply consumes."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n_win = len(s) // AUDIO_WIN
+    if n_win == 0:
+        return [], []
+    w = s[: n_win * AUDIO_WIN].reshape(n_win, AUDIO_WIN)
+    ss = (w * w).sum(axis=1)
+    return list(range(1, n_win + 1)), [int(x) for x in ss]
+
+
+def audio_energy_kernel_real(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mm_audio_energy's kernel with the REAL WAV decode swapped in —
+    same mapInPandas signature, same AUDIO_SCHEMA, same windowed-RMS
+    loop; only the byte→sample step differs. Registered-key status:
+    the stand-in stays the oracle-backed default (real WAV bytes are
+    not SQL-replayable); a deployment with real audio payloads points
+    mapInPandas here and nothing else changes."""
+    for pdf in batches:
+        out_doc, out_win, out_rms = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            wins, rms = _windowed_rms(wav_pcm_samples_real(payload))
+            out_doc.extend([doc_id] * len(wins))
+            out_win.extend(wins)
+            out_rms.extend(rms)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "win_idx": out_win, "rms": out_rms}
+        )
+
+
+def audio_ss_kernel_real(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mm_audio_vad's integer kernel with the REAL WAV decode swapped
+    in — the VAD windowing/flagging/island-collapse downstream is
+    branch-agnostic."""
+    for pdf in batches:
+        out_doc, out_win, out_ss = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            wins, ss = _windowed_ss(wav_pcm_samples_real(payload))
+            out_doc.extend([doc_id] * len(wins))
+            out_win.extend(wins)
+            out_ss.extend(ss)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "win_idx": out_win, "ss": out_ss}
+        )
 
 
 PHASH_BITS = 48       # cells in the average-hash (bigint-safe, like SimHash)
@@ -603,19 +705,10 @@ def _audio_ss_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out_doc, out_win, out_ss = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            samples = np.frombuffer(payload, dtype=np.uint8)
-            n_win = len(samples) // AUDIO_WIN
-            if n_win == 0:
-                continue
-            w = (
-                samples[: n_win * AUDIO_WIN]
-                .astype(np.int64)
-                .reshape(n_win, AUDIO_WIN)
-            )
-            ss = (w * w).sum(axis=1)
-            out_doc.extend([doc_id] * n_win)
-            out_win.extend(range(1, n_win + 1))
-            out_ss.extend(int(x) for x in ss)
+            wins, ss = _windowed_ss(np.frombuffer(payload, dtype=np.uint8))
+            out_doc.extend([doc_id] * len(wins))
+            out_win.extend(wins)
+            out_ss.extend(ss)
         yield pd.DataFrame(
             {"doc_id": out_doc, "win_idx": out_win, "ss": out_ss}
         )

@@ -374,7 +374,7 @@ def _train_centroids(emb, k: int = IVF_CELLS,
     return [list(c) for c in centroids]
 
 
-def _ivf_oracle_prefix() -> str:
+def _ivf_oracle_prefix(sample_where: str = "") -> str:
     """CTE chain replaying _train_centroids in DuckDB: normalized corpus
     (en), bounded training sample (s), seed centroids (c0 = first
     IVF_CELLS sample vectors), then IVF_LLOYD_ITERS unrolled Lloyd
@@ -382,9 +382,13 @@ def _ivf_oracle_prefix() -> str:
     round(avg, 6) means, empty cells keeping the previous centroid).
     Ends with `cfinal` = trained centroids. Shared by the ann_ivf_topk /
     ann_ivf_pruned / cluster_kmeans oracles so all three replay the one
-    geometry _centroids_for serves to the Spark side."""
+    geometry _centroids_for serves to the Spark side. `sample_where`
+    restricts the TRAINING sample (ann_ivf_append trains on the base
+    corpus only); the default empty string preserves the shared
+    full-corpus geometry byte-for-byte."""
     parts = [f"""{_EN_SQL},
-    s AS (SELECT vec_id, e FROM en ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE}),
+    s AS (SELECT vec_id, e FROM en {sample_where}
+          ORDER BY vec_id LIMIT {IVF_TRAIN_SAMPLE}),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e
            FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT {IVF_CELLS}))"""]
     for i in range(1, IVF_LLOYD_ITERS + 1):
@@ -614,6 +618,136 @@ def ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF maintenance: append without retrain (r10)
+
+IVF_DELTA_MOD = 5   # vec_id % 5 == 4 → the appended delta (~20% of corpus)
+
+_IVF_APPEND_WHERE = f"WHERE vec_id % {IVF_DELTA_MOD} != {IVF_DELTA_MOD - 1}"
+
+_IVF_APPEND_SEARCH_SQL = f"""
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT en.vec_id, c.cid,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY -2.0 * list_dot_product(en.e, c.e)
+                          + list_dot_product(c.e, c.e), c.cid) AS rk
+        FROM en, cfinal c WHERE en.vec_id < {N_QUERIES})
+      WHERE rk <= {IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM cells c JOIN probes p ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(qe.e, ne.e), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY cand.query_id
+               ORDER BY round(list_dot_product(qe.e, ne.e), 6) DESC,
+                        cand.neighbor_id) AS rn
+      FROM cand JOIN en qe ON qe.vec_id = cand.query_id
+                JOIN en ne ON ne.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INT) AS rn,
+           neighbor_id % {IVF_DELTA_MOD} = {IVF_DELTA_MOD - 1} AS from_delta
+    FROM scored WHERE rn <= {TOP_K}"""
+
+
+def _append_centroids_for(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Centroids trained on the BASE corpus only (vec_id % {mod} != {mod}-1)
+    — the pinned geometry an incremental append assigns into. Cached
+    under a tuple key so the full-corpus geometry (_centroids_for) is
+    never clobbered."""
+    key = (sf_dir, "append_base")
+    if key not in _IVF_INDEX:
+        base = _emb_normed(spark, sf_dir).filter(
+            F.col("vec_id") % IVF_DELTA_MOD != IVF_DELTA_MOD - 1
+        )
+        _IVF_INDEX[key] = _train_centroids(base)
+    return _IVF_INDEX[key]
+
+
+@query("ann_ivf_append", oracle=f"""
+    WITH {_ivf_oracle_prefix(_IVF_APPEND_WHERE)},
+    {_IVF_APPEND_SEARCH_SQL}
+""")
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE (new r10): a production RAG /
+    retrieval pipeline never retrains its ANN index per ingest batch —
+    new vectors are assigned to the nearest EXISTING centroid and
+    appended to that cell's posting list (FAISS add-without-train; the
+    dedup_incremental shape applied to the vector index). This key
+    splits the corpus into a base (trained on, ~80%) and a delta
+    (appended, vec_id % {IVF_DELTA_MOD} == {IVF_DELTA_MOD - 1}), assigns
+    the delta through the SAME broadcast-centroid kernel the base used
+    — no Lloyd rounds touch the delta — and runs the standard
+    multi-probe search over the merged index. `from_delta` marks
+    appended neighbors surfacing in results: the proof the delta is
+    SEARCHABLE, not just stored.
+
+    Append-vs-rebuild equivalence: with the centroid geometry pinned,
+    assignment is a pure per-row function of (vector, centroids), so
+    base-assign ∪ delta-assign ≡ assigning the merged corpus from
+    scratch — tests/test_operators.py::test_ivf_append_equals_rebuild
+    asserts the cells tables are identical row-for-row. The oracle
+    replays training on the base sample (the `sample_where` hook on
+    the shared Lloyd prefix) and full-corpus assignment.
+
+    Scale shape: training cost ZERO for the append (the point);
+    delta assignment is one broadcast-UDF map over delta rows only —
+    at 100 TB an ingest batch touches only its own vectors plus the
+    K×DIM centroid broadcast; search is the ann_ivf_topk plan
+    unchanged. The documented rebuild trigger stays operational:
+    retrain when cell-size skew degrades recall (the recall-curve key
+    is the monitor)."""
+    centroids = _append_centroids_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % IVF_DELTA_MOD != IVF_DELTA_MOD - 1)
+    delta = emb.filter(F.col("vec_id") % IVF_DELTA_MOD == IVF_DELTA_MOD - 1)
+    # THE APPEND: delta assigned into the pinned geometry — no retrain
+    corpus = (
+        base.withColumn("cell", _assign_cell(centroids))
+        .unionByName(delta.withColumn("cell", _assign_cell(centroids)))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), "cell")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cell", F.explode(_probe_cells(centroids)))
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cell")
+    )
+    candidates = (
+        corpus.join(F.broadcast(queries), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qe", "neighbor_id", "ce")
+    )
+    scored = candidates.withColumn(
+        "cos_sim", F.round(_dot(F.col("qe"), F.col("ce")), 6)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "rn",
+            ((F.col("neighbor_id") % IVF_DELTA_MOD) == IVF_DELTA_MOD - 1).alias(
+                "from_delta"
+            ),
+        )
     )
 
 

@@ -801,3 +801,124 @@ def stream_alert_hysteresis(spark: "SparkSession", sf_dir: str) -> "DataFrame":
         .filter("rn = 1")
         .select("event_type", "n_buckets", "n_alerts", "alerting")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — availability gate + new-API twin (r10)
+# ---------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """True iff transformWithStateInPandas can actually run on this
+    build. Mirrors avro_available / pil_available: feature-detect the
+    REAL dependency chain, not a surface import — the public
+    StatefulProcessor class imports fine without protobuf, but the
+    state-server client's generated StateMessage_pb2 module needs
+    google.protobuf the moment a query starts, which this container
+    ships without (SURVEY §2.10). A properly-provisioned cluster
+    (protobuf deployed with pyspark) returns True and the twin below
+    activates."""
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _make_running_totals_processor():
+    """Build the StatefulProcessor twin of running_totals_exact for the
+    transformWithStateInPandas successor API (SPARK-49564): the same
+    integer-cents exact fold, state held in a named ValueState instead
+    of the GroupState tuple. Constructed lazily so importing this
+    module never touches the new API's machinery on gated builds."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("cents", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                # half-away-from-zero, as running_totals_exact
+                v = pdf["value"].to_numpy(dtype="float64") * 100.0
+                cents += int(
+                    np.trunc(v + np.copysign(0.5, v)).astype("int64").sum()
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def stream_running_totals_tws(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """stream_running_totals re-expressed on transformWithStateInPandas
+    — the applyInPandasWithState successor (typed named state, timers,
+    initial-state seeding). The fold is the SAME exact integer-cents
+    accumulation, so on a provisioned cluster this key carries the SAME
+    strict batch oracle as stream_running_totals; here the gate raises
+    the documented, actionable error instead of an opaque
+    ModuleNotFoundError from inside a streaming epoch. Unregistered in
+    queries() until a build where tws_available() is True can
+    driver-prove it (the scan_avro precedent)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf on the "
+            "Python workers (the state-server client's generated "
+            "StateMessage_pb2 imports it); this build ships without "
+            "protobuf. Deploy protobuf>=4 with the application to enable "
+            "the new-API twin; the applyInPandasWithState operators "
+            "(stream_running_totals et al.) are the driver-proven "
+            "equivalents on this build (see tws_available)."
+        )
+    import hashlib
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream = events_ts_normalized(
+        stage_events_stream(spark, sf_dir, "tws")
+    ).select("user_id", "value")
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_running_totals_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    snap = drain_to_memory(
+        spark, out, f"running_totals_tws_{tag}", "update", shuffle_partitions=8
+    )
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n", "total")
+    )

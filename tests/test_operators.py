@@ -3960,3 +3960,127 @@ def test_systematic_sample_exact_stride(spark, sf_dir):
     got = {(r.rk, r.o_orderkey) for r in rows}
     assert got == want
     assert len(rows) == math.ceil(len(keys) / SYSTEMATIC_K)
+
+
+def test_audio_real_wav_branch(spark):
+    """r10: the audio modality's REAL decode branch — stdlib `wave`, so
+    unlike PIL/avro it runs unconditionally in this container. A
+    synthesized 16-bit stereo WAV decodes to the documented int64
+    channel-sum downmix; the shared windowed loops then produce RMS/ss
+    identical to a from-scratch numpy recompute, and the Spark-side
+    mapInPandas plumbing carries real WAV bytes end-to-end with the
+    registered key's schema."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    from quackflight_spark.pipeline.multimodal import (
+        AUDIO_SCHEMA,
+        AUDIO_WIN,
+        audio_energy_kernel_real,
+        audio_ss_kernel_real,
+        wav_pcm_samples_real,
+    )
+
+    rng = np.random.default_rng(7)
+    n_frames = AUDIO_WIN * 5 + 3  # a partial trailing window to drop
+    pcm = rng.integers(-(2 ** 14), 2 ** 14, size=(n_frames, 2), dtype=np.int16)
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+
+    # decode: per-frame channel sum, int64
+    samples = wav_pcm_samples_real(payload)
+    expect = pcm.astype(np.int64).sum(axis=1)
+    assert samples.dtype == np.int64
+    assert np.array_equal(samples, expect)
+
+    # shared loops vs from-scratch recompute
+    w5 = expect[: AUDIO_WIN * 5].reshape(5, AUDIO_WIN).astype(np.float64)
+    want_rms = np.round(np.sqrt((w5 * w5).sum(axis=1) / AUDIO_WIN), 6)
+    want_ss = (expect[: AUDIO_WIN * 5].reshape(5, AUDIO_WIN) ** 2).sum(axis=1)
+
+    # Spark plumbing: binary payload column through the real kernels
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    got_rms = {
+        r.win_idx: r.rms
+        for r in df.mapInPandas(audio_energy_kernel_real, AUDIO_SCHEMA).collect()
+    }
+    assert got_rms == {i + 1: want_rms[i] for i in range(5)}
+    got_ss = {
+        r.win_idx: r.ss
+        for r in df.mapInPandas(
+            audio_ss_kernel_real, "doc_id bigint, win_idx int, ss bigint"
+        ).collect()
+    }
+    assert got_ss == {i + 1: int(want_ss[i]) for i in range(5)}
+
+    # 8-bit mono path: unsigned per spec — bytes round-trip unchanged
+    buf8 = BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(range(48)))
+    assert np.array_equal(
+        wav_pcm_samples_real(buf8.getvalue()), np.arange(48, dtype=np.int64)
+    )
+
+    # non-WAV bytes fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        wav_pcm_samples_real(b"not a riff container")
+
+
+def test_ivf_append_equals_rebuild(spark, sf_dir):
+    """r10: with the centroid geometry pinned, assigning the delta into
+    the existing cells (the append path) must produce the IDENTICAL
+    cells table as assigning the merged corpus from scratch — cell
+    assignment is a pure per-row function of (vector, centroids), so
+    incremental maintenance loses nothing vs a full re-assignment. Also
+    asserts the delta actually lands in results (from_delta surfaces)
+    when any delta vector is a true near neighbor."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.similarity import (
+        IVF_DELTA_MOD,
+        _append_centroids_for,
+        _assign_cell,
+        _emb_normed,
+    )
+
+    centroids = _append_centroids_for(spark, sf_dir)
+    emb = _emb_normed(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % IVF_DELTA_MOD != IVF_DELTA_MOD - 1)
+    delta = emb.filter(F.col("vec_id") % IVF_DELTA_MOD == IVF_DELTA_MOD - 1)
+    appended = {
+        (r.vec_id, r.cell)
+        for r in base.withColumn("cell", _assign_cell(centroids))
+        .unionByName(delta.withColumn("cell", _assign_cell(centroids)))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    rebuilt = {
+        (r.vec_id, r.cell)
+        for r in emb.withColumn("cell", _assign_cell(centroids))
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert appended == rebuilt and rebuilt
+    assert len(delta.limit(1).collect()) == 1  # the delta is non-empty
+
+    rows = e.queries()["ann_ivf_append"](spark, sf_dir).collect()
+    assert rows
+    # every result's from_delta flag is consistent with its id
+    for r in rows:
+        assert r.from_delta == (r.neighbor_id % IVF_DELTA_MOD
+                                == IVF_DELTA_MOD - 1)

@@ -520,3 +520,33 @@ def test_sprt_monitor_sorts_across_chunks():
     # view-heavy tail before the purchase-heavy head and move first_up
     shuffled = run([pdf.iloc[20:], pdf.iloc[:20]])
     assert ordered == shuffled
+
+
+def test_tws_availability_gate(spark, sf_dir):
+    """r10: transformWithStateInPandas is probe-gated like avro/PIL.
+    WITHOUT protobuf (this container) the twin raises the documented
+    actionable error — not a ModuleNotFoundError from inside a
+    streaming epoch; WITH it the new-API twin must equal the
+    applyInPandasWithState original exactly (same integer-cents fold).
+    Whichever branch the environment provides is asserted."""
+    import pytest as _pytest
+
+    from quackflight_spark.streaming.stateful import (
+        stream_running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            stream_running_totals_tws(spark, sf_dir)
+    else:
+        import __spark_entry__ as e
+
+        got = {r.user_id: (r.n, r.total)
+               for r in stream_running_totals_tws(spark, sf_dir).collect()}
+        want = {r.user_id: (r.n, r.total)
+                for r in e.queries()["stream_running_totals"](
+                    spark, sf_dir).collect()}
+        assert got == want and want
+    # the probe itself must be deterministic and cheap
+    assert tws_available() == tws_available()
