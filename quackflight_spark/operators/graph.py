@@ -271,7 +271,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        new_alive = deg.filter(F.col("d") >= KCORE_K).select("node").localCheckpoint()
+        # lazy checkpoint + count: one job materializes the round's
+        # survivor set AND returns the convergence count (r10 shave —
+        # eager checkpoint then count paid two per-job floors per round)
+        new_alive = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         n_new = new_alive.count()
         alive = new_alive
         if n_new == n_alive:

@@ -858,24 +858,35 @@ def min_label_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # carry the OLD label through the round so convergence is a
+        # filter-count on the checkpointed blocks — not a join of new
+        # labels back against old (r10: that join was a whole extra
+        # shuffle + job per round)
         stepped = labels.join(neighbor_min, on="node", how="left").select(
-            "node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+            "node",
+            F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            F.col("lbl").alias("olbl"),
         )
         lbl_lookup = labels.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
-        new_labels = (
+        # LAZY checkpoint + count: the count() materializes the
+        # checkpoint blocks AND returns the convergence signal in ONE
+        # job — the eager-checkpoint-then-count pattern paid two fixed
+        # per-job floors per round for the same work (r10 shave; the
+        # lineage-truncation contract is unchanged, first action
+        # persists the blocks)
+        new_full = (
             stepped.join(lbl_lookup, on="lbl", how="left")
-            .select("node", F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"))
-            .localCheckpoint()
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"),
+                "olbl",
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("lbl") != F.col("olbl")).count()
+        labels = new_full.select("node", "lbl")
         if changed == 0:
             break
     if changed != 0:
