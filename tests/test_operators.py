@@ -4084,3 +4084,53 @@ def test_ivf_append_equals_rebuild(spark, sf_dir):
     for r in rows:
         assert r.from_delta == (r.neighbor_id % IVF_DELTA_MOD
                                 == IVF_DELTA_MOD - 1)
+
+
+def test_ktruss_matches_python_peel(spark, sf_dir):
+    """r10: graph_ktruss must equal a from-scratch pure-Python edge
+    peel (triangle supports via adjacency-set intersection) on the same
+    co-purchase edge set — and the result must be a FIXPOINT (peeling
+    it again removes nothing)."""
+    import itertools
+
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.operators.graph import KTRUSS_K
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {(r.u, r.v): r.support
+           for r in e.queries()["graph_ktruss"](spark, sf_dir).collect()}
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    orders: dict = {}
+    for r in op.collect():
+        orders.setdefault(r.o, []).append(r.p)
+    edges = set()
+    for parts in orders.values():
+        for x, y in itertools.combinations(sorted(parts), 2):
+            edges.add((x, y))
+
+    def supports(es: set) -> dict:
+        adj: dict = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(adj[u] & adj[v]) for u, v in es
+        }
+
+    while True:
+        sup = supports(edges)
+        kept = {p for p, s in sup.items() if s >= KTRUSS_K - 2}
+        if kept == edges:
+            break
+        edges = kept
+    want = {p: s for p, s in supports(edges).items()}
+    assert got == want and want
+    # fixpoint: every surviving edge meets the bar
+    assert all(s >= KTRUSS_K - 2 for s in got.values())

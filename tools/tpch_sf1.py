@@ -25,12 +25,12 @@ sys.path.insert(0, ROOT)
 from pyspark.sql import functions as F  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-MULT = 10
-TPCH_KEYS = [
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q18",
-    "tpch_q21",
-]
+MULT = int(os.environ.get("QF_TPCH_MULT", "10"))
+TPCH_KEYS = os.environ.get(
+    "QF_TPCH_KEYS",
+    "tpch_q1,tpch_q2,tpch_q3,tpch_q4,tpch_q5,tpch_q6,tpch_q7,tpch_q9,"
+    "tpch_q10,tpch_q12,tpch_q14,tpch_q18,tpch_q21",
+).split(",")
 # key-domain remaps per table: (column, offset-name)
 REMAP = {
     "customer": [("c_custkey", "c")],
@@ -43,7 +43,7 @@ COPY = ("region", "nation")  # fixed-size dims: one copy, keys untouched
 
 
 def build_sf1(spark) -> str:
-    out = "/tmp/qf_sf1"
+    out = f"/tmp/qf_sfx{MULT}"
     if os.path.exists(f"{out}/_BUILT"):
         return out
     os.makedirs(out, exist_ok=True)
@@ -118,7 +118,7 @@ def main() -> None:
             f"{key}: spark={s_sec}s duckdb={d_sec}s ratio={ratio}x",
             flush=True,
         )
-    print(json.dumps({"sf": "1.0-equivalent (sf0.1 x10)", "keys": summary}))
+    print(json.dumps({"sf": f"sf0.1 x{MULT}", "keys": summary}))
 
 
 if __name__ == "__main__":
