@@ -2224,6 +2224,175 @@ def search_trigram_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# search_spell_correct — SymSpell deletion-neighborhood lookup (r10)
+# ---------------------------------------------------------------------------
+
+SPELL_N_TYPOS = 20   # synthetic typos from the top-df long terms
+SPELL_TYPO_MIN_LEN = 5
+SPELL_DICT_MIN_LEN = 3
+
+
+def _del_variants_sql(col: str) -> str:
+    """DuckDB: the SymSpell delete-1 neighborhood of `col` — the string
+    itself plus every single-character deletion, deduplicated."""
+    return (
+        f"list_distinct(list_concat([{col}], "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> substr({col}, 1, CAST(i AS INT) - 1) "
+        f"|| substr({col}, CAST(i AS INT) + 1, length({col})))))"
+    )
+
+
+@query("search_spell_correct", oracle=rf"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, lower(unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+        FROM documents)
+    ),
+    dfreq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok
+      WHERE length(w) >= {SPELL_DICT_MIN_LEN} AND regexp_matches(w, '^[a-z]+$')
+      GROUP BY w
+    ),
+    topw AS (
+      SELECT w, df FROM dfreq WHERE length(w) >= {SPELL_TYPO_MIN_LEN}
+      ORDER BY df DESC, w LIMIT {SPELL_N_TYPOS}
+    ),
+    typos AS (
+      SELECT DISTINCT substr(w, 1, k - 1) || substr(w, k + 1, length(w))
+               AS typo
+      FROM (SELECT w, CAST(1 + CAST('0x' || substr(md5(w), 1, 6) AS BIGINT)
+                           % length(w) AS INT) AS k
+            FROM topw)
+    ),
+    qvars AS (
+      SELECT DISTINCT typo, v
+      FROM typos, UNNEST({_del_variants_sql('typo')}) AS t(v)
+      WHERE v <> ''
+    ),
+    dvars AS (
+      SELECT DISTINCT w, df, v
+      FROM dfreq, UNNEST({_del_variants_sql('w')}) AS t(v)
+      WHERE v <> ''
+    ),
+    cand AS (
+      SELECT DISTINCT q.typo, d.w, d.df
+      FROM qvars q JOIN dvars d USING (v)
+    ),
+    verified AS (
+      SELECT typo, w, df, CAST(levenshtein(typo, w) AS INT) AS dist
+      FROM cand WHERE levenshtein(typo, w) <= 1
+    )
+    SELECT typo, w AS suggestion, dist, df AS sugg_df
+    FROM (SELECT *, row_number() OVER (PARTITION BY typo
+            ORDER BY dist, df DESC, w) AS rn FROM verified)
+    WHERE rn = 1
+""")
+def search_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling correction via the SymSpell deletion-neighborhood index
+    (new r10) — the query-rewriter primitive a search box runs before
+    search_trigram_fuzzy's ranking: dictionary terms and the misspelled
+    query each expand to their delete-1 neighborhoods (the term plus
+    every single-character deletion), and a candidate exists iff the
+    neighborhoods intersect — which covers every edit-distance-1 error
+    class (deletion, insertion, substitution; adjacent transposition
+    verifies at distance ≤ 2 and is excluded by the check, matching
+    SymSpell's D=1 contract). Candidates are then VERIFIED with true
+    levenshtein ≤ 1 and the best suggestion per typo is (distance ASC,
+    corpus df DESC, term ASC) — frequency-weighted correction, the
+    Norvig ranking. Typos are synthesized deterministically (delete the
+    md5-chosen character of each top-{SPELL_N_TYPOS} long term), so the
+    key is self-contained and exactly replayable.
+
+    Exactness: all string/integer ops — deletion variants are the same
+    substring recipe in both texts, levenshtein is unit-cost in both
+    engines, and the rank orders by exact integers and strings.
+
+    Scale shape: THE SymSpell selling point — the dictionary side is a
+    precomputed deletion-variant index (|vocab| · (1 + avg_len) rows,
+    the index a deployment materializes once at ingest), lookups are an
+    equi-join on variant strings bounded by the query's own
+    neighborhood size, and nothing is ever query × vocab (contrast a
+    naive fuzzy join's all-pairs levenshtein). Verification touches
+    only candidates that share a variant."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    dfreq = (
+        d.select("doc_id", F.explode(toks).alias("w0"))
+        .select("doc_id", F.lower("w0").alias("w"))
+        .filter(
+            (F.length("w") >= SPELL_DICT_MIN_LEN)
+            & F.col("w").rlike("^[a-z]+$")
+        )
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+
+    def del_variants(col: Column) -> Column:
+        return F.array_distinct(
+            F.concat(
+                F.array(col),
+                F.transform(
+                    F.sequence(F.lit(1), F.length(col)),
+                    lambda i: F.concat(
+                        F.substring(col, F.lit(1), i - 1),
+                        F.substring(col, i + 1, F.length(col)),
+                    ),
+                ),
+            )
+        )
+
+    topw = (
+        dfreq.filter(F.length("w") >= SPELL_TYPO_MIN_LEN)
+        .orderBy(F.desc("df"), "w")
+        .limit(SPELL_N_TYPOS)
+    )
+    k = (
+        1
+        + F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("bigint")
+        % F.length("w")
+    ).cast("int")
+    typos = (
+        topw.select(
+            F.concat(
+                F.substring(F.col("w"), F.lit(1), k - 1),
+                F.substring(F.col("w"), k + 1, F.length("w")),
+            ).alias("typo")
+        )
+        .distinct()
+    )
+    qvars = (
+        typos.select("typo", F.explode(del_variants(F.col("typo"))).alias("v"))
+        .filter(F.col("v") != "")
+        .distinct()
+    )
+    dvars = (
+        dfreq.select("w", "df", F.explode(del_variants(F.col("w"))).alias("v"))
+        .filter(F.col("v") != "")
+        .distinct()
+    )
+    cand = F.broadcast(qvars).join(dvars, "v").select("typo", "w", "df").distinct()
+    verified = cand.withColumn(
+        "dist", F.levenshtein("typo", "w").cast("int")
+    ).filter(F.col("dist") <= 1)
+    rn = F.row_number().over(
+        W.partitionBy("typo").orderBy("dist", F.desc("df"), "w")
+    )
+    return (
+        verified.withColumn("rn", rn)
+        .filter("rn = 1")
+        .select(
+            "typo",
+            F.col("w").alias("suggestion"),
+            "dist",
+            F.col("df").alias("sugg_df"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipeline_hard_negatives — contrastive-training negative mining (r9)
 # ---------------------------------------------------------------------------
 

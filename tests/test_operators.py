@@ -4134,3 +4134,71 @@ def test_ktruss_matches_python_peel(spark, sf_dir):
     assert got == want and want
     # fixpoint: every surviving edge meets the bar
     assert all(s >= KTRUSS_K - 2 for s in got.values())
+
+
+def test_spell_correct_matches_python_symspell(spark, sf_dir):
+    """r10: search_spell_correct must equal a from-scratch Python
+    SymSpell (delete-1 neighborhoods, levenshtein<=1 verify, Norvig
+    (dist, -df, term) ranking) over the same tokenization."""
+    import hashlib
+    import re as _re
+
+    import __spark_entry__ as e
+
+    from quackflight_spark.pipeline.similarity import (
+        SPELL_DICT_MIN_LEN,
+        SPELL_N_TYPOS,
+        SPELL_TYPO_MIN_LEN,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.typo: (r.suggestion, r.dist, r.sugg_df)
+           for r in e.queries()["search_spell_correct"](spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    seen = set()
+    for r in docs:
+        for w in r.text.strip().split():
+            w = w.lower()
+            if len(w) >= SPELL_DICT_MIN_LEN and _re.fullmatch("[a-z]+", w):
+                seen.add((r.doc_id, w))
+    dfreq: dict = {}
+    for _, w in seen:
+        dfreq[w] = dfreq.get(w, 0) + 1
+
+    def dels(w):
+        return {w} | {w[:i] + w[i + 1:] for i in range(len(w))} - {""}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    topw = sorted(
+        ((w, df) for w, df in dfreq.items() if len(w) >= SPELL_TYPO_MIN_LEN),
+        key=lambda x: (-x[1], x[0]),
+    )[:SPELL_N_TYPOS]
+    typos = set()
+    for w, _ in topw:
+        k = int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % len(w)
+        typos.add(w[:k] + w[k + 1:])
+
+    index: dict = {}
+    for w in dfreq:
+        for v in dels(w):
+            index.setdefault(v, set()).add(w)
+    want = {}
+    for t in typos:
+        cands = set().union(*(index.get(v, set()) for v in dels(t)))
+        best = sorted(
+            ((lev(t, w), -dfreq[w], w) for w in cands if lev(t, w) <= 1)
+        )
+        if best:
+            d, ndf, w = best[0]
+            want[t] = (w, d, -ndf)
+    assert got == want and want
