@@ -542,49 +542,56 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
 """)
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21 suppliers who kept orders waiting: EXISTS + NOT EXISTS
-    self-joins on the fact table ('late' = shipped >60 days after order
-    date; the fixtures carry no receipt/commit dates). Both probes reuse
-    the orderkey shuffle partitioning of the main join; the NOT EXISTS
-    correlates on o_orderdate, so the anti join carries the date in its
-    condition rather than pre-filtering l3."""
+    """Q21 suppliers who kept orders waiting ('late' = shipped >60 days
+    after order date; the fixtures carry no receipt/commit dates).
+
+    Spark-first rewrite (r10): the textbook EXISTS + NOT EXISTS
+    self-joins shuffle the 60M-row fact table three times (measured
+    39 s at the sf1×10 leg, 8.6× DuckDB). The probes are really
+    PER-ORDER FACTS, so compute them once: per (orderkey, suppkey),
+    the count of late rows; per orderkey, the distinct-supplier count
+    and the count of suppliers with ≥1 late row. A row group qualifies
+    iff it is late (n_late_rows > 0), another supplier exists on the
+    order (EXISTS ⇔ n_supps > 1), and no OTHER supplier is late
+    (NOT EXISTS ⇔ n_late_supps = 1 — the group itself is the one late
+    supplier). numwait sums n_late_rows, preserving the row-level
+    count(*) semantics of the self-join form. ONE fact shuffle total:
+    the li⋈orders join keys on orderkey, and every later stage
+    (pair agg, order agg, pair⋈order join) reuses that HashPartitioning
+    — orderkey ⊆ every downstream key set, so Catalyst inserts no
+    further exchange. Re-measured at the sf1×10 leg: 39.1 → 4.1 s
+    (8.56× → 0.9×, a Spark win; PERF.md r10 sf1 entry)."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
 
-    l1 = li.alias("l1")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("s3"),
-        F.col("l_shipdate").alias("ship3"),
-    ).alias("l3")
-
-    base = (
-        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .filter(F.col("l1.l_shipdate") > late_cut)
-        .join(
-            l2,
-            (F.col("k2") == F.col("l1.l_orderkey")) & (F.col("s2") != F.col("l1.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("k3") == F.col("l1.l_orderkey"))
-            & (F.col("s3") != F.col("l1.l_suppkey"))
-            & (F.col("ship3") > late_cut),
-            "left_anti",
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    pair = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_shipdate") > late_cut, F.lit(1))).alias(
+            "n_late_rows"
         )
     )
+    ordstats = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.count(F.when(F.col("n_late_rows") > 0, F.lit(1))).alias(
+            "n_late_supps"
+        ),
+    )
+    wait = (
+        pair.filter(F.col("n_late_rows") > 0)
+        .join(ordstats, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
     return (
-        base.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        wait.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -965,3 +965,141 @@ def timeseries_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_kalman — local-level Kalman filter, literal gain schedule (r10)
+# ---------------------------------------------------------------------------
+
+KALMAN_Q = 4.0    # process (random-walk) variance
+KALMAN_R = 16.0   # observation variance
+KALMAN_M = 64     # gain schedule length (converged long before this)
+
+
+def _kalman_gains() -> list[float]:
+    """The local-level Kalman gain sequence is DATA-INDEPENDENT (it
+    depends only on Q, R and the step index), so it is precomputed once
+    here and embedded as the SAME literal table in both engine texts —
+    the spectral_dft trig-table device applied to the Riccati
+    recursion. gains[i] (1-based) is the gain applied to observation
+    i+1; index saturates at KALMAN_M (the steady-state gain)."""
+    gains = [0.0]  # observation 1 seeds the state; no gain applied
+    p = KALMAN_R
+    for _ in range(KALMAN_M - 1):
+        p_pred = p + KALMAN_Q
+        k = p_pred / (p_pred + KALMAN_R)
+        p = (1.0 - k) * p_pred
+        gains.append(k)
+    return gains
+
+
+KALMAN_GAINS = _kalman_gains()
+_KALMAN_GAINS_SQL = "[" + ", ".join(repr(g) for g in KALMAN_GAINS) + "]"
+
+
+@query("timeseries_kalman", oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(count(*) AS BIGINT) AS z
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, CAST(z AS DOUBLE) AS z,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hourly
+    ),
+    st AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS i, z AS x,
+             CAST(0.0 AS DOUBLE) AS sse, n
+      FROM ranked WHERE i = 1
+      UNION ALL
+      SELECT s.event_type, s.i + 1,
+             s.x + {_KALMAN_GAINS_SQL}[CAST(least(s.i + 1, {KALMAN_M})
+                                       AS INT)] * (r.z - s.x),
+             s.sse + (r.z - s.x) * (r.z - s.x),
+             s.n
+      FROM st s JOIN ranked r ON r.event_type = s.event_type
+       AND r.i = s.i + 1
+    )
+    SELECT event_type, n AS n_hours,
+           round(x, 6) AS level_kalman,
+           round(sse / CAST(n - 1 AS DOUBLE), 6) AS innovation_mse
+    FROM st WHERE i = n AND n >= 2
+""")
+def timeseries_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter per series
+    (new r10): hourly counts smoothed by x ← x + K_t·(z − x), with the
+    one-step-ahead innovation MSE as the model-fit diagnostic — the
+    statistically-grounded upgrade of timeseries_ewma_control (an EWMA
+    is the STEADY-STATE of exactly this filter; the Kalman version also
+    handles the warm-up correctly, where early observations deserve
+    higher gain because the prior is weak).
+
+    Exactness: the gain sequence of a constant-(Q,R) local-level model
+    is data-independent (the scalar Riccati recursion), so the schedule
+    is computed ONCE in Python and embedded as an identical literal
+    table in both engine texts ({KALMAN_M} entries, saturating at the
+    steady state); the fold then applies literal-coefficient double
+    arithmetic in the same hr-sorted order on both sides — identical
+    IEEE results, the timeseries_holt contract with float coefficients
+    made safe by literal sharing.
+
+    Scale shape: one map-side-combinable hourly rollup; the inherently
+    sequential fold runs as one Catalyst higher-order `aggregate` per
+    series over its sorted array (series-parallel, no UDF); the oracle
+    replays it as a recursive CTE advancing every series one step per
+    round. State is O(1) per series — the streaming twin would hold
+    (i, x, sse) per key."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("z"))
+    )
+    arr = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("hr"), F.col("z")))),
+                lambda e: e["z"].cast("double"),
+            ).alias("a"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    gains = F.array(*[F.lit(g) for g in KALMAN_GAINS])
+    init = F.struct(
+        F.lit(1).cast("bigint").alias("i"),
+        F.element_at(F.col("a"), 1).alias("x"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, z):
+        i1 = acc["i"] + 1
+        k = F.element_at(gains, F.least(i1, F.lit(KALMAN_M)).cast("int"))
+        e = z - acc["x"]
+        return F.struct(
+            i1.alias("i"),
+            (acc["x"] + k * e).alias("x"),
+            (acc["sse"] + e * e).alias("sse"),
+        )
+
+    rest = F.slice(F.col("a"), 2, F.size("a") - 1)
+    final = arr.select(
+        "event_type",
+        "n",
+        F.aggregate(rest, init, step).alias("st"),
+    )
+    return final.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(final["st"]["x"], 6).alias("level_kalman"),
+        F.round(
+            final["st"]["sse"] / (F.col("n") - 1).cast("double"), 6
+        ).alias("innovation_mse"),
+    )

@@ -4202,3 +4202,57 @@ def test_spell_correct_matches_python_symspell(spark, sf_dir):
             d, ndf, w = best[0]
             want[t] = (w, d, -ndf)
     assert got == want and want
+
+
+def test_kalman_matches_numpy(spark, sf_dir):
+    """r10: timeseries_kalman must equal a from-scratch Python Kalman
+    fold (same literal gain schedule, same hr-sorted order) — and the
+    gain schedule itself must satisfy the scalar Riccati recursion and
+    converge monotonically toward the steady state."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.timeseries_extra import (
+        KALMAN_GAINS,
+        KALMAN_M,
+        KALMAN_Q,
+        KALMAN_R,
+    )
+
+    # schedule sanity: Riccati recursion + monotone convergence
+    p = KALMAN_R
+    for g in KALMAN_GAINS[1:]:
+        pp = p + KALMAN_Q
+        assert abs(g - pp / (pp + KALMAN_R)) < 1e-15
+        p = (1.0 - g) * pp
+    assert len(KALMAN_GAINS) == KALMAN_M
+    diffs = [KALMAN_GAINS[i + 1] - KALMAN_GAINS[i]
+             for i in range(1, KALMAN_M - 1)]
+    assert all(d <= 1e-15 for d in diffs)  # gains decrease to steady state
+
+    got = {r.event_type: (r.n_hours, r.level_kalman, r.innovation_mse)
+           for r in e.queries()["timeseries_kalman"](spark, sf_dir).collect()}
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.hr, r["count"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        zs = [float(c) for _, c in pts]
+        if len(zs) < 2:
+            continue
+        x, sse = zs[0], 0.0
+        for i, z in enumerate(zs[1:], start=2):
+            k = KALMAN_GAINS[min(i, KALMAN_M) - 1]
+            ev = z - x
+            x = x + k * ev
+            sse = sse + ev * ev
+        want[et] = (len(zs), round(x, 6), round(sse / (len(zs) - 1), 6))
+    assert got == want and want
