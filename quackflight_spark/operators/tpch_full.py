@@ -559,8 +559,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     the li⋈orders join keys on orderkey, and every later stage
     (pair agg, order agg, pair⋈order join) reuses that HashPartitioning
     — orderkey ⊆ every downstream key set, so Catalyst inserts no
-    further exchange. Re-measured at the sf1×10 leg: 39.1 → 4.1 s
-    (8.56× → 0.9×, a Spark win; PERF.md r10 sf1 entry)."""
+    further exchange. Re-measured at the sf1×10 leg: 39.1 → 15.9 s
+    (8.56× → 3.27×; the remaining cost is the one unavoidable 60M-row
+    orderkey shuffle of the li⋈orders join — PERF.md r10 sf1 entry)."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
