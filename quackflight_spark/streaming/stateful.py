@@ -922,3 +922,115 @@ def stream_running_totals_tws(spark: "SparkSession", sf_dir: str) -> "DataFrame"
         .filter("rn = 1")
         .select("user_id", "n", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_kalman — the timeseries_kalman filter as a live monitor (r10)
+# ---------------------------------------------------------------------------
+
+KALMAN_OUTPUT_SCHEMA = (
+    "event_type string, n_hours bigint, x double, sse double"
+)
+KALMAN_STATE_SCHEMA = "i bigint, x double, sse double"
+
+
+def kalman_monitor(
+    key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+) -> "Iterator[pd.DataFrame]":
+    """Per-series local-level Kalman state: observation index i,
+    filtered level x, accumulated innovation SSE — O(1) per key
+    forever, the state a live anomaly monitor holds (the innovation
+    e = z − x IS the anomaly score; timeseries_kalman's docstring has
+    the model). Gains come from the shared literal schedule, so the
+    drained state replays the batch key's oracle exactly. Hour buckets
+    accumulate across ALL Arrow chunks before folding (the
+    alert_hysteresis chunk contract), and the fold consumes buckets in
+    hr order; cross-batch delivery must be bucket-aligned."""
+    from quackflight_spark.streaming.timeseries_extra import (
+        KALMAN_GAINS,
+        KALMAN_M,
+    )
+
+    if state.exists:
+        i, x, sse = state.get
+    else:
+        i, x, sse = 0, 0.0, 0.0
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        counts = batch.groupby(batch["ts"].dt.floor("h")).size().sort_index()
+        for z in counts:
+            z = float(z)
+            i += 1
+            if i == 1:
+                x = z
+            else:
+                k = KALMAN_GAINS[min(i, KALMAN_M) - 1]
+                e = z - x
+                x = x + k * e
+                sse = sse + e * e
+    state.update((i, x, sse))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_hours": [i], "x": [x], "sse": [sse]}
+    )
+
+
+@query("stream_kalman", oracle=None)
+def stream_kalman(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+    """Streaming Kalman level monitor (new r10): timeseries_kalman run
+    the way a production anomaly detector runs it — the filter state
+    advanced incrementally per completed hour bucket, O(1) state per
+    series (contrast replaying the series per batch). The drained
+    state is compared verbatim against timeseries_kalman's DuckDB
+    oracle (wired below, the stream_sprt device), so the monitor is
+    proven to maintain EXACTLY the batch answer from a live feed —
+    same literal gain schedule, same hr-sorted fold order."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import events_ts_normalized
+    from quackflight_spark.streaming.source import (
+        drain_to_memory,
+        stage_events_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream = events_ts_normalized(
+        stage_events_stream(spark, sf_dir, "kalman")
+    ).select("event_type", "ts")
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        kalman_monitor,
+        outputStructType=KALMAN_OUTPUT_SCHEMA,
+        stateStructType=KALMAN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    snap = drain_to_memory(
+        spark, out, f"stream_kalman_{tag}", "update", shuffle_partitions=8
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("n_hours"))
+    latest = (
+        snap.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    )
+    return latest.filter(F.col("n_hours") >= 2).select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("x"), 6).alias("level_kalman"),
+        F.round(
+            F.col("sse") / (F.col("n_hours") - 1).cast("double"), 6
+        ).alias("innovation_mse"),
+    )
+
+
+def _wire_stream_kalman_oracle() -> None:
+    from quackflight_spark import registry
+
+    import quackflight_spark.streaming.timeseries_extra  # noqa: F401
+
+    registry.ORACLES["stream_kalman"] = registry.ORACLES["timeseries_kalman"]
+
+
+_wire_stream_kalman_oracle()

@@ -550,3 +550,16 @@ def test_tws_availability_gate(spark, sf_dir):
         assert got == want and want
     # the probe itself must be deterministic and cheap
     assert tws_available() == tws_available()
+
+
+def test_stream_kalman_equals_batch(spark, sf_dir):
+    """r10: the streaming Kalman monitor's drained state must equal the
+    batch timeseries_kalman exactly — same gain schedule, same fold."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    got = {r.event_type: (r.n_hours, r.level_kalman, r.innovation_mse)
+           for r in q["stream_kalman"](spark, sf_dir).collect()}
+    want = {r.event_type: (r.n_hours, r.level_kalman, r.innovation_mse)
+            for r in q["timeseries_kalman"](spark, sf_dir).collect()}
+    assert got == want and want
