@@ -1771,3 +1771,238 @@ def text_script_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("latin")
         .alias("dominant_script"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_length_buckets — dynamic-batching padding-waste audit (r10)
+# ---------------------------------------------------------------------------
+
+
+@query("pipeline_length_buckets", oracle=r"""
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(1 AS BIGINT)
+                       << CAST(length(bin(n_tok - 1)) AS INT)
+             END AS bucket
+      FROM lens WHERE n_tok > 0
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+           round(1.0 - CAST(sum(n_tok) AS DOUBLE)
+                     / CAST(bucket * count(*) AS DOUBLE), 8) AS pad_waste
+    FROM bucketed GROUP BY bucket
+""")
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit (new r10): assign each document to
+    the next power-of-two token-length bucket and report, per bucket,
+    the padding waste a fixed-shape batcher pays (padded − real tokens)
+    — the accounting that decides between bucketed batching and
+    pipeline_pack_sequences' packing for a training run (buckets keep
+    attention masks trivial; packing eliminates waste but mixes docs).
+
+    Exactness: token counts are the shared whitespace recipe; the
+    power-of-two bucket is a pure INTEGER bit trick — bucket =
+    1 << bit_length(n−1), spelled via bin() string length identically
+    in both engines (no log2, no floats anywhere near the decision);
+    waste is one double division of exact integers.
+
+    Scale shape: one zero-shuffle per-row map + one map-side-combinable
+    agg over ≤ ~20 bucket keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    lens = d.select(
+        F.size(toks).cast("bigint").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    # F.shiftleft only takes a literal shift amount; the SQL form
+    # accepts an expression in both engines
+    bucket = F.when(F.col("n_tok") <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n_tok - 1)) AS INT))")
+    )
+    b = lens.select("n_tok", bucket.alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        (F.col("bucket") * F.count(F.lit(1))).cast("bigint").alias(
+            "padded_tokens"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tok").cast("double")
+            / (F.col("bucket") * F.count(F.lit(1))).cast("double"),
+            8,
+        ).alias("pad_waste"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_train_quality_filter — in-engine perceptron training (r10)
+# ---------------------------------------------------------------------------
+
+PERC_ROUNDS = 8  # fixed batch-gradient rounds (deterministic by design)
+
+
+def _perc_feats_sql() -> str:
+    return r"""feats AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(list_filter(
+                    regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x <> ''))) AS BIGINT) AS n_uniq,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_dig
+      FROM documents
+    )"""
+
+
+def _perc_round_sql(rounds: int) -> str:
+    parts = ["w0 AS (SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS t, "
+             "CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS d)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    w{r} AS (
+      SELECT w.b + coalesce(s.db, 0) AS b, w.t + coalesce(s.dt, 0) AS t,
+             w.u + coalesce(s.du, 0) AS u, w.d + coalesce(s.dd, 0) AS d
+      FROM w{p} w LEFT JOIN (
+        SELECT CAST(sum(f.y) AS BIGINT) AS db,
+               CAST(sum(f.y * f.n_tok) AS BIGINT) AS dt,
+               CAST(sum(f.y * f.n_uniq) AS BIGINT) AS du,
+               CAST(sum(f.y * f.n_dig) AS BIGINT) AS dd
+        FROM feats f, w{p} w
+        WHERE f.y * (w.b + w.t * f.n_tok + w.u * f.n_uniq
+                     + w.d * f.n_dig) <= 0
+      ) s ON true
+    ),
+    e{r} AS (
+      SELECT CAST({r} AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS err
+      FROM feats f, w{r} w
+      WHERE f.y * (w.b + w.t * f.n_tok + w.u * f.n_uniq
+                   + w.d * f.n_dig) <= 0
+    )""")
+    return ",".join(parts)
+
+
+def _perc_pocket_sql(rounds: int) -> str:
+    """Pocket selection: the round (1-based) with the LOWEST training
+    error, earliest on ties, and that round's weights via a CASE over
+    the single-row round CTEs."""
+    errs = " UNION ALL ".join(f"SELECT r, err FROM e{r}"
+                              for r in range(1, rounds + 1))
+    case = {}
+    for col in ("b", "t", "u", "d"):
+        case[col] = "CASE best.r " + " ".join(
+            f"WHEN {r} THEN w{r}.{col}" for r in range(1, rounds + 1)
+        ) + " END"
+    joins = ", ".join(f"w{r}" for r in range(1, rounds + 1))
+    return f"""
+    errs AS ({errs}),
+    best AS (SELECT r, err FROM errs ORDER BY err, r LIMIT 1),
+    pocket AS (
+      SELECT best.r AS best_round, best.err AS n_misclassified,
+             {case['b']} AS b, {case['t']} AS t,
+             {case['u']} AS u, {case['d']} AS d
+      FROM best, {joins}
+    )"""
+
+
+@query("pipeline_train_quality_filter", oracle=f"""
+    WITH {_perc_feats_sql()},
+    {_perc_round_sql(PERC_ROUNDS)},
+    {_perc_pocket_sql(PERC_ROUNDS)}
+    SELECT p.b AS w_bias, p.t AS w_ntok, p.u AS w_nuniq, p.d AS w_ndig,
+           p.best_round, p.n_misclassified,
+           CAST((SELECT count(*) FROM feats) AS BIGINT) AS n_docs
+    FROM pocket p
+""")
+def pipeline_train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear document classifier INSIDE the engine (new r10) —
+    the fastText-style quality-filter training loop a data pipeline
+    runs before filtering at scale, here as a POCKET batch-gradient
+    perceptron predicting lang='en' from integer count features (token
+    count, distinct-token count, digit count, bias). {PERC_ROUNDS}
+    fixed synchronous rounds: each round ONE map-side-combinable
+    aggregate over the corpus computes Σ y·x over currently-
+    misclassified rows plus the round's training error, and the
+    4-integer weight vector updates DRIVER-SIDE (metadata-scale state —
+    the events_markov_stationary precedent: iterating 4 ints through
+    Spark jobs would pay ~20 jobs of scheduling floor for arithmetic
+    that is exact and free in Python). The POCKET keeps the
+    lowest-error round's weights (earliest on ties) — the Gallant
+    fix that makes the perceptron useful on non-separable data, where
+    the raw update rule oscillates. Output: pocketed weights, the round
+    they came from, and their training error — the artifact a
+    deployment ships to the filter stage.
+
+    Exactness: everything is BIGINT — features are count recipes shared
+    with the text_* family, the margin test y·(w·x) ≤ 0 is integer, the
+    update is an integer sum, and pocket selection orders by exact
+    (err, round), so the unrolled-CTE oracle replays training
+    bit-exactly (no learning-rate floats: lr = 1, the classical
+    perceptron).
+
+    Scale shape: per round one scan + one 5-column conditional agg
+    (map-side combinable, no shuffle beyond the final combine); weights
+    broadcast back as literals in the next round's predicate. At 100 TB
+    each round is exactly one pass — the standard distributed batch
+    gradient shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    toks_l = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    feats = d.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("y"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks_l)).cast("bigint").alias("n_uniq"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))
+        ).cast("bigint").alias("n_dig"),
+    ).localCheckpoint()
+
+    w = [0, 0, 0, 0]  # (bias, n_tok, n_uniq, n_dig)
+
+    def margin(wv):
+        return F.col("y") * (
+            F.lit(wv[0])
+            + F.lit(wv[1]) * F.col("n_tok")
+            + F.lit(wv[2]) * F.col("n_uniq")
+            + F.lit(wv[3]) * F.col("n_dig")
+        )
+
+    best = None  # (err, round, weights)
+    for r in range(1, PERC_ROUNDS + 1):
+        mis = feats.filter(margin(w) <= 0)
+        row = mis.agg(
+            F.sum("y").alias("db"),
+            F.sum(F.col("y") * F.col("n_tok")).alias("dt"),
+            F.sum(F.col("y") * F.col("n_uniq")).alias("du"),
+            F.sum(F.col("y") * F.col("n_dig")).alias("dd"),
+        ).collect()[0]
+        w = [
+            w[0] + (row["db"] or 0),
+            w[1] + (row["dt"] or 0),
+            w[2] + (row["du"] or 0),
+            w[3] + (row["dd"] or 0),
+        ]
+        err = feats.filter(margin(w) <= 0).count()
+        if best is None or err < best[0]:
+            best = (err, r, list(w))
+    n_docs = feats.count()
+    err, rnd, wb = best
+    return spark.createDataFrame(
+        [(wb[0], wb[1], wb[2], wb[3], rnd, err, n_docs)],
+        "w_bias bigint, w_ntok bigint, w_nuniq bigint, w_ndig bigint, "
+        "best_round bigint, n_misclassified bigint, n_docs bigint",
+    )

@@ -4256,3 +4256,51 @@ def test_kalman_matches_numpy(spark, sf_dir):
             sse = sse + ev * ev
         want[et] = (len(zs), round(x, 6), round(sse / (len(zs) - 1), 6))
     assert got == want and want
+
+
+def test_perceptron_matches_python(spark, sf_dir):
+    """r10: pipeline_train_quality_filter must equal a from-scratch
+    Python pocket perceptron over the same integer features, and the
+    pocketed filter must be at least as good as the majority class
+    (the pocket guarantees monotone-best training error)."""
+    import re as _re
+
+    import __spark_entry__ as e
+
+    from quackflight_spark.pipeline.text_analysis import PERC_ROUNDS
+    from quackflight_spark.sources.fixtures import load_table
+
+    r = e.queries()["pipeline_train_quality_filter"](spark, sf_dir).collect()[0]
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "text", "lang"
+    ).collect()
+    feats = []
+    for d in rows:
+        tk = [t for t in d.text.strip().split() if t]
+        tkl = {t for t in d.text.strip().lower().split() if t}
+        feats.append((
+            1 if d.lang == "en" else -1,
+            len(tk), len(tkl), len(_re.findall("[0-9]", d.text)),
+        ))
+
+    def err_of(w):
+        return sum(
+            1 for y, a, b, c in feats
+            if y * (w[0] + w[1] * a + w[2] * b + w[3] * c) <= 0
+        )
+
+    w, best = [0, 0, 0, 0], None
+    for rnd in range(1, PERC_ROUNDS + 1):
+        db = dt = du = dd = 0
+        for y, a, b, c in feats:
+            if y * (w[0] + w[1] * a + w[2] * b + w[3] * c) <= 0:
+                db += y; dt += y * a; du += y * b; dd += y * c
+        w = [w[0] + db, w[1] + dt, w[2] + du, w[3] + dd]
+        e_r = err_of(w)
+        if best is None or e_r < best[0]:
+            best = (e_r, rnd, list(w))
+    e_r, rnd, wb = best
+    assert (r.w_bias, r.w_ntok, r.w_nuniq, r.w_ndig) == tuple(wb)
+    assert (r.best_round, r.n_misclassified, r.n_docs) == (
+        rnd, e_r, len(feats))
