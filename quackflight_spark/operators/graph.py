@@ -1304,3 +1304,165 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(oracle unrolls the same bound)"
         )
     return edges.join(support(edges), ["u", "v"]).select("u", "v", "support")
+
+
+# ---------------------------------------------------------------------------
+# graph_random_walk — deterministic node2vec-style walk sampling (r10)
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 4        # steps per walk (output has WALK_LEN + 1 positions)
+WALKS_PER_SEED = 2
+WALK_SRC_MOD = 100  # seeds = graph nodes with part id ≡ 0 (mod this)
+
+
+def _walk_adj_sql() -> str:
+    return f"""
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {BFS_MIN_CO}
+    ),
+    edges AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0
+    ),
+    adj AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+                  AS BIGINT) AS idx,
+             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      FROM edges
+    ),
+    walks0 AS (
+      SELECT seed * {WALKS_PER_SEED} + j AS walk_id, seed AS node
+      FROM (SELECT DISTINCT src AS seed FROM adj
+            WHERE src % {WALK_SRC_MOD} = 0),
+           UNNEST(range(0, {WALKS_PER_SEED})) AS t(j)
+    )"""
+
+
+def _walk_step_sql(rounds: int) -> str:
+    parts = []
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(f"""
+    walks{t} AS (
+      SELECT w.walk_id, a.dst AS node
+      FROM walks{p} w JOIN adj a ON a.src = w.node
+       AND a.idx = 1 + CAST('0x' || substr(md5(
+             CAST(w.walk_id AS VARCHAR) || ':' || CAST({t} AS VARCHAR)
+           ), 1, 8) AS BIGINT) % a.deg
+    )""")
+    return ",".join(parts)
+
+
+@query("graph_random_walk", oracle=f"""
+    WITH {_walk_adj_sql()},
+    {_walk_step_sql(WALK_LEN)}
+    SELECT walk_id, CAST(step AS INT) AS step, node FROM (
+      {" UNION ALL ".join(
+          f"SELECT walk_id, {t} AS step, node FROM walks{t}"
+          for t in range(0, WALK_LEN + 1)
+      )}
+    )
+""")
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the co-purchase graph
+    (new r10) — the SAMPLING stage of DeepWalk/node2vec: the walks are
+    the 'sentences' a skip-gram embedding trains on, and generating
+    them is a pure data-engine job (the embedding fit is not). Each
+    seed (nodes ≡ 0 mod {WALK_SRC_MOD}) starts {WALKS_PER_SEED} walks
+    of {WALK_LEN} steps; step t of walk w moves to neighbor index
+    1 + md5(w ‖ ':' ‖ t) mod deg(v) in the id-ordered adjacency — the
+    md5-as-RNG device (sample_random's contract): reproducible,
+    seedable, and exactly replayable in SQL, where a real RNG could
+    never be driver-hash-checked.
+
+    Exactness: adjacency indices are row_number over (src, dst id
+    order); the neighbor draw is integer md5 arithmetic; every output
+    cell is a BIGINT.
+
+    Scale shape: the adjacency index is built once ({WALK_LEN} reuses);
+    each step is ONE equi-join of the walk frontier against adj on
+    (node, drawn index) — frontier size is constant (|seeds| ×
+    {WALKS_PER_SEED}), so total work is {WALK_LEN} keyed lookups,
+    never frontier × neighborhood fan-out (contrast BFS, which must
+    expand). At 100 TB adjacency is bucketed by src and each step is a
+    co-located join; walks shard embarrassingly by walk_id."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_adj() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= BFS_MIN_CO)
+            .select("u", "v")
+        )
+        edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        from pyspark.sql import Window as W
+
+        return edges.select(
+            "src",
+            "dst",
+            F.row_number()
+            .over(W.partitionBy("src").orderBy("dst"))
+            .cast("bigint")
+            .alias("idx"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("src"))
+            .cast("bigint")
+            .alias("deg"),
+        )
+
+    adj = shared_frame("walk_adj", sf_dir, build_adj)
+    seeds = (
+        adj.select(F.col("src").alias("seed"))
+        .filter(F.col("seed") % WALK_SRC_MOD == 0)
+        .distinct()
+    )
+    frontier = seeds.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(WALKS_PER_SEED - 1)),
+                lambda j: F.col("seed") * WALKS_PER_SEED + j,
+            )
+        ).alias("walk_id"),
+        F.col("seed").alias("node"),
+    )
+    out = frontier.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
+    for t in range(1, WALK_LEN + 1):
+        draw = 1 + F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("walk_id").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(t)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % F.col("deg")
+        frontier = (
+            frontier.join(adj, frontier.node == adj.src)
+            .filter(F.col("idx") == draw)
+            .select("walk_id", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out
