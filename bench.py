@@ -241,6 +241,15 @@ BENCH_KEYS = [
     "text_script_ratio",
     "stream_alert_hysteresis",
     "sample_systematic",
+    # -- r10 additions --
+    "ann_ivf_append",
+    "graph_ktruss",
+    "search_spell_correct",
+    "timeseries_kalman",
+    "stream_kalman",
+    "pipeline_length_buckets",
+    "pipeline_train_quality_filter",
+    "graph_random_walk",
 ]
 
 

@@ -46,364 +46,362 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- Block R9-SECOND-WAVE: the 31 operators added after the r9
-    # verdict tasks closed — never driver-checked, so they consume the
-    # head of the gate budget (builder-side proof: full dual-ANSI-leg
-    # sweeps green, per-key recompute tests in tests/) --
-    "events_chisq",
-    "events_sprt",
-    "timeseries_hampel",
-    "timeseries_sax",
-    "pipeline_gopher_rules",
-    "pipeline_tokenizer_fertility",
-    "agg_corr_matrix",
-    "layout_zone_map_prune",
-    "search_trigram_fuzzy",
-    "graph_closeness",
-    "events_mutual_info",
-    "timeseries_spectral_dft",
-    "stream_sprt",
-    "timeseries_pacf",
-    "events_cmh",
-    "text_perplexity_bigram",
-    "pipeline_hard_negatives",
-    "events_markov_stationary",
-    "join_point_in_polygon",
-    "timeseries_twap",
-    "fn_udf_slugify",
-    "pipeline_data_card",
-    "timeseries_holt_winters",
-    "graph_betweenness",
-    "scan_csv_gzip",
-    "timeseries_croston",
-    "events_decay_score",
-    "pipeline_triplet_mining",
-    "text_script_ratio",
-    "stream_alert_hysteresis",
-    "sample_systematic",
-    # -- Block R9-FIRST-WAVE-CHANGED: the four r9-new operators, the
-    # de-rows-only'd HLL sketch table, the df-ceiling'd lexical keys,
-    # the ADVICE-hardened recall curve, the PIL-gated phash --
-    "agg_quantile_sketch_table",
-    "search_phrase_match",
-    "dedup_substring",
-    "graph_scc",
-    "agg_hll_sketch_table",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "dedup_lsh_recall_curve",
-    "mm_image_phash",
-    # -- Block R9-FILE-CHANGED: keys living in modules the second wave
-    # APPENDED to (similarity/text_analysis/modern/layout/tpch_extra/
-    # stateful/graph) — the appends add new functions only, but the
-    # file-granularity rule says re-prove them before merely-stale keys
-    "search_mmr_rerank",
-    "ann_bruteforce_topk",
-    "dedup_embedding",
-    "dedup_semantic",
-    "text_quality",
-    "text_tokens",
-    "text_langid",
-    "text_unigram_logprob",
-    "agg_weighted_median",
-    "agg_gini",
-    "fn_variant",
-    "fn_udtf_split",
-    "layout_zorder",
-    "layout_hilbert",
-    "fn_geohash",
-    "join_spatial_grid",
-    "join_fuzzy_names",
-    "stream_pattern_match",
-    "stream_holt",
-    "graph_bfs",
-    "graph_kcore",
-    # -- everything else, stalest driver evidence first (latest green
-    # CORRECTNESS row ascending, regenerated at r9 from r01-r08; with
-    # zero red rows the gate's job is refreshing stale evidence, and
-    # at ~50 keys/round the rotation revisits every key within ~6
-    # rounds). Rule for r10+: changed-implementation keys first, then
-    # stalest-first — regenerate this tuple each round. --
-    "limit_offset",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "cte_with",
-    "exists_agg",
-    "fn_cast",
-    "fn_conditional",
-    "fn_date_arith",
-    "fn_date_parts",
-    "fn_generate_series",
-    "fn_json_extract",
-    "fn_math",
-    "fn_regexp",
-    "fn_string_basic",
-    "fn_struct",
-    "fn_unnest",
-    "join_asof",
-    "join_range_bucket",
-    "pivot",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "set_union_all",
-    "set_union_byname",
-    "subquery_correlated",
-    "subquery_in",
-    "subquery_scalar",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "unpivot",
-    "win_agg_frame",
-    "win_firstlast",
-    "win_lag",
-    "win_percent",
-    "win_qualify",
-    "win_range_frame",
-    "win_rank",
-    "delete_where",
-    "merge_upsert",
-    "rollup_time_partitioned",
-    "sample_quota",
-    "sample_stratified",
-    "split_train_test",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_session",
-    "stream_sliding",
-    "stream_tumbling",
-    "stream_upsert_sink",
-    "timeseries_gapfill",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "tpch_q8",
-    "tpch_q9",
-    "agg_approx_topk",
-    "agg_bitmap_distinct",
-    "agg_grouping_id",
-    "agg_histogram",
-    "agg_listagg",
-    "agg_mode_median",
-    "agg_regression",
-    "agg_theta_sketch_ops",
-    "ann_filtered_topk",
-    "dedup_incremental",
-    "dedup_lines",
-    "events_anomaly_mad",
-    "events_dau_wau",
-    "events_funnel",
-    "events_sessionize",
-    "events_transition_matrix",
-    "fmt_jsoncompact",
-    "fn_bitwise",
-    "fn_edit_distance",
-    "fn_hashing",
-    "fn_time_bucket",
-    "join_asof_forward",
-    "join_skew_salted",
-    "mm_audio_energy",
-    "mm_decode",
-    "mm_feature_extract",
-    "mm_resize",
-    "mv_incremental_refresh",
-    "pipeline_mix_domains",
-    "pipeline_overlap_matrix",
-    "pipeline_quality_audit",
-    "pipeline_shuffle_shards",
-    "retention_cohorts",
-    "scan_csv",
-    "scan_jsonl",
-    "stream_enrich_join",
-    "stream_running_totals",
-    "stream_watermark_late",
-    "subquery_any_all",
-    "text_bigram_topk",
-    "text_pii_scrub",
-    "text_tfidf_topterms",
-    "text_winnowing",
-    "timeseries_interpolate",
-    "win_time_range",
-    "agg_list",
-    "ann_ivf_pruned",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_range_search",
-    "basket_pair_lift",
-    "cluster_kmeans",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_attribution",
-    "events_rfm",
-    "events_top_paths",
-    "fn_array_hof",
-    "fn_array_ops",
-    "fn_cast_ch",
-    "fn_date_ch",
-    "fn_map_access",
-    "fn_url_ip",
-    "graph_pagerank",
-    "join_asof_tolerance",
-    "merge_scd2",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "pipeline_bpe_merges",
-    "pipeline_bpe_tokenize",
-    "pipeline_corpus_prep",
-    "pipeline_decontaminate",
-    "pipeline_dedup_keep_best",
-    "pipeline_pack_sequences",
-    "recursive_cte",
-    "text_fingerprint",
-    "text_repetition",
-    "text_vocab_topk",
-    "topk_per_group",
-    "tpch_q12",
-    "win_ntile",
-    "agg_cms_frequency",
-    "agg_hll_portable",
-    "agg_skew_kurtosis",
-    "dedup_containment",
-    "events_ab_test",
-    "events_bootstrap_ci",
-    "events_churn_hazard",
-    "events_cuped",
-    "events_funnel_windowed",
-    "events_incidents",
-    "events_ks_test",
-    "events_ltv_triangle",
-    "events_mannwhitney",
-    "events_slo_burn",
-    "events_streaks",
-    "events_time_to_convert",
-    "events_welch_ttest",
-    "graph_jaccard",
-    "graph_triangles",
-    "graph_wcc",
-    "join_interval_overlap",
-    "join_nearest",
-    "join_scd2_pointintime",
-    "join_spatial_nn",
-    "join_trajectory_hausdorff",
-    "pipeline_chunk_windows",
-    "pipeline_mix_temperature",
-    "pipeline_normalize_zscore",
-    "pipeline_shard_balance",
-    "sample_random",
-    "stream_topk",
-    "text_code_detect",
-    "text_entropy",
-    "text_lang_confusion",
-    "text_novelty",
-    "text_readability",
-    "timeseries_anomaly_stl",
-    "timeseries_autocorr",
-    "timeseries_cusum",
-    "timeseries_forecast_snaive",
-    "timeseries_rolling_median",
-    "timeseries_seasonal_decompose",
-    "agg_winsorized_mean",
-    "ann_recall_eval",
-    "cluster_dbscan",
-    "events_ab_srm",
-    "events_anova_dow",
-    "events_attribution_position",
-    "events_did",
-    "events_pattern_match",
-    "events_power_mde",
-    "events_qte",
-    "events_ratio_delta_method",
-    "filter_conj",
-    "filter_eq",
-    "fn_date_spine",
-    "fn_format_ch",
-    "graph_adamic_adar",
-    "graph_lpa_communities",
-    "join_ip_lpm",
-    "mm_audio_vad",
-    "mm_scene_cuts",
-    "pipeline_dp_counts",
-    "project_cols",
-    "sample_percent",
-    "sample_reservoir",
-    "scan_binary_files",
-    "scan_csv_badrecords",
-    "scan_jsonl_nested",
-    "scan_orc",
-    "scan_parquet",
-    "scan_table",
-    "scan_xml",
-    "text_collocations_pmi",
-    "text_url_normalize",
-    "timeseries_downsample_lttb",
-    "timeseries_ewma_control",
-    "timeseries_holt",
-    "timeseries_vwap",
-    "agg_approx",
-    "agg_argminmax",
-    "agg_basic",
-    "agg_count_star",
-    "agg_cube",
-    "agg_distinct",
-    "agg_distinct_on",
-    "agg_distinct_rows",
-    "agg_filter",
-    "agg_groupby",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_quantile",
-    "agg_rollup",
-    "agg_stats",
-    "ann_pq_distortion",
-    "events_concurrency",
-    "filter_between_in",
-    "filter_like_regex",
-    "filter_null_case",
-    "filter_param",
-    "join_anti",
-    "join_bloom_prefilter",
-    "join_bucketed_colocated",
-    "join_cross",
-    "join_full",
-    "join_inner_on",
-    "join_lateral",
-    "join_left",
-    "join_positional",
-    "join_right",
-    "join_semi",
-    "join_theta",
-    "join_using",
-    "merge_cdc_apply",
-    "orderby_desc_limit",
-    "orderby_limit_ties",
-    "orderby_multi",
-    "pipeline_dataset_fingerprint",
-    "pipeline_dsir_logratio",
-    "pipeline_importance_sample",
-    "scan_schema_evolution",
-    "scan_time_travel",
-    "stream_cdc_apply",
-    "timeseries_ohlc",
+    # -- r10 rotation (tools/gate_rotation.py f85fd35): the 8 r10-new
+    # keys lead (never driver-checked; builder-side proof: dual-leg
+    # sweeps + per-key recompute tests), then the 111 keys whose
+    # implementing MODULE changed since their last green row
+    # (stalest green round first — module granularity is deliberately
+    # conservative), then everything else stalest-first. --
+    "ann_ivf_append",  # new
+    "graph_ktruss",  # new
+    "graph_random_walk",  # new
+    "pipeline_length_buckets",  # new
+    "pipeline_train_quality_filter",  # new
+    "search_spell_correct",  # new
+    "stream_kalman",  # new
+    "timeseries_kalman",  # new
+    "tpch_q2",  # chg r2
+    "tpch_q7",  # chg r2
+    "sample_quota",  # chg r3
+    "sample_stratified",  # chg r3
+    "split_train_test",  # chg r3
+    "tpch_q11",  # chg r3
+    "tpch_q13",  # chg r3
+    "tpch_q15",  # chg r3
+    "tpch_q16",  # chg r3
+    "tpch_q17",  # chg r3
+    "tpch_q19",  # chg r3
+    "tpch_q20",  # chg r3
+    "tpch_q21",  # chg r3
+    "tpch_q22",  # chg r3
+    "tpch_q8",  # chg r3
+    "tpch_q9",  # chg r3
+    "ann_filtered_topk",  # chg r4
+    "dedup_incremental",  # chg r4
+    "dedup_lines",  # chg r4
+    "mm_audio_energy",  # chg r4
+    "mm_decode",  # chg r4
+    "mm_feature_extract",  # chg r4
+    "mm_resize",  # chg r4
+    "pipeline_mix_domains",  # chg r4
+    "pipeline_shuffle_shards",  # chg r4
+    "stream_running_totals",  # chg r4
+    "text_bigram_topk",  # chg r4
+    "text_pii_scrub",  # chg r4
+    "text_tfidf_topterms",  # chg r4
+    "text_winnowing",  # chg r4
+    "ann_ivf_pruned",  # chg r5
+    "ann_ivf_topk",  # chg r5
+    "ann_ivfpq_topk",  # chg r5
+    "ann_lsh_topk",  # chg r5
+    "ann_pq_topk",  # chg r5
+    "ann_range_search",  # chg r5
+    "cluster_kmeans",  # chg r5
+    "dedup_clusters",  # chg r5
+    "dedup_exact",  # chg r5
+    "dedup_minhash_lsh",  # chg r5
+    "dedup_ngram_jaccard",  # chg r5
+    "dedup_simhash",  # chg r5
+    "mm_binary_meta",  # chg r5
+    "mm_frame_sample",  # chg r5
+    "pipeline_decontaminate",  # chg r5
+    "pipeline_dedup_keep_best",  # chg r5
+    "pipeline_pack_sequences",  # chg r5
+    "text_fingerprint",  # chg r5
+    "text_repetition",  # chg r5
+    "text_vocab_topk",  # chg r5
+    "dedup_containment",  # chg r6
+    "pipeline_mix_temperature",  # chg r6
+    "pipeline_normalize_zscore",  # chg r6
+    "pipeline_shard_balance",  # chg r6
+    "text_code_detect",  # chg r6
+    "text_entropy",  # chg r6
+    "text_lang_confusion",  # chg r6
+    "text_novelty",  # chg r6
+    "text_readability",  # chg r6
+    "ann_recall_eval",  # chg r7
+    "graph_adamic_adar",  # chg r7
+    "graph_bfs",  # chg r7
+    "graph_kcore",  # chg r7
+    "graph_lpa_communities",  # chg r7
+    "mm_audio_vad",  # chg r7
+    "mm_scene_cuts",  # chg r7
+    "sample_reservoir",  # chg r7
+    "stream_holt",  # chg r7
+    "stream_pattern_match",  # chg r7
+    "text_collocations_pmi",  # chg r7
+    "text_url_normalize",  # chg r7
+    "ann_pq_distortion",  # chg r8
+    "pipeline_dataset_fingerprint",  # chg r8
+    "pipeline_dsir_logratio",  # chg r8
+    "pipeline_importance_sample",  # chg r8
+    "stream_cdc_apply",  # chg r8
+    "ann_bruteforce_topk",  # chg r9
+    "dedup_embedding",  # chg r9
+    "dedup_lsh_recall_curve",  # chg r9
+    "dedup_semantic",  # chg r9
+    "dedup_substring",  # chg r9
+    "graph_betweenness",  # chg r9
+    "graph_closeness",  # chg r9
+    "graph_scc",  # chg r9
+    "mm_image_phash",  # chg r9
+    "pipeline_data_card",  # chg r9
+    "pipeline_gopher_rules",  # chg r9
+    "pipeline_hard_negatives",  # chg r9
+    "pipeline_tokenizer_fertility",  # chg r9
+    "pipeline_triplet_mining",  # chg r9
+    "sample_systematic",  # chg r9
+    "search_bm25_topk",  # chg r9
+    "search_hybrid_rrf",  # chg r9
+    "search_mmr_rerank",  # chg r9
+    "search_phrase_match",  # chg r9
+    "search_trigram_fuzzy",  # chg r9
+    "stream_alert_hysteresis",  # chg r9
+    "stream_sprt",  # chg r9
+    "text_langid",  # chg r9
+    "text_perplexity_bigram",  # chg r9
+    "text_quality",  # chg r9
+    "text_script_ratio",  # chg r9
+    "text_tokens",  # chg r9
+    "text_unigram_logprob",  # chg r9
+    "timeseries_croston",  # chg r9
+    "timeseries_hampel",  # chg r9
+    "timeseries_holt_winters",  # chg r9
+    "timeseries_pacf",  # chg r9
+    "timeseries_sax",  # chg r9
+    "timeseries_spectral_dft",  # chg r9
+    "timeseries_twap",  # chg r9
+    "limit_offset",  # r1
+    "tpch_q1",  # r1
+    "tpch_q3",  # r1
+    "tpch_q5",  # r1
+    "cte_with",  # r2
+    "exists_agg",  # r2
+    "fn_cast",  # r2
+    "fn_conditional",  # r2
+    "fn_date_arith",  # r2
+    "fn_date_parts",  # r2
+    "fn_generate_series",  # r2
+    "fn_json_extract",  # r2
+    "fn_math",  # r2
+    "fn_regexp",  # r2
+    "fn_string_basic",  # r2
+    "fn_struct",  # r2
+    "fn_unnest",  # r2
+    "join_asof",  # r2
+    "join_range_bucket",  # r2
+    "pivot",  # r2
+    "set_except",  # r2
+    "set_except_all",  # r2
+    "set_intersect",  # r2
+    "set_intersect_all",  # r2
+    "set_union",  # r2
+    "set_union_all",  # r2
+    "set_union_byname",  # r2
+    "subquery_correlated",  # r2
+    "subquery_in",  # r2
+    "subquery_scalar",  # r2
+    "tpch_q10",  # r2
+    "tpch_q14",  # r2
+    "tpch_q18",  # r2
+    "tpch_q4",  # r2
+    "tpch_q6",  # r2
+    "unpivot",  # r2
+    "win_agg_frame",  # r2
+    "win_firstlast",  # r2
+    "win_lag",  # r2
+    "win_percent",  # r2
+    "win_qualify",  # r2
+    "win_range_frame",  # r2
+    "win_rank",  # r2
+    "delete_where",  # r3
+    "merge_upsert",  # r3
+    "rollup_time_partitioned",  # r3
+    "stream_dedup",  # r3
+    "stream_interval_join",  # r3
+    "stream_session",  # r3
+    "stream_sliding",  # r3
+    "stream_tumbling",  # r3
+    "stream_upsert_sink",  # r3
+    "timeseries_gapfill",  # r3
+    "agg_approx_topk",  # r4
+    "agg_bitmap_distinct",  # r4
+    "agg_grouping_id",  # r4
+    "agg_histogram",  # r4
+    "agg_listagg",  # r4
+    "agg_mode_median",  # r4
+    "agg_regression",  # r4
+    "agg_theta_sketch_ops",  # r4
+    "events_anomaly_mad",  # r4
+    "events_dau_wau",  # r4
+    "events_funnel",  # r4
+    "events_sessionize",  # r4
+    "events_transition_matrix",  # r4
+    "fmt_jsoncompact",  # r4
+    "fn_bitwise",  # r4
+    "fn_edit_distance",  # r4
+    "fn_hashing",  # r4
+    "fn_time_bucket",  # r4
+    "fn_udtf_split",  # r4
+    "fn_variant",  # r4
+    "join_asof_forward",  # r4
+    "join_skew_salted",  # r4
+    "mv_incremental_refresh",  # r4
+    "pipeline_overlap_matrix",  # r4
+    "pipeline_quality_audit",  # r4
+    "retention_cohorts",  # r4
+    "scan_csv",  # r4
+    "scan_jsonl",  # r4
+    "stream_enrich_join",  # r4
+    "stream_watermark_late",  # r4
+    "subquery_any_all",  # r4
+    "timeseries_interpolate",  # r4
+    "win_time_range",  # r4
+    "agg_list",  # r5
+    "basket_pair_lift",  # r5
+    "events_attribution",  # r5
+    "events_rfm",  # r5
+    "events_top_paths",  # r5
+    "fn_array_hof",  # r5
+    "fn_array_ops",  # r5
+    "fn_cast_ch",  # r5
+    "fn_date_ch",  # r5
+    "fn_map_access",  # r5
+    "fn_url_ip",  # r5
+    "graph_pagerank",  # r5
+    "join_asof_tolerance",  # r5
+    "join_fuzzy_names",  # r5
+    "merge_scd2",  # r5
+    "pipeline_bpe_merges",  # r5
+    "pipeline_bpe_tokenize",  # r5
+    "pipeline_corpus_prep",  # r5
+    "recursive_cte",  # r5
+    "topk_per_group",  # r5
+    "tpch_q12",  # r5
+    "win_ntile",  # r5
+    "agg_cms_frequency",  # r6
+    "agg_hll_portable",  # r6
+    "agg_skew_kurtosis",  # r6
+    "events_ab_test",  # r6
+    "events_bootstrap_ci",  # r6
+    "events_churn_hazard",  # r6
+    "events_cuped",  # r6
+    "events_funnel_windowed",  # r6
+    "events_incidents",  # r6
+    "events_ks_test",  # r6
+    "events_ltv_triangle",  # r6
+    "events_mannwhitney",  # r6
+    "events_slo_burn",  # r6
+    "events_streaks",  # r6
+    "events_time_to_convert",  # r6
+    "events_welch_ttest",  # r6
+    "graph_jaccard",  # r6
+    "graph_triangles",  # r6
+    "graph_wcc",  # r6
+    "join_interval_overlap",  # r6
+    "join_nearest",  # r6
+    "join_scd2_pointintime",  # r6
+    "join_spatial_grid",  # r6
+    "join_spatial_nn",  # r6
+    "join_trajectory_hausdorff",  # r6
+    "layout_hilbert",  # r6
+    "pipeline_chunk_windows",  # r6
+    "sample_random",  # r6
+    "stream_topk",  # r6
+    "timeseries_anomaly_stl",  # r6
+    "timeseries_autocorr",  # r6
+    "timeseries_cusum",  # r6
+    "timeseries_forecast_snaive",  # r6
+    "timeseries_rolling_median",  # r6
+    "timeseries_seasonal_decompose",  # r6
+    "agg_winsorized_mean",  # r7
+    "cluster_dbscan",  # r7
+    "events_ab_srm",  # r7
+    "events_anova_dow",  # r7
+    "events_attribution_position",  # r7
+    "events_did",  # r7
+    "events_pattern_match",  # r7
+    "events_power_mde",  # r7
+    "events_qte",  # r7
+    "events_ratio_delta_method",  # r7
+    "filter_conj",  # r7
+    "filter_eq",  # r7
+    "fn_date_spine",  # r7
+    "fn_format_ch",  # r7
+    "fn_geohash",  # r7
+    "join_ip_lpm",  # r7
+    "layout_zorder",  # r7
+    "pipeline_dp_counts",  # r7
+    "project_cols",  # r7
+    "sample_percent",  # r7
+    "scan_binary_files",  # r7
+    "scan_csv_badrecords",  # r7
+    "scan_jsonl_nested",  # r7
+    "scan_orc",  # r7
+    "scan_parquet",  # r7
+    "scan_table",  # r7
+    "scan_xml",  # r7
+    "timeseries_downsample_lttb",  # r7
+    "timeseries_ewma_control",  # r7
+    "timeseries_holt",  # r7
+    "timeseries_vwap",  # r7
+    "agg_approx",  # r8
+    "agg_argminmax",  # r8
+    "agg_basic",  # r8
+    "agg_count_star",  # r8
+    "agg_cube",  # r8
+    "agg_distinct",  # r8
+    "agg_distinct_on",  # r8
+    "agg_distinct_rows",  # r8
+    "agg_filter",  # r8
+    "agg_groupby",  # r8
+    "agg_grouping_sets",  # r8
+    "agg_having",  # r8
+    "agg_quantile",  # r8
+    "agg_rollup",  # r8
+    "agg_stats",  # r8
+    "events_concurrency",  # r8
+    "filter_between_in",  # r8
+    "filter_like_regex",  # r8
+    "filter_null_case",  # r8
+    "filter_param",  # r8
+    "join_anti",  # r8
+    "join_bloom_prefilter",  # r8
+    "join_bucketed_colocated",  # r8
+    "join_cross",  # r8
+    "join_full",  # r8
+    "join_inner_on",  # r8
+    "join_lateral",  # r8
+    "join_left",  # r8
+    "join_positional",  # r8
+    "join_right",  # r8
+    "join_semi",  # r8
+    "join_theta",  # r8
+    "join_using",  # r8
+    "merge_cdc_apply",  # r8
+    "orderby_desc_limit",  # r8
+    "orderby_limit_ties",  # r8
+    "orderby_multi",  # r8
+    "scan_schema_evolution",  # r8
+    "scan_time_travel",  # r8
+    "timeseries_ohlc",  # r8
+    "agg_corr_matrix",  # r9
+    "agg_gini",  # r9
+    "agg_hll_sketch_table",  # r9
+    "agg_quantile_sketch_table",  # r9
+    "agg_weighted_median",  # r9
+    "events_chisq",  # r9
+    "events_cmh",  # r9
+    "events_decay_score",  # r9
+    "events_markov_stationary",  # r9
+    "events_mutual_info",  # r9
+    "events_sprt",  # r9
+    "fn_udf_slugify",  # r9
+    "join_point_in_polygon",  # r9
+    "layout_zone_map_prune",  # r9
+    "scan_csv_gzip",  # r9
 )
+
 
 
 def _apply_gate_priority() -> None:
