@@ -250,6 +250,7 @@ BENCH_KEYS = [
     "pipeline_length_buckets",
     "pipeline_train_quality_filter",
     "graph_random_walk",
+    "events_propensity_match",
 ]
 
 

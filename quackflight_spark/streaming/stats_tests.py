@@ -865,3 +865,170 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("decayed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_propensity_match — stratified nearest-neighbor matching (r10)
+# ---------------------------------------------------------------------------
+
+PSM_ANCHOR = "1970-01-05"  # Monday anchor, the engine-neutral dow recipe
+
+
+@query("events_propensity_match", oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS score,
+             8 * CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                      AS BIGINT) > count(*) AS treated,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(18,2)) * 100 END), 0)
+                  AS BIGINT) AS y_cents,
+             CAST(date_diff('day', DATE '{PSM_ANCHOR}',
+                  CAST(min(CAST(ts AS TIMESTAMP)) AS DATE)) % 7 AS INT)
+               AS stratum
+      FROM events GROUP BY user_id
+    ),
+    t AS (SELECT * FROM u WHERE treated),
+    c AS (SELECT * FROM u WHERE NOT treated),
+    m AS (
+      SELECT t.user_id, t.stratum, t.y_cents AS y_t,
+             min(ROW(abs(t.score - c.score), c.score, c.user_id, c.y_cents))
+               AS best
+      FROM t JOIN c USING (stratum)
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_controls,
+           CAST(sum(CAST(best[1] AS BIGINT)) AS BIGINT) AS total_score_gap,
+           round(CAST(sum(y_t - best[4]) AS DOUBLE)
+                 / count(*) / 100.0, 6) AS att_per_user
+    FROM m
+""")
+def events_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-cohort treatment-effect estimate (new r10) — coarsened
+    exact matching on a stratum (first-seen day-of-week, the CEM step)
+    plus nearest-neighbor matching WITH replacement on an integer
+    activity score within the stratum, then ATT = mean(Y_treated −
+    Y_matched-control): the observational-causal method the suite
+    lacked (events_did needs a time boundary, events_cuped a pre-period
+    covariate; matching needs neither). Treatment = user ever clicked;
+    outcome = purchase cents; score = event count (the confounder a
+    propensity model would absorb — swap in
+    pipeline_train_quality_filter's weights for a learned score, the
+    plumbing is identical).
+
+    Spark-first: the within-stratum nearest match is the join_nearest
+    union+window device on the SCORE axis — controls and treated
+    interleave in one (score, src, user_id) sort per stratum; a running
+    max(struct(score, −uid, y)) over preceding rows yields the best
+    at-or-below control and a running min(struct) the best above; a
+    projection picks the smaller gap with ties to the lower score then
+    lower user_id — exactly the oracle's min-ROW(abs, score, uid)
+    order. No treated×control join exists on the Spark side; the
+    oracle states ground truth with that quadratic join, proving the
+    window rewrite lossless.
+
+    Exactness: scores, gaps and outcomes are BIGINTs end-to-end; the
+    ATT is one division chain of exact integers.
+
+    Scale shape: one user rollup (map-side combinable) + one
+    stratum-keyed sort-window over USERS (not events). Strata here are
+    the 7 dows; a production run matches within finer cells (geo ×
+    cohort × signup-week), which is the same plan with a wider
+    partition key — and 1-D NN across a single giant stratum
+    range-partitions by score with boundary exchange (the ntile
+    device), documented not implemented."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("score"),
+        (
+            8 * F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("bigint")
+            > F.count(F.lit(1))
+        ).alias("treated"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)") * 100,
+                )
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("y_cents"),
+        (
+            F.datediff(
+                F.min(F.col("ts")).cast("date"), F.lit(PSM_ANCHOR).cast("date")
+            )
+            % 7
+        ).cast("int").alias("stratum"),
+    )
+    merged = u.select(
+        "user_id",
+        "score",
+        "stratum",
+        "y_cents",
+        F.when(F.col("treated"), 1).otherwise(0).alias("src"),
+        F.when(
+            ~F.col("treated"),
+            F.struct(
+                F.col("score"),
+                (-F.col("user_id")).alias("nid"),
+                F.col("y_cents").alias("y"),
+            ),
+        ).alias("cb"),
+        F.when(
+            ~F.col("treated"),
+            F.struct(
+                F.col("score"),
+                F.col("user_id").alias("id"),
+                F.col("y_cents").alias("y"),
+            ),
+        ).alias("cf"),
+    )
+    order = [F.col("score"), F.col("src"), F.col("user_id")]
+    w_back = (
+        W.partitionBy("stratum")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("stratum")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    scored = merged.select(
+        "user_id",
+        "score",
+        "stratum",
+        "y_cents",
+        "src",
+        F.max("cb").over(w_back).alias("back"),
+        F.min("cf").over(w_fwd).alias("fwd"),
+    ).filter(F.col("src") == 1)
+    gap_b = F.col("score") - F.col("back.score")
+    gap_f = F.col("fwd.score") - F.col("score")
+    use_back = F.col("fwd").isNull() | (
+        F.col("back").isNotNull() & (gap_b <= gap_f)
+    )
+    matched = scored.filter(
+        F.col("back").isNotNull() | F.col("fwd").isNotNull()
+    ).select(
+        "y_cents",
+        F.when(use_back, gap_b).otherwise(gap_f).alias("gap"),
+        F.when(use_back, F.col("back.y")).otherwise(F.col("fwd.y")).alias("y_c"),
+    )
+    n_controls = u.filter(~F.col("treated")).count()
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.lit(n_controls).cast("bigint").alias("n_controls"),
+        F.sum("gap").cast("bigint").alias("total_score_gap"),
+        F.round(
+            F.sum(F.col("y_cents") - F.col("y_c")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0),
+            6,
+        ).alias("att_per_user"),
+    )

@@ -4304,3 +4304,64 @@ def test_perceptron_matches_python(spark, sf_dir):
     assert (r.w_bias, r.w_ntok, r.w_nuniq, r.w_ndig) == tuple(wb)
     assert (r.best_round, r.n_misclassified, r.n_docs) == (
         rnd, e_r, len(feats))
+
+
+def test_propensity_match_python_recompute(spark, sf_dir):
+    """r10: events_propensity_match must equal a from-scratch Python
+    CEM+NN matcher (same stratum, score, min-(gap, score, uid) tie
+    order, ATT arithmetic)."""
+    from datetime import date
+
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    r = e.queries()["events_propensity_match"](spark, sf_dir).collect()[0]
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("score"),
+            (
+                8 * F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ) > F.count(F.lit(1))
+            ).cast("int").alias("t"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)") * 100,
+                    )
+                ).cast("bigint"),
+                F.lit(0),
+            ).alias("y"),
+            F.min(F.col("ts")).cast("date").alias("d0"),
+        )
+        .collect()
+    )
+    anchor = date(1970, 1, 5)
+    treated, controls = [], []
+    for u in rows:
+        stratum = (u.d0 - anchor).days % 7
+        rec = (u.user_id, u.score, u.y, stratum)
+        (treated if u.t else controls).append(rec)
+    by_stratum: dict = {}
+    for uid, score, y, st in controls:
+        by_stratum.setdefault(st, []).append((uid, score, y))
+    n_matched, gap_total, diff_total = 0, 0, 0
+    for uid, score, y, st in treated:
+        cs = by_stratum.get(st)
+        if not cs:
+            continue
+        best = min((abs(score - cs_s), cs_s, cs_u, cs_y)
+                   for cs_u, cs_s, cs_y in cs)
+        n_matched += 1
+        gap_total += best[0]
+        diff_total += y - best[3]
+    assert r.n_matched == n_matched
+    assert r.n_controls == len(controls)
+    assert r.total_score_gap == gap_total
+    assert r.att_per_user == round(diff_total / n_matched / 100.0, 6)
