@@ -251,6 +251,8 @@ BENCH_KEYS = [
     "pipeline_train_quality_filter",
     "graph_random_walk",
     "events_propensity_match",
+    "scan_partitioned_dir",
+    "pipeline_dataset_diff",
 ]
 
 

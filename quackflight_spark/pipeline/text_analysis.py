@@ -2006,3 +2006,107 @@ def pipeline_train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         "w_bias bigint, w_ntok bigint, w_nuniq bigint, w_ndig bigint, "
         "best_round bigint, n_misclassified bigint, n_docs bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dataset_diff — snapshot diff audit (r10)
+# ---------------------------------------------------------------------------
+
+DIFF_MOD = 17  # md5(doc_id) % 17 selects the synthetic v2 mutations
+
+
+@query("pipeline_dataset_diff", oracle=f"""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    sel AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                  AS BIGINT) % {DIFF_MOD} AS m
+      FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN m IN (1, 2) THEN text || ' [edited]' ELSE text END
+               AS text
+      FROM sel WHERE m <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM sel WHERE m = 3
+    ),
+    d AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+                  ELSE 'unchanged' END AS class,
+             CAST(coalesce(octet_length(encode(b.text)), 0)
+                  - coalesce(octet_length(encode(a.text)), 0) AS BIGINT)
+               AS byte_delta
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT class, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(byte_delta) AS BIGINT) AS byte_delta
+    FROM d GROUP BY class
+""")
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot DIFF (new r10) — the audit a versioned corpus
+    runs between releases: classify every document as added / removed /
+    changed / unchanged between two snapshots and account the byte
+    drift per class (the data-card delta that catches a silently
+    truncated shard or a filter that suddenly drops a language). The
+    second snapshot is synthesized deterministically from the first
+    (md5-mod selections: drop, edit-marker, append-with-offset) so the
+    key is self-contained; a real deployment points v2 at the next
+    release's table — the diff plan is identical (the
+    scan_time_travel storage layer provides exactly such snapshots).
+
+    Exactness: classification compares md5 content hashes (the one blob
+    hashing both engines share); byte deltas are octet_length BIGINTs.
+
+    Scale shape: one full-outer equi-join on doc_id (the snapshots'
+    natural key — at 100 TB both sides bucket by doc_id and the join
+    co-locates), then a 4-key rollup. Content hashing is a per-row map
+    pushed into the join projection; no text ever shuffles beyond the
+    join itself."""
+    v1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sel = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("bigint")
+            % DIFF_MOD
+        ).alias("m"),
+    )
+    v2 = (
+        sel.filter(F.col("m") != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("m").isin(1, 2), F.concat(F.col("text"), F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            sel.filter(F.col("m") == 3).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.md5(F.col("a.text")) != F.md5(F.col("b.text")), "changed")
+        .otherwise("unchanged")
+        .alias("class"),
+        (
+            F.coalesce(F.octet_length(F.col("b.text")), F.lit(0))
+            - F.coalesce(F.octet_length(F.col("a.text")), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("byte_delta"),
+    )
+    return d.groupBy("class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("byte_delta").cast("bigint").alias("byte_delta"),
+    )

@@ -488,3 +488,66 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip through the codec, declared schema, no inference)."""
     path = _staged(spark, sf_dir, "csv_gz")
     return spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+
+
+# ---------------------------------------------------------------------------
+# scan_partitioned_dir — Hive-style partition layout + pruning (r10)
+# ---------------------------------------------------------------------------
+
+
+def _staged_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents ONCE per fixture generation as a Hive-partitioned
+    parquet layout (`lang=<v>/part-*.parquet`) — the directory contract
+    every catalog-less data lake uses. Same fingerprint discipline as
+    _staged."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}:hivepart"
+    except OSError:
+        fp = f"{src}:hivepart"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/hivepart_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(F.col("lang"))
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+    return path
+
+
+@query("scan_partitioned_dir", oracle="""
+    SELECT doc_id, text, source, n_chars, lang
+    FROM documents WHERE lang = 'en'
+""")
+def scan_partitioned_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned-directory scan with PARTITION PRUNING
+    (new r10): documents staged as `lang=<v>/` subdirectories — the
+    catalog-less lake layout — read back with a partition-column
+    filter. The `lang = 'en'` predicate must become a PartitionFilter
+    (directory skip: unmatched lang dirs are never listed into the
+    scan), not a post-scan filter — asserted in tests/test_plans.py.
+    Completes the scan family's pruning story: layout_zone_map_prune
+    audits file-level min/max skipping, ann_ivf_pruned proves pruning
+    on a derived index; this key is the vanilla entry every ETL reader
+    hits first.
+
+    Exactness: partition values round-trip through directory names
+    (string-typed by the staging contract — spark.sql.sources.
+    partitionColumnTypeInference left ON infers nothing non-string
+    here); row content proven equal to the relational truth.
+
+    Scale shape: at 100 TB the layout bounds the scan to matched
+    partitions by IO — the same reason ingest pipelines partition by
+    date/lang/source. One writer task per partition at stage time
+    (repartition on the partition column), so each directory is a few
+    large files, not n_tasks shards."""
+    path = _staged_partitioned(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text", "source", "n_chars", "lang")
+    )

@@ -367,3 +367,12 @@ def test_slugify_is_arrow_batched_not_rowwise(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan[:500]
     assert "BatchEvalPython" not in plan
+
+
+def test_partitioned_dir_scan_prunes(spark, sf_dir, q):
+    """r10: scan_partitioned_dir's lang predicate must land as a
+    PartitionFilter (directory skip), never a post-scan row filter."""
+    out = _formatted(q["scan_partitioned_dir"](spark, sf_dir))
+    pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
+    assert pf_lines, "no PartitionFilters in the plan"
+    assert any("lang" in ln and "[]" not in ln for ln in pf_lines), pf_lines
