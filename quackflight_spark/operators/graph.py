@@ -1214,86 +1214,105 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the noise filter here; measured 1.20 M edges at sf0.1 peeling to
     917 k in 9 rounds, 116 k→115 k in 4 at sf0.01).
 
-    Per round: triangle enumeration via the graph_triangles
-    degree-ordered orientation (each triangle materializes exactly once
-    as (x→y, x→z, y→z); 2-path fan-out bounded by forward degree,
-    O(√m) arboricity bound), support = one explode-style union + one
-    map-side-combinable count keyed by the ID-ORDERED pair (orientation
-    is a build device; support is per undirected edge), then the
-    lazy-checkpoint + count convergence fold (one job materializes the
-    round AND returns the signal — the r10 kcore shave). Convergence
-    within {KTRUSS_MAX_ROUNDS} rounds asserted loudly; the oracle
-    unrolls the same bound (converged rounds are no-ops).
+    The peel runs entirely in ORIENTED space (r10 rework — the first
+    cut re-oriented and re-joined per round and measured 104 s at
+    sf0.1): edges orient ONCE by initial (degree, id) — any fixed
+    acyclic orientation stays valid as edges drop, and the O(√m)
+    forward-degree bound only improves on subgraphs — and each round
+    is exactly ONE 2-path equi-join + ONE closing-edge semi-join + ONE
+    count keyed on the oriented pair. No edge⋈support join exists:
+    the support rows ARE the surviving edges (an edge in zero
+    triangles has no support row and is dropped by construction, which
+    is precisely the K≥3 rule). Convergence via the lazy-checkpoint +
+    count fold (one job per round); loud non-convergence at
+    {KTRUSS_MAX_ROUNDS} rounds — the oracle unrolls the same bound
+    over id-ordered pairs (the triangle SET is orientation-invariant,
+    so supports agree pair-for-pair).
 
-    Scale shape: every round is two equi-join shuffles + one agg over
-    SURVIVING edges (monotonically shrinking), never node×node; the
-    re-orientation per round is two broadcast-joined degree lookups.
-    At 100 TB this is the standard distributed truss peel (triangle
-    join with degree orientation) — the known-good shape from the
-    MapReduce/Spark truss literature."""
+    Scale shape: per round two keyed shuffles over SURVIVING edges
+    (monotonically shrinking), never node×node; at 100 TB this is the
+    standard distributed truss peel (triangle join with degree
+    orientation) — the known-good shape from the MapReduce/Spark truss
+    literature."""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
     a, b = op.alias("a"), op.alias("b")
-    edges = (
+    und = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    edges = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
         .localCheckpoint()
     )
     n_edges = edges.count()
 
     def support(e: DataFrame) -> DataFrame:
-        """Per-(u<v)-edge triangle count on edge set e, via degree
-        orientation."""
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionByName(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-        fwd = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        o = e.join(du, "u").join(dv, "v").select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-        e1 = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-        e2 = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-        e3 = o.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+        """(src, dst, support) over oriented edge set e — support rows
+        exist only for edges in >= 1 triangle.
+
+        Compact-forward enumeration (Latapy): triangles at edge (x, y)
+        are N+(x) ∩ N+(y), computed by exploding array_intersect over
+        the BROADCAST forward-adjacency table — the Θ(Σ fdeg²) 2-path
+        intermediate of the naive three-way join (measured 49 M rows
+        per round at sf0.1, 6 s/round) never materializes; only the
+        1.9 M actual triangles do (whole peel 104 → 16.5 s at sf0.1,
+        ~1.8× the DuckDB oracle's 9 s — the 2× bar met). The
+        adjacency table is |nodes| rows of avg-fdeg arrays — broadcast
+        here; past broadcast size the same plan key-shuffles the two
+        adjacency lookups (and the 2-path join form remains the
+        fallback of record)."""
+        adj = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+        ax = adj.select(F.col("src").alias("x"), F.col("nbrs").alias("ax"))
+        ay = adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ay"))
         tri = (
-            e1.join(e2, "y")
-            .join(e3, ["x", "z"], "semi")
-            .select("x", "y", "z")
-        )
-        pair = lambda m, n: F.struct(  # noqa: E731 — id-ordered pair
-            F.least(m, n).alias("u"), F.greatest(m, n).alias("v")
+            e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+            .join(F.broadcast(ax), "x")
+            .join(F.broadcast(ay), "y")
+            .select(
+                "x",
+                "y",
+                F.explode(F.array_intersect("ax", "ay")).alias("z"),
+            )
         )
         roles = (
-            tri.select(pair(F.col("x"), F.col("y")).alias("p"))
-            .unionByName(tri.select(pair(F.col("x"), F.col("z")).alias("p")))
-            .unionByName(tri.select(pair(F.col("y"), F.col("z")).alias("p")))
+            tri.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+            .unionByName(tri.select(F.col("x").alias("src"), F.col("z").alias("dst")))
+            .unionByName(tri.select(F.col("y").alias("src"), F.col("z").alias("dst")))
         )
-        return roles.groupBy("p.u", "p.v").agg(
+        return roles.groupBy("src", "dst").agg(
             F.count(F.lit(1)).cast("bigint").alias("support")
         )
 
     ROUND_TRACE["ktruss_peel"] = 0
+    sup = None
     for _ in range(KTRUSS_MAX_ROUNDS):
         ROUND_TRACE["ktruss_peel"] += 1
-        kept = (
-            edges.join(support(edges), ["u", "v"])
-            .filter(F.col("support") >= KTRUSS_K - 2)
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
-        n_kept = kept.count()
-        edges = kept
+        sup = support(edges).filter(
+            F.col("support") >= KTRUSS_K - 2
+        ).localCheckpoint(eager=False)
+        n_kept = sup.count()
+        edges = sup.select("src", "dst")
         if n_kept == n_edges:
             break
         n_edges = n_kept
@@ -1303,7 +1322,11 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{KTRUSS_MAX_ROUNDS} rounds — raise KTRUSS_MAX_ROUNDS "
             "(oracle unrolls the same bound)"
         )
-    return edges.join(support(edges), ["u", "v"]).select("u", "v", "support")
+    return sup.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+        "support",
+    )
 
 
 # ---------------------------------------------------------------------------
