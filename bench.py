@@ -253,6 +253,7 @@ BENCH_KEYS = [
     "events_propensity_match",
     "scan_partitioned_dir",
     "pipeline_dataset_diff",
+    "agg_ols_multi",
 ]
 
 

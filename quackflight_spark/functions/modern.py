@@ -878,3 +878,101 @@ def fn_udf_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         slugify(F.col("p_name")).alias("slug"),
     ).withColumn("slug_len", F.length("slug").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# agg_ols_multi — two-feature OLS via exact normal equations (r10)
+# ---------------------------------------------------------------------------
+
+# Shared VERBATIM by both engine texts: the Cramer solution of the 3x3
+# normal equations over the 10 exact moments (already cast to DOUBLE,
+# one cast per moment). Identical expression text => identical IEEE
+# evaluation order => bit-identical doubles on both sides.
+_OLS_PROJ_SQL = """
+    round((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+           + s2*(s1y*s12 - s11*s2y))
+          / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+             + s2*(s1*s12 - s11*s2)), 6) AS b0,
+    round((n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2)
+           + s2*(s1*s2y - s1y*s2))
+          / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+             + s2*(s1*s12 - s11*s2)), 6) AS b1,
+    round((n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2)
+           + sy*(s1*s12 - s11*s2))
+          / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+             + s2*(s1*s12 - s11*s2)), 6) AS b2,
+    round(1.0 - (syy
+        - ((sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+            + s2*(s1y*s12 - s11*s2y)) * sy
+           + (n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2)
+              + s2*(s1*s2y - s1y*s2)) * s1y
+           + (n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2)
+              + sy*(s1*s12 - s11*s2)) * s2y)
+          / (n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+             + s2*(s1*s12 - s11*s2)))
+        / (syy - sy*sy/n), 6) AS r2,
+    CAST(n AS BIGINT) AS n"""
+
+_OLS_MOMENTS_SQL = """
+      SELECT CAST(CAST(count(*) AS DECIMAL(38,0)) AS DOUBLE) AS n,
+             CAST(CAST(sum(x1) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+             CAST(CAST(sum(x2) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+             CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x1*x1) AS DECIMAL(38,0)) AS DOUBLE) AS s11,
+             CAST(CAST(sum(x2*x2) AS DECIMAL(38,0)) AS DOUBLE) AS s22,
+             CAST(CAST(sum(x1*x2) AS DECIMAL(38,0)) AS DOUBLE) AS s12,
+             CAST(CAST(sum(x1*y) AS DECIMAL(38,0)) AS DOUBLE) AS s1y,
+             CAST(CAST(sum(x2*y) AS DECIMAL(38,0)) AS DOUBLE) AS s2y,
+             CAST(CAST(sum(y*y) AS DECIMAL(38,0)) AS DOUBLE) AS syy"""
+
+
+@query("agg_ols_multi", oracle=f"""
+    WITH rows_q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem
+    ),
+    m AS (
+      {_OLS_MOMENTS_SQL}
+      FROM rows_q
+    )
+    SELECT {_OLS_PROJ_SQL}
+    FROM m
+""")
+def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression by exact normal equations (new r10):
+    price ~ quantity + discount over lineitem, solved in CLOSED FORM —
+    one map-side-combinable scan accumulates the 10 exact integer
+    moments (the agg_corr_matrix device: cents-quantized BIGINT rows,
+    DECIMAL(38,0) sums), then the 3×3 Cramer solution and R² are a
+    single shared projection. The multi-feature completion of
+    agg_regression (whose regr_* built-ins are bivariate only) — the
+    distributed OLS everyone reaches for before touching MLlib.
+
+    Exactness: moments are exact until ONE cast to double each; the
+    Cramer determinants and R² are then evaluated from an expression
+    string SHARED VERBATIM by both engine texts (module constant
+    _OLS_PROJ_SQL), so evaluation order — hence every IEEE rounding —
+    is identical by construction. No iterative fitting, no RNG, no
+    libm beyond round().
+
+    Scale shape: one full-scan aggregate to a single row, constant
+    work after; k features cost (k+1)(k+2)/2 sum columns in the same
+    pass — quadratic in k, linear in data, zero extra shuffles (the
+    corr_matrix contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    li.createOrReplaceTempView("_ols_rows")
+    return spark.sql(
+        f"WITH m AS ({_OLS_MOMENTS_SQL} FROM _ols_rows) "
+        f"SELECT {_OLS_PROJ_SQL} FROM m"
+    )

@@ -4365,3 +4365,39 @@ def test_propensity_match_python_recompute(spark, sf_dir):
     assert r.n_controls == len(controls)
     assert r.total_score_gap == gap_total
     assert r.att_per_user == round(diff_total / n_matched / 100.0, 6)
+
+
+def test_ols_multi_matches_numpy(spark, sf_dir):
+    """r10: agg_ols_multi must match numpy lstsq on the same
+    cents-quantized rows (coefficients and R^2 to the rounded digits)."""
+    import numpy as np
+
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    r = e.queries()["agg_ols_multi"](spark, sf_dir).collect()[0]
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("bigint").alias("x1"),
+            (F.col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("x2"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, q.x1, q.x2] for q in rows])
+    y = np.array([float(q.y) for q in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    sse = float(((y - pred) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    r2 = 1.0 - sse / sst
+    assert abs(r.b0 - beta[0]) < max(1e-4, abs(beta[0]) * 1e-6)
+    assert abs(r.b1 - beta[1]) < max(1e-4, abs(beta[1]) * 1e-6)
+    assert abs(r.b2 - beta[2]) < max(1e-4, abs(beta[2]) * 1e-6)
+    assert abs(r.r2 - r2) < 1e-6
+    assert r.n == len(rows)
