@@ -254,6 +254,7 @@ BENCH_KEYS = [
     "scan_partitioned_dir",
     "pipeline_dataset_diff",
     "agg_ols_multi",
+    "scan_csv_multiline",
 ]
 
 

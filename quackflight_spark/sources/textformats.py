@@ -551,3 +551,75 @@ def scan_partitioned_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lang") == "en")
         .select("doc_id", "text", "source", "n_chars", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_csv_multiline — quoted embedded-newline CSV contract (r10)
+# ---------------------------------------------------------------------------
+
+
+def _staged_multiline(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a CSV whose comment field embeds REAL newlines inside
+    quotes — the contract that breaks naive line-split readers. Built
+    from nation with a synthesized two-line comment; same fingerprint
+    discipline as _staged."""
+    src = os.path.join(sf_dir, "nation.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_mtime_ns}:{st.st_size}:multiline"
+    except OSError:
+        fp = f"{src}:multiline"
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
+    path = f"{STAGE_ROOT}/multiline_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "nation")
+            .select(
+                "n_nationkey",
+                "n_name",
+                "n_regionkey",
+                F.concat(
+                    F.lit("line one for "),
+                    F.col("n_name"),
+                    F.lit("\n  line two, with a comma"),
+                ).alias("n_comment"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .csv(path)
+        )
+    return path
+
+
+@query("scan_csv_multiline", oracle=r"""
+    SELECT n_nationkey, n_name, n_regionkey,
+           'line one for ' || n_name
+             || chr(10) || '  line two, with a comma' AS n_comment
+    FROM nation
+""")
+def scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with QUOTED EMBEDDED NEWLINES (new r10): the field
+    content spans physical lines, so the reader must parse quote state
+    across line boundaries (`multiLine=true`) — the ingest contract
+    that silently corrupts under any split-by-newline reader, and the
+    reason multiline CSV is NOT splittable (one parse task per file,
+    like scan_csv_gzip's codec caveat: at 100 TB land many moderate
+    files, or re-emit as parquet at the edge). Round-trip proven: the
+    staged two-line comment reconstructs exactly against the
+    relational truth (oracle rebuilds it with chr(10)).
+
+    Exactness: declared schema, quoteAll staging, byte-identical
+    string round-trip — the scan_csv contract plus the quote-state
+    machine."""
+    path = _staged_multiline(spark, sf_dir)
+    return (
+        spark.read.schema(
+            "n_nationkey bigint, n_name string, n_regionkey bigint, "
+            "n_comment string"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
