@@ -46,17 +46,22 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (tools/gate_rotation.py f85fd35): the 8 r10-new
-    # keys lead (never driver-checked; builder-side proof: dual-leg
-    # sweeps + per-key recompute tests), then the 111 keys whose
-    # implementing MODULE changed since their last green row
+    # -- r10 rotation (tools/gate_rotation.py f85fd35): the 13 r10-new
+    # keys lead (never driver-checked; builder-side proof: full-sweep
+    # green + per-key recompute tests), then the keys whose
+    # implementing MODULE changed since their last green driver row
     # (stalest green round first — module granularity is deliberately
     # conservative), then everything else stalest-first. --
+    "agg_ols_multi",  # new
     "ann_ivf_append",  # new
+    "events_propensity_match",  # new
     "graph_ktruss",  # new
     "graph_random_walk",  # new
+    "pipeline_dataset_diff",  # new
     "pipeline_length_buckets",  # new
     "pipeline_train_quality_filter",  # new
+    "scan_csv_multiline",  # new
+    "scan_partitioned_dir",  # new
     "search_spell_correct",  # new
     "stream_kalman",  # new
     "timeseries_kalman",  # new
@@ -76,15 +81,29 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q22",  # chg r3
     "tpch_q8",  # chg r3
     "tpch_q9",  # chg r3
+    "agg_approx_topk",  # chg r4
+    "agg_grouping_id",  # chg r4
+    "agg_histogram",  # chg r4
+    "agg_listagg",  # chg r4
+    "agg_mode_median",  # chg r4
+    "agg_regression",  # chg r4
     "ann_filtered_topk",  # chg r4
     "dedup_incremental",  # chg r4
     "dedup_lines",  # chg r4
+    "fn_bitwise",  # chg r4
+    "fn_edit_distance",  # chg r4
+    "fn_hashing",  # chg r4
+    "fn_time_bucket",  # chg r4
+    "fn_udtf_split",  # chg r4
+    "fn_variant",  # chg r4
     "mm_audio_energy",  # chg r4
     "mm_decode",  # chg r4
     "mm_feature_extract",  # chg r4
     "mm_resize",  # chg r4
     "pipeline_mix_domains",  # chg r4
     "pipeline_shuffle_shards",  # chg r4
+    "scan_csv",  # chg r4
+    "scan_jsonl",  # chg r4
     "stream_running_totals",  # chg r4
     "text_bigram_topk",  # chg r4
     "text_pii_scrub",  # chg r4
@@ -110,6 +129,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_fingerprint",  # chg r5
     "text_repetition",  # chg r5
     "text_vocab_topk",  # chg r5
+    "agg_skew_kurtosis",  # chg r6
     "dedup_containment",  # chg r6
     "pipeline_mix_temperature",  # chg r6
     "pipeline_normalize_zscore",  # chg r6
@@ -127,6 +147,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mm_audio_vad",  # chg r7
     "mm_scene_cuts",  # chg r7
     "sample_reservoir",  # chg r7
+    "scan_binary_files",  # chg r7
+    "scan_csv_badrecords",  # chg r7
+    "scan_jsonl_nested",  # chg r7
+    "scan_orc",  # chg r7
+    "scan_xml",  # chg r7
     "stream_holt",  # chg r7
     "stream_pattern_match",  # chg r7
     "text_collocations_pmi",  # chg r7
@@ -135,12 +160,23 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_dataset_fingerprint",  # chg r8
     "pipeline_dsir_logratio",  # chg r8
     "pipeline_importance_sample",  # chg r8
+    "scan_schema_evolution",  # chg r8
     "stream_cdc_apply",  # chg r8
+    "agg_corr_matrix",  # chg r9
+    "agg_gini",  # chg r9
+    "agg_weighted_median",  # chg r9
     "ann_bruteforce_topk",  # chg r9
     "dedup_embedding",  # chg r9
     "dedup_lsh_recall_curve",  # chg r9
     "dedup_semantic",  # chg r9
     "dedup_substring",  # chg r9
+    "events_chisq",  # chg r9
+    "events_cmh",  # chg r9
+    "events_decay_score",  # chg r9
+    "events_markov_stationary",  # chg r9
+    "events_mutual_info",  # chg r9
+    "events_sprt",  # chg r9
+    "fn_udf_slugify",  # chg r9
     "graph_betweenness",  # chg r9
     "graph_closeness",  # chg r9
     "graph_scc",  # chg r9
@@ -151,6 +187,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_tokenizer_fertility",  # chg r9
     "pipeline_triplet_mining",  # chg r9
     "sample_systematic",  # chg r9
+    "scan_csv_gzip",  # chg r9
     "search_bm25_topk",  # chg r9
     "search_hybrid_rrf",  # chg r9
     "search_mmr_rerank",  # chg r9
@@ -224,13 +261,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "stream_tumbling",  # r3
     "stream_upsert_sink",  # r3
     "timeseries_gapfill",  # r3
-    "agg_approx_topk",  # r4
     "agg_bitmap_distinct",  # r4
-    "agg_grouping_id",  # r4
-    "agg_histogram",  # r4
-    "agg_listagg",  # r4
-    "agg_mode_median",  # r4
-    "agg_regression",  # r4
     "agg_theta_sketch_ops",  # r4
     "events_anomaly_mad",  # r4
     "events_dau_wau",  # r4
@@ -238,20 +269,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_sessionize",  # r4
     "events_transition_matrix",  # r4
     "fmt_jsoncompact",  # r4
-    "fn_bitwise",  # r4
-    "fn_edit_distance",  # r4
-    "fn_hashing",  # r4
-    "fn_time_bucket",  # r4
-    "fn_udtf_split",  # r4
-    "fn_variant",  # r4
     "join_asof_forward",  # r4
     "join_skew_salted",  # r4
     "mv_incremental_refresh",  # r4
     "pipeline_overlap_matrix",  # r4
     "pipeline_quality_audit",  # r4
     "retention_cohorts",  # r4
-    "scan_csv",  # r4
-    "scan_jsonl",  # r4
     "stream_enrich_join",  # r4
     "stream_watermark_late",  # r4
     "subquery_any_all",  # r4
@@ -281,7 +304,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "win_ntile",  # r5
     "agg_cms_frequency",  # r6
     "agg_hll_portable",  # r6
-    "agg_skew_kurtosis",  # r6
     "events_ab_test",  # r6
     "events_bootstrap_ci",  # r6
     "events_churn_hazard",  # r6
@@ -334,13 +356,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_dp_counts",  # r7
     "project_cols",  # r7
     "sample_percent",  # r7
-    "scan_binary_files",  # r7
-    "scan_csv_badrecords",  # r7
-    "scan_jsonl_nested",  # r7
-    "scan_orc",  # r7
     "scan_parquet",  # r7
     "scan_table",  # r7
-    "scan_xml",  # r7
     "timeseries_downsample_lttb",  # r7
     "timeseries_ewma_control",  # r7
     "timeseries_holt",  # r7
@@ -382,25 +399,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orderby_desc_limit",  # r8
     "orderby_limit_ties",  # r8
     "orderby_multi",  # r8
-    "scan_schema_evolution",  # r8
     "scan_time_travel",  # r8
     "timeseries_ohlc",  # r8
-    "agg_corr_matrix",  # r9
-    "agg_gini",  # r9
     "agg_hll_sketch_table",  # r9
     "agg_quantile_sketch_table",  # r9
-    "agg_weighted_median",  # r9
-    "events_chisq",  # r9
-    "events_cmh",  # r9
-    "events_decay_score",  # r9
-    "events_markov_stationary",  # r9
-    "events_mutual_info",  # r9
-    "events_sprt",  # r9
-    "fn_udf_slugify",  # r9
     "join_point_in_polygon",  # r9
     "layout_zone_map_prune",  # r9
-    "scan_csv_gzip",  # r9
 )
+
 
 
 
