@@ -1016,3 +1016,44 @@ def test_date_arithmetic_semantics(spark, days):
         "int64",
     )
     assert s == d
+
+
+@given(
+    st.integers(min_value=1, max_value=2),      # channels
+    st.sampled_from([1, 2, 4]),                  # sample width
+    st.lists(st.integers(min_value=-30000, max_value=30000),
+             min_size=1, max_size=200),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_decode_roundtrip(n_ch, width, samples):
+    """Property (r10): any PCM signal round-trips through a real WAV
+    container and wav_pcm_samples_real — 8-bit clamps to unsigned,
+    wider widths are signed, multi-channel downmixes by channel sum."""
+    import wave
+    from io import BytesIO
+
+    import numpy as np
+
+    from quackflight_spark.pipeline.multimodal import wav_pcm_samples_real
+
+    if width == 1:
+        arr = (np.abs(np.array(samples, dtype=np.int64)) % 256).astype(
+            np.uint8
+        )
+        frames = np.repeat(arr, n_ch)
+        expect = arr.astype(np.int64) * n_ch
+        raw = frames.tobytes()
+    else:
+        dt = "<i2" if width == 2 else "<i4"
+        arr = np.array(samples, dtype=dt)
+        frames = np.repeat(arr, n_ch)
+        expect = arr.astype(np.int64) * n_ch
+        raw = frames.tobytes()
+    buf = BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(width)
+        w.setframerate(8000)
+        w.writeframes(raw)
+    got = wav_pcm_samples_real(buf.getvalue())
+    assert np.array_equal(got, expect)

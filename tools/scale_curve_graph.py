@@ -78,6 +78,7 @@ def main() -> None:
             ("graph_scc", "scc"),
             ("graph_closeness", "close"),
             ("graph_betweenness", "betw"),
+            ("graph_ktruss", "ktruss"),
         ):
             clear_frames()
             spark.catalog.clearCache()
@@ -88,6 +89,8 @@ def main() -> None:
             wall = round(time.perf_counter() - t0, 2)
             rec[f"{extras}_sec"] = wall
             rec[f"{extras}_rows_out"] = n_out
+            if extras == "ktruss":
+                rec["ktruss_rounds"] = g.ROUND_TRACE.get("ktruss_peel")
             if extras == "scc":
                 rec["scc_outer_rounds"] = g.ROUND_TRACE.get("scc_outer")
                 rec["scc_fb_inner_rounds"] = g.ROUND_TRACE.get("scc_fb_inner")
