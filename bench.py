@@ -255,6 +255,7 @@ BENCH_KEYS = [
     "pipeline_dataset_diff",
     "agg_ols_multi",
     "scan_csv_multiline",
+    "timeseries_ljung_box",
 ]
 
 

@@ -1103,3 +1103,116 @@ def timeseries_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
             final["st"]["sse"] / (F.col("n") - 1).cast("double"), 6
         ).alias("innovation_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_ljung_box — portmanteau white-noise test (r10)
+# ---------------------------------------------------------------------------
+
+# chi-square 0.95 quantile at 3 df, Python-computed once and shared as a
+# literal by both engine texts (the SPRT constant device — never a CDF
+# call in SQL)
+LB_CHI2_95_DF3 = 7.814727903251179
+
+# Shared VERBATIM from `daily(event_type, day, x)` onward: lag windows,
+# exact moments, the three ACF values (the timeseries_pacf expressions),
+# and the Ljung-Box statistic. Identical text => identical IEEE results.
+_LB_TAIL_SQL = f"""lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS x1,
+             lag(x, 2) OVER w AS x2,
+             lag(x, 3) OVER w AS x3
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0)) AS sl1,
+             CAST(sum(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT) AS b1,
+             CAST(sum(x1) AS BIGINT) AS a1,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0)) AS sl2,
+             CAST(sum(CASE WHEN x2 IS NOT NULL THEN x END) AS BIGINT) AS b2,
+             CAST(sum(x2) AS BIGINT) AS a2,
+             CAST(sum(CAST(x AS DECIMAL(38,0)) * x3) AS DECIMAL(38,0)) AS sl3,
+             CAST(sum(CASE WHEN x3 IS NOT NULL THEN x END) AS BIGINT) AS b3,
+             CAST(sum(x3) AS BIGINT) AS a3
+      FROM lagged GROUP BY 1
+    ),
+    acf AS (
+      SELECT event_type, n,
+        ( (CAST(sl1 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a1 + b1 AS DOUBLE)
+           + CAST(n - 1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) ) AS r1,
+        ( (CAST(sl2 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a2 + b2 AS DOUBLE)
+           + CAST(n - 2 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) ) AS r2,
+        ( (CAST(sl3 AS DOUBLE)
+           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(a3 + b3 AS DOUBLE)
+           + CAST(n - 3 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        / (CAST(s2 AS DOUBLE)
+           - CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) ) AS r3
+      FROM m
+    )
+    SELECT event_type, n,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
+                    + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
+                    + r3*r3 / (CAST(n AS DOUBLE) - 3.0)), 8) AS q_lb,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (r1*r1 / (CAST(n AS DOUBLE) - 1.0)
+                    + r2*r2 / (CAST(n AS DOUBLE) - 2.0)
+                    + r3*r3 / (CAST(n AS DOUBLE) - 3.0))
+             > {LB_CHI2_95_DF3!r} AS reject_white_noise
+    FROM acf WHERE n > 3"""
+
+
+@query("timeseries_ljung_box", oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    {_LB_TAIL_SQL}
+""")
+def timeseries_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test at lags 1–3 (new r10) —
+    the residual-diagnostic that completes the Box–Jenkins loop the
+    family already covers (timeseries_autocorr reports ACF,
+    timeseries_pacf identifies AR order; Ljung–Box answers 'is there
+    ANY autocorrelation left?'): Q = n(n+2)·Σ r_k²/(n−k), rejected at
+    α=0.05 against the χ²(3) quantile embedded as a shared Python
+    literal (the SPRT constant device — no CDF call in any engine).
+
+    Exactness: the r_k expressions are timeseries_pacf's exact-moment
+    forms, and EVERYTHING from the daily rollup onward is one SQL text
+    shared verbatim by both engines (module constant _LB_TAIL_SQL) —
+    identical expression trees, identical IEEE rounding.
+
+    Scale shape: one rollup, one window pass, one aggregate — the pacf
+    plan with a scalar statistic on top."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    daily.createOrReplaceTempView("_lb_daily")
+    return spark.sql(
+        f"WITH daily AS (SELECT * FROM _lb_daily), {_LB_TAIL_SQL}"
+    )

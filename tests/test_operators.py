@@ -4401,3 +4401,49 @@ def test_ols_multi_matches_numpy(spark, sf_dir):
     assert abs(r.b2 - beta[2]) < max(1e-4, abs(beta[2]) * 1e-6)
     assert abs(r.r2 - r2) < 1e-6
     assert r.n == len(rows)
+
+
+def test_ljung_box_matches_statsmodels_formula(spark, sf_dir):
+    """r10: timeseries_ljung_box must match a from-scratch Python
+    Ljung-Box over the same daily series (same ACF convention: full-n
+    denominator, mean over all n)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.timeseries_extra import LB_CHI2_95_DF3
+
+    got = {r.event_type: (r.n, r.q_lb, r.reject_white_noise)
+           for r in e.queries()["timeseries_ljung_box"](spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).cast("date")
+                 .alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.day, r["count"]))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        x = [float(c) for _, c in pts]
+        n = len(x)
+        if n <= 3:
+            continue
+        mu = sum(x) / n
+        c0 = sum((v - mu) ** 2 for v in x)
+        q = 0.0
+        for k in (1, 2, 3):
+            ck = sum((x[t] - mu) * (x[t + k] - mu) for t in range(n - k))
+            rk = ck / c0
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        want[et] = (n, round(q, 8), q > LB_CHI2_95_DF3)
+    # compare with tolerance on q (python sums in a different order)
+    assert set(got) == set(want) and want
+    for et in want:
+        assert got[et][0] == want[et][0]
+        assert abs(got[et][1] - want[et][1]) < 1e-6, et
+        assert got[et][2] == want[et][2], et
