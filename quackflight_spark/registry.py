@@ -46,12 +46,13 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (tools/gate_rotation.py f85fd35): the 13 r10-new
-    # keys lead (never driver-checked; builder-side proof: full-sweep
-    # green + per-key recompute tests), then the keys whose
-    # implementing MODULE changed since their last green driver row
-    # (stalest green round first — module granularity is deliberately
-    # conservative), then everything else stalest-first. --
+    # -- r10 rotation (tools/gate_rotation.py f85fd35): the 14 r10-new
+    # keys lead (never driver-checked; builder-side proof: full
+    # dual-ANSI-leg 353-key sweep green pre-ljung_box + per-key dual-leg
+    # checks + recompute tests), then keys whose implementing MODULE
+    # changed since their last green driver row (stalest green round
+    # first — module granularity is deliberately conservative), then
+    # everything else stalest-first. --
     "agg_ols_multi",  # new
     "ann_ivf_append",  # new
     "events_propensity_match",  # new
@@ -65,6 +66,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_spell_correct",  # new
     "stream_kalman",  # new
     "timeseries_kalman",  # new
+    "timeseries_ljung_box",  # new
     "tpch_q2",  # chg r2
     "tpch_q7",  # chg r2
     "sample_quota",  # chg r3
@@ -406,6 +408,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_point_in_polygon",  # r9
     "layout_zone_map_prune",  # r9
 )
+
 
 
 
