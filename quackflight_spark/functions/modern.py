@@ -913,17 +913,22 @@ _OLS_PROJ_SQL = """
         / (syy - sy*sy/n), 6) AS r2,
     CAST(n AS BIGINT) AS n"""
 
+# Every moment accumulates in DECIMAL(38,0): the cast happens INSIDE the
+# aggregate (on one product operand), never after sum() — sum(y*y) reaches
+# ~2.2e19 at sf0.1 (> int64 max), so a post-sum cast would let Spark wrap
+# (ANSI off) or throw (ANSI on) while DuckDB silently widens to HUGEINT.
+# Same device as agg_corr_matrix above.
 _OLS_MOMENTS_SQL = """
       SELECT CAST(CAST(count(*) AS DECIMAL(38,0)) AS DOUBLE) AS n,
-             CAST(CAST(sum(x1) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
-             CAST(CAST(sum(x2) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
-             CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
-             CAST(CAST(sum(x1*x1) AS DECIMAL(38,0)) AS DOUBLE) AS s11,
-             CAST(CAST(sum(x2*x2) AS DECIMAL(38,0)) AS DOUBLE) AS s22,
-             CAST(CAST(sum(x1*x2) AS DECIMAL(38,0)) AS DOUBLE) AS s12,
-             CAST(CAST(sum(x1*y) AS DECIMAL(38,0)) AS DOUBLE) AS s1y,
-             CAST(CAST(sum(x2*y) AS DECIMAL(38,0)) AS DOUBLE) AS s2y,
-             CAST(CAST(sum(y*y) AS DECIMAL(38,0)) AS DOUBLE) AS syy"""
+             CAST(sum(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * x2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy"""
 
 
 @query("agg_ols_multi", oracle=f"""

@@ -1146,6 +1146,14 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KTRUSS_K = 5            # edges must sit in >= K-2 triangles to survive
 KTRUSS_MAX_ROUNDS = 12  # measured peel depth: 4 (sf0.01) / 9 (sf0.1)
+# Broadcast the forward-adjacency only while the ORIENTED edge count
+# (= total adjacency entries, an upper bound that only shrinks as the
+# peel drops edges) fits comfortably in driver/executor memory; past
+# this the same plan key-shuffles the two adjacency lookups instead.
+# 20 M int64 pairs ~ 320 MB serialized — under Spark's 8 GB broadcast
+# hard cap with wide margin, and the gate is evaluated from a count
+# the peel already takes (zero extra jobs).
+KTRUSS_BROADCAST_EDGE_LIMIT = 20_000_000
 
 
 def _ktruss_round_sql(rounds: int) -> str:
@@ -1266,6 +1274,9 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = edges.count()
+    # Size gate (ADVICE r10): oriented-edge count == adjacency entries,
+    # monotonically shrinking, so the initial count bounds every round.
+    use_broadcast = n_edges <= KTRUSS_BROADCAST_EDGE_LIMIT
 
     def support(e: DataFrame) -> DataFrame:
         """(src, dst, support) over oriented edge set e — support rows
@@ -1279,16 +1290,21 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.9 M actual triangles do (whole peel 104 → 16.5 s at sf0.1,
         ~1.8× the DuckDB oracle's 9 s — the 2× bar met). The
         adjacency table is |nodes| rows of avg-fdeg arrays — broadcast
-        here; past broadcast size the same plan key-shuffles the two
-        adjacency lookups (and the 2-path join form remains the
-        fallback of record)."""
+        while the oriented edge count (== total adjacency entries,
+        monotonically shrinking) is under KTRUSS_BROADCAST_EDGE_LIMIT;
+        past that the SAME plan key-shuffles the two adjacency lookups
+        — identical results, two sort-merge joins instead of two
+        broadcast joins (size gate costs zero extra jobs: it reads the
+        count the peel already takes)."""
         adj = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
         ax = adj.select(F.col("src").alias("x"), F.col("nbrs").alias("ax"))
         ay = adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ay"))
+        if use_broadcast:
+            ax, ay = F.broadcast(ax), F.broadcast(ay)
         tri = (
             e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-            .join(F.broadcast(ax), "x")
-            .join(F.broadcast(ay), "y")
+            .join(ax, "x")
+            .join(ay, "y")
             .select(
                 "x",
                 "y",

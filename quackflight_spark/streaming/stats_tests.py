@@ -911,7 +911,8 @@ def events_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity score within the stratum, then ATT = mean(Y_treated −
     Y_matched-control): the observational-causal method the suite
     lacked (events_did needs a time boundary, events_cuped a pre-period
-    covariate; matching needs neither). Treatment = user ever clicked;
+    covariate; matching needs neither). Treatment = error-heavy user
+    (errors exceed 1/8 of the user's events: 8·sum(error) > count(*));
     outcome = purchase cents; score = event count (the confounder a
     propensity model would absorb — swap in
     pipeline_train_quality_filter's weights for a learned score, the

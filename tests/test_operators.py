@@ -4136,6 +4136,23 @@ def test_ktruss_matches_python_peel(spark, sf_dir):
     assert all(s >= KTRUSS_K - 2 for s in got.values())
 
 
+def test_ktruss_shuffled_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
+    """r11 (ADVICE r10 low): past KTRUSS_BROADCAST_EDGE_LIMIT the peel
+    must key-shuffle the adjacency lookups instead of broadcasting —
+    force the gate shut (limit=0) and assert the shuffled path returns
+    the identical edge→support map."""
+    import __spark_entry__ as e
+
+    from quackflight_spark.operators import graph
+
+    broadcast = {(r.u, r.v): r.support
+                 for r in e.queries()["graph_ktruss"](spark, sf_dir).collect()}
+    monkeypatch.setattr(graph, "KTRUSS_BROADCAST_EDGE_LIMIT", 0)
+    shuffled = {(r.u, r.v): r.support
+                for r in e.queries()["graph_ktruss"](spark, sf_dir).collect()}
+    assert shuffled == broadcast and broadcast
+
+
 def test_spell_correct_matches_python_symspell(spark, sf_dir):
     """r10: search_spell_correct must equal a from-scratch Python
     SymSpell (delete-1 neighborhoods, levenshtein<=1 verify, Norvig
@@ -4401,6 +4418,34 @@ def test_ols_multi_matches_numpy(spark, sf_dir):
     assert abs(r.b2 - beta[2]) < max(1e-4, abs(beta[2]) * 1e-6)
     assert abs(r.r2 - r2) < 1e-6
     assert r.n == len(rows)
+
+
+def test_ols_moments_accumulate_past_int64(spark):
+    """r11 regression (ADVICE r10 high): _OLS_MOMENTS_SQL must
+    accumulate every moment in DECIMAL(38,0), not BIGINT — sum(y*y)
+    reaches ~2.2e19 at sf0.1 (> int64 max 9.22e18), where a post-sum
+    cast silently wraps (ANSI off) or throws (ANSI on, the driver's
+    session default). Feed rows whose squared sum provably exceeds
+    int64 and assert the exact decimal-accumulated value under BOTH
+    ANSI legs."""
+    from quackflight_spark.functions.modern import _OLS_MOMENTS_SQL
+
+    # 3 rows of y=4e9: sum(y*y) = 4.8e19 > int64 max.
+    spark.createDataFrame(
+        [(1, 1, 4_000_000_000)] * 3, "x1 long, x2 long, y long"
+    ).createOrReplaceTempView("_ols_overflow_rows")
+    expected_syy = 3 * 4_000_000_000 ** 2
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            row = spark.sql(
+                f"{_OLS_MOMENTS_SQL} FROM _ols_overflow_rows"
+            ).collect()[0]
+            assert row.syy == float(expected_syy), (ansi, row.syy)
+            assert row.sy == float(3 * 4_000_000_000), (ansi, row.sy)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
 
 
 def test_ljung_box_matches_statsmodels_formula(spark, sf_dir):
