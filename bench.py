@@ -375,17 +375,25 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_samples.json"), "w") as f:
         json.dump(full, f, indent=1)
+    # 222+ keys no longer fit the driver's 2000-char stdout tail even at
+    # 2-decimal rounding (BENCH_r10.json: parsed null, ~76/222 timings
+    # recoverable). Keep stdout to a SUMMARY that always parses — total,
+    # key count, the 10 slowest keys — and rely on bench_samples.json
+    # (committed) for the full per-key map, raw samples, and JVM trace.
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     line = {
         "metric": "headline wall-clock (min of 3 warm)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in times.items()},
+        "n_keys": len(times),
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "full_map": "bench_samples.json",
         "sf": sf_val,
     }
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1900:  # stay inside the driver's 2000-char tail capture
-        line["queries"] = {k: round(v, 2) for k, v in times.items()}
-        out = json.dumps(line, separators=(",", ":"))
+    assert len(out) < 1900, len(out)  # driver tail-capture budget
     print(out)
 
 

@@ -718,17 +718,17 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_normed(spark, sf_dir)
 
     def build_cells() -> DataFrame:
-        base = emb.filter(F.col("vec_id") % IVF_DELTA_MOD != IVF_DELTA_MOD - 1)
-        delta = emb.filter(F.col("vec_id") % IVF_DELTA_MOD == IVF_DELTA_MOD - 1)
-        # THE APPEND: delta assigned into the pinned geometry — no retrain
-        return (
-            base.withColumn("cell", _assign_cell(centroids))
-            .unionByName(delta.withColumn("cell", _assign_cell(centroids)))
-            .select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("e").alias("ce"),
-                "cell",
-            )
+        # THE APPEND: delta rows assigned into the pinned base-trained
+        # geometry — no retrain. Because assignment is a pure per-row
+        # function of (vector, centroids) and base ∪ delta == corpus,
+        # base-assign ∪ delta-assign folds into ONE scan + ONE kernel
+        # pass over emb (r11, VERDICT r10 fix: the two filtered legs
+        # each re-ran the assign UDF over their half — two scans, two
+        # Arrow round-trips, for the identical result).
+        return emb.withColumn("cell", _assign_cell(centroids)).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("e").alias("ce"),
+            "cell",
         )
 
     # cells are part of the INDEX, built once per corpus (the

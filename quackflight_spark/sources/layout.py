@@ -422,7 +422,8 @@ ZM_HI = "1997-06-30"
     )
     SELECT layout, file_id,
            CAST(count(*) AS BIGINT) AS n_rows,
-           min(d) AS min_day, max(d) AS max_day,
+           CAST(min(d) AS VARCHAR) AS min_day,
+           CAST(max(d) AS VARCHAR) AS max_day,
            max(d) < DATE '{ZM_LO}' OR min(d) > DATE '{ZM_HI}' AS can_prune
     FROM both_layouts GROUP BY 1, 2
 """)
@@ -489,12 +490,25 @@ def layout_zone_map_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("layout", "file_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("d").alias("min_day"),
-            F.max("d").alias("max_day"),
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
         )
         .withColumn(
             "can_prune",
-            (F.col("max_day") < F.lit(ZM_LO).cast("date"))
-            | (F.col("min_day") > F.lit(ZM_HI).cast("date")),
+            (F.col("max_d") < F.lit(ZM_LO).cast("date"))
+            | (F.col("min_d") > F.lit(ZM_HI).cast("date")),
+        )
+        # ISO-string day bounds in BOTH engine texts (r11, VERDICT r10
+        # What's-wrong #4): Spark DateType lands in pandas as `object`
+        # (datetime.date) while DuckDB DATE lands as datetime64[us] —
+        # a cross-family dtype split the canonicalizer merely tolerates.
+        # Strings compare bit-for-bit with zero dtype ambiguity.
+        .select(
+            "layout",
+            "file_id",
+            "n_rows",
+            F.col("min_d").cast("string").alias("min_day"),
+            F.col("max_d").cast("string").alias("max_day"),
+            "can_prune",
         )
     )

@@ -50,6 +50,96 @@ def signals(plan: str) -> dict[str, str]:
     }
 
 
+def _iter_nodes(node):
+    """Yield every physical-plan node, descending through AQE wrappers
+    (AdaptiveSparkPlanExec.executedPlan, QueryStageExec.plan) so the
+    audit sees the FINAL plan, and through InMemoryTableScan's cached
+    plan so rollups behind a persist() are still visible."""
+    yield node
+    name = node.nodeName()
+    try:
+        if name.startswith("AdaptiveSparkPlan"):
+            yield from _iter_nodes(node.executedPlan())
+            return
+        if name.endswith("QueryStage"):
+            yield from _iter_nodes(node.plan())
+            return
+    except Exception:
+        pass
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_nodes(ch.apply(i))
+
+
+def _subtree_has_agg(node) -> bool:
+    for n in _iter_nodes(node):
+        nm = n.nodeName()
+        if "Aggregate" in nm:
+            return True
+    return False
+
+
+def _subtree_is_two_phase(node) -> bool:
+    """The second sanctioned shape (the win_ntile / orderby_limit_ties
+    device): the global window's input was pruned by a FILTER on a
+    rank computed by a PARTITIONED window — per-partition top-n, then
+    rank the bounded union. Structurally: a Filter and a partitioned
+    Window both below the unpartitioned one."""
+    has_filter = False
+    has_part_window = False
+    first = True
+    for n in _iter_nodes(node):
+        if first:           # skip the unpartitioned window itself
+            first = False
+            continue
+        nm = n.nodeName()
+        if nm == "Filter":
+            has_filter = True
+        if nm == "Window":
+            try:
+                if not n.partitionSpec().isEmpty():
+                    has_part_window = True
+            except Exception:
+                pass
+    return has_filter and has_part_window
+
+
+def unpartitioned_windows(df) -> str:
+    """Tripwire (r11, VERDICT r10 task 7): a WindowExec with NO
+    partition spec serializes the whole input through one task — safe
+    ONLY over a domain-bounded rollup (hourly grids, cents histograms,
+    K-row dims). Encode the invariant structurally: every
+    empty-partition-spec Window must have an Aggregate somewhere below
+    it in the final plan. Returns '—' (no unpartitioned windows),
+    'bounded' (all sit above an aggregate), 'ckpt?' (input is a
+    checkpointed RDD — boundedness not provable from this plan; judge
+    from the operator's round structure), or 'YES ⚠' (an unpartitioned
+    window over raw, unaggregated input — a scale defect)."""
+    root = df._jdf.queryExecution().executedPlan()
+    worst = "—"
+    rank = {"—": 0, "bounded": 1, "two-phase": 2, "ckpt?": 3, "YES ⚠": 4}
+    for n in _iter_nodes(root):
+        if n.nodeName() != "Window":
+            continue
+        try:
+            if not n.partitionSpec().isEmpty():
+                continue
+        except Exception:
+            continue
+        if _subtree_has_agg(n):
+            v = "bounded"
+        elif _subtree_is_two_phase(n):
+            v = "two-phase"
+        elif any("ExistingRDD" in m.nodeName() or "Scan ExistingRDD" in m.nodeName()
+                 for m in _iter_nodes(n)):
+            v = "ckpt?"
+        else:
+            v = "YES ⚠"
+        if rank[v] > rank[worst]:
+            worst = v
+    return worst
+
+
 def main() -> None:
     import __spark_entry__ as e
     from bench import BENCH_KEYS
@@ -66,7 +156,9 @@ def main() -> None:
             df = queries[key](spark, SF_DIR)
             df.collect()
             plan = df._jdf.queryExecution().executedPlan().toString()
-            print(key, signals(plan))
+            sig = signals(plan)
+            sig["unpart.win"] = unpartitioned_windows(df)
+            print(key, sig)
         return
 
     lines = [
@@ -82,8 +174,17 @@ def main() -> None:
         "visible to this audit and must be judged from the operator's",
         "round structure instead.",
         "",
-        "| query | pushed | part.prune | bcast | top-k | codegen | py | cartesian | ckpt | exchanges |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "`unpart.win` = WindowExec-with-no-partition-spec tripwire:",
+        "`bounded` means every such window sits above an Aggregate in the",
+        "final plan (a domain-bounded rollup); `two-phase` means its input",
+        "was pruned by a filter on a PARTITIONED window's rank (the",
+        "per-partition-top-n-then-global-rank device — also bounded);",
+        "`ckpt?` means the window reads a checkpointed RDD so boundedness",
+        "is judged from the operator's round structure; `YES ⚠` — an",
+        "unpartitioned window over raw input — is a scale defect.",
+        "",
+        "| query | pushed | part.prune | bcast | top-k | codegen | py | cartesian | ckpt | exchanges | unpart.win |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     plans: list[str] = []
     for key in BENCH_KEYS:
@@ -91,11 +192,12 @@ def main() -> None:
         df.collect()  # finalize AQE plan
         plan = df._jdf.queryExecution().executedPlan().toString()
         sig = signals(plan)
+        sig["unpart.win"] = unpartitioned_windows(df)
         lines.append(
             f"| {key} | {sig['pushed filters']} | {sig['partition filters']} | "
             f"{sig['broadcast join']} | {sig['top-k fused']} | {sig['codegen']} | "
             f"{sig['python ops']} | {sig['cartesian']} | {sig['ckpt']} | "
-            f"{sig['exchanges']} |"
+            f"{sig['exchanges']} | {sig['unpart.win']} |"
         )
         head = "\n".join(plan.splitlines()[:40])
         plans.append(f"## {key}\n\n```\n{head}\n```\n")
