@@ -674,13 +674,10 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_doc, out_idx, out_delta = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                e = frame_energies(bytes(payload))
-                for i in range(1, len(e)):
-                    delta = abs(e[i] - e[i - 1])
-                    if delta > SCENE_CUT_THRESH:
-                        out_doc.append(doc_id)
-                        out_idx.append(i)
-                        out_delta.append(delta)
+                for i, delta in _scene_cut_rows(frame_energies(bytes(payload))):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_delta.append(delta)
             yield pd.DataFrame(
                 {"doc_id": out_doc, "cut_idx": out_idx, "delta": out_delta}
             )
@@ -688,6 +685,140 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         cut_batches, schema="doc_id bigint, cut_idx bigint, delta bigint"
     )
+
+
+def _scene_cut_rows(energies) -> list:
+    """Shot-boundary loop SHARED by the stand-in and real video
+    branches: (cut_idx, delta) where |e_i − e_{i−1}| > SCENE_CUT_THRESH.
+    Sequential per clip, integer-exact."""
+    out = []
+    for i in range(1, len(energies)):
+        delta = abs(int(energies[i]) - int(energies[i - 1]))
+        if delta > SCENE_CUT_THRESH:
+            out.append((i, delta))
+    return out
+
+
+FRAME_SAMPLE_STRIDE = 8  # mm_frame_sample's every-Nth-frame stride
+
+
+def video_available() -> bool:
+    """True iff a video decoder (imageio or OpenCV) is importable on
+    this build. Mirrors pil_available/avro_available: no zero-dependency
+    stdlib video decoder exists, so — unlike the audio modality's
+    stdlib `wave` branch — the VIDEO real-codec branch is availability-
+    gated; on a properly-provisioned cluster the real branch below
+    activates and the Spark-side plumbing (mapInPandas signature,
+    schema, cut loop, stride sampling) is identical."""
+    for mod in ("imageio", "cv2"):
+        try:
+            __import__(mod)
+            return True
+        except Exception:
+            continue
+    return False
+
+
+def video_frame_lumas_real(payload: bytes):
+    """REAL codec branch for the video modality (r11, availability-
+    gated): decode the container's frames via imageio.v3 (preferred)
+    or cv2.VideoCapture and return one int64 energy per frame — the
+    integer sum of the BT.601 luma plane ((299·R + 587·G + 114·B) //
+    1000 per pixel, grayscale passthrough for single-channel frames).
+    All-integer, so downstream thresholds are bit-deterministic.
+
+    Feeds the SAME loops as the md5 stand-ins (_scene_cut_rows for
+    mm_scene_cuts, the every-FRAME_SAMPLE_STRIDE index emit for
+    mm_frame_sample): swapping the codec drops the SQL oracle (real
+    video bytes are not SQL-replayable), never the Spark plumbing —
+    the phash_cells_real / wav_pcm_samples_real contract applied to
+    the last stand-in modality. Raises the documented gate error when
+    neither imageio nor cv2 is importable (this container)."""
+    if not video_available():
+        raise RuntimeError(
+            "video real-decode branch requires imageio or cv2 (opencv) "
+            "on the executors; this build ships without either — the "
+            "md5 frame-energy stand-in remains the oracle-backed "
+            "default (see video_available)"
+        )
+    import numpy as np
+
+    def luma_energy(frame) -> int:
+        a = np.asarray(frame).astype(np.int64)
+        if a.ndim == 3 and a.shape[2] >= 3:
+            luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+        else:
+            luma = a if a.ndim == 2 else a[..., 0]
+        return int(luma.sum())
+
+    try:
+        import imageio.v3 as iio
+
+        frames = iio.imiter(payload, extension=".mp4")
+        return np.array([luma_energy(f) for f in frames], dtype=np.int64)
+    except ImportError:
+        pass
+    import os
+    import tempfile
+
+    import cv2
+
+    # cv2.VideoCapture reads from a path only — stage to a temp file.
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        cap = cv2.VideoCapture(path)
+        energies = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            # OpenCV is BGR — reverse to RGB for the shared luma math
+            energies.append(luma_energy(frame[..., ::-1]))
+        cap.release()
+        return np.array(energies, dtype=np.int64)
+    finally:
+        os.unlink(path)
+
+
+def scene_cut_kernel_real(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mm_scene_cuts' kernel with the REAL video decode swapped in —
+    same mapInPandas signature, same schema, same _scene_cut_rows
+    loop; only the byte→frame-energy step differs. Registered-key
+    status: the stand-in stays the oracle-backed default (the
+    audio_energy_kernel_real contract)."""
+    for pdf in batches:
+        out_doc, out_idx, out_delta = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            e = video_frame_lumas_real(bytes(payload))
+            for i, delta in _scene_cut_rows(e):
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_delta.append(delta)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "cut_idx": out_idx, "delta": out_delta}
+        )
+
+
+def frame_sample_kernel_real(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mm_frame_sample's every-Nth-frame emit with the REAL decode's
+    frame count (the registered key derives n_frames from md5 so the
+    SQL oracle can replay it; a deployment with real clips points
+    mapInPandas here and the sample-then-decode-only-those shape is
+    unchanged)."""
+    for pdf in batches:
+        out_doc, out_idx = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(video_frame_lumas_real(bytes(payload)))
+            idxs = range(0, n, FRAME_SAMPLE_STRIDE)
+            out_doc.extend([doc_id] * len(idxs))
+            out_idx.extend(idxs)
+        yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx})
 
 
 VAD_NUM = 21  # speech iff 20*nw*ss_win > 21*clip_ss (1.05x mean energy

@@ -3004,6 +3004,52 @@ def test_phash_real_codec_gate():
     assert _cells_to_hash(strip) == 1 << 7
 
 
+def test_video_real_codec_gate():
+    """r11 (VERDICT r10 task 6): the video modality's real-decode
+    branch is availability-gated like avro/PIL — no stdlib video
+    decoder exists. WITH imageio/cv2 the decode must yield one int64
+    luma energy per frame and feed the shared loops; WITHOUT either
+    (this container) it must raise the documented gate error, not an
+    ImportError mid-executor. The shared loops are asserted on BOTH
+    branches (they are branch-agnostic pure functions)."""
+    import numpy as np
+
+    from quackflight_spark.pipeline.multimodal import (
+        FRAME_SAMPLE_STRIDE,
+        SCENE_CUT_THRESH,
+        _scene_cut_rows,
+        video_available,
+        video_frame_lumas_real,
+    )
+
+    if video_available():
+        # encode a tiny clip with whichever lib is present; if the
+        # build has the lib but no encoder plugin, the decode gate is
+        # still proven by the error-free import path.
+        try:
+            import imageio.v3 as iio
+
+            frames = [
+                np.full((8, 8, 3), v, dtype=np.uint8) for v in (0, 255, 0)
+            ]
+            payload = iio.imwrite("<bytes>", frames, extension=".mp4")
+        except Exception:
+            pytest.skip("video lib present but no encoder plugin")
+        e = video_frame_lumas_real(payload)
+        assert e.dtype == np.int64 and len(e) >= 2
+        # a black→white flip is a scene cut at any sane threshold
+        assert any(d > SCENE_CUT_THRESH for _i, d in _scene_cut_rows(e))
+    else:
+        with pytest.raises(RuntimeError, match="imageio or cv2"):
+            video_frame_lumas_real(b"\x00\x00\x00\x18ftypmp42")
+
+    # shared loops, branch-agnostic: exactly one boundary above the
+    # threshold, and stride sampling emits every Nth index
+    e = [0, 0, SCENE_CUT_THRESH + 5, SCENE_CUT_THRESH + 6]
+    assert _scene_cut_rows(e) == [(2, SCENE_CUT_THRESH + 5)]
+    assert list(range(0, 17, FRAME_SAMPLE_STRIDE)) == [0, 8, 16]
+
+
 def test_chisq_matches_reference(spark, sf_dir):
     """chi2 and Cramer's V must match a from-scratch contingency-table
     recompute over the same md5 cohorts."""
