@@ -256,6 +256,8 @@ BENCH_KEYS = [
     "agg_ols_multi",
     "scan_csv_multiline",
     "timeseries_ljung_box",
+    # -- r11 additions --
+    "dedup_minhash_append",
 ]
 
 

@@ -425,6 +425,31 @@ def minhash_signature(base: Column) -> Column:
     return minhash_sig_udf(N_MINHASH, MINHASH_P)(base)
 
 
+def minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) band index from a (doc_id, sig) signature
+    frame: band b's bucket key = md5 of its LSH_ROWS-wide signature
+    slice. Shared by the full self-join (dedup_minhash_lsh) and the
+    incremental probe (dedup_minhash_append) so both read ONE banding
+    definition — the corpus index an append probes is bit-identical to
+    the one a rebuild would construct."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS).cast("array<string>")
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 @query("dedup_minhash_lsh", oracle=f"""
     WITH {_duck_jaccard_pairs(JACCARD_THRESHOLD)}
     SELECT doc_a, doc_b, round(jaccard, 8) AS jaccard FROM pairs
@@ -453,23 +478,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = shared_frame("minhash_sig", sf_dir, build_sig)
     hs = doc_shingle_hashes(spark, sf_dir)
-    # bands: (band_id, md5 of the band's signature slice) as bucket key
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), b * LSH_ROWS + 1, LSH_ROWS).cast("array<string>")
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = minhash_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
@@ -1074,6 +1083,106 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "text_hash")
+    )
+
+
+def _incr_in_corpus() -> Column:
+    """The fixture's corpus/delta split (shared with dedup_incremental):
+    md5 bucket of doc_id — 80% 'already-ingested corpus', 20% 'new
+    batch'."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % INCR_CORPUS_BUCKETS < INCR_CORPUS_CUT
+    )
+
+
+@query("dedup_minhash_append", oracle=f"""
+    WITH {_duck_jaccard_pairs(JACCARD_THRESHOLD)},
+    split AS (
+      SELECT doc_id,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % {INCR_CORPUS_BUCKETS}) < {INCR_CORPUS_CUT} AS in_corpus
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b, round(p.jaccard, 8) AS jaccard
+    FROM pairs p
+    JOIN split sa ON sa.doc_id = p.doc_a
+    JOIN split sb ON sb.doc_id = p.doc_b
+    WHERE sa.in_corpus <> sb.in_corpus
+""")
+def dedup_minhash_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index MAINTENANCE (new r11): a delta of
+    new documents probes the EXISTING band index — the corpus is never
+    re-sharded, re-signed, or self-joined again. Completes the
+    maintenance triangle the exact-dedup (dedup_incremental) and ANN
+    (ann_ivf_append) families already have: every index family now
+    carries both its build and its append path.
+
+    Same fixture split as dedup_incremental (md5 doc_id bucket: 80%
+    corpus / 20% delta). The corpus's (doc_id, band, bucket) index is
+    built ONCE per corpus (frame_cache — the ingest-time artifact; at
+    100 TB a table bucketed on (band, bucket)); an append computes
+    signatures for DELTA docs only and equi-joins delta bands against
+    the index on (band, bucket) — a keyed probe proportional to
+    |delta| × bucket hit rate, never |corpus|. Candidates then run the
+    standard exact-Jaccard verify (size-ratio pre-filter + sorted
+    60-bit hash-array intersect, the minhash_verify kernel unchanged).
+
+    Append == rebuild: banding is a pure per-row function of the
+    signature (minhash_bands, shared with dedup_minhash_lsh), so
+    delta-bands ⋈ corpus-index emits exactly the corpus×delta subset
+    of the full self-join's candidates —
+    tests/test_operators.py::test_minhash_append_equals_rebuild
+    asserts the verified pair sets are identical. The oracle states
+    ground truth (ALL cross pairs ≥ {JACCARD_THRESHOLD}): equality
+    holds because verify removes LSH false positives and P(miss) at
+    j ≥ {JACCARD_THRESHOLD} is ≤ 4e-10 (the dedup_minhash_lsh bound).
+
+    Scale shape: delta signature compute is a map over delta rows; the
+    probe shuffles delta band rows to the index's (band, bucket)
+    layout; verify joins stay (long, long) pairs + broadcast/bucketed
+    hash arrays. Within-delta duplicates are dedup_minhash_lsh on the
+    delta — out of scope here by construction (the cross-probe IS the
+    append operation)."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    sh = doc_shingles(spark, sf_dir)
+
+    def _sig_of(frame: DataFrame) -> DataFrame:
+        based = _barrier(
+            frame.select("doc_id", "sh", minhash_base(F.col("sh")).alias("base"))
+        )
+        return _barrier(
+            based.select("doc_id", minhash_signature(F.col("base")).alias("sig"))
+        )
+
+    # the pre-built index: corpus docs' band buckets, built once per
+    # corpus dir (the ingest-time artifact an append probes)
+    index = shared_frame(
+        "minhash_band_index_corpus",
+        sf_dir,
+        lambda: minhash_bands(_sig_of(sh.filter(_incr_in_corpus()))),
+    )
+    # THE APPEND: signatures for delta docs only — zero corpus work
+    delta_bands = minhash_bands(_sig_of(sh.filter(~_incr_in_corpus())))
+    c, d = index.alias("c"), delta_bands.alias("d")
+    candidates = (
+        d.join(
+            c,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.least(F.col("c.doc_id"), F.col("d.doc_id")).alias("doc_a"),
+            F.greatest(F.col("c.doc_id"), F.col("d.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    hs = doc_shingle_hashes(spark, sf_dir)
+    if _corpus_doc_count(sf_dir) <= BROADCAST_DOC_LIMIT:
+        return minhash_verify(candidates, hs, use_broadcast=True)
+    return minhash_verify(
+        candidates, minhash_hash_table_bucketed(spark, sf_dir), use_broadcast=False
     )
 
 

@@ -4086,6 +4086,41 @@ def test_audio_real_wav_branch(spark):
         wav_pcm_samples_real(b"not a riff container")
 
 
+def test_minhash_append_equals_rebuild(spark, sf_dir):
+    """r11 (VERDICT r10 stretch 9): probing the pre-built corpus band
+    index with delta-only signatures must surface EXACTLY the
+    corpus×delta subset of the full rebuild's verified near-dup pairs —
+    banding is a pure per-row function of the signature (shared
+    minhash_bands), so incremental LSH maintenance loses nothing vs
+    re-sharding the whole corpus. Asserts set equality of (doc_a,
+    doc_b, jaccard) triples and that the fixture actually exercises
+    the path (a non-empty delta)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.dedup import _incr_in_corpus
+    from quackflight_spark.sources.fixtures import load_table
+
+    q = e.queries()
+    split = {
+        r.doc_id: r.in_corpus
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", _incr_in_corpus().alias("in_corpus"))
+        .collect()
+    }
+    assert any(split.values()) and not all(split.values())
+    rebuild_cross = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q["dedup_minhash_lsh"](spark, sf_dir).collect()
+        if split[r.doc_a] != split[r.doc_b]
+    }
+    appended = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q["dedup_minhash_append"](spark, sf_dir).collect()
+    }
+    assert appended == rebuild_cross
+
+
 def test_ivf_append_equals_rebuild(spark, sf_dir):
     """r10: with the centroid geometry pinned, assigning the delta into
     the existing cells (the append path) must produce the IDENTICAL
