@@ -258,6 +258,8 @@ BENCH_KEYS = [
     "timeseries_ljung_box",
     # -- r11 additions --
     "dedup_minhash_append",
+    "timeseries_changepoint",
+    "text_kneser_ney_bigram",
 ]
 
 

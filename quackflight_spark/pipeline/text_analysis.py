@@ -2110,3 +2110,127 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("byte_delta").cast("bigint").alias("byte_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_kneser_ney_bigram — interpolated KN-smoothed bigram LM head (r11)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = "0.75"  # the standard absolute discount, as a shared literal
+KN_TOP = 20           # emit the corpus's KN_TOP highest-count bigrams
+
+# Shared VERBATIM by both engine texts (the _OLS_PROJ_SQL doctrine):
+# interpolated Kneser-Ney over exact integer counts —
+#   P(w|v) = (c(vw) − D)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/N_types.
+# Identical expression text => identical IEEE evaluation order =>
+# bit-identical doubles on both sides. No ln/exp — the decision-free
+# probability head of the LM, exact until one round.
+_KN_PROJ = (
+    f"round((CAST(c AS DOUBLE) - {KN_DISCOUNT}) / CAST(cv AS DOUBLE)"
+    f" + {KN_DISCOUNT} * CAST(n1v AS DOUBLE) / CAST(cv AS DOUBLE)"
+    f" * (CAST(n1w AS DOUBLE) / CAST(ntypes AS DOUBLE)), 6)"
+)
+
+
+@query("text_kneser_ney_bigram", oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, CAST(r.i AS BIGINT) AS pos,
+             toks[CAST(r.i AS INT)] AS w
+      FROM docs, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) r
+    ),
+    pairs AS (
+      SELECT w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS v
+      FROM tok
+    ),
+    counts AS (
+      SELECT v, w2 AS w, CAST(count(*) AS BIGINT) AS c
+      FROM pairs WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT v, sum(c) AS cv, CAST(count(*) AS BIGINT) AS n1v
+      FROM counts GROUP BY v
+    ),
+    cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM counts GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM counts),
+    top AS (
+      SELECT v, w, c,
+             row_number() OVER (ORDER BY c DESC, v, w) AS rk
+      FROM counts
+    )
+    SELECT t.v, t.w, t.c AS c_vw,
+           {_KN_PROJ} AS p_kn
+    FROM top t JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tot
+    WHERE t.rk <= {KN_TOP}
+""")
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (new r11) for the
+    corpus's KN_TOP most frequent bigrams — the smoothing that
+    text_perplexity_bigram's add-one baseline is always compared
+    against, and the LM head a data-quality pipeline uses to score
+    fluency without a neural model. The KN continuation count N1+(·w)
+    ("how many contexts does w complete?") is THE distinguishing term:
+    'francisco' is frequent but follows only 'san', so KN correctly
+    refuses to predict it in fresh contexts — a pure artifact of the
+    distinct-counting the engine already does.
+
+    Exactness: every count (c(vw), c(v·), N1+(v·), N1+(·w), N_types)
+    is an exact BIGINT from two groupBys; the probability is ONE
+    shared-verbatim double expression (_KN_PROJ, the _OLS_PROJ_SQL
+    doctrine) with the discount D=0.75 embedded as an identical
+    literal — no ln/exp, no iteration, no RNG. The top-KN_TOP cut
+    orders by (c DESC, v, w) — (v, w) is the group key, so the order
+    is total and the cut engine-identical.
+
+    Scale shape: tokenize is a per-doc map; bigram counts are one
+    map-side-combinable shuffle keyed on (v, w); the context /
+    continuation / type rollups are vocabulary-bounded aggregates of
+    the COUNTS table (never the corpus); the global top-k is Spark's
+    TakeOrderedAndProject (per-partition heads, no single-partition
+    window); the final joins attach ≤|vocab|-row frames to KN_TOP
+    rows. Raw text is read exactly once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    pairs = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("v"),
+                    F.element_at(F.col("toks"), i + 1).alias("w"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.v", "p.w")
+    counts = pairs.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ctx = counts.groupBy("v").agg(
+        F.sum("c").alias("cv"), F.count(F.lit(1)).cast("bigint").alias("n1v")
+    )
+    cont = counts.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1w")
+    )
+    tot = counts.agg(F.count(F.lit(1)).cast("bigint").alias("ntypes"))
+    top = counts.orderBy(F.desc("c"), "v", "w").limit(KN_TOP)
+    return (
+        top.join(F.broadcast(ctx), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "w",
+            F.col("c").alias("c_vw"),
+            F.expr(_KN_PROJ).alias("p_kn"),
+        )
+    )

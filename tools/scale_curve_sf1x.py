@@ -20,15 +20,22 @@ What each family is expected to show:
   the query set is fixed while the corpus grows 10x — the production
   ingest shape.
 - dedup_minhash_lsh / dedup_substring / search_bm25_topk /
-  pipeline_bpe_merges: documents replicate VERBATIM (only doc_id is
-  offset), so the 10x corpus is deliberately duplicate-heavy — every
-  original document now has 10 exact copies. That is the honest
-  100 TB crawl shape for dedup (bucket membership and within-bucket
-  pair counts grow), and both engines pay the identical blowup.
+  pipeline_bpe_merges: two replication modes, chosen deliberately.
+  VERBATIM (default): only doc_id is offset, so the 10x corpus is
+  duplicate-heavy — every original document has 10 exact copies, and
+  the within-bucket pair work grows QUADRATICALLY in the copy count on
+  BOTH engines (measured: the dedup keys blow past a 10-minute budget
+  at x10 — that is the workload changing, not an engine gap).
+  SALTED (QF_SF1X_SALT_TEXT=1): every word gets a per-replica suffix,
+  so replicas are DISJOINT in shingle space — same near-dup structure
+  per replica, 10x the data, the clean iso-workload scale curve. The
+  salting happens in the BUILDER (Spark writes the parquet; both
+  engines read identical bytes — no cross-engine regex hazard).
 
 Derived data lands under /tmp (fixtures never written). Usage:
   python tools/scale_curve_sf1x.py                 (all keys)
   QF_SF1X_KEYS=graph_kcore,graph_wcc python tools/scale_curve_sf1x.py
+  QF_SF1X_SALT_TEXT=1 QF_SF1X_KEYS=dedup_minhash_lsh ... (iso-workload)
 One line per key + a JSON summary; paste into PERF.md.
 """
 
@@ -70,8 +77,11 @@ OFF_SRC = {
 }
 
 
+SALT_TEXT = os.environ.get("QF_SF1X_SALT_TEXT") == "1"
+
+
 def build_sf1x(spark) -> str:
-    out = f"/tmp/qf_sf1x{MULT}"
+    out = f"/tmp/qf_sf1x{MULT}" + ("_salted" if SALT_TEXT else "")
     if os.path.exists(f"{out}/_BUILT"):
         return out
     os.makedirs(out, exist_ok=True)
@@ -89,6 +99,23 @@ def build_sf1x(spark) -> str:
         big = df.crossJoin(F.broadcast(reps))
         for col, dom in remaps:
             big = big.withColumn(col, F.col(col) + F.col("rep") * offs[dom])
+        if table == "documents" and SALT_TEXT:
+            # per-replica word suffix: replicas become disjoint in
+            # shingle space while each replica's internal near-dup
+            # structure is preserved exactly (bigram equality iff same
+            # word pair, suffix consistent within a replica)
+            big = big.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim(F.col("text")), r"\s+"),
+                        lambda w: F.concat(
+                            w, F.lit("_r"), F.col("rep").cast("string")
+                        ),
+                    ),
+                    " ",
+                ),
+            )
         big.drop("rep").write.mode("overwrite").parquet(
             f"{out}/{table}.parquet"
         )
