@@ -260,6 +260,8 @@ BENCH_KEYS = [
     "dedup_minhash_append",
     "timeseries_changepoint",
     "text_kneser_ney_bigram",
+    "events_survival_km",
+    "events_markov_absorption",
 ]
 
 

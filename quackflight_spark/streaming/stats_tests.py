@@ -1033,3 +1033,252 @@ def events_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("att_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km — Kaplan-Meier retention curve with censoring (r11)
+# ---------------------------------------------------------------------------
+
+KM_BIG_PURCHASE = 150  # value threshold defining the KM event (measured:
+# ~47% of users convert at every fixture SF — a genuine censor mix; the
+# naive lifetime (first→last event day) is degenerate on this fixture,
+# every user spans the whole window)
+
+# Shared VERBATIM from the per-user lifetime table onward (the ljung_box
+# device): one SQL text over a `lif(user_id, dur, ev)` relation, so both
+# engines evaluate identical expression trees. The only float surface is
+# the survival product, computed as exp(sum(ln(factor))) with the factor
+# GUARDED integer-side (ln(0) is -inf in DuckDB but NULL in Spark — the
+# guard keeps both out of the transcendental entirely; a zeroed
+# at-risk set instead short-circuits surv to exact 0 via the integer
+# running min). The running sums are ≤31-row windows over the duration
+# rollup — domain-bounded by the fixture calendar.
+_KM_TAIL_SQL = """
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lif),
+    leaving AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lif GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d,
+             nt.n - coalesce(sum(c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+      FROM leaving CROSS JOIN n_total nt
+    ),
+    km AS (
+      SELECT t, n_risk, d,
+             sum(CASE WHEN n_risk > d
+                      THEN ln(CAST(n_risk - d AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lsum,
+             min(n_risk - d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS minleft
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           CASE WHEN minleft = 0 THEN 0.0
+                ELSE round(exp(lsum), 6) END AS surv
+    FROM km"""
+
+
+@query("events_survival_km", oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d0,
+             max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d1,
+             min(CASE WHEN event_type = 'purchase'
+                       AND value >= {KM_BIG_PURCHASE}
+                      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                AS DATE) END) AS dc
+      FROM events GROUP BY user_id
+    ),
+    lif AS (
+      SELECT user_id,
+             CAST(coalesce(dc, d1) - d0 AS BIGINT) AS dur,
+             dc IS NOT NULL AS ev
+      FROM u
+    ),
+    {_KM_TAIL_SQL}
+""")
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring (new r11) —
+    THE estimator for time-to-event when the observation window
+    truncates lifetimes. Event here: the user's first BIG purchase
+    (value ≥ KM_BIG_PURCHASE); duration = days from the user's first
+    activity to that purchase; users who never convert are CENSORED at
+    their observed span (first→last event day) — they contribute to
+    the at-risk denominators for as long as observed, the correction a
+    naive conversion curve lacks and the complement to
+    events_time_to_convert (which reports converters only) and
+    events_churn_hazard's per-interval rate.
+    S(t) = Π over event times u ≤ t of (n_u − d_u)/n_u.
+
+    Exactness: lifetimes, censor flags, at-risk counts and event
+    counts are exact BIGINTs (the entire decision surface); the
+    survival product evaluates as exp(Σ ln(·)) inside ONE SQL text
+    shared verbatim from the lifetime table onward (_KM_TAIL_SQL) —
+    identical window orders, identical IEEE accumulation; the ln
+    argument is guarded by the integer n_risk > d predicate on both
+    sides (ln(0) is -inf in DuckDB but NULL in Spark — neither is ever
+    evaluated), and an exhausted risk set yields exact 0.0 via the
+    integer running min. The text_perplexity_bigram precedent covers
+    the ln/exp usage: both engines' logs are within 1 ulp, the sum of
+    ≤31 terms is rounded at 6 decimals.
+
+    Scale shape: one map-side-combinable per-user rollup over raw
+    events, then every window runs on the ≤|calendar| duration rollup
+    (≤31 rows here; always calendar-bounded) — the unpartitioned
+    windows sit above an aggregate, the sanctioned domain-bounded
+    shape (PLANS.md unpart.win tripwire)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(day).alias("d0"),
+            F.max(day).alias("d1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= KM_BIG_PURCHASE),
+                    day,
+                )
+            ).alias("dc"),
+        )
+    )
+    lif = u.select(
+        "user_id",
+        F.datediff(F.coalesce(F.col("dc"), F.col("d1")), F.col("d0"))
+        .cast("bigint")
+        .alias("dur"),
+        F.col("dc").isNotNull().alias("ev"),
+    )
+    lif.createOrReplaceTempView("_km_lif")
+    return spark.sql(f"WITH lif AS (SELECT * FROM _km_lif), {_KM_TAIL_SQL}")
+
+
+# ---------------------------------------------------------------------------
+# events_markov_absorption — hit-purchase-before-error probabilities (r11)
+# ---------------------------------------------------------------------------
+
+# Shared VERBATIM from the pair-count grid onward: the fixture chain's
+# transient states {click, signup, view} with {purchase, error} made
+# absorbing. (I − Q)x = R·e_purchase, each row scaled by the integer
+# out-degree tot_i so the WHOLE system is integer: A = diag(tot) − N_Q,
+# b = n(i→purchase); solved in closed form by 3×3 Cramer — integer
+# determinants (entries ≤ ~2e4 at sf0.1, dets ≤ ~1e13; pre-scale the
+# counts once past ~1e12 events — the pagerank convention), ONE double
+# division per state, rounded at 8. No iteration, no inverse, no libm.
+_ABS_TAIL_SQL = """
+    m AS (
+      SELECT
+        sum(CASE WHEN from_type = 'click'  AND to_type = 'click'  THEN n ELSE 0 END) AS n_cc,
+        sum(CASE WHEN from_type = 'click'  AND to_type = 'signup' THEN n ELSE 0 END) AS n_cs,
+        sum(CASE WHEN from_type = 'click'  AND to_type = 'view'   THEN n ELSE 0 END) AS n_cv,
+        sum(CASE WHEN from_type = 'click'  AND to_type = 'purchase' THEN n ELSE 0 END) AS n_cp,
+        sum(CASE WHEN from_type = 'signup' AND to_type = 'click'  THEN n ELSE 0 END) AS n_sc,
+        sum(CASE WHEN from_type = 'signup' AND to_type = 'signup' THEN n ELSE 0 END) AS n_ss,
+        sum(CASE WHEN from_type = 'signup' AND to_type = 'view'   THEN n ELSE 0 END) AS n_sv,
+        sum(CASE WHEN from_type = 'signup' AND to_type = 'purchase' THEN n ELSE 0 END) AS n_sp,
+        sum(CASE WHEN from_type = 'view'   AND to_type = 'click'  THEN n ELSE 0 END) AS n_vc,
+        sum(CASE WHEN from_type = 'view'   AND to_type = 'signup' THEN n ELSE 0 END) AS n_vs,
+        sum(CASE WHEN from_type = 'view'   AND to_type = 'view'   THEN n ELSE 0 END) AS n_vv,
+        sum(CASE WHEN from_type = 'view'   AND to_type = 'purchase' THEN n ELSE 0 END) AS n_vp,
+        sum(CASE WHEN from_type = 'click'  THEN n ELSE 0 END) AS t_c,
+        sum(CASE WHEN from_type = 'signup' THEN n ELSE 0 END) AS t_s,
+        sum(CASE WHEN from_type = 'view'   THEN n ELSE 0 END) AS t_v
+      FROM pairs
+    ),
+    a AS (
+      SELECT CAST(t_c - n_cc AS BIGINT) AS a11, CAST(0 - n_cs AS BIGINT) AS a12,
+             CAST(0 - n_cv AS BIGINT) AS a13, CAST(n_cp AS BIGINT) AS b1,
+             CAST(0 - n_sc AS BIGINT) AS a21, CAST(t_s - n_ss AS BIGINT) AS a22,
+             CAST(0 - n_sv AS BIGINT) AS a23, CAST(n_sp AS BIGINT) AS b2,
+             CAST(0 - n_vc AS BIGINT) AS a31, CAST(0 - n_vs AS BIGINT) AS a32,
+             CAST(t_v - n_vv AS BIGINT) AS a33, CAST(n_vp AS BIGINT) AS b3,
+             CAST(t_c AS BIGINT) AS t_c, CAST(t_s AS BIGINT) AS t_s,
+             CAST(t_v AS BIGINT) AS t_v
+      FROM m
+    ),
+    d AS (
+      SELECT t_c, t_s, t_v, b1, b2, b3,
+             a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31)
+               + a13*(a21*a32 - a22*a31) AS det,
+             b1*(a22*a33 - a23*a32) - a12*(b2*a33 - a23*b3)
+               + a13*(b2*a32 - a22*b3) AS det1,
+             a11*(b2*a33 - a23*b3) - b1*(a21*a33 - a23*a31)
+               + a13*(a21*b3 - b2*a31) AS det2,
+             a11*(a22*b3 - b2*a32) - a12*(a21*b3 - b2*a31)
+               + b1*(a21*a32 - a22*a31) AS det3
+      FROM a
+    )
+    SELECT s.state, s.n_out,
+           CAST(s.detj AS BIGINT) AS det_num,
+           CAST(d2.det AS BIGINT) AS det_den,
+           round(CAST(s.detj AS DOUBLE) / CAST(d2.det AS DOUBLE), 8)
+             AS p_purchase_first
+    FROM (
+      SELECT 'click' AS state, t_c AS n_out, det1 AS detj FROM d
+      UNION ALL SELECT 'signup', t_s, det2 FROM d
+      UNION ALL SELECT 'view', t_v, det3 FROM d
+    ) s CROSS JOIN (SELECT det FROM d) d2"""
+
+
+@query("events_markov_absorption", oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    {_ABS_TAIL_SQL}
+""")
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain hitting probabilities (new r11): make
+    {{purchase, error}} absorbing in the observed event-type chain and
+    report, for each transient state, P(absorb at purchase before
+    error | start there) — the "which intermediate state converts?"
+    question events_markov_stationary's long-run frequencies and
+    events_top_paths' literal paths both dodge: absorption marginalizes
+    over ALL paths of ALL lengths in closed form.
+
+    Exactness: (I − Q)x = R·e_purchase row-scaled by the integer
+    out-degrees becomes a PURE INTEGER 3×3 system (A = diag(tot) − N,
+    b = n(·→purchase)); Cramer's determinants are exact BIGINT products
+    of counts, identical in both engines, and the emitted probability
+    is one shared double division rounded at 8 (numerator AND
+    denominator determinants are emitted as columns, so the exactness
+    claim is auditable on the row). Everything from the pair grid
+    onward is ONE SQL text shared verbatim (_ABS_TAIL_SQL). Probability
+    interpretation guaranteed by 0 ≤ detj ≤ det (substochastic Q).
+
+    Scale shape: the data-grain work is the one per-user lead() window
+    (shared shape with events_transition_matrix / markov_stationary);
+    the grid is |types|² rows and the Cramer solve a single-row
+    projection. At ~1e12+ events pre-scale the counts once so the
+    triple products stay inside BIGINT (the pagerank convention,
+    documented here rather than silently risked)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs.createOrReplaceTempView("_abs_pairs")
+    return spark.sql(
+        f"WITH pairs AS (SELECT * FROM _abs_pairs), {_ABS_TAIL_SQL}"
+    )
