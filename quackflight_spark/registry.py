@@ -46,67 +46,19 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r10 rotation (tools/gate_rotation.py f85fd35): the 14 r10-new
-    # keys lead (never driver-checked; builder-side proof: full
-    # dual-ANSI-leg 353-key sweep green pre-ljung_box + per-key dual-leg
-    # checks + recompute tests), then keys whose implementing MODULE
-    # changed since their last green driver row (stalest green round
-    # first — module granularity is deliberately conservative), then
-    # everything else stalest-first. --
-    "agg_ols_multi",  # new
-    "ann_ivf_append",  # new
-    "events_propensity_match",  # new
-    "graph_ktruss",  # new
-    "graph_random_walk",  # new
-    "pipeline_dataset_diff",  # new
-    "pipeline_length_buckets",  # new
-    "pipeline_train_quality_filter",  # new
-    "scan_csv_multiline",  # new
-    "scan_partitioned_dir",  # new
-    "search_spell_correct",  # new
-    "stream_kalman",  # new
-    "timeseries_kalman",  # new
-    "timeseries_ljung_box",  # new
-    "tpch_q2",  # chg r2
-    "tpch_q7",  # chg r2
-    "sample_quota",  # chg r3
-    "sample_stratified",  # chg r3
-    "split_train_test",  # chg r3
-    "tpch_q11",  # chg r3
-    "tpch_q13",  # chg r3
-    "tpch_q15",  # chg r3
-    "tpch_q16",  # chg r3
-    "tpch_q17",  # chg r3
-    "tpch_q19",  # chg r3
-    "tpch_q20",  # chg r3
-    "tpch_q21",  # chg r3
-    "tpch_q22",  # chg r3
-    "tpch_q8",  # chg r3
-    "tpch_q9",  # chg r3
-    "agg_approx_topk",  # chg r4
-    "agg_grouping_id",  # chg r4
-    "agg_histogram",  # chg r4
-    "agg_listagg",  # chg r4
-    "agg_mode_median",  # chg r4
-    "agg_regression",  # chg r4
-    "ann_filtered_topk",  # chg r4
-    "dedup_incremental",  # chg r4
-    "dedup_lines",  # chg r4
-    "fn_bitwise",  # chg r4
-    "fn_edit_distance",  # chg r4
-    "fn_hashing",  # chg r4
-    "fn_time_bucket",  # chg r4
-    "fn_udtf_split",  # chg r4
-    "fn_variant",  # chg r4
-    "mm_audio_energy",  # chg r4
-    "mm_decode",  # chg r4
-    "mm_feature_extract",  # chg r4
-    "mm_resize",  # chg r4
-    "pipeline_mix_domains",  # chg r4
-    "pipeline_shuffle_shards",  # chg r4
-    "scan_csv",  # chg r4
-    "scan_jsonl",  # chg r4
-    "stream_running_totals",  # chg r4
+    # -- r11 rotation (tools/gate_rotation.py, ref 0bedd18): the 5
+    # r11-new keys lead (never driver-checked; builder-side proof:
+    # per-key dual-leg checks at sf0.01 + sf0.1/sf0.001 spot legs +
+    # recompute/equivalence tests), then keys whose implementing MODULE
+    # changed since their last green driver row (117 this round —
+    # module granularity is deliberately conservative and r11 touched
+    # eight modules), stalest green round first, then everything else
+    # stalest-first. --
+    "dedup_minhash_append",  # new
+    "events_markov_absorption",  # new
+    "events_survival_km",  # new
+    "text_kneser_ney_bigram",  # new
+    "timeseries_changepoint",  # new
     "text_bigram_topk",  # chg r4
     "text_pii_scrub",  # chg r4
     "text_tfidf_topterms",  # chg r4
@@ -125,7 +77,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",  # chg r5
     "mm_binary_meta",  # chg r5
     "mm_frame_sample",  # chg r5
-    "pipeline_decontaminate",  # chg r5
     "pipeline_dedup_keep_best",  # chg r5
     "pipeline_pack_sequences",  # chg r5
     "text_fingerprint",  # chg r5
@@ -133,37 +84,25 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_topk",  # chg r5
     "agg_skew_kurtosis",  # chg r6
     "dedup_containment",  # chg r6
-    "pipeline_mix_temperature",  # chg r6
-    "pipeline_normalize_zscore",  # chg r6
-    "pipeline_shard_balance",  # chg r6
+    "layout_hilbert",  # chg r6
     "text_code_detect",  # chg r6
     "text_entropy",  # chg r6
     "text_lang_confusion",  # chg r6
     "text_novelty",  # chg r6
     "text_readability",  # chg r6
     "ann_recall_eval",  # chg r7
+    "fn_geohash",  # chg r7
     "graph_adamic_adar",  # chg r7
     "graph_bfs",  # chg r7
     "graph_kcore",  # chg r7
     "graph_lpa_communities",  # chg r7
+    "layout_zorder",  # chg r7
     "mm_audio_vad",  # chg r7
     "mm_scene_cuts",  # chg r7
-    "sample_reservoir",  # chg r7
-    "scan_binary_files",  # chg r7
-    "scan_csv_badrecords",  # chg r7
-    "scan_jsonl_nested",  # chg r7
-    "scan_orc",  # chg r7
-    "scan_xml",  # chg r7
-    "stream_holt",  # chg r7
-    "stream_pattern_match",  # chg r7
     "text_collocations_pmi",  # chg r7
     "text_url_normalize",  # chg r7
     "ann_pq_distortion",  # chg r8
-    "pipeline_dataset_fingerprint",  # chg r8
     "pipeline_dsir_logratio",  # chg r8
-    "pipeline_importance_sample",  # chg r8
-    "scan_schema_evolution",  # chg r8
-    "stream_cdc_apply",  # chg r8
     "agg_corr_matrix",  # chg r9
     "agg_gini",  # chg r9
     "agg_weighted_median",  # chg r9
@@ -182,21 +121,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "graph_betweenness",  # chg r9
     "graph_closeness",  # chg r9
     "graph_scc",  # chg r9
+    "layout_zone_map_prune",  # chg r9
     "mm_image_phash",  # chg r9
     "pipeline_data_card",  # chg r9
     "pipeline_gopher_rules",  # chg r9
     "pipeline_hard_negatives",  # chg r9
     "pipeline_tokenizer_fertility",  # chg r9
     "pipeline_triplet_mining",  # chg r9
-    "sample_systematic",  # chg r9
-    "scan_csv_gzip",  # chg r9
     "search_bm25_topk",  # chg r9
     "search_hybrid_rrf",  # chg r9
     "search_mmr_rerank",  # chg r9
     "search_phrase_match",  # chg r9
     "search_trigram_fuzzy",  # chg r9
-    "stream_alert_hysteresis",  # chg r9
-    "stream_sprt",  # chg r9
     "text_langid",  # chg r9
     "text_perplexity_bigram",  # chg r9
     "text_quality",  # chg r9
@@ -210,6 +146,36 @@ GATE_PRIORITY: tuple[str, ...] = (
     "timeseries_sax",  # chg r9
     "timeseries_spectral_dft",  # chg r9
     "timeseries_twap",  # chg r9
+    "agg_approx_topk",  # chg r10
+    "agg_grouping_id",  # chg r10
+    "agg_histogram",  # chg r10
+    "agg_listagg",  # chg r10
+    "agg_mode_median",  # chg r10
+    "agg_ols_multi",  # chg r10
+    "agg_regression",  # chg r10
+    "ann_filtered_topk",  # chg r10
+    "ann_ivf_append",  # chg r10
+    "dedup_incremental",  # chg r10
+    "dedup_lines",  # chg r10
+    "events_propensity_match",  # chg r10
+    "fn_bitwise",  # chg r10
+    "fn_edit_distance",  # chg r10
+    "fn_hashing",  # chg r10
+    "fn_time_bucket",  # chg r10
+    "fn_udtf_split",  # chg r10
+    "fn_variant",  # chg r10
+    "graph_ktruss",  # chg r10
+    "graph_random_walk",  # chg r10
+    "mm_audio_energy",  # chg r10
+    "mm_decode",  # chg r10
+    "mm_feature_extract",  # chg r10
+    "mm_resize",  # chg r10
+    "pipeline_dataset_diff",  # chg r10
+    "pipeline_length_buckets",  # chg r10
+    "pipeline_train_quality_filter",  # chg r10
+    "search_spell_correct",  # chg r10
+    "timeseries_kalman",  # chg r10
+    "timeseries_ljung_box",  # chg r10
     "limit_offset",  # r1
     "tpch_q1",  # r1
     "tpch_q3",  # r1
@@ -276,8 +242,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mv_incremental_refresh",  # r4
     "pipeline_overlap_matrix",  # r4
     "pipeline_quality_audit",  # r4
+    "pipeline_shuffle_shards",  # r4
     "retention_cohorts",  # r4
+    "scan_csv",  # r4
+    "scan_jsonl",  # r4
     "stream_enrich_join",  # r4
+    "stream_running_totals",  # r4
     "stream_watermark_late",  # r4
     "subquery_any_all",  # r4
     "timeseries_interpolate",  # r4
@@ -300,6 +270,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_bpe_merges",  # r5
     "pipeline_bpe_tokenize",  # r5
     "pipeline_corpus_prep",  # r5
+    "pipeline_decontaminate",  # r5
     "recursive_cte",  # r5
     "topk_per_group",  # r5
     "tpch_q12",  # r5
@@ -328,8 +299,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "join_spatial_grid",  # r6
     "join_spatial_nn",  # r6
     "join_trajectory_hausdorff",  # r6
-    "layout_hilbert",  # r6
     "pipeline_chunk_windows",  # r6
+    "pipeline_mix_temperature",  # r6
+    "pipeline_normalize_zscore",  # r6
+    "pipeline_shard_balance",  # r6
     "sample_random",  # r6
     "stream_topk",  # r6
     "timeseries_anomaly_stl",  # r6
@@ -352,14 +325,20 @@ GATE_PRIORITY: tuple[str, ...] = (
     "filter_eq",  # r7
     "fn_date_spine",  # r7
     "fn_format_ch",  # r7
-    "fn_geohash",  # r7
     "join_ip_lpm",  # r7
-    "layout_zorder",  # r7
     "pipeline_dp_counts",  # r7
     "project_cols",  # r7
     "sample_percent",  # r7
+    "sample_reservoir",  # r7
+    "scan_binary_files",  # r7
+    "scan_csv_badrecords",  # r7
+    "scan_jsonl_nested",  # r7
+    "scan_orc",  # r7
     "scan_parquet",  # r7
     "scan_table",  # r7
+    "scan_xml",  # r7
+    "stream_holt",  # r7
+    "stream_pattern_match",  # r7
     "timeseries_downsample_lttb",  # r7
     "timeseries_ewma_control",  # r7
     "timeseries_holt",  # r7
@@ -401,12 +380,39 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orderby_desc_limit",  # r8
     "orderby_limit_ties",  # r8
     "orderby_multi",  # r8
+    "pipeline_dataset_fingerprint",  # r8
+    "pipeline_importance_sample",  # r8
+    "scan_schema_evolution",  # r8
     "scan_time_travel",  # r8
+    "stream_cdc_apply",  # r8
     "timeseries_ohlc",  # r8
     "agg_hll_sketch_table",  # r9
     "agg_quantile_sketch_table",  # r9
     "join_point_in_polygon",  # r9
-    "layout_zone_map_prune",  # r9
+    "sample_systematic",  # r9
+    "scan_csv_gzip",  # r9
+    "stream_alert_hysteresis",  # r9
+    "stream_sprt",  # r9
+    "pipeline_mix_domains",  # r10
+    "sample_quota",  # r10
+    "sample_stratified",  # r10
+    "scan_csv_multiline",  # r10
+    "scan_partitioned_dir",  # r10
+    "split_train_test",  # r10
+    "stream_kalman",  # r10
+    "tpch_q11",  # r10
+    "tpch_q13",  # r10
+    "tpch_q15",  # r10
+    "tpch_q16",  # r10
+    "tpch_q17",  # r10
+    "tpch_q19",  # r10
+    "tpch_q2",  # r10
+    "tpch_q20",  # r10
+    "tpch_q21",  # r10
+    "tpch_q22",  # r10
+    "tpch_q7",  # r10
+    "tpch_q8",  # r10
+    "tpch_q9",  # r10
 )
 
 

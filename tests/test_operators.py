@@ -55,6 +55,30 @@ def test_gate_priority_ordering():
     assert all(k in o for k in q)
 
 
+def test_bench_stdout_fits_driver_tail():
+    """r11 (VERDICT r10 #3): the driver keeps only the last ~2000 chars
+    of bench.py stdout and parses the final line as JSON — BENCH_r10
+    came back `parsed: null` because 222 per-key timings overflowed the
+    window. The summary line (total, n_keys, top-10 slowest) must stay
+    under budget for the CURRENT key count, with worst-case widths."""
+    import json as _json
+
+    from bench import BENCH_KEYS
+
+    times = {k: 123.4567 for k in BENCH_KEYS}
+    slowest = dict(sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10])
+    line = {
+        "metric": "headline wall-clock (min of 3 warm)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_keys": len(times),
+        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "full_map": "bench_samples.json",
+        "sf": 0.1,
+    }
+    assert len(_json.dumps(line, separators=(",", ":"))) < 1900
+
+
 def test_all_queries_run_and_are_nonempty(spark, sf_dir):
     """Every registered query executes; all but the legitimately-empty
     ones return rows. The same pass enforces the no-DecimalType output

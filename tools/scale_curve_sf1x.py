@@ -123,10 +123,17 @@ def build_sf1x(spark) -> str:
     return out
 
 
+N_RUNS = int(os.environ.get("QF_SF1X_RUNS", "3"))
+
+
 def min3(fn) -> float:
+    """min of N_RUNS warm runs (bench.py contract). Set QF_SF1X_RUNS=1
+    for the multi-minute 10x legs (dedup oracles run 4-5 min in DuckDB
+    at x10) so a datapoint fits a bounded session; label such rows
+    'single warm run' when recording them."""
     fn()  # warm
     samples = []
-    for _ in range(3):
+    for _ in range(N_RUNS):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
