@@ -262,6 +262,8 @@ BENCH_KEYS = [
     "text_kneser_ney_bigram",
     "events_survival_km",
     "events_markov_absorption",
+    "timeseries_mann_kendall",
+    "timeseries_theil_sen",
 ]
 
 

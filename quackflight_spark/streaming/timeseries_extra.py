@@ -1335,3 +1335,172 @@ def timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_mann_kendall + timeseries_theil_sen — robust trend suite (r11)
+# ---------------------------------------------------------------------------
+
+# z_{0.975} embedded as the EXACT rational 49/25 = 1.96, so the MK
+# significance decision is pure integer arithmetic: |S|-vs-threshold
+# squares to 625*18*(|S|-1)^2 > 2401*Var18 with Var18 = 18*Var(S) kept
+# integer (the SPRT/chi-square constant device, one step further: not
+# even the CONSTANT is float here).
+MK_Z2_NUM = 2401   # (49)^2
+MK_Z2_DEN = 625    # (25)^2
+TS_ANCHOR = "2024-01-01"   # fixture epoch (the SAX/decay anchor)
+
+# Shared VERBATIM from pts(event_type, t, x) onward by both engines.
+_MK_TAIL_SQL = f"""sgns AS (
+      SELECT a.event_type,
+             CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+               AS sgn
+      FROM pts a JOIN pts b
+        ON b.event_type = a.event_type AND b.t > a.t
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(sum(sgn) AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM sgns GROUP BY event_type
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie18
+      FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS tt
+            FROM pts GROUP BY event_type, x)
+      GROUP BY event_type
+    ),
+    v AS (
+      SELECT nn.event_type, nn.n, s.s_stat, s.n_pairs,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18
+                  AS BIGINT) AS var18
+      FROM nn
+      JOIN s ON s.event_type = nn.event_type
+      JOIN ties ON ties.event_type = nn.event_type
+    )
+    SELECT event_type, n AS n_days, n_pairs, s_stat, var18,
+           CASE WHEN s_stat > 1
+                 AND {MK_Z2_DEN} * 18 * (s_stat - 1) * (s_stat - 1)
+                     > {MK_Z2_NUM} * var18 THEN 'increasing'
+                WHEN s_stat < -1
+                 AND {MK_Z2_DEN} * 18 * (s_stat + 1) * (s_stat + 1)
+                     > {MK_Z2_NUM} * var18 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM v"""
+
+
+def _trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily series as (event_type, t, x): t = exact day index
+    from the fixture epoch {TS_ANCHOR}, x = exact BIGINT daily count —
+    the one data-grain pass both trend keys share."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit(TS_ANCHOR).cast("date"),
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+
+
+_TREND_PTS_ORACLE = f"""pts AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '{TS_ANCHOR}',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                  AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    )"""
+
+
+@query("timeseries_mann_kendall", oracle=f"""
+    WITH {_TREND_PTS_ORACLE},
+    {_MK_TAIL_SQL}
+""")
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per series (new r11) — the standard
+    nonparametric monotonic-trend test (Mann 1945, Kendall 1975):
+    S = Σ_{i<j} sign(x_j − x_i), Var(S) = [n(n−1)(2n+5) −
+    Σ_g t_g(t_g−1)(2t_g+5)]/18 with the tie correction over groups of
+    equal values, decision |Z| > z_{0.975} with the continuity
+    correction (|S|−1). Pairs with timeseries_theil_sen exactly as in
+    the hydrology literature: MK answers IS there a trend, Theil–Sen
+    reports its magnitude.
+
+    Exactness: the ENTIRE key is integer arithmetic — S, n_pairs, and
+    18·Var(S) are exact BIGINTs, and the significance decision squares
+    the z-test into 625·18·(|S|−1)² > 2401·Var18 using z = 49/25
+    exactly (= 1.96); not one float exists in either engine text. The
+    tail from pts(event_type, t, x) onward is one shared-verbatim SQL
+    constant (_MK_TAIL_SQL).
+
+    Scale shape: one map-side-combinable rollup to |series|×|days|
+    rows, then a per-series self-join over calendar-bounded points
+    (C(days,2) pairs — bounded by the horizon, NOT the data volume;
+    100 TB only raises the counts inside x). The tie rollup is a
+    second groupBy on the same tiny frame."""
+    _trend_daily(spark, sf_dir).createOrReplaceTempView("_mk_pts")
+    return spark.sql(
+        f"WITH pts AS (SELECT * FROM _mk_pts), {_MK_TAIL_SQL}"
+    )
+
+
+_TS_TAIL_SQL = """sl AS (
+      SELECT a.event_type,
+             CAST(b.x - a.x AS BIGINT) AS dy,
+             CAST(b.t - a.t AS BIGINT) AS dx,
+             CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+               AS slope,
+             a.t AS ti, b.t AS tj
+      FROM pts a JOIN pts b
+        ON b.event_type = a.event_type AND b.t > a.t
+    ),
+    rk AS (
+      SELECT event_type, dy, dx, slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope, ti, tj) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      FROM sl
+    )
+    SELECT event_type, m AS n_pairs, dy AS sen_dy, dx AS sen_dx,
+           round(slope, 6) AS sen_slope
+    FROM rk WHERE rn = CAST(floor((m + 1) / 2.0) AS BIGINT)"""
+
+
+@query("timeseries_theil_sen", oracle=f"""
+    WITH {_TREND_PTS_ORACLE},
+    {_TS_TAIL_SQL}
+""")
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope per series (new r11) — the median of all
+    pairwise slopes (x_j−x_i)/(t_j−t_i), the classical 29%-breakdown
+    robust trend estimator and Mann–Kendall's companion magnitude
+    (Theil 1950, Sen 1968). Convention: the LOW median (element
+    ⌈m/2⌉ of the slope order) so exactly ONE pair is selected — its
+    exact integer numerator/denominator (sen_dy, sen_dx) are emitted
+    alongside the rounded slope, so the result row is auditable as a
+    rational number, not just a float.
+
+    Exactness: slopes are IEEE doubles computed from identical exact
+    BIGINT (dy, dx) by the identical division in both engines, so the
+    ORDER (slope, ti, tj) is identical; the selection index
+    ⌈m/2⌉ = floor((m+1)/2) is integer; the emitted dy/dx are exact.
+    Tail shared verbatim (_TS_TAIL_SQL).
+
+    Scale shape: identical to timeseries_mann_kendall — one rollup,
+    one calendar-bounded per-series self-join, one per-series window
+    rank. The pair count m = C(days,2) is horizon-bounded."""
+    _trend_daily(spark, sf_dir).createOrReplaceTempView("_ts_pts")
+    return spark.sql(
+        f"WITH pts AS (SELECT * FROM _ts_pts), {_TS_TAIL_SQL}"
+    )

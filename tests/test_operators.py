@@ -4597,3 +4597,79 @@ def test_ljung_box_matches_statsmodels_formula(spark, sf_dir):
         assert got[et][0] == want[et][0]
         assert abs(got[et][1] - want[et][1]) < 1e-6, et
         assert got[et][2] == want[et][2], et
+
+
+def test_mann_kendall_python_recompute(spark, sf_dir):
+    """S, the tie-corrected 18·Var(S), and the trend decision must match
+    a pure-Python exact-integer recompute over the same daily series."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.event_type: r for r in
+           _queries()["timeseries_mann_kendall"](spark, sf_dir).collect()}
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, []).append((r.day, r["count"]))
+    for et, pairs in daily.items():
+        xs = [c for _, c in sorted(pairs)]
+        n = len(xs)
+        s = sum(
+            (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+        ties = Counter(xs)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        if s > 1 and 625 * 18 * (s - 1) ** 2 > 2401 * var18:
+            trend = "increasing"
+        elif s < -1 and 625 * 18 * (s + 1) ** 2 > 2401 * var18:
+            trend = "decreasing"
+        else:
+            trend = "no_trend"
+        g = got[et]
+        assert g.n_days == n and g.n_pairs == n * (n - 1) // 2
+        assert g.s_stat == s and g.var18 == var18
+        assert g.trend == trend, et
+
+
+def test_theil_sen_python_recompute(spark, sf_dir):
+    """The low-median pairwise slope (and its exact dy/dx) must match a
+    pure-Python recompute with the same (slope, ti, tj) ordering."""
+    import datetime as dt
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.event_type: r for r in
+           _queries()["timeseries_theil_sen"](spark, sf_dir).collect()}
+    anchor = dt.date(2024, 1, 1)
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, []).append(
+            ((r.day - anchor).days, r["count"])
+        )
+    for et, pts in daily.items():
+        pts = sorted(pts)
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                ti, xi = pts[i]
+                tj, xj = pts[j]
+                slopes.append(((xj - xi) / (tj - ti), ti, tj, xj - xi, tj - ti))
+        slopes.sort(key=lambda r: (r[0], r[1], r[2]))
+        m = len(slopes)
+        sl, _, _, dy, dx = slopes[(m + 1) // 2 - 1]
+        g = got[et]
+        assert g.n_pairs == m
+        assert (g.sen_dy, g.sen_dx) == (dy, dx)
+        assert abs(g.sen_slope - round(sl, 6)) < 1e-12, et
