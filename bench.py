@@ -264,6 +264,7 @@ BENCH_KEYS = [
     "events_markov_absorption",
     "timeseries_mann_kendall",
     "timeseries_theil_sen",
+    "events_hmm_viterbi",
 ]
 
 

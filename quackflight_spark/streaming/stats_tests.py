@@ -1282,3 +1282,118 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH pairs AS (SELECT * FROM _abs_pairs), {_ABS_TAIL_SQL}"
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hmm_viterbi — exact-integer Viterbi decode per user session (r11)
+# ---------------------------------------------------------------------------
+
+# 2-state HMM over the per-user event stream: state 0 "healthy", state 1
+# "degraded"; observation = is the event an error. Penalties are integer
+# NEGATIVE-LOG-LIKELIHOOD surrogates (the SPRT/Kalman constant device
+# pushed all the way: the whole max-product recursion is exact integer
+# arithmetic, so the per-step argmin and the final decode are
+# bit-identical under any engine / partitioning).
+HMM_E0_ERR = 3    # emission penalty: error observed while healthy
+HMM_E0_OK = 0     # non-error while healthy
+HMM_E1_ERR = 0    # error while degraded
+HMM_E1_OK = 1     # non-error while degraded
+HMM_SWITCH = 2    # transition penalty for changing state
+HMM_INIT1 = 1     # prior penalty for starting degraded
+
+
+@query("events_hmm_viterbi", oracle=f"""
+    WITH RECURSIVE idx AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS k,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS obs
+      FROM events
+    ),
+    nu AS (SELECT user_id, CAST(max(k) AS BIGINT) AS n FROM idx GROUP BY 1),
+    step AS (
+      SELECT user_id, k,
+             CAST(CASE WHEN obs = 1 THEN {HMM_E0_ERR}
+                       ELSE {HMM_E0_OK} END AS BIGINT) AS c0,
+             CAST(CASE WHEN obs = 1 THEN {HMM_E1_ERR}
+                       ELSE {HMM_E1_OK} END + {HMM_INIT1} AS BIGINT) AS c1
+      FROM idx WHERE k = 1
+      UNION ALL
+      SELECT i.user_id, i.k,
+             CAST(least(s.c0, s.c1 + {HMM_SWITCH})
+                  + CASE WHEN i.obs = 1 THEN {HMM_E0_ERR}
+                         ELSE {HMM_E0_OK} END AS BIGINT),
+             CAST(least(s.c0 + {HMM_SWITCH}, s.c1)
+                  + CASE WHEN i.obs = 1 THEN {HMM_E1_ERR}
+                         ELSE {HMM_E1_OK} END AS BIGINT)
+      FROM step s JOIN idx i ON i.user_id = s.user_id AND i.k = s.k + 1
+    )
+    SELECT s.user_id AS user_id, nu.n AS n_events,
+           s.c0 AS cost_healthy, s.c1 AS cost_degraded,
+           CASE WHEN s.c0 <= s.c1 THEN 'healthy' ELSE 'degraded' END
+             AS best_state,
+           least(s.c0, s.c1) AS best_cost
+    FROM step s JOIN nu ON nu.user_id = s.user_id AND s.k = nu.n
+""")
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decode of a 2-state HMM over each user's event stream
+    (new r11) — the max-product forward recursion (Viterbi 1967) with
+    states healthy/degraded and observation 'is this event an error':
+    V_t(s) = emis(s, obs_t) + min_s' (V_{t-1}(s') + trans(s', s)).
+    Completes the latent-sequence set: events_markov_* treat the event
+    TYPES as the chain; this key infers a HIDDEN regime behind them —
+    the sessionized 'was this user in a degraded stretch' question SRE
+    tooling answers with exactly this decode.
+
+    Exactness: penalties are integer negative-log-likelihood
+    surrogates (module constants shared into both texts), so every
+    V_t(s), every argmin, and the final state decision are exact
+    BIGINT arithmetic — the whole DP is hash-provable, no float
+    anywhere. Ties prefer healthy (c0 <= c1) in both engines.
+
+    Scale shape (Spark): applyInPandas over user groups — each group
+    is one bounded session stream (the applyInPandasWithState
+    batch-side analog); the DP is O(states²·events) per user with
+    O(1) rolling state, Arrow-batched, embarrassingly parallel across
+    users. The oracle states the identical recursion as a recursive
+    CTE stepping the per-user event index (depth = max session
+    length, calendar-bounded)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("obs"),
+    )
+
+    def _decode(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        c0, c1 = None, None
+        for o in pdf["obs"].astype(int).tolist():
+            e0 = HMM_E0_ERR if o == 1 else HMM_E0_OK
+            e1 = HMM_E1_ERR if o == 1 else HMM_E1_OK
+            if c0 is None:
+                c0, c1 = e0, e1 + HMM_INIT1
+            else:
+                c0, c1 = (
+                    min(c0, c1 + HMM_SWITCH) + e0,
+                    min(c0 + HMM_SWITCH, c1) + e1,
+                )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "cost_healthy": [c0],
+                "cost_degraded": [c1],
+                "best_state": ["healthy" if c0 <= c1 else "degraded"],
+                "best_cost": [min(c0, c1)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _decode,
+        "user_id bigint, n_events bigint, cost_healthy bigint, "
+        "cost_degraded bigint, best_state string, best_cost bigint",
+    )

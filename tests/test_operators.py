@@ -4673,3 +4673,61 @@ def test_theil_sen_python_recompute(spark, sf_dir):
         assert g.n_pairs == m
         assert (g.sen_dy, g.sen_dx) == (dy, dx)
         assert abs(g.sen_slope - round(sl, 6)) < 1e-12, et
+
+
+def test_hmm_viterbi_minimizes_over_all_paths(spark, sf_dir):
+    """The DP's final min-cost must equal a brute-force minimum over
+    ALL 2^n state paths for each user's first 10 events (exhaustive
+    optimality check, not a recompute of the same recursion), and the
+    full-key output must agree with the recursion run in plain Python
+    over every user's complete stream."""
+    from itertools import product as iproduct
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import (
+        HMM_E0_ERR, HMM_E0_OK, HMM_E1_ERR, HMM_E1_OK, HMM_INIT1, HMM_SWITCH,
+    )
+
+    got = {r.user_id: r for r in
+           _queries()["events_hmm_viterbi"](spark, sf_dir).collect()}
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id",
+                (F.col("event_type") == "error").cast("int").alias("obs"))
+        .collect()
+    )
+    seqs: dict = {}
+    for r in rows:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.obs))
+
+    def emis(s, o):
+        if s == 0:
+            return HMM_E0_ERR if o else HMM_E0_OK
+        return HMM_E1_ERR if o else HMM_E1_OK
+
+    for uid, evs in seqs.items():
+        obs = [o for _, _, o in sorted(evs)]
+        # exhaustive optimality on the 10-event prefix
+        pre = obs[:10]
+        best = min(
+            sum(emis(p[t], pre[t]) for t in range(len(pre)))
+            + (HMM_INIT1 if p[0] == 1 else 0)
+            + sum(HMM_SWITCH for t in range(1, len(pre)) if p[t] != p[t - 1])
+            for p in iproduct((0, 1), repeat=len(pre))
+        )
+        c0 = emis(0, pre[0])
+        c1 = emis(1, pre[0]) + HMM_INIT1
+        for o in pre[1:]:
+            c0, c1 = (min(c0, c1 + HMM_SWITCH) + emis(0, o),
+                      min(c0 + HMM_SWITCH, c1) + emis(1, o))
+        assert min(c0, c1) == best, uid
+        # full-stream agreement with the engine output
+        c0 = emis(0, obs[0])
+        c1 = emis(1, obs[0]) + HMM_INIT1
+        for o in obs[1:]:
+            c0, c1 = (min(c0, c1 + HMM_SWITCH) + emis(0, o),
+                      min(c0 + HMM_SWITCH, c1) + emis(1, o))
+        g = got[uid]
+        assert (g.cost_healthy, g.cost_degraded) == (c0, c1)
+        assert g.best_cost == min(c0, c1)
+        assert g.best_state == ("healthy" if c0 <= c1 else "degraded")
