@@ -265,6 +265,7 @@ BENCH_KEYS = [
     "timeseries_mann_kendall",
     "timeseries_theil_sen",
     "events_hmm_viterbi",
+    "timeseries_matrix_profile",
 ]
 
 

@@ -1504,3 +1504,113 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH pts AS (SELECT * FROM _ts_pts), {_TS_TAIL_SQL}"
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_matrix_profile — exact squared-Euclidean matrix profile (r11)
+# ---------------------------------------------------------------------------
+
+MP_M = 8          # subsequence length (one day at 3-hour grain)
+MP_EXCL = 4       # trivial-match exclusion zone (m/2, the MP convention)
+MP_BPD = 8        # buckets per day (3-hour grain)
+MP_BUCKETS = 240  # fixture horizon: 30 days x 8 buckets (anchor device)
+MP_LAST_START = MP_BUCKETS - MP_M  # last valid window start
+
+# Shared VERBATIM from hs(event_type, b, x) + offs(o) onward.
+_MP_TAIL_SQL = f"""wk AS (
+      SELECT event_type, b - o AS i, o AS k, x
+      FROM hs CROSS JOIN offs
+      WHERE b - o >= 0 AND b - o <= {MP_LAST_START}
+    ),
+    prof AS (
+      SELECT a.event_type, a.i, b.i AS j,
+             CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+      FROM wk a JOIN wk b
+        ON b.event_type = a.event_type AND b.k = a.k
+       AND abs(b.i - a.i) >= {MP_EXCL}
+      GROUP BY 1, 2, 3
+    ),
+    nn1 AS (
+      SELECT event_type, i, j, d2,
+             row_number() OVER (PARTITION BY event_type, i
+                                ORDER BY d2, j) AS rn
+      FROM prof)
+    SELECT event_type, CAST(i AS BIGINT) AS win_start,
+           CAST(j AS BIGINT) AS nn_start, d2 AS nn_d2
+    FROM nn1 WHERE rn = 1"""
+
+
+@query("timeseries_matrix_profile", oracle=f"""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    cnts AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '{TS_ANCHOR}',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                  * {MP_BPD}
+                  + floor(hour(CAST(ts AS TIMESTAMP)) / 3) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    hs AS (
+      SELECT t.event_type, g.b, COALESCE(c.x, 0) AS x
+      FROM types t CROSS JOIN
+           (SELECT CAST(unnest(range(0, {MP_BUCKETS})) AS BIGINT) AS b) g
+      LEFT JOIN cnts c ON c.event_type = t.event_type AND c.b = g.b),
+    offs AS (SELECT CAST(unnest(range(0, {MP_M})) AS BIGINT) AS o),
+    {_MP_TAIL_SQL}
+""")
+def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile per series (new r11) — for every length-{MP_M}
+    subsequence of each series, the distance to its nearest
+    NON-TRIVIAL neighbor subsequence in the same series (exclusion
+    zone |i−j| ≥ {MP_EXCL}), the all-pairs-of-subsequences primitive
+    behind motif discovery and discord (anomaly) detection (Yeh et al.
+    ICDM 2016). The minimum row of the profile is the top motif pair;
+    the maximum is the top discord — this key emits the full profile
+    so both reads are one ORDER BY away.
+
+    Exactness: distances are NON-normalized squared Euclidean over
+    exact BIGINT 3-hour counts on a dense bucket spine (missing
+    buckets are zero-filled) — every d2 and the per-window argmin
+    (tie: smaller j) are pure integer arithmetic; no sqrt, no mean/std
+    normalization, no float anywhere. The z-normalized variant trades
+    that exactness away, so the integer ED form is deliberate.
+
+    Scale shape: one map-side-combinable rollup to the bucket grain,
+    a {MP_BUCKETS}-row-per-series spine (calendar-bounded LITERAL:
+    30-day fixture horizon x {MP_BPD} buckets/day), then the
+    (window x offset) grid self-joined per (series, offset) — volume
+    = |series| x {MP_M} x windows², bounded by the CALENDAR, not data
+    volume; 100 TB only raises the counts inside x. Everything from
+    hs/offs onward is one shared-verbatim SQL constant."""
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit(TS_ANCHOR).cast("date"),
+            ).cast("bigint")
+            * MP_BPD
+            + F.floor(F.hour("ts") / 3).cast("bigint")
+        ).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(MP_BUCKETS - 1))).alias("b0"),
+        )
+        .select("event_type", F.col("b0").cast("bigint").alias("b"))
+    )
+    hs = spine.join(cnts, ["event_type", "b"], "left").select(
+        "event_type", "b", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    hs.createOrReplaceTempView("_mp_hs")
+    spark.range(MP_M).select(
+        F.col("id").cast("bigint").alias("o")
+    ).createOrReplaceTempView("_mp_offs")
+    return spark.sql(
+        "WITH hs AS (SELECT * FROM _mp_hs), "
+        f"offs AS (SELECT * FROM _mp_offs), {_MP_TAIL_SQL}"
+    )

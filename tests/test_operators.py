@@ -4731,3 +4731,44 @@ def test_hmm_viterbi_minimizes_over_all_paths(spark, sf_dir):
         assert (g.cost_healthy, g.cost_degraded) == (c0, c1)
         assert g.best_cost == min(c0, c1)
         assert g.best_state == ("healthy" if c0 <= c1 else "degraded")
+
+
+def test_matrix_profile_numpy_recompute(spark, sf_dir):
+    """The full profile must equal a numpy brute-force over the same
+    dense 3-hour-bucket series (exact integer distances, tie to the
+    smaller neighbor index)."""
+    import numpy as np
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.timeseries_extra import (
+        MP_BUCKETS, MP_EXCL, MP_M, TS_ANCHOR,
+    )
+
+    got = {}
+    for r in _queries()["timeseries_matrix_profile"](spark, sf_dir).collect():
+        got[(r.event_type, r.win_start)] = (r.nn_start, r.nn_d2)
+
+    import datetime as dt
+    anchor = dt.date(*map(int, TS_ANCHOR.split("-")))
+    series: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts")
+        .collect()
+    ):
+        b = (r.ts.date() - anchor).days * 8 + r.ts.hour // 3
+        series.setdefault(r.event_type, np.zeros(MP_BUCKETS, dtype=np.int64))
+        series[r.event_type][b] += 1
+
+    n_starts = MP_BUCKETS - MP_M + 1
+    for et, x in series.items():
+        wins = np.lib.stride_tricks.sliding_window_view(x, MP_M)
+        for i in range(n_starts):
+            d2 = ((wins - wins[i]) ** 2).sum(axis=1)
+            js = np.arange(n_starts)
+            mask = np.abs(js - i) >= MP_EXCL
+            cand = js[mask]
+            dd = d2[mask]
+            order = np.lexsort((cand, dd))
+            want_j, want_d2 = int(cand[order[0]]), int(dd[order[0]])
+            assert got[(et, i)] == (want_j, want_d2), (et, i)
