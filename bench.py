@@ -266,6 +266,7 @@ BENCH_KEYS = [
     "timeseries_theil_sen",
     "events_hmm_viterbi",
     "timeseries_matrix_profile",
+    "search_prf_expansion",
 ]
 
 

@@ -2604,3 +2604,191 @@ def pipeline_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos_sim") < F.col("neg_sim")).alias("violates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# search_prf_expansion — pseudo-relevance-feedback query expansion (r11)
+# ---------------------------------------------------------------------------
+
+PRF_R = 3     # feedback depth: top-R first-pass docs assumed relevant
+PRF_E = 3     # expansion terms drawn from the feedback docs
+PRF_TOP = 5   # final results per query
+
+
+@query("search_prf_expansion", oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> ''),
+               x -> lower(x)))) AS w
+      FROM documents
+    ),
+    tokf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, lower(unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+        FROM documents) GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    kept AS (
+      SELECT df.w, df.df, nn.n FROM df CROSS JOIN nn
+      WHERE {DF_CEIL_DEN} * df.df <= {DF_CEIL_NUM} * nn.n
+    ),
+    q1 AS (
+      SELECT q.doc_id AS query_id, q.w, k.df, k.n
+      FROM tok q JOIN kept k ON k.w = q.w
+      WHERE q.doc_id < {N_QUERIES}
+    ),
+    s1 AS (
+      SELECT q1.query_id, d.doc_id AS cand,
+             round(sum(ln((q1.n + 1.0) / (q1.df + 1.0))), 6) AS s
+      FROM q1 JOIN tok d ON d.w = q1.w AND d.doc_id <> q1.query_id
+      GROUP BY 1, 2
+    ),
+    fb AS (
+      SELECT query_id, cand FROM (
+        SELECT query_id, cand,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cand) AS r
+        FROM s1) WHERE r <= {PRF_R}
+    ),
+    expc AS (
+      SELECT f.query_id, t.w, CAST(sum(t.tf) AS BIGINT) AS tfsum
+      FROM fb f
+      JOIN tokf t ON t.doc_id = f.cand
+      JOIN kept k ON k.w = t.w
+      WHERE NOT EXISTS (SELECT 1 FROM q1
+                        WHERE q1.query_id = f.query_id AND q1.w = t.w)
+      GROUP BY 1, 2
+    ),
+    expt AS (
+      SELECT query_id, w FROM (
+        SELECT query_id, w,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY tfsum DESC, w) AS r
+        FROM expc) WHERE r <= {PRF_E}
+    ),
+    qx AS (
+      SELECT query_id, w FROM q1
+      UNION
+      SELECT query_id, w FROM expt
+    ),
+    s2 AS (
+      SELECT qx.query_id, d.doc_id AS cand,
+             round(sum(ln((k.n + 1.0) / (k.df + 1.0))), 6) AS score
+      FROM qx
+      JOIN kept k ON k.w = qx.w
+      JOIN tok d ON d.w = qx.w AND d.doc_id <> qx.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand AS doc_id, score, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cand) AS rn
+          FROM s2)
+    WHERE rn <= {PRF_TOP}
+""")
+def search_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (new r11) — the
+    Rocchio/RM loop every relevance-feedback retrieval system runs
+    (Rocchio 1971; Lavrenko & Croft 2001): first-pass lexical
+    retrieval (the hybrid key's shared-term IDF leg), assume the top
+    {PRF_R} results are relevant, mine the {PRF_E} strongest NEW terms
+    from them (by summed exact tf, stopword-ceiling applied, original
+    query terms excluded), append them to the query, and rescore the
+    corpus with the expanded term set. Completes the search family's
+    loop: bm25/hybrid score a FIXED query; this key is the standard
+    mechanism that improves recall when the query undersamples its
+    topic vocabulary.
+
+    Exactness: expansion-term selection is pure integer (Σtf with
+    lexicographic tie-break); the only floats are the two scoring
+    passes, each the hybrid leg's proven round-6 idf sum evaluated
+    from identical exact (n, df) integers by identical expression
+    text, with doc-id tiebreakers at every rank cut.
+
+    Scale shape: both passes are broadcast-query-terms joins against
+    the term-keyed inverted index with the {DF_CEIL_NUM}/{DF_CEIL_DEN}
+    df ceiling pruning postings BEFORE the shuffle; the feedback mine
+    joins a (queries x {PRF_R})-bounded doc set against their postings
+    only. The expanded term set adds ≤{PRF_E} terms per query — the
+    second pass costs the same shape as the first, never more than
+    2x the hybrid lexical leg."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(toks, lambda x: F.lower(x)))
+        ).alias("w"),
+    )
+    tokf = (
+        d.select(
+            "doc_id",
+            F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    nn = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    kept = (
+        dfreq.join(F.broadcast(nn))
+        .filter(DF_CEIL_DEN * F.col("df") <= DF_CEIL_NUM * F.col("n"))
+    )
+    q1 = (
+        tok.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .join(kept, "w")
+    )
+    idf = F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+    s1 = (
+        q1.join(tok.withColumnRenamed("doc_id", "cand"), "w")
+        .filter(F.col("cand") != F.col("query_id"))
+        .withColumn("idf", idf)
+        .groupBy("query_id", "cand")
+        .agg(F.round(F.sum("idf"), 6).alias("s"))
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.desc("s"), "cand")
+    fb = (
+        s1.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= PRF_R)
+        .select("query_id", "cand")
+    )
+    expc = (
+        fb.join(tokf.withColumnRenamed("doc_id", "cand"), "cand")
+        .join(kept.select("w"), "w")
+        .join(
+            q1.select("query_id", "w"),
+            ["query_id", "w"],
+            "left_anti",
+        )
+        .groupBy("query_id", "w")
+        .agg(F.sum("tf").cast("bigint").alias("tfsum"))
+    )
+    we = W.partitionBy("query_id").orderBy(F.desc("tfsum"), "w")
+    expt = (
+        expc.withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") <= PRF_E)
+        .select("query_id", "w")
+    )
+    qx = q1.select("query_id", "w").union(expt).distinct()
+    s2 = (
+        qx.join(kept, "w")
+        .join(tok.withColumnRenamed("doc_id", "cand"), "w")
+        .filter(F.col("cand") != F.col("query_id"))
+        .withColumn("idf", idf)
+        .groupBy("query_id", "cand")
+        .agg(F.round(F.sum("idf"), 6).alias("score"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("score"), "cand")
+    return (
+        s2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= PRF_TOP)
+        .select(
+            "query_id",
+            F.col("cand").alias("doc_id"),
+            "score",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

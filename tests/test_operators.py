@@ -4772,3 +4772,73 @@ def test_matrix_profile_numpy_recompute(spark, sf_dir):
             order = np.lexsort((cand, dd))
             want_j, want_d2 = int(cand[order[0]]), int(dd[order[0]])
             assert got[(et, i)] == (want_j, want_d2), (et, i)
+
+
+def test_prf_expansion_python_recompute(spark, sf_dir):
+    """Full two-pass PRF pipeline recomputed in pure Python over the
+    same corpus: first-pass idf ranking, feedback-term mining
+    (integer Σtf, query terms excluded, df ceiling applied), expanded
+    rescoring, and the final top-k must all agree."""
+    import math
+    from collections import Counter, defaultdict
+
+    from quackflight_spark.pipeline.similarity import (
+        DF_CEIL_DEN, DF_CEIL_NUM, N_QUERIES, PRF_E, PRF_R, PRF_TOP,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    docs = {
+        r.doc_id: [t for t in r.text.strip().split() if t]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    tok = {d: set(w.lower() for w in ws) for d, ws in docs.items()}
+    tokf = {d: Counter(w.lower() for w in ws) for d, ws in docs.items()}
+    n = len(docs)
+    df = Counter()
+    for ws in tok.values():
+        df.update(ws)
+    kept = {w for w, c in df.items() if DF_CEIL_DEN * c <= DF_CEIL_NUM * n}
+
+    def idf_score(terms, cand):
+        s = sum(
+            math.log((n + 1.0) / (df[w] + 1.0))
+            for w in terms
+            if w in tok[cand]
+        )
+        return round(s, 6)
+
+    want = {}
+    for q in [d for d in docs if d < N_QUERIES]:
+        qterms = tok[q] & kept
+        s1 = []
+        for c in docs:
+            if c == q:
+                continue
+            sc = idf_score(qterms, c)
+            if sc != 0.0:
+                s1.append((-sc, c))
+        s1.sort()
+        fb = [c for _, c in s1[:PRF_R]]
+        mined = defaultdict(int)
+        for c in fb:
+            for w, tf in tokf[c].items():
+                if w in kept and w not in qterms:
+                    mined[w] += tf
+        expt = sorted(mined, key=lambda w: (-mined[w], w))[:PRF_E]
+        ex = qterms | set(expt)
+        s2 = []
+        for c in docs:
+            if c == q:
+                continue
+            sc = idf_score(ex, c)
+            if sc != 0.0:
+                s2.append((-sc, c))
+        s2.sort()
+        for rn, (negs, c) in enumerate(s2[:PRF_TOP], 1):
+            want[(q, c)] = (-negs, rn)
+
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.rn)
+        for r in _queries()["search_prf_expansion"](spark, sf_dir).collect()
+    }
+    assert got == want
