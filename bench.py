@@ -267,6 +267,7 @@ BENCH_KEYS = [
     "events_hmm_viterbi",
     "timeseries_matrix_profile",
     "search_prf_expansion",
+    "timeseries_dtw",
 ]
 
 

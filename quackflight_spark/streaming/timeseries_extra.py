@@ -1614,3 +1614,129 @@ def timeseries_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH hs AS (SELECT * FROM _mp_hs), "
         f"offs AS (SELECT * FROM _mp_offs), {_MP_TAIL_SQL}"
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_dtw — exact-integer dynamic time warping between series (r11)
+# ---------------------------------------------------------------------------
+
+DTW_INF = 10**15   # out-of-grid sentinel; real costs are bounded by
+                   # max_cell^2 * (na+nb) << 10^15 at any fixture scale
+
+
+@query("timeseries_dtw", oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '{TS_ANCHOR}',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                  AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, list(x ORDER BY t) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+      FROM ser a JOIN ser b ON b.event_type > a.event_type
+    ),
+    dp AS (
+      SELECT ta, tb, sa, sb, na, nb,
+             CAST(2 AS BIGINT) AS d,
+             [CAST((sa[1] - sb[1]) * (sa[1] - sb[1]) AS BIGINT)] AS cur,
+             CAST([] AS BIGINT[]) AS prev
+      FROM pr
+      UNION ALL
+      SELECT ta, tb, sa, sb, na, nb,
+             d + 1,
+             list_transform(
+               range(CAST(greatest(1, d + 1 - nb) AS BIGINT),
+                     CAST(least(na, d) AS BIGINT) + 1),
+               i -> (sa[CAST(i AS INT)] - sb[CAST(d + 1 - i AS INT)])
+                    * (sa[CAST(i AS INT)] - sb[CAST(d + 1 - i AS INT)])
+                  + least(
+                      CASE WHEN i - 1 >= greatest(1, d - nb)
+                            AND i - 1 <= least(na, d - 1)
+                           THEN cur[CAST(i - 1 - greatest(1, d - nb) + 1
+                                         AS INT)]
+                           ELSE {DTW_INF} END,
+                      CASE WHEN i >= greatest(1, d - nb)
+                            AND i <= least(na, d - 1)
+                           THEN cur[CAST(i - greatest(1, d - nb) + 1 AS INT)]
+                           ELSE {DTW_INF} END,
+                      CASE WHEN i - 1 >= greatest(1, d - 1 - nb)
+                            AND i - 1 <= least(na, d - 2)
+                           THEN prev[CAST(i - 1 - greatest(1, d - 1 - nb) + 1
+                                          AS INT)]
+                           ELSE {DTW_INF} END
+                    )
+             ) AS cur,
+             cur AS prev
+      FROM dp WHERE d < na + nb
+    )
+    SELECT ta, tb, na, nb, cur[1] AS dtw_d2,
+           round(CAST(cur[1] AS DOUBLE) / CAST(na + nb AS DOUBLE), 6)
+             AS dtw_norm
+    FROM dp WHERE d = na + nb
+""")
+def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping distance between every pair of per-type
+    daily series (new r11) — the classical elastic alignment distance
+    (Sakoe & Chiba 1978): D(i,j) = (a_i − b_j)² + min(D(i−1,j),
+    D(i,j−1), D(i−1,j−1)), full grid, squared-difference local cost.
+    The series-similarity primitive the family lacked: matrix_profile
+    compares subsequences WITHIN one series; DTW compares ACROSS
+    series under tempo shifts (a day-shifted spike still aligns).
+
+    Exactness: daily counts, local costs, and the whole DP are exact
+    BIGINT arithmetic — min over integers, no float until the single
+    emitted normalization round(d2/(na+nb), 6), identical in both
+    texts. The Spark leg runs the identical recurrence as exact
+    Python ints; the oracle states it as a recursive CTE advancing
+    the DP one ANTI-DIAGONAL per step (cells of diagonal d depend
+    only on diagonals d−1, d−2 — the classical wavefront
+    parallelization of DTW), carrying the two frontier diagonals as
+    lists.
+
+    Scale shape: the ONE data-grain pass is the daily rollup
+    (map-side combinable); the DP grid is |days|² per pair over
+    |types|² pairs — calendar-bounded metadata, NOT data-bounded, so
+    it runs driver-side as exact control-plane arithmetic (the
+    events_markov_stationary / IVF-centroid precedent: a ~60-round
+    chain of 5-row Spark jobs would cost pure scheduling floor; at
+    100 TB the rollup shrinks 100 TB to |types|×|days| rows and
+    NOTHING else grows)."""
+    daily = _trend_daily(spark, sf_dir)
+    rows = daily.collect()  # |types| x |days| rows — metadata-scale
+    ser: dict = {}
+    for r in rows:
+        ser.setdefault(r.event_type, []).append((r.t, r.x))
+    out = []
+    ets = sorted(ser)
+    for ai in range(len(ets)):
+        for bi in range(ai + 1, len(ets)):
+            a = [x for _, x in sorted(ser[ets[ai]])]
+            b = [x for _, x in sorted(ser[ets[bi]])]
+            na, nb = len(a), len(b)
+            inf = DTW_INF
+            prev_row = [0] + [inf] * nb
+            for i in range(1, na + 1):
+                cur_row = [inf] * (nb + 1)
+                for j in range(1, nb + 1):
+                    c = (a[i - 1] - b[j - 1]) ** 2
+                    cur_row[j] = c + min(
+                        prev_row[j], cur_row[j - 1], prev_row[j - 1]
+                    )
+                prev_row = cur_row
+            d2 = prev_row[nb]
+            out.append(
+                (ets[ai], ets[bi], na, nb, d2, round(d2 / (na + nb), 6))
+            )
+    return spark.createDataFrame(
+        out,
+        "ta string, tb string, na bigint, nb bigint, "
+        "dtw_d2 bigint, dtw_norm double",
+    )

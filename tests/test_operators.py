@@ -4842,3 +4842,68 @@ def test_prf_expansion_python_recompute(spark, sf_dir):
         for r in _queries()["search_prf_expansion"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dtw_minimizes_over_all_warping_paths(spark, sf_dir):
+    """On 6-point series prefixes, the engine's DP cost must equal an
+    exhaustive minimum over ALL monotone warping paths (recursive path
+    enumeration — independent of the DP recurrence)."""
+    from functools import lru_cache
+
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {(r.ta, r.tb): r for r in
+           _queries()["timeseries_dtw"](spark, sf_dir).collect()}
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, []).append((r.day, r["count"]))
+    ser = {et: [c for _, c in sorted(v)] for et, v in daily.items()}
+    ets = sorted(ser)
+
+    def exhaustive(a, b):
+        # min over all paths from (0,0) to (na-1,nb-1) with steps
+        # (+1,0), (0,+1), (+1,+1); cost = sum of (a_i-b_j)^2 visited
+        @lru_cache(maxsize=None)
+        def go(i, j):
+            c = (a[i] - b[j]) ** 2
+            if i == len(a) - 1 and j == len(b) - 1:
+                return c
+            cands = []
+            if i + 1 < len(a):
+                cands.append(go(i + 1, j))
+            if j + 1 < len(b):
+                cands.append(go(i, j + 1))
+            if i + 1 < len(a) and j + 1 < len(b):
+                cands.append(go(i + 1, j + 1))
+            return c + min(cands)
+
+        return go(0, 0)
+
+    def dp(a, b):
+        inf = float("inf")
+        prev = [0] + [inf] * len(b)
+        for i in range(1, len(a) + 1):
+            cur = [inf] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                cur[j] = (a[i - 1] - b[j - 1]) ** 2 + min(
+                    prev[j], cur[j - 1], prev[j - 1]
+                )
+            prev = cur
+        return prev[len(b)]
+
+    for ai in range(len(ets)):
+        for bi in range(ai + 1, len(ets)):
+            a, b = ser[ets[ai]], ser[ets[bi]]
+            # exhaustive-vs-DP equivalence on the short prefix
+            assert dp(a[:6], b[:6]) == exhaustive(tuple(a[:6]), tuple(b[:6]))
+            # full-series engine output matches an independent DP run
+            g = got[(ets[ai], ets[bi])]
+            full = dp(a, b)
+            assert (g.na, g.nb) == (len(a), len(b))
+            assert g.dtw_d2 == full
+            assert abs(g.dtw_norm - round(full / (len(a) + len(b)), 6)) < 1e-12
