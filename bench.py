@@ -268,6 +268,7 @@ BENCH_KEYS = [
     "timeseries_matrix_profile",
     "search_prf_expansion",
     "timeseries_dtw",
+    "events_competing_risks",
 ]
 
 

@@ -1397,3 +1397,160 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, n_events bigint, cost_healthy bigint, "
         "cost_degraded bigint, best_state string, best_cost bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_competing_risks — Aalen–Johansen cumulative incidence (r11)
+# ---------------------------------------------------------------------------
+
+CR_BIG = 150  # threshold shared by both causes (measured at sf0.01:
+# 52 convert / 56 incident / 42 censored — a genuine three-way mix)
+
+# Shared VERBATIM from lif(user_id, dur, cause) onward (the KM tail
+# device extended to two causes): cause 1 = first big purchase, cause
+# 2 = first big error, whichever day comes FIRST (same-day ties go to
+# convert); cause 0 = censored at the observed span. All decision
+# surfaces (durations, cause codes, at-risk counts) are exact BIGINT;
+# the float surface is the all-cause KM prefix survival S(u−) =
+# exp(Σ ln) with the survival_km ln-guard, and the two CIF running
+# sums of S(u−)·d_k/n_u — identical text, identical window order,
+# identical IEEE.
+_CR_TAIL_SQL = """
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lif),
+    leaving AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lif GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             nt.n - coalesce(sum(c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+      FROM leaving CROSS JOIN n_total nt
+    ),
+    ev AS (SELECT t, n_risk, d1, d2 FROM risk WHERE d1 + d2 > 0),
+    km AS (
+      SELECT t, n_risk, d1, d2,
+             coalesce(sum(CASE WHEN n_risk > d1 + d2
+                      THEN ln(CAST(n_risk - d1 - d2 AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0.0) AS lprev,
+             coalesce(min(n_risk - d1 - d2) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 1) AS minprev
+      FROM ev
+    ),
+    terms AS (
+      SELECT t, n_risk, d1, d2,
+             CASE WHEN minprev = 0 THEN 0.0 ELSE exp(lprev) END AS sprev
+      FROM km
+    ),
+    cif AS (
+      SELECT t, n_risk, d1, d2,
+             sum(sprev * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif1,
+             sum(sprev * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif2
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d1 AS d_convert, d2 AS d_incident,
+           round(cif1, 6) AS cif_convert,
+           round(cif2, 6) AS cif_incident
+    FROM cif"""
+
+
+@query("events_competing_risks", oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d0,
+             max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d1,
+             min(CASE WHEN event_type = 'purchase' AND value >= {CR_BIG}
+                      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                AS DATE) END) AS dc,
+             min(CASE WHEN event_type = 'error' AND value >= {CR_BIG}
+                      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                AS DATE) END) AS de
+      FROM events GROUP BY user_id
+    ),
+    lif AS (
+      SELECT user_id,
+             CAST(CASE WHEN dc IS NOT NULL AND (de IS NULL OR dc <= de)
+                       THEN dc - d0
+                       WHEN de IS NOT NULL THEN de - d0
+                       ELSE d1 - d0 END AS BIGINT) AS dur,
+             CASE WHEN dc IS NOT NULL AND (de IS NULL OR dc <= de) THEN 1
+                  WHEN de IS NOT NULL THEN 2 ELSE 0 END AS cause
+      FROM u
+    ),
+    {_CR_TAIL_SQL}
+""")
+def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under competing risks (new
+    r11) — when two event kinds race per user (first big purchase vs
+    first big error, whichever day comes first; never-reached users
+    censored at their observed span), 1−KM per cause OVERSTATES both
+    incidences because it treats the rival cause as censoring. The AJ
+    estimator is the correct decomposition: CIF_k(t) = Σ_{{u≤t}}
+    Ŝ(u−)·d_k(u)/n_u with Ŝ the ALL-CAUSE KM survival — and it
+    satisfies Ŝ(t) + CIF₁(t) + CIF₂(t) = 1 exactly (tested).
+    Completes the survival set: events_survival_km is the one-cause
+    special case.
+
+    Exactness: durations, cause codes (tie → convert, stated),
+    at-risk and per-cause event counts are exact BIGINTs; the float
+    surface is survival_km's guarded exp(Σ ln) prefix product plus
+    two running sums of Ŝ(u−)·d_k/n_u — one shared-verbatim text
+    (_CR_TAIL_SQL), identical window frames, identical IEEE. n_risk
+    on an event row is ≥ d1+d2 ≥ 1, so no division guard is needed.
+
+    Scale shape: identical to survival_km — one map-side per-user
+    rollup, then calendar-bounded (≤31-row) windows above the
+    aggregate (the sanctioned unpartitioned-window shape)."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(day).alias("d0"),
+            F.max(day).alias("d1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= CR_BIG),
+                    day,
+                )
+            ).alias("dc"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("value") >= CR_BIG),
+                    day,
+                )
+            ).alias("de"),
+        )
+    )
+    conv_first = F.col("dc").isNotNull() & (
+        F.col("de").isNull() | (F.col("dc") <= F.col("de"))
+    )
+    lif = u.select(
+        "user_id",
+        F.when(conv_first, F.datediff(F.col("dc"), F.col("d0")))
+        .when(F.col("de").isNotNull(), F.datediff(F.col("de"), F.col("d0")))
+        .otherwise(F.datediff(F.col("d1"), F.col("d0")))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(conv_first, F.lit(1))
+        .when(F.col("de").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("cause"),
+    )
+    lif.createOrReplaceTempView("_cr_lif")
+    return spark.sql(
+        f"WITH lif AS (SELECT * FROM _cr_lif), {_CR_TAIL_SQL}"
+    )

@@ -4907,3 +4907,71 @@ def test_dtw_minimizes_over_all_warping_paths(spark, sf_dir):
             assert (g.na, g.nb) == (len(a), len(b))
             assert g.dtw_d2 == full
             assert abs(g.dtw_norm - round(full / (len(a) + len(b)), 6)) < 1e-12
+
+
+def test_competing_risks_aj_identity_and_recompute(spark, sf_dir):
+    """Two independent checks: (1) the Aalen–Johansen identity
+    S_allcause(t) + CIF_convert(t) + CIF_incident(t) = 1 at every
+    event time; (2) a full pure-Python recompute of both CIFs from
+    the per-user lifetime table."""
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import CR_BIG
+
+    rows = sorted(
+        _queries()["events_competing_risks"](spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows, "no event times"
+
+    # rebuild lifetimes in Python
+    users: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "value",
+                F.col("ts").cast("date").alias("day"))
+        .collect()
+    ):
+        u = users.setdefault(r.user_id, {"d0": r.day, "d1": r.day,
+                                         "dc": None, "de": None})
+        u["d0"] = min(u["d0"], r.day)
+        u["d1"] = max(u["d1"], r.day)
+        if r.event_type == "purchase" and r.value >= CR_BIG:
+            u["dc"] = r.day if u["dc"] is None else min(u["dc"], r.day)
+        if r.event_type == "error" and r.value >= CR_BIG:
+            u["de"] = r.day if u["de"] is None else min(u["de"], r.day)
+    lif = []
+    for u in users.values():
+        if u["dc"] is not None and (u["de"] is None or u["dc"] <= u["de"]):
+            lif.append(((u["dc"] - u["d0"]).days, 1))
+        elif u["de"] is not None:
+            lif.append(((u["de"] - u["d0"]).days, 2))
+        else:
+            lif.append(((u["d1"] - u["d0"]).days, 0))
+    n = len(lif)
+    from collections import defaultdict
+    leave = defaultdict(lambda: [0, 0, 0])  # d1, d2, c
+    for dur, cause in lif:
+        if cause == 1:
+            leave[dur][0] += 1
+        elif cause == 2:
+            leave[dur][1] += 1
+        leave[dur][2] += 1
+    s = 1.0
+    cif1 = cif2 = 0.0
+    at_risk = n
+    want = {}
+    for t in sorted(leave):
+        d1, d2, c = leave[t]
+        if d1 + d2 > 0:
+            cif1 += s * d1 / at_risk
+            cif2 += s * d2 / at_risk
+            s *= (at_risk - d1 - d2) / at_risk
+            want[t] = (at_risk, d1, d2, cif1, cif2, s)
+        at_risk -= c
+    for r in rows:
+        at_risk, d1, d2, c1, c2, surv = want[r.t_days]
+        assert (r.n_risk, r.d_convert, r.d_incident) == (at_risk, d1, d2)
+        assert abs(r.cif_convert - round(c1, 6)) < 2e-6
+        assert abs(r.cif_incident - round(c2, 6)) < 2e-6
+        # AJ identity
+        assert abs(surv + c1 + c2 - 1.0) < 1e-9, r.t_days
