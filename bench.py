@@ -269,6 +269,7 @@ BENCH_KEYS = [
     "search_prf_expansion",
     "timeseries_dtw",
     "events_competing_risks",
+    "text_rake_keywords",
 ]
 
 

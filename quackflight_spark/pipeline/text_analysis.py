@@ -2234,3 +2234,172 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_KN_PROJ).alias("p_kn"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords — RAKE keyphrase extraction, generated stoplist (r11)
+# ---------------------------------------------------------------------------
+
+RAKE_STOP_K = 10    # generated stoplist size: top-K corpus words by count
+RAKE_SCALE = 10**6  # word score deg/freq carried as (deg*SCALE)//freq
+RAKE_TOP = 15       # emitted keyphrases
+
+
+@query("text_rake_keywords", oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, lower(ws[CAST(i AS INT)]) AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) _l
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+    stop AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc)
+      WHERE r <= {RAKE_STOP_K}
+    ),
+    marked AS (
+      SELECT pos.doc_id, pos.p, pos.w,
+             CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END AS st
+      FROM pos LEFT JOIN stop s ON s.w = pos.w
+    ),
+    grp AS (
+      SELECT doc_id, p, w, st,
+             sum(st) OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM marked
+    ),
+    pw AS (SELECT doc_id, g, p, w FROM grp WHERE st = 0),
+    phr AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS plen,
+             string_agg(w, ' ' ORDER BY p) AS phrase
+      FROM pw GROUP BY 1, 2
+    ),
+    wstat AS (
+      SELECT pw.w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(phr.plen) AS BIGINT) AS deg
+      FROM pw JOIN phr ON phr.doc_id = pw.doc_id AND phr.g = pw.g
+      GROUP BY pw.w
+    ),
+    ps AS (
+      SELECT phr.phrase, phr.plen, phr.doc_id, phr.g,
+             CAST(sum((ws.deg * {RAKE_SCALE}) // ws.freq) AS BIGINT)
+               AS iscore
+      FROM pw
+      JOIN phr ON phr.doc_id = pw.doc_id AND phr.g = pw.g
+      JOIN wstat ws ON ws.w = pw.w
+      GROUP BY 1, 2, 3, 4
+    ),
+    ag AS (
+      SELECT phrase, plen, CAST(count(*) AS BIGINT) AS n_occur,
+             min(iscore) AS iscore
+      FROM ps GROUP BY 1, 2
+    )
+    SELECT phrase, plen, n_occur, iscore,
+           round(CAST(iscore AS DOUBLE) / {RAKE_SCALE}.0, 6) AS score
+    FROM ag ORDER BY iscore DESC, phrase LIMIT {RAKE_TOP}
+""")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (new r11) — Rapid Automatic Keyword
+    Extraction (Rose et al. 2010): candidate phrases are maximal runs
+    of tokens between stopword delimiters; each word scores
+    degree/frequency (degree = Σ length of phrases containing it,
+    rewarding words that co-occur in long candidates); a phrase scores
+    the sum of its member word scores. The stoplist is GENERATED from
+    the corpus — the top-{RAKE_STOP_K} words by total count (tie →
+    lexicographic), the frequency-generated-stoplist variant §1.2.3 of
+    the RAKE chapter proposes — because the synthetic fixture lacks a
+    natural-language stopword vocabulary.
+
+    Exactness: positions, the stoplist cut, phrase grouping (running
+    count of delimiters per doc), freq, deg, and the phrase score are
+    ALL exact integers — the word score is carried as
+    (deg·{RAKE_SCALE})//freq with floor division (DuckDB `//`, Spark
+    `DIV` — the markov-stationary device), summed as BIGINT, so the
+    final global ORDER BY (iscore DESC, phrase) and top-{RAKE_TOP} cut
+    are integer-decided; the emitted double is one division by the
+    same literal.
+
+    Scale shape: tokenize + posexplode is embarrassingly parallel;
+    the stoplist is a row_number over the VOCABULARY-sized count
+    rollup (the sanctioned domain-bounded unpartitioned window);
+    phrase grouping is one per-doc window pass; wstat/ps are
+    vocabulary- and phrase-keyed joins — postings-shaped, never
+    doc x doc. The final is a global top-k (TakeOrderedAndProject)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    pos = d.select(
+        "doc_id", F.posexplode(toks).alias("p0", "w0")
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("p"),
+        F.lower("w0").alias("w"),
+    )
+    wc = pos.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stop = (
+        wc.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("c"), "w"))
+        )
+        .filter(F.col("r") <= RAKE_STOP_K)
+        .select("w")
+    )
+    marked = pos.join(
+        F.broadcast(stop.withColumn("st1", F.lit(1))), "w", "left"
+    ).select(
+        "doc_id", "p", "w", F.coalesce("st1", F.lit(0)).alias("st")
+    )
+    grp = marked.withColumn(
+        "g",
+        F.sum("st").over(
+            W.partitionBy("doc_id")
+            .orderBy("p")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    pw = grp.filter(F.col("st") == 0).select("doc_id", "g", "p", "w")
+    phr = pw.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda s: s.w,
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        pw.join(phr.select("doc_id", "g", "plen"), ["doc_id", "g"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    ps = (
+        pw.join(phr, ["doc_id", "g"])
+        .join(F.broadcast(wstat), "w")
+        .withColumn("wscore", F.expr(f"(deg * {RAKE_SCALE}) DIV freq"))
+        .groupBy("phrase", "plen", "doc_id", "g")
+        .agg(F.sum("wscore").cast("bigint").alias("iscore"))
+    )
+    ag = ps.groupBy("phrase", "plen").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occur"),
+        F.min("iscore").alias("iscore"),
+    )
+    return (
+        ag.orderBy(F.desc("iscore"), "phrase")
+        .limit(RAKE_TOP)
+        .select(
+            "phrase",
+            "plen",
+            "n_occur",
+            "iscore",
+            F.round(F.col("iscore").cast("double") / RAKE_SCALE, 6).alias(
+                "score"
+            ),
+        )
+    )

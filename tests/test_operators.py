@@ -4975,3 +4975,66 @@ def test_competing_risks_aj_identity_and_recompute(spark, sf_dir):
         assert abs(r.cif_incident - round(c2, 6)) < 2e-6
         # AJ identity
         assert abs(surv + c1 + c2 - 1.0) < 1e-9, r.t_days
+
+
+def test_rake_keywords_python_recompute(spark, sf_dir):
+    """Full RAKE pipeline recomputed in pure Python: generated
+    stoplist, phrase segmentation, exact integer deg/freq scores, and
+    the final ranked cut must all agree."""
+    from collections import Counter
+
+    from quackflight_spark.pipeline.text_analysis import (
+        RAKE_SCALE, RAKE_STOP_K, RAKE_TOP,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    docs = {
+        r.doc_id: [t.lower() for t in r.text.strip().split() if t]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    wc = Counter()
+    for ws in docs.values():
+        wc.update(ws)
+    stop = set(
+        w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:RAKE_STOP_K]
+    )
+    phrases = []
+    for ws in docs.values():
+        run = []
+        for w in ws:
+            if w in stop:
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(w)
+        if run:
+            phrases.append(run)
+    freq = Counter()
+    deg = Counter()
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    scored = Counter()
+    texts = Counter()
+    meta = {}
+    for ph in phrases:
+        iscore = sum((deg[w] * RAKE_SCALE) // freq[w] for w in ph)
+        key = (" ".join(ph), len(ph))
+        texts[key] += 1
+        meta[key] = iscore
+    rows = sorted(
+        ((m, k) for k, m in meta.items()),
+        key=lambda r: (-r[0], r[1][0]),
+    )[:RAKE_TOP]
+    want = [
+        (k[0], k[1], texts[k], m, round(m / RAKE_SCALE, 6))
+        for m, k in rows
+    ]
+    got = [
+        (r.phrase, r.plen, r.n_occur, r.iscore, r.score)
+        for r in _queries()["text_rake_keywords"](spark, sf_dir).collect()
+    ]
+    assert got == want
