@@ -270,6 +270,7 @@ BENCH_KEYS = [
     "timeseries_dtw",
     "events_competing_risks",
     "text_rake_keywords",
+    "agg_benford",
 ]
 
 

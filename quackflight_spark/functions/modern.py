@@ -981,3 +981,131 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH m AS ({_OLS_MOMENTS_SQL} FROM _ols_rows) "
         f"SELECT {_OLS_PROJ_SQL} FROM m"
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_benford — Benford first-digit conformance test (r11)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Benford probabilities log10(1 + 1/d) as full-precision Python repr
+# literals shared by both engine texts (the SPRT constant device), and
+# the chi-square 0.95 quantile at 8 df.
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+BENFORD_CHI2_95_DF8 = 15.50731305586545
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {_BENFORD_P[d]!r})" for d in range(1, 10)
+)
+
+
+@query("agg_benford", oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    digs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM cents WHERE c > 0
+    ),
+    cnt AS (SELECT d, CAST(count(*) AS BIGINT) AS n_d FROM digs GROUP BY d),
+    e AS (SELECT * FROM (VALUES {_BENFORD_VALUES}) _e(d, p)),
+    fulld AS (
+      SELECT e.d, e.p, coalesce(cnt.n_d, 0) AS n_d
+      FROM e LEFT JOIN cnt ON cnt.d = e.d
+    ),
+    tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM fulld),
+    terms AS (
+      SELECT f.d, f.p, f.n_d, t.n,
+             (CAST(f.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * f.p)
+             * (CAST(f.n_d AS DOUBLE) - CAST(t.n AS DOUBLE) * f.p)
+             / (CAST(t.n AS DOUBLE) * f.p) AS contrib
+      FROM fulld f CROSS JOIN tot t
+    ),
+    s AS (
+      SELECT list_reduce(
+               list_transform(list_sort(list({{'d': d, 'c': contrib}})),
+                              x -> x.c),
+               (a, b) -> a + b) AS chi2
+      FROM terms
+    )
+    SELECT terms.d, terms.n_d, terms.n,
+           round(terms.p, 6) AS benford_p,
+           round(CAST(terms.n_d AS DOUBLE) / CAST(terms.n AS DOUBLE), 6)
+             AS obs_p,
+           round(terms.contrib, 6) AS contrib,
+           round(s.chi2, 6) AS chi2,
+           s.chi2 > {BENFORD_CHI2_95_DF8!r} AS reject_benford
+    FROM terms CROSS JOIN s
+""")
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit conformance test over purchase
+    amounts (new r11) — the classical forensic data-quality check
+    (Newcomb 1881, Benford 1938; the standard first screen for
+    fabricated or truncated numeric columns in audit pipelines):
+    observed first-digit shares vs P(d) = log10(1+1/d), χ² goodness of
+    fit with 8 df against the 0.95 quantile embedded as a literal
+    (p-values need the incomplete gamma — the events_chisq doctrine:
+    stop honestly at the statistic and the fixed-level decision).
+
+    Exactness: the digit is taken from the exact integer CENTS
+    rendering (CAST to VARCHAR of a BIGINT — no scientific notation in
+    either engine, no float log10 anywhere near the decision), counts
+    are exact BIGINTs on a dense 9-digit spine (VALUES literals), the
+    Benford probabilities are full-precision repr literals shared by
+    both texts, and the χ² total is the events_chisq sorted-fold —
+    both engines add identical per-digit doubles in identical order.
+
+    Scale shape: one filter + one 9-group map-side-combinable count;
+    everything downstream operates on 9 rows. The fold and the spine
+    join are metadata-scale."""
+    cents = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+        .select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("c")
+        )
+        .filter(F.col("c") > 0)
+    )
+    cnt = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    e = spark.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)], "d bigint, p double"
+    )
+    fulld = (
+        e.join(cnt, "d", "left")
+        .select("d", "p", F.coalesce("n_d", F.lit(0)).alias("n_d"))
+    )
+    tot = fulld.agg(F.sum("n_d").cast("bigint").alias("n"))
+    diff = F.col("n_d").cast("double") - F.col("n").cast("double") * F.col("p")
+    terms = fulld.crossJoin(F.broadcast(tot)).withColumn(
+        "contrib", diff * diff / (F.col("n").cast("double") * F.col("p"))
+    )
+    s = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("d"), F.col("contrib").alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("chi2")
+    )
+    return terms.crossJoin(F.broadcast(s)).select(
+        "d",
+        "n_d",
+        "n",
+        F.round("p", 6).alias("benford_p"),
+        F.round(F.col("n_d").cast("double") / F.col("n").cast("double"), 6)
+        .alias("obs_p"),
+        F.round("contrib", 6).alias("contrib"),
+        F.round("chi2", 6).alias("chi2"),
+        (F.col("chi2") > BENFORD_CHI2_95_DF8).alias("reject_benford"),
+    )

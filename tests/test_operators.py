@@ -5038,3 +5038,41 @@ def test_rake_keywords_python_recompute(spark, sf_dir):
         for r in _queries()["text_rake_keywords"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_benford_python_recompute(spark, sf_dir):
+    """Digit counts, chi-square, and the decision must match a pure
+    Python recompute from the raw purchase values (cents-exact digit
+    extraction, same literal probabilities)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from quackflight_spark.functions.modern import BENFORD_CHI2_95_DF8
+    from quackflight_spark.sources.fixtures import load_table
+
+    vals = [
+        r.value
+        for r in load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
+        .collect()
+    ]
+    digits = Counter()
+    for v in vals:
+        c = int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+        if c > 0:
+            digits[int(str(c)[0])] += 1
+    n = sum(digits.values())
+    chi2 = 0.0
+    for d in range(1, 10):
+        p = math.log10(1 + 1 / d)
+        nd = digits.get(d, 0)
+        chi2 += (nd - n * p) ** 2 / (n * p)
+    rows = {r.d: r for r in _queries()["agg_benford"](spark, sf_dir).collect()}
+    assert len(rows) == 9
+    for d in range(1, 10):
+        g = rows[d]
+        assert g.n_d == digits.get(d, 0), d
+        assert g.n == n
+        assert abs(g.chi2 - round(chi2, 6)) < 1e-4
+        assert g.reject_benford == (chi2 > BENFORD_CHI2_95_DF8)
