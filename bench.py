@@ -271,6 +271,7 @@ BENCH_KEYS = [
     "events_competing_risks",
     "text_rake_keywords",
     "agg_benford",
+    "graph_assortativity",
 ]
 
 

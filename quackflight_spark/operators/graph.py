@@ -1515,3 +1515,121 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree assortativity coefficient (r11)
+# ---------------------------------------------------------------------------
+
+@query("graph_assortativity", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {BFS_MIN_CO}
+    ),
+    edges AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS m_directed,
+             CAST(sum(CAST(da.d AS DECIMAL(38,0))) AS BIGINT) AS sx,
+             CAST(sum(CAST(da.d AS DECIMAL(38,0)) * db.d) AS BIGINT) AS sxy,
+             CAST(sum(CAST(da.d AS DECIMAL(38,0)) * da.d) AS BIGINT) AS sx2
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    )
+    SELECT m_directed, sx, sxy, sx2,
+           round((CAST(m_directed AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(m_directed AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS assortativity
+    FROM mo
+""")
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (new r11) — Newman (2002)'s
+    one-number mixing summary: the Pearson correlation of endpoint
+    degrees over the directed edge list (each undirected co-purchase
+    edge contributes both orientations, which makes the x and y
+    marginals identical by symmetry, so r = (M·Sxy − Sx²)/(M·Sx2 −
+    Sx²) from THREE moment sums). Positive = hubs attach to hubs
+    (social shape), negative = hubs attach to leaves
+    (infrastructure / star shape). Uses full degree (the networkx
+    convention) rather than Newman's excess degree, stated here so the
+    parity contract is explicit. Complements the structure suite:
+    triangles/ktruss measure local closure, kcore global density —
+    this measures WHO connects to whom by degree class.
+
+    Exactness: degrees and all three moment sums are exact integers
+    accumulated in DECIMAL(38,0) (the agg_ols_multi overflow fix:
+    cast INSIDE the aggregate on one product operand) and emitted as
+    BIGINT; r is ONE shared-text double expression from those exact
+    integers — identical IEEE in both engines.
+
+    Scale shape: the support-thresholded pair-expansion edge build
+    (shared bfs_edges staging frame), one degree groupBy, two
+    edge-to-degree hash joins (degree table broadcast-size), one
+    map-side-combinable 4-moment aggregate. Single pass over edges;
+    no iteration, no windows."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(
+                b,
+                (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+            )
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= BFS_MIN_CO)
+            .select("u", "v")
+        )
+        return e0.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).union(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+
+    edges = shared_frame("bfs_edges", sf_dir, build_edges)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("dxa"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dxb"))
+    mo = (
+        edges.join(F.broadcast(da), "src")
+        .join(F.broadcast(db), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m_directed"),
+            F.sum(F.col("dxa").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sx"),
+            F.sum(F.col("dxa").cast("decimal(38,0)") * F.col("dxb"))
+            .cast("bigint")
+            .alias("sxy"),
+            F.sum(F.col("dxa").cast("decimal(38,0)") * F.col("dxa"))
+            .cast("bigint")
+            .alias("sx2"),
+        )
+    )
+    md = F.col("m_directed").cast("double")
+    sxd = F.col("sx").cast("double")
+    return mo.select(
+        "m_directed",
+        "sx",
+        "sxy",
+        "sx2",
+        F.round(
+            (md * F.col("sxy").cast("double") - sxd * sxd)
+            / (md * F.col("sx2").cast("double") - sxd * sxd),
+            6,
+        ).alias("assortativity"),
+    )

@@ -5076,3 +5076,39 @@ def test_benford_python_recompute(spark, sf_dir):
         assert g.n == n
         assert abs(g.chi2 - round(chi2, 6)) < 1e-4
         assert g.reject_benford == (chi2 > BENFORD_CHI2_95_DF8)
+
+
+def test_assortativity_networkx_style_recompute(spark, sf_dir):
+    """r must match a pure-Python Pearson correlation of endpoint
+    degrees computed from an independently-rebuilt edge list."""
+    from collections import Counter, defaultdict
+
+    from quackflight_spark.operators.graph import BFS_MIN_CO
+    from quackflight_spark.sources.fixtures import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    co = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] += 1
+    und = [e for e, c in co.items() if c >= BFS_MIN_CO]
+    edges = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    deg = Counter(u for u, _ in edges)
+    m = len(edges)
+    sx = sum(deg[u] for u, _ in edges)
+    sxy = sum(deg[u] * deg[v] for u, v in edges)
+    sx2 = sum(deg[u] * deg[u] for u, _ in edges)
+    r_want = (m * sxy - sx * sx) / (m * sx2 - sx * sx)
+    g = _queries()["graph_assortativity"](spark, sf_dir).collect()[0]
+    assert (g.m_directed, g.sx, g.sxy, g.sx2) == (m, sx, sxy, sx2)
+    assert abs(g.assortativity - round(r_want, 6)) < 1e-9
