@@ -272,6 +272,7 @@ BENCH_KEYS = [
     "text_rake_keywords",
     "agg_benford",
     "graph_assortativity",
+    "text_zipf_fit",
 ]
 
 

@@ -2403,3 +2403,123 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_fit — Zipf rank-frequency exponent by log-log OLS (r11)
+# ---------------------------------------------------------------------------
+
+ZIPF_MAX_RANK = 1000  # fit over the top-K ranks: keeps the fold input
+                      # bounded when the vocabulary is corpus-sized
+
+
+@query("text_zipf_fit", oracle=rf"""
+    WITH pos AS (
+      SELECT lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY w),
+    rk AS (
+      SELECT w, c,
+             CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+      FROM wc
+    ),
+    pts AS (
+      SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM rk WHERE r <= {ZIPF_MAX_RANK}
+    ),
+    lst AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             list_transform(list_sort(list({{'r': r, 'x': x, 'y': y}})),
+                            s -> {{'x': s.x, 'y': s.y}}) AS ps
+      FROM pts
+    ),
+    mo AS (
+      SELECT n,
+             list_reduce(list_transform(ps, s -> s.x), (a, b) -> a + b)
+               AS sx,
+             list_reduce(list_transform(ps, s -> s.y), (a, b) -> a + b)
+               AS sy,
+             list_reduce(list_transform(ps, s -> s.x * s.y), (a, b) -> a + b)
+               AS sxy,
+             list_reduce(list_transform(ps, s -> s.x * s.x), (a, b) -> a + b)
+               AS sx2
+      FROM lst
+    )
+    SELECT n AS n_ranks,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sx2 - sx * sx), 6) AS zipf_slope,
+           round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sx2 - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS zipf_intercept
+    FROM mo
+""")
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (new r11) — the corpus-statistics
+    baseline (Zipf 1949): regress ln(freq) on ln(rank) over the top
+    {ZIPF_MAX_RANK} vocabulary ranks; natural language lands near
+    slope −1, and a corpus whose slope drifts far from it (too flat =
+    template spam, too steep = vocabulary collapse) fails the data
+    card. Complements text_vocab_topk (which reports the head) and
+    pipeline_data_card with the one-number distributional summary.
+
+    Exactness: counts and ranks are exact integers (rank ties broken
+    lexicographically); x/y are ln of exact integers (the
+    perplexity-precedent 1-ulp class), and ALL four moment sums fold
+    over the list sorted by rank — both engines add identical doubles
+    in identical order (the events_chisq device), so slope/intercept
+    are bit-stable under any partitioning.
+
+    Scale shape: tokenize + one vocabulary groupBy (map-side
+    combinable); the rank window runs on the vocabulary rollup and the
+    fit reads only the top-{ZIPF_MAX_RANK} rows — the fold input is
+    LITERAL-bounded even when the vocabulary is corpus-sized."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    wc = (
+        d.select(F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rk = wc.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("c"), "w")).cast("bigint")
+    )
+    pts = rk.filter(F.col("r") <= ZIPF_MAX_RANK).select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+
+    def fold(expr):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("r"), F.col("x"), F.col("y")))
+                ),
+                expr,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(lambda s: s["x"]).alias("sx"),
+        fold(lambda s: s["y"]).alias("sy"),
+        fold(lambda s: s["x"] * s["y"]).alias("sxy"),
+        fold(lambda s: s["x"] * s["x"]).alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return mo.select(
+        F.col("n").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias(
+            "zipf_intercept"
+        ),
+    )

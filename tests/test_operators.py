@@ -5112,3 +5112,28 @@ def test_assortativity_networkx_style_recompute(spark, sf_dir):
     g = _queries()["graph_assortativity"](spark, sf_dir).collect()[0]
     assert (g.m_directed, g.sx, g.sxy, g.sx2) == (m, sx, sxy, sx2)
     assert abs(g.assortativity - round(r_want, 6)) < 1e-9
+
+
+def test_zipf_fit_numpy_recompute(spark, sf_dir):
+    """Slope/intercept must match a numpy least-squares fit over the
+    same rank/frequency points."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from quackflight_spark.pipeline.text_analysis import ZIPF_MAX_RANK
+    from quackflight_spark.sources.fixtures import load_table
+
+    wc = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        wc.update(t.lower() for t in r.text.strip().split() if t)
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_MAX_RANK]
+    x = np.array([math.log(i + 1) for i in range(len(ranked))])
+    y = np.array([math.log(c) for _, c in ranked])
+    A = np.vstack([x, np.ones_like(x)]).T
+    slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+    g = _queries()["text_zipf_fit"](spark, sf_dir).collect()[0]
+    assert g.n_ranks == len(ranked)
+    assert abs(g.zipf_slope - slope) < 1e-5
+    assert abs(g.zipf_intercept - intercept) < 1e-5
