@@ -273,6 +273,7 @@ BENCH_KEYS = [
     "agg_benford",
     "graph_assortativity",
     "text_zipf_fit",
+    "text_burrows_delta",
 ]
 
 

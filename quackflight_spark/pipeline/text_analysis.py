@@ -2523,3 +2523,142 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_burrows_delta — stylometric source distance (r11)
+# ---------------------------------------------------------------------------
+
+DELTA_TOP_W = 20  # marker vocabulary: top-W corpus words (the Delta norm)
+
+# Shared VERBATIM from f(source, w, f) onward: per-word mean/std across
+# sources, z-scores, pairwise mean |z diff|. Every float accumulation is
+# a running window ordered by an integer/string key (the survival_km
+# device) so both engines add identical doubles in identical order.
+_DELTA_TAIL_SQL = """st AS (
+      SELECT w, source, f,
+             sum(f) OVER (PARTITION BY w ORDER BY source
+                          ROWS UNBOUNDED PRECEDING) AS rsf,
+             sum(f * f) OVER (PARTITION BY w ORDER BY source
+                              ROWS UNBOUNDED PRECEDING) AS rsf2,
+             row_number() OVER (PARTITION BY w ORDER BY source) AS rn,
+             CAST(count(*) OVER (PARTITION BY w) AS BIGINT) AS k
+      FROM f
+    ),
+    stw AS (
+      SELECT w, k, rsf / k AS mu,
+             sqrt(rsf2 / k - (rsf / k) * (rsf / k)) AS sd
+      FROM st WHERE rn = k
+    ),
+    z AS (
+      SELECT f.source, f.w, (f.f - s.mu) / s.sd AS z
+      FROM f JOIN stw s ON s.w = f.w
+      WHERE s.sd > 0
+    ),
+    dz AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.w,
+             abs(a.z - b.z) AS d
+      FROM z a JOIN z b ON b.w = a.w AND b.source > a.source
+    ),
+    acc AS (
+      SELECT source_a, source_b, w,
+             sum(d) OVER (PARTITION BY source_a, source_b ORDER BY w
+                          ROWS UNBOUNDED PRECEDING) AS rs,
+             row_number() OVER (PARTITION BY source_a, source_b
+                                ORDER BY w) AS rn,
+             CAST(count(*) OVER (PARTITION BY source_a, source_b)
+                  AS BIGINT) AS nw
+      FROM dz
+    )
+    SELECT source_a, source_b, nw AS n_words,
+           round(rs / nw, 6) AS delta
+    FROM acc WHERE rn = nw"""
+
+
+@query("text_burrows_delta", oracle=rf"""
+    WITH pos AS (
+      SELECT source, lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+      FROM documents
+    ),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+            FROM pos GROUP BY 1),
+    wcx AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM pos GROUP BY 1),
+    topw AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM wcx)
+      WHERE r <= {DELTA_TOP_W}
+    ),
+    csw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM pos JOIN topw USING (w) GROUP BY 1, 2
+    ),
+    sp AS (SELECT t.source, t.t, tw.w FROM tot t CROSS JOIN topw tw),
+    f AS (
+      SELECT sp.source, sp.w,
+             CAST(coalesce(csw.c, 0) AS DOUBLE) / CAST(sp.t AS DOUBLE) AS f
+      FROM sp LEFT JOIN csw
+        ON csw.source = sp.source AND csw.w = sp.w
+    ),
+    {_DELTA_TAIL_SQL}
+""")
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta between every pair of document sources (new r11)
+    — THE stylometric attribution distance (Burrows 2002; Evert et al.
+    2017's evaluation is the modern reference): for the top-{DELTA_TOP_W}
+    corpus marker words, z-score each source's relative frequency
+    across sources, then Delta(a,b) = mean_w |z_aw − z_bw|. Low Delta
+    = same 'authorial fingerprint' — in a training-data pipeline this
+    is the source-level style-duplicate detector (two crawls of the
+    same generator score near 0) complementing the document-level
+    dedup family.
+
+    Exactness: token counts and the marker cut are exact integers;
+    relative frequencies are one division each; every cross-row float
+    sum (per-word Σf, Σf², per-pair Σ|dz|) is a RUNNING window ordered
+    by a total key (the survival_km accumulation device) evaluated
+    inside one shared-verbatim SQL tail — identical addition order,
+    identical IEEE. Zero-variance markers are excluded integer-side
+    (sd > 0) in the shared text; n_words on the row makes the
+    exclusion auditable.
+
+    Scale shape: tokenize + two map-side-combinable rollups; the spine,
+    z-table, and pair join all live on (|sources| x {DELTA_TOP_W})
+    rows — marker-bounded, not corpus-bounded. Pairwise volume is
+    |sources|²·W, the stylometry literature's own working size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    pos = d.select(
+        "source", F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w")
+    )
+    tot = pos.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    wcx = pos.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    from pyspark.sql import Window as W
+
+    topw = (
+        wcx.withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("c"), "w"))
+        )
+        .filter(F.col("r") <= DELTA_TOP_W)
+        .select("w")
+    )
+    csw = (
+        pos.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sp = tot.crossJoin(F.broadcast(topw))
+    fdf = sp.join(csw, ["source", "w"], "left").select(
+        "source",
+        "w",
+        (
+            F.coalesce("c", F.lit(0)).cast("double")
+            / F.col("t").cast("double")
+        ).alias("f"),
+    )
+    fdf.createOrReplaceTempView("_delta_f")
+    return spark.sql(
+        f"WITH f AS (SELECT * FROM _delta_f), {_DELTA_TAIL_SQL}"
+    )

@@ -5137,3 +5137,58 @@ def test_zipf_fit_numpy_recompute(spark, sf_dir):
     assert g.n_ranks == len(ranked)
     assert abs(g.zipf_slope - slope) < 1e-5
     assert abs(g.zipf_intercept - intercept) < 1e-5
+
+
+def test_burrows_delta_python_recompute(spark, sf_dir):
+    """Delta matrix recomputed in pure Python: marker cut, relative
+    frequencies, population z-scores, pairwise mean |z diff|."""
+    import math
+    from collections import Counter, defaultdict
+
+    from quackflight_spark.pipeline.text_analysis import DELTA_TOP_W
+    from quackflight_spark.sources.fixtures import load_table
+
+    toks_by_src = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks_by_src[r.source].extend(
+            t.lower() for t in r.text.strip().split() if t
+        )
+    wc = Counter()
+    for ws in toks_by_src.values():
+        wc.update(ws)
+    markers = [
+        w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+        [:DELTA_TOP_W]
+    ]
+    sources = sorted(toks_by_src)
+    freq = {
+        (s, w): Counter(toks_by_src[s])[w] / len(toks_by_src[s])
+        for s in sources
+        for w in markers
+    }
+    k = len(sources)
+    z = {}
+    used = []
+    for w in markers:
+        vals = [freq[(s, w)] for s in sources]
+        mu = sum(vals) / k
+        var = sum(v * v for v in vals) / k - mu * mu
+        sd = math.sqrt(var) if var > 0 else 0.0
+        if sd > 0:
+            used.append(w)
+            for s in sources:
+                z[(s, w)] = (freq[(s, w)] - mu) / sd
+    got = {
+        (r.source_a, r.source_b): (r.n_words, r.delta)
+        for r in _queries()["text_burrows_delta"](spark, sf_dir).collect()
+    }
+    n_pairs = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            a, b = sources[i], sources[j]
+            d = sum(abs(z[(a, w)] - z[(b, w)]) for w in used) / len(used)
+            gn, gd = got[(a, b)]
+            assert gn == len(used)
+            assert abs(gd - round(d, 6)) < 1e-5, (a, b)
+            n_pairs += 1
+    assert len(got) == n_pairs
