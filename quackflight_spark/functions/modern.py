@@ -1072,8 +1072,15 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = cents.select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("d")
     ).groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
-    e = spark.createDataFrame(
-        [(d, _BENFORD_P[d]) for d in range(1, 10)], "d bigint, p double"
+    # pure-plan digit spine (spark.range + literal array): keeps the whole
+    # key inside Catalyst — a createDataFrame spine would surface as an
+    # ExistingRDD scan and trip the PLANS.md checkpoint column for nothing
+    e = spark.range(1, 10).select(
+        F.col("id").cast("bigint").alias("d"),
+        F.element_at(
+            F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]),
+            F.col("id").cast("int"),
+        ).alias("p"),
     )
     fulld = (
         e.join(cnt, "d", "left")
