@@ -46,19 +46,30 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r11 rotation (tools/gate_rotation.py, ref 0bedd18): the 5
-    # r11-new keys lead (never driver-checked; builder-side proof:
-    # per-key dual-leg checks at sf0.01 + sf0.1/sf0.001 spot legs +
-    # recompute/equivalence tests), then keys whose implementing MODULE
-    # changed since their last green driver row (117 this round —
-    # module granularity is deliberately conservative and r11 touched
-    # eight modules), stalest green round first, then everything else
-    # stalest-first. --
+    # -- r11 close rotation (tools/gate_rotation.py vs ref 0bedd18, the
+    # r10 close): the 17 never-driver-checked keys lead (12 from the
+    # r11 second wave + 5 from the first wave; builder-side proof:
+    # per-key dual-leg checks at sf0.001+sf0.01+sf0.1 plus
+    # recompute/optimality tests), then the 117 keys whose implementing
+    # MODULE changed since their last green driver row
+    # (stalest-green-first), then everything else stalest-first. --
+    "agg_benford",  # new
     "dedup_minhash_append",  # new
+    "events_competing_risks",  # new
+    "events_hmm_viterbi",  # new
     "events_markov_absorption",  # new
     "events_survival_km",  # new
+    "graph_assortativity",  # new
+    "search_prf_expansion",  # new
+    "text_burrows_delta",  # new
     "text_kneser_ney_bigram",  # new
+    "text_rake_keywords",  # new
+    "text_zipf_fit",  # new
     "timeseries_changepoint",  # new
+    "timeseries_dtw",  # new
+    "timeseries_mann_kendall",  # new
+    "timeseries_matrix_profile",  # new
+    "timeseries_theil_sen",  # new
     "text_bigram_topk",  # chg r4
     "text_pii_scrub",  # chg r4
     "text_tfidf_topterms",  # chg r4
