@@ -1300,6 +1300,7 @@ HMM_E1_ERR = 0    # error while degraded
 HMM_E1_OK = 1     # non-error while degraded
 HMM_SWITCH = 2    # transition penalty for changing state
 HMM_INIT1 = 1     # prior penalty for starting degraded
+HMM_BUCKETS = 64  # applyInPandas salt: many users per Arrow group
 
 
 @query("events_hmm_viterbi", oracle=f"""
@@ -1359,40 +1360,51 @@ def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     users. The oracle states the identical recursion as a recursive
     CTE stepping the per-user event index (depth = max session
     length, calendar-bounded)."""
+    # Salt-bucketed grouping (r11 perf): applyInPandas keyed directly on
+    # user_id paid one pandas-group construction per USER (1500 tiny
+    # Arrow groups at sf0.1 — 5.6 s, 2.45x the oracle). Grouping on a
+    # 64-way salt and decoding every user inside one kernel call cuts
+    # the per-group floor ~4x while the per-user DP stays exact and
+    # identical (users never straddle buckets: bucket = f(user_id)).
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         (F.col("event_type") == "error").cast("int").alias("obs"),
+        (F.col("user_id") % HMM_BUCKETS).alias("bucket"),
     )
 
     def _decode(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        c0, c1 = None, None
-        for o in pdf["obs"].astype(int).tolist():
-            e0 = HMM_E0_ERR if o == 1 else HMM_E0_OK
-            e1 = HMM_E1_ERR if o == 1 else HMM_E1_OK
-            if c0 is None:
-                c0, c1 = e0, e1 + HMM_INIT1
-            else:
-                c0, c1 = (
-                    min(c0, c1 + HMM_SWITCH) + e0,
-                    min(c0 + HMM_SWITCH, c1) + e1,
-                )
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "cost_healthy": [c0],
-                "cost_degraded": [c1],
-                "best_state": ["healthy" if c0 <= c1 else "degraded"],
-                "best_cost": [min(c0, c1)],
-            }
-        )
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out: dict[str, list] = {
+            "user_id": [], "n_events": [], "cost_healthy": [],
+            "cost_degraded": [], "best_state": [], "best_cost": [],
+        }
+        for uid, grp in pdf.groupby("user_id", sort=True):
+            c0, c1 = None, None
+            n = 0
+            for o in grp["obs"].astype(int).tolist():
+                n += 1
+                e0 = HMM_E0_ERR if o == 1 else HMM_E0_OK
+                e1 = HMM_E1_ERR if o == 1 else HMM_E1_OK
+                if c0 is None:
+                    c0, c1 = e0, e1 + HMM_INIT1
+                else:
+                    c0, c1 = (
+                        min(c0, c1 + HMM_SWITCH) + e0,
+                        min(c0 + HMM_SWITCH, c1) + e1,
+                    )
+            out["user_id"].append(int(uid))
+            out["n_events"].append(n)
+            out["cost_healthy"].append(c0)
+            out["cost_degraded"].append(c1)
+            out["best_state"].append("healthy" if c0 <= c1 else "degraded")
+            out["best_cost"].append(min(c0, c1))
+        return pd.DataFrame(out)
 
-    return ev.groupBy("user_id").applyInPandas(
+    return ev.groupBy("bucket").applyInPandas(
         _decode,
         "user_id bigint, n_events bigint, cost_healthy bigint, "
         "cost_degraded bigint, best_state string, best_cost bigint",
