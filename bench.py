@@ -274,6 +274,7 @@ BENCH_KEYS = [
     "graph_assortativity",
     "text_zipf_fit",
     "text_burrows_delta",
+    "events_attribution_shapley",
 ]
 
 

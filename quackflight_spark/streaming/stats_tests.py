@@ -1566,3 +1566,170 @@ def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH lif AS (SELECT * FROM _cr_lif), {_CR_TAIL_SQL}"
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_shapley — exact Shapley-value channel credit (r11)
+# ---------------------------------------------------------------------------
+
+SHAP_BIG = 150  # conversion = first purchase >= this (the CR_BIG device)
+# Shapley weights k!(n-1-k)! for n=4 channels, scaled so the total
+# weight mass is n! = 24: k=0 -> 6, k=1 -> 2, k=2 -> 2, k=3 -> 6.
+# phi is emitted as the exact integer phi24 = 24*phi plus one division.
+
+
+@query("events_attribution_shapley", oracle=f"""
+    WITH conv AS (
+      SELECT user_id, min(CASE WHEN event_type = 'purchase'
+                                AND value >= {SHAP_BIG}
+                               THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    touched AS (
+      SELECT e.user_id,
+             CAST(sum(DISTINCT CASE e.event_type
+                  WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)
+                  AS BIGINT) AS mask
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE c.conv_ts IS NOT NULL AND e.ts < c.conv_ts
+        AND e.event_type IN ('click', 'error', 'signup', 'view')
+      GROUP BY e.user_id
+    ),
+    mcnt AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt
+             FROM touched GROUP BY mask),
+    masks AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s),
+    vsub AS (
+      SELECT m.s, CAST(coalesce(sum(c.cnt), 0) AS BIGINT) AS v
+      FROM masks m LEFT JOIN mcnt c ON (c.mask & m.s) = c.mask
+      GROUP BY m.s
+    ),
+    chan AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                                   ('signup', 4), ('view', 8))
+                    _c(channel, bit)),
+    phi AS (
+      SELECT ch.channel,
+             CAST(sum(CASE bit_count(s.s)
+                      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+                  * (vu.v - s0.v)) AS BIGINT) AS phi24
+      FROM chan ch
+      JOIN vsub s ON (s.s & ch.bit) = 0
+      JOIN vsub vu ON vu.s = (s.s | ch.bit)
+      JOIN vsub s0 ON s0.s = s.s
+      GROUP BY ch.channel
+    ),
+    tot AS (SELECT v AS total_conv FROM vsub WHERE s = 15)
+    SELECT channel, phi24,
+           round(CAST(phi24 AS DOUBLE) / 24.0, 6) AS phi,
+           round(CAST(phi24 AS DOUBLE)
+                 / (24.0 * CAST(t.total_conv AS DOUBLE)), 6) AS share,
+           t.total_conv
+    FROM phi CROSS JOIN tot t
+""")
+def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution (new r11) — the
+    game-theoretic credit split (Shapley 1953) the marketing-
+    attribution literature reached after first/last/position rules
+    (all three already in the family: events_attribution,
+    events_attribution_position): channels are the four non-purchase
+    event types touched BEFORE the user's first big purchase, the
+    coalition value v(S) counts converters whose touched set ⊆ S
+    (reach convention), and φ_c = Σ_S k!(n−1−k)!/n! · (v(S∪c) − v(S)).
+    Efficiency is auditable on the row: Σ_c phi24 = 24·v(full)
+    (converters with ZERO prior touches carry no reachable credit and
+    are excluded by construction — stated, and visible as
+    total_conv < the KM converter count).
+
+    Exactness: masks, subset sums, the factorial weights (scaled to
+    integers by n! = 24), and phi24 are ALL exact BIGINT arithmetic —
+    the Shapley computation is hash-provable; the emitted phi/share
+    are single divisions of exact integers by identical literals.
+
+    Scale shape: one per-user conversion rollup + one per-user
+    DISTINCT-bitmask rollup over raw events (both map-side
+    combinable); everything after lives on 16 masks × 4 channels —
+    the 2^n blow-up is bounded by the CHANNEL vocabulary (n=4 here),
+    the standard practical regime for exact Shapley attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= SHAP_BIG),
+                F.col("ts"),
+            )
+        ).alias("conv_ts")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    touched = (
+        ev.join(conv, "user_id")
+        .filter(
+            F.col("conv_ts").isNotNull()
+            & (F.col("ts") < F.col("conv_ts"))
+            & F.col("event_type").isin("click", "error", "signup", "view")
+        )
+        .select("user_id", bit.alias("b"))
+        .groupBy("user_id")
+        .agg(F.sum_distinct(F.col("b")).cast("bigint").alias("mask"))
+    )
+    mcnt = touched.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    masks = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    vsub = (
+        masks.join(
+            F.broadcast(mcnt),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    chan = spark.range(4).select(
+        F.element_at(
+            F.array(F.lit("click"), F.lit("error"), F.lit("signup"),
+                    F.lit("view")),
+            (F.col("id") + 1).cast("int"),
+        ).alias("channel"),
+        F.expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").alias("bit"),
+    )
+    w = F.expr(
+        "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 "
+        "ELSE 6 END"
+    )
+    s = vsub.select(F.col("s"), F.col("v").alias("v0"))
+    vu = vsub.select(F.col("s").alias("su"), F.col("v").alias("vu"))
+    phi = (
+        chan.join(
+            F.broadcast(s), F.col("s").bitwiseAND(F.col("bit")) == 0
+        )
+        .join(
+            F.broadcast(vu),
+            F.col("su") == F.col("s").bitwiseOR(F.col("bit")),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum(w * (F.col("vu") - F.col("v0"))).cast("bigint")
+            .alias("phi24")
+        )
+    )
+    tot = vsub.filter(F.col("s") == 15).select(
+        F.col("v").alias("total_conv")
+    )
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "phi24",
+        F.round(F.col("phi24").cast("double") / 24.0, 6).alias("phi"),
+        F.round(
+            F.col("phi24").cast("double")
+            / (24.0 * F.col("total_conv").cast("double")),
+            6,
+        ).alias("share"),
+        "total_conv",
+    )

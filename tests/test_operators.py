@@ -5192,3 +5192,48 @@ def test_burrows_delta_python_recompute(spark, sf_dir):
             assert abs(gd - round(d, 6)) < 1e-5, (a, b)
             n_pairs += 1
     assert len(got) == n_pairs
+
+
+def test_shapley_attribution_axioms_and_recompute(spark, sf_dir):
+    """Exact recompute via itertools permutations (the DEFINITION of
+    Shapley value — marginal contribution averaged over all channel
+    orderings), plus the efficiency axiom on the engine output."""
+    from itertools import permutations
+
+    from quackflight_spark.sources.fixtures import load_table
+    from quackflight_spark.streaming.stats_tests import SHAP_BIG
+
+    rows = {r.channel: r for r in
+            _queries()["events_attribution_shapley"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").collect()
+    conv_ts = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.value >= SHAP_BIG:
+            if r.user_id not in conv_ts or r.ts < conv_ts[r.user_id]:
+                conv_ts[r.user_id] = r.ts
+    channels = ["click", "error", "signup", "view"]
+    touched = {}
+    for r in ev:
+        t0 = conv_ts.get(r.user_id)
+        if t0 is not None and r.ts < t0 and r.event_type in channels:
+            touched.setdefault(r.user_id, set()).add(r.event_type)
+
+    def v(S):
+        return sum(1 for s in touched.values() if s <= S)
+
+    phi = {c: 0 for c in channels}  # 24*phi accumulated exactly
+    for perm in permutations(channels):
+        seen = set()
+        for c in perm:
+            phi[c] += v(seen | {c}) - v(seen)
+            seen.add(c)
+    total = v(set(channels))
+    assert sum(phi.values()) == 24 * total  # efficiency, recompute side
+    got_sum = 0
+    for c in channels:
+        g = rows[c]
+        assert g.phi24 == phi[c], c
+        assert g.total_conv == total
+        assert abs(g.phi - round(phi[c] / 24.0, 6)) < 1e-12
+        got_sum += g.phi24
+    assert got_sum == 24 * total  # efficiency, engine side
