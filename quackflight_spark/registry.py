@@ -47,14 +47,15 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- r11 close rotation (tools/gate_rotation.py vs ref 0bedd18, the
-    # r10 close): the 17 never-driver-checked keys lead (12 from the
-    # r11 second wave + 5 from the first wave; builder-side proof:
-    # per-key dual-leg checks at sf0.001+sf0.01+sf0.1 plus
-    # recompute/optimality tests), then the 117 keys whose implementing
+    # r10 close): the 18 never-driver-checked keys lead (13 from the
+    # r11 second wave + 5 from the first; builder-side proof: per-key
+    # dual-leg checks at sf0.001+sf0.01+sf0.1 plus recompute/
+    # optimality/identity tests), then the keys whose implementing
     # MODULE changed since their last green driver row
     # (stalest-green-first), then everything else stalest-first. --
     "agg_benford",  # new
     "dedup_minhash_append",  # new
+    "events_attribution_shapley",  # new
     "events_competing_risks",  # new
     "events_hmm_viterbi",  # new
     "events_markov_absorption",  # new
