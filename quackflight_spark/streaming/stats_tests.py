@@ -1651,32 +1651,37 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2^n blow-up is bounded by the CHANNEL vocabulary (n=4 here),
     the standard practical regime for exact Shapley attribution."""
     ev = load_table(spark, sf_dir, "events")
-    conv = ev.groupBy("user_id").agg(
+    # The touched-set bit for channel c is exactly (first occurrence of
+    # c) < conv_ts, so the whole mask falls out of ONE map-side-
+    # combinable groupBy with five conditional MINs — no window, no
+    # self-join (measured r11: join plan 1.9 s, window plan 1.55 s,
+    # this plan one partial-agg shuffle). Null first-touch compares
+    # NULL < conv_ts -> NULL -> bit 0.
+    per = ev.groupBy("user_id").agg(
         F.min(
             F.when(
                 (F.col("event_type") == "purchase")
                 & (F.col("value") >= SHAP_BIG),
                 F.col("ts"),
             )
-        ).alias("conv_ts")
+        ).alias("conv_ts"),
+        *[
+            F.min(
+                F.when(F.col("event_type") == c, F.col("ts"))
+            ).alias(f"t_{c}")
+            for c in ("click", "error", "signup", "view")
+        ],
     )
-    bit = (
-        F.when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "error", 2)
-        .when(F.col("event_type") == "signup", 4)
-        .when(F.col("event_type") == "view", 8)
-        .otherwise(0)
+    mask_expr = (
+        F.when(F.col("t_click") < F.col("conv_ts"), 1).otherwise(0)
+        + F.when(F.col("t_error") < F.col("conv_ts"), 2).otherwise(0)
+        + F.when(F.col("t_signup") < F.col("conv_ts"), 4).otherwise(0)
+        + F.when(F.col("t_view") < F.col("conv_ts"), 8).otherwise(0)
     )
     touched = (
-        ev.join(conv, "user_id")
-        .filter(
-            F.col("conv_ts").isNotNull()
-            & (F.col("ts") < F.col("conv_ts"))
-            & F.col("event_type").isin("click", "error", "signup", "view")
-        )
-        .select("user_id", bit.alias("b"))
-        .groupBy("user_id")
-        .agg(F.sum_distinct(F.col("b")).cast("bigint").alias("mask"))
+        per.filter(F.col("conv_ts").isNotNull())
+        .select("user_id", mask_expr.cast("bigint").alias("mask"))
+        .filter(F.col("mask") > 0)
     )
     mcnt = touched.groupBy("mask").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
