@@ -275,6 +275,7 @@ BENCH_KEYS = [
     "text_zipf_fit",
     "text_burrows_delta",
     "events_attribution_shapley",
+    "text_mtld",
 ]
 
 

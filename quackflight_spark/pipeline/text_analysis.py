@@ -2662,3 +2662,138 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"WITH f AS (SELECT * FROM _delta_f), {_DELTA_TAIL_SQL}"
     )
+
+
+# ---------------------------------------------------------------------------
+# text_mtld — Measure of Textual Lexical Diversity (r11)
+# ---------------------------------------------------------------------------
+
+MTLD_THR_NUM = 18   # TTR threshold 0.72 as the exact rational 18/25, so
+MTLD_THR_DEN = 25   # the factor-completion decision is pure integer
+MTLD_BUCKETS = 64   # applyInPandas salt (the hmm_viterbi lesson)
+
+
+@query("text_mtld", oracle=rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS k, lower(ws[CAST(i AS INT)]) AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) _l
+    ),
+    nu AS (SELECT doc_id, CAST(max(k) AS BIGINT) AS n FROM pos GROUP BY 1),
+    walk AS (
+      SELECT doc_id, k, [w] AS seen, CAST(1 AS BIGINT) AS cur_n,
+             CAST(0 AS BIGINT) AS factors
+      FROM pos WHERE k = 1
+      UNION ALL
+      SELECT p.doc_id, p.k,
+             CASE WHEN {MTLD_THR_DEN} * CAST(len(
+                        CASE WHEN list_contains(s.seen, p.w) THEN s.seen
+                             ELSE list_append(s.seen, p.w) END) AS BIGINT)
+                       < {MTLD_THR_NUM} * (s.cur_n + 1)
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE CASE WHEN list_contains(s.seen, p.w) THEN s.seen
+                            ELSE list_append(s.seen, p.w) END END,
+             CASE WHEN {MTLD_THR_DEN} * CAST(len(
+                        CASE WHEN list_contains(s.seen, p.w) THEN s.seen
+                             ELSE list_append(s.seen, p.w) END) AS BIGINT)
+                       < {MTLD_THR_NUM} * (s.cur_n + 1)
+                  THEN 0 ELSE s.cur_n + 1 END,
+             CASE WHEN {MTLD_THR_DEN} * CAST(len(
+                        CASE WHEN list_contains(s.seen, p.w) THEN s.seen
+                             ELSE list_append(s.seen, p.w) END) AS BIGINT)
+                       < {MTLD_THR_NUM} * (s.cur_n + 1)
+                  THEN s.factors + 1 ELSE s.factors END
+      FROM walk s JOIN pos p ON p.doc_id = s.doc_id AND p.k = s.k + 1
+    )
+    SELECT doc_id, n_tokens, factors, tail_types, tail_tokens,
+           CASE WHEN mtld_den IS NULL OR mtld_den = 0 THEN NULL
+                ELSE CAST(mtld_num AS DOUBLE) / CAST(mtld_den AS DOUBLE)
+           END AS mtld
+    FROM (
+      SELECT w.doc_id, nu.n AS n_tokens, w.factors,
+             CAST(len(w.seen) AS BIGINT) AS tail_types,
+             w.cur_n AS tail_tokens,
+             CASE WHEN w.cur_n = 0 AND w.factors > 0 THEN nu.n
+                  ELSE nu.n * 7 * w.cur_n END AS mtld_num,
+             CASE WHEN w.cur_n = 0 AND w.factors > 0 THEN w.factors
+                  ELSE 7 * w.cur_n * w.factors
+                       + 25 * (w.cur_n - CAST(len(w.seen) AS BIGINT))
+             END AS mtld_den
+      FROM walk w JOIN nu ON nu.doc_id = w.doc_id AND w.k = nu.n)
+""")
+def text_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTLD — Measure of Textual Lexical Diversity per document (new
+    r11; McCarthy & Jarvis 2010): walk the token stream keeping a
+    running type-token ratio; every time TTR falls below 0.72 a
+    'factor' completes and the window resets; MTLD = tokens / factors
+    with the unfinished tail contributing fractionally as
+    (1−TTR_tail)/(1−0.72). THE length-robust diversity metric (plain
+    TTR decays with document length, which is why pipeline quality
+    filters can't use it) — complements text_entropy (distributional)
+    and text_repetition (local) with the sequential-diversity read.
+    Forward pass only (stated; the bidirectional mean doubles cost for
+    a fixture-invisible refinement).
+
+    Exactness: the factor decision is 25·types < 18·tokens — exact
+    integer (0.72 = 18/25); factors, tail types/tokens are exact
+    BIGINTs emitted for audit; the final MTLD is ONE shared-text
+    double expression, with the n/factors and undefined (all-distinct
+    tail, zero factors) edge cases handled identically integer-side.
+
+    Scale shape (Spark): salt-bucketed applyInPandas (the hmm_viterbi
+    lesson — {MTLD_BUCKETS} Arrow groups, not one per doc); each doc's
+    walk is O(tokens) with a vocabulary-bounded set. The oracle states
+    the identical walk as a recursive CTE advancing one token per
+    step, carrying the factor's seen-type LIST as state (depth =
+    max doc length; all docs advance in the same recursion)."""
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(toks, lambda x: F.lower(x)).alias("ws"),
+        (F.col("doc_id") % MTLD_BUCKETS).alias("bucket"),
+    )
+
+    def _mtld(pdf):
+        import pandas as pd
+
+        out: dict[str, list] = {
+            "doc_id": [], "n_tokens": [], "factors": [],
+            "tail_types": [], "tail_tokens": [], "mtld": [],
+        }
+        for _, row in pdf.iterrows():
+            ws = list(row["ws"])
+            seen: set = set()
+            cur_n = 0
+            factors = 0
+            for w in ws:
+                seen.add(w)
+                cur_n += 1
+                if MTLD_THR_DEN * len(seen) < MTLD_THR_NUM * cur_n:
+                    seen, cur_n, factors = set(), 0, factors + 1
+            n = len(ws)
+            if cur_n == 0 and factors > 0:
+                mtld = n / factors
+            else:
+                den = 7 * cur_n * factors + 25 * (cur_n - len(seen))
+                # raw IEEE division of exact ints (no round(): MTLD hits
+                # exact half-way 6-decimal values, the known cross-engine
+                # round() hazard) — identical numerator/denominator gives
+                # the identical double in both engines
+                mtld = None if den == 0 else (n * 7 * cur_n) / den
+            out["doc_id"].append(int(row["doc_id"]))
+            out["n_tokens"].append(n)
+            out["factors"].append(factors)
+            out["tail_types"].append(len(seen))
+            out["tail_tokens"].append(cur_n)
+            out["mtld"].append(mtld)
+        return pd.DataFrame(out)
+
+    return d.groupBy("bucket").applyInPandas(
+        _mtld,
+        "doc_id bigint, n_tokens bigint, factors bigint, "
+        "tail_types bigint, tail_tokens bigint, mtld double",
+    )

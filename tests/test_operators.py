@@ -5237,3 +5237,34 @@ def test_shapley_attribution_axioms_and_recompute(spark, sf_dir):
         assert abs(g.phi - round(phi[c] / 24.0, 6)) < 1e-12
         got_sum += g.phi24
     assert got_sum == 24 * total  # efficiency, engine side
+
+
+def test_mtld_python_recompute(spark, sf_dir):
+    """Full MTLD walk recomputed in pure Python (factor decisions via
+    the exact 18/25 rational, raw-quotient final value)."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.doc_id: r for r in
+           _queries()["text_mtld"](spark, sf_dir).collect()}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = [t.lower() for t in r.text.strip().split() if t]
+        seen: set = set()
+        cur_n = factors = 0
+        for w in toks:
+            seen.add(w)
+            cur_n += 1
+            if 25 * len(seen) < 18 * cur_n:
+                seen, cur_n, factors = set(), 0, factors + 1
+        n = len(toks)
+        if cur_n == 0 and factors > 0:
+            mtld = n / factors
+        else:
+            den = 7 * cur_n * factors + 25 * (cur_n - len(seen))
+            mtld = None if den == 0 else (n * 7 * cur_n) / den
+        g = got[r.doc_id]
+        assert (g.n_tokens, g.factors, g.tail_types, g.tail_tokens) == (
+            n, factors, len(seen), cur_n), r.doc_id
+        if mtld is None:
+            assert g.mtld is None
+        else:
+            assert g.mtld == mtld, r.doc_id  # bit-exact raw quotient
