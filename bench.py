@@ -276,6 +276,7 @@ BENCH_KEYS = [
     "text_burrows_delta",
     "events_attribution_shapley",
     "text_mtld",
+    "graph_diameter_2sweep",
 ]
 
 

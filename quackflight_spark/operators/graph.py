@@ -1633,3 +1633,150 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_diameter_2sweep — double-sweep BFS diameter lower bound (r11)
+# ---------------------------------------------------------------------------
+
+DIAM_MAX_HOPS = 20  # recursion cap, safely above the measured diameter
+# (13 at sf0.01; co-purchase graphs DENSIFY with scale, so the true
+# diameter shrinks as sf grows — the cap is not a correctness risk, and
+# an ecc equal to the cap would be visible on the row)
+
+
+@query("graph_diameter_2sweep", oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {BFS_MIN_CO}
+    ),
+    edges AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+    s1 AS (SELECT min(a) AS node FROM edges),
+    walk1(node, d) AS (
+      SELECT node, 0 FROM s1
+      UNION
+      SELECT e.b, w.d + 1 FROM walk1 w JOIN edges e ON e.a = w.node
+      WHERE w.d < {DIAM_MAX_HOPS}
+    ),
+    dist1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d
+              FROM walk1 GROUP BY 1),
+    far AS (
+      SELECT node, d FROM (
+        SELECT node, d, row_number() OVER (ORDER BY d DESC, node) AS r
+        FROM dist1) WHERE r = 1
+    ),
+    walk2(node, d) AS (
+      SELECT node, 0 FROM far
+      UNION
+      SELECT e.b, w.d + 1 FROM walk2 w JOIN edges e ON e.a = w.node
+      WHERE w.d < {DIAM_MAX_HOPS}
+    ),
+    dist2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d
+              FROM walk2 GROUP BY 1),
+    far2 AS (
+      SELECT node, d FROM (
+        SELECT node, d, row_number() OVER (ORDER BY d DESC, node) AS r
+        FROM dist2) WHERE r = 1
+    )
+    SELECT s1.node AS sweep1_src, f.node AS sweep2_src,
+           CAST(f.d AS BIGINT) AS ecc_sweep1,
+           f2.node AS far_node, CAST(f2.d AS BIGINT) AS diameter_lb,
+           (SELECT CAST(count(*) AS BIGINT) FROM dist1) AS n_reached,
+           (SELECT CAST(count(*) AS BIGINT) FROM dist2) AS n_reached2
+    FROM s1, far f, far2 f2
+""")
+def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter lower bound by the double-sweep heuristic (new
+    r11; Magnien/Latapy/Habib 2009 — the standard cheap diameter
+    estimator, exact on trees and near-exact on real-world graphs):
+    BFS from a deterministic seed (the minimum node id), take the
+    farthest node (tie: min id), BFS again from it — the second
+    eccentricity is a certified LOWER bound on the diameter for the
+    cost of two traversals instead of |V|. Completes the global-
+    distance story: graph_closeness averages distances per node,
+    graph_bfs answers reachability from a seed set; this bounds the
+    graph's extent. Both reached-node counts are emitted so the bound
+    is auditable (connected component fully swept, ecc < cap).
+
+    Exactness: hop distances, argmax selections (d DESC, node), and
+    the bound are pure integers; nothing floats.
+
+    Scale shape (Spark): two level-synchronous frontier expansions
+    over the shared support-thresholded edge staging frame (the
+    graph_bfs plan run to exhaustion — each hop one keyed join + one
+    min-merge, rounds = eccentricity, empirically ≤13 and SHRINKING
+    with scale as the graph densifies). The oracle states the same
+    two sweeps as capped recursive walks, the second seeded by the
+    first's argmax."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        op = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+        a, b = op.alias("a"), op.alias("b")
+        e0 = (
+            a.join(
+                b,
+                (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+            )
+            .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n_co"))
+            .filter(F.col("n_co") >= BFS_MIN_CO)
+            .select("u", "v")
+        )
+        return e0.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).union(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+
+    edges = shared_frame("bfs_edges", sf_dir, build_edges)
+
+    def sweep(src_node: int):
+        """Level-synchronous BFS to exhaustion, fully DISTRIBUTED: the
+        dist/frontier tables never leave the cluster — each hop is one
+        keyed join + one anti-join, the driver sees only the per-hop
+        delta COUNT (the kcore/wcc loop discipline; localCheckpoint
+        truncates the growing lineage). Returns (far, ecc, n_reached)
+        scalars."""
+        dist = spark.createDataFrame(
+            [(int(src_node), 0)], "node bigint, d int"
+        ).localCheckpoint()
+        frontier = dist.select("node")
+        for hop in range(1, DIAM_MAX_HOPS + 1):
+            reached = (
+                frontier.withColumnRenamed("node", "src")
+                .join(edges, "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            new = (
+                reached.join(dist.select("node"), "node", "left_anti")
+                .withColumn("d", F.lit(hop))
+                .localCheckpoint()
+            )
+            if new.isEmpty():
+                break
+            dist = dist.union(new).localCheckpoint()
+            frontier = new.select("node")
+        top = (
+            dist.orderBy(F.desc("d"), "node").limit(1).collect()[0]
+        )
+        n_reached = dist.count()
+        return int(top.node), int(top.d), n_reached
+
+    src1 = int(edges.agg(F.min("src")).collect()[0][0])
+    far1, ecc1, n1 = sweep(src1)
+    far2, ecc2, n2 = sweep(far1)
+    return spark.createDataFrame(
+        [(int(src1), far1, ecc1, far2, ecc2, n1, n2)],
+        "sweep1_src bigint, sweep2_src bigint, ecc_sweep1 bigint, "
+        "far_node bigint, diameter_lb bigint, n_reached bigint, "
+        "n_reached2 bigint",
+    )

@@ -5268,3 +5268,56 @@ def test_mtld_python_recompute(spark, sf_dir):
             assert g.mtld is None
         else:
             assert g.mtld == mtld, r.doc_id  # bit-exact raw quotient
+
+
+def test_diameter_2sweep_python_recompute(spark, sf_dir):
+    """Both sweeps recomputed with a pure-Python BFS over an
+    independently-rebuilt edge list; the bound must also satisfy
+    ecc_sweep2 >= ecc_sweep1 (the 2-sweep guarantee)."""
+    from collections import Counter, defaultdict, deque
+
+    from quackflight_spark.operators.graph import BFS_MIN_CO
+    from quackflight_spark.sources.fixtures import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    co = Counter()
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), c in co.items():
+        if c >= BFS_MIN_CO:
+            adj[u].add(v)
+            adj[v].add(u)
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        ecc = max(dist.values())
+        far = min(n for n, d in dist.items() if d == ecc)
+        return far, ecc, len(dist)
+
+    src1 = min(adj)
+    far1, ecc1, n1 = bfs(src1)
+    far2, ecc2, n2 = bfs(far1)
+    g = _queries()["graph_diameter_2sweep"](spark, sf_dir).collect()[0]
+    assert (g.sweep1_src, g.sweep2_src, g.ecc_sweep1) == (src1, far1, ecc1)
+    assert (g.far_node, g.diameter_lb) == (far2, ecc2)
+    assert (g.n_reached, g.n_reached2) == (n1, n2)
+    assert g.diameter_lb >= g.ecc_sweep1
