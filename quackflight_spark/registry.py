@@ -47,11 +47,11 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- r11 close rotation (tools/gate_rotation.py vs ref 0bedd18, the
-    # r10 close): the 18 never-driver-checked keys lead (13 from the
+    # r10 close): the 20 never-driver-checked keys lead (15 from the
     # r11 second wave + 5 from the first; builder-side proof: per-key
-    # dual-leg checks at sf0.001+sf0.01+sf0.1 plus recompute/
-    # optimality/identity tests), then the keys whose implementing
-    # MODULE changed since their last green driver row
+    # dual-leg checks at sf0.001+sf0.01+sf0.1, a 7-core determinism
+    # sweep, and recompute/optimality/identity tests), then keys whose
+    # implementing MODULE changed since their last green driver row
     # (stalest-green-first), then everything else stalest-first. --
     "agg_benford",  # new
     "dedup_minhash_append",  # new
@@ -61,9 +61,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_markov_absorption",  # new
     "events_survival_km",  # new
     "graph_assortativity",  # new
+    "graph_diameter_2sweep",  # new
     "search_prf_expansion",  # new
     "text_burrows_delta",  # new
     "text_kneser_ney_bigram",  # new
+    "text_mtld",  # new
     "text_rake_keywords",  # new
     "text_zipf_fit",  # new
     "timeseries_changepoint",  # new
