@@ -1001,7 +1001,7 @@ _BENFORD_VALUES = ", ".join(
 
 @query("agg_benford", oracle=f"""
     WITH cents AS (
-      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      SELECT CAST(round(value * 100) AS BIGINT) AS c
       FROM events WHERE event_type = 'purchase' AND value > 0
     ),
     digs AS (
@@ -1050,7 +1050,11 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the digit is taken from the exact integer CENTS
     rendering (CAST to VARCHAR of a BIGINT — no scientific notation in
-    either engine, no float log10 anywhere near the decision), counts
+    either engine, no float log10 anywhere near the decision); cents
+    come from round(value*100) with ties-away-from-zero in BOTH
+    engines (DuckDB round(double) and Spark round(·,0) both break
+    half-cent ties away from zero on the exact binary double — the r11
+    ADVICE fix replacing the tie-hazardous double→DECIMAL cast), counts
     are exact BIGINTs on a dense 9-digit spine (VALUES literals), the
     Benford probabilities are full-precision repr literals shared by
     both texts, and the χ² total is the events_chisq sorted-fold —
@@ -1063,9 +1067,7 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter((F.col("event_type") == "purchase") & (F.col("value") > 0))
         .select(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
-            .alias("c")
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
         )
         .filter(F.col("c") > 0)
     )

@@ -2547,7 +2547,9 @@ _DELTA_TAIL_SQL = """st AS (
     ),
     stw AS (
       SELECT w, k, rsf / k AS mu,
-             sqrt(rsf2 / k - (rsf / k) * (rsf / k)) AS sd
+             CASE WHEN rsf2 / k - (rsf / k) * (rsf / k) > 0
+                  THEN sqrt(rsf2 / k - (rsf / k) * (rsf / k))
+                  ELSE 0.0 END AS sd
       FROM st WHERE rn = k
     ),
     z AS (
@@ -2618,9 +2620,11 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (per-word Σf, Σf², per-pair Σ|dz|) is a RUNNING window ordered
     by a total key (the survival_km accumulation device) evaluated
     inside one shared-verbatim SQL tail — identical addition order,
-    identical IEEE. Zero-variance markers are excluded integer-side
-    (sd > 0) in the shared text; n_words on the row makes the
-    exclusion auditable.
+    identical IEEE. Zero-variance markers are excluded (sd > 0) in the
+    shared text, and the variance expression is CASE-guarded against
+    tiny FP-cancellation negatives (r11 ADVICE: DuckDB sqrt raises Out
+    of Range where Spark returns NaN — divergent failure modes without
+    the guard); n_words on the row makes the exclusion auditable.
 
     Scale shape: tokenize + two map-side-combinable rollups; the spine,
     z-table, and pair join all live on (|sources| x {DELTA_TOP_W})
@@ -2751,10 +2755,18 @@ def text_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
     step, carrying the factor's seen-type LIST as state (depth =
     max doc length; all docs advance in the same recursion)."""
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(toks, lambda x: F.lower(x)).alias("ws"),
-        (F.col("doc_id") % MTLD_BUCKETS).alias("bucket"),
+    # Row-set contract (r11 ADVICE): the oracle's recursive walk seeds
+    # only docs with a k=1 token, so an empty/whitespace-only document
+    # produces no oracle row — drop zero-token docs here too so both
+    # engines agree on the row set even if a fixture ever contains one.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.transform(toks, lambda x: F.lower(x)).alias("ws"),
+            (F.col("doc_id") % MTLD_BUCKETS).alias("bucket"),
+        )
+        .filter(F.size("ws") > 0)
     )
 
     def _mtld(pdf):

@@ -1678,8 +1678,7 @@ DTW_INF = 10**15   # out-of-grid sentinel; real costs are bounded by
       FROM dp WHERE d < na + nb
     )
     SELECT ta, tb, na, nb, cur[1] AS dtw_d2,
-           round(CAST(cur[1] AS DOUBLE) / CAST(na + nb AS DOUBLE), 6)
-             AS dtw_norm
+           CAST(cur[1] AS DOUBLE) / CAST(na + nb AS DOUBLE) AS dtw_norm
     FROM dp WHERE d = na + nb
 """)
 def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1693,8 +1692,9 @@ def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: daily counts, local costs, and the whole DP are exact
     BIGINT arithmetic — min over integers, no float until the single
-    emitted normalization round(d2/(na+nb), 6), identical in both
-    texts. The Spark leg runs the identical recurrence as exact
+    emitted normalization d2/(na+nb), the RAW IEEE quotient in both
+    texts (no round(): Python round() is half-even, DuckDB's half-away
+    — the raw-quotient lesson). The Spark leg runs the identical recurrence as exact
     Python ints; the oracle states it as a recursive CTE advancing
     the DP one ANTI-DIAGONAL per step (cells of diagonal d depend
     only on diagonals d−1, d−2 — the classical wavefront
@@ -1732,9 +1732,11 @@ def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 prev_row = cur_row
             d2 = prev_row[nb]
-            out.append(
-                (ets[ai], ets[bi], na, nb, d2, round(d2 / (na + nb), 6))
-            )
+            # raw IEEE quotient of exact ints, NO round(): Python
+            # round() is half-even, DuckDB round() half-away — the
+            # recorded raw-quotient lesson (r11 ADVICE); identical
+            # numerator/denominator gives the identical double
+            out.append((ets[ai], ets[bi], na, nb, d2, d2 / (na + nb)))
     return spark.createDataFrame(
         out,
         "ta string, tb string, na bigint, nb bigint, "

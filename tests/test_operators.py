@@ -4906,7 +4906,7 @@ def test_dtw_minimizes_over_all_warping_paths(spark, sf_dir):
             full = dp(a, b)
             assert (g.na, g.nb) == (len(a), len(b))
             assert g.dtw_d2 == full
-            assert abs(g.dtw_norm - round(full / (len(a) + len(b)), 6)) < 1e-12
+            assert g.dtw_norm == full / (len(a) + len(b))
 
 
 def test_competing_risks_aj_identity_and_recompute(spark, sf_dir):
@@ -5046,7 +5046,7 @@ def test_benford_python_recompute(spark, sf_dir):
     extraction, same literal probabilities)."""
     import math
     from collections import Counter
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from quackflight_spark.functions.modern import BENFORD_CHI2_95_DF8
     from quackflight_spark.sources.fixtures import load_table
@@ -5059,7 +5059,11 @@ def test_benford_python_recompute(spark, sf_dir):
     ]
     digits = Counter()
     for v in vals:
-        c = int(Decimal(repr(v)).quantize(Decimal("0.01")) * 100)
+        # ties-away-from-zero on the EXACT binary double of v*100 —
+        # the same semantics DuckDB round(double) and Spark round(·,0)
+        # apply (Decimal(float) is the exact binary expansion; the old
+        # repr-based HALF_EVEN quantize was a third tie semantics)
+        c = int(Decimal(v * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP))
         if c > 0:
             digits[int(str(c)[0])] += 1
     n = sum(digits.values())
