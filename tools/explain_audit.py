@@ -33,7 +33,18 @@ def signals(plan: str) -> dict[str, str]:
         # numeric math — flag them distinctly.
         "python ops": (
             "YES ⚠" if "BatchEvalPython" in plan
-            else "arrow" if ("ArrowEvalPython" in plan or "MapInPandas" in plan or "MapInArrow" in plan)
+            else "arrow" if (
+                "ArrowEvalPython" in plan
+                or "MapInPandas" in plan
+                or "MapInArrow" in plan
+                # grouped-map kernels are Arrow-batched too (r11 verdict
+                # blind spot: events_hmm_viterbi / text_mtld showed
+                # `py: —` while their plans carried FlatMapGroupsInPandas)
+                or "FlatMapGroupsInPandas" in plan
+                or "FlatMapGroupsInPandasWithState" in plan
+                or "MapGroupsInPandas" in plan
+                or "TransformWithStateInPandas" in plan
+            )
             else "—"
         ),
         "cartesian": "YES ⚠" if "CartesianProduct" in plan else "—",
