@@ -277,6 +277,8 @@ BENCH_KEYS = [
     "events_attribution_shapley",
     "text_mtld",
     "graph_diameter_2sweep",
+    # -- r12 additions --
+    "search_index_build",
 ]
 
 

@@ -376,3 +376,64 @@ def test_partitioned_dir_scan_prunes(spark, sf_dir, q):
     pf_lines = [ln for ln in out.splitlines() if "PartitionFilters" in ln]
     assert pf_lines, "no PartitionFilters in the plan"
     assert any("lang" in ln and "[]" not in ln for ln in pf_lines), pf_lines
+
+
+def test_bm25_streams_postings_broadcasts_query_terms(spark, sf_dir, q):
+    """The r12 staged-index contract: search_bm25_topk reads the
+    materialized postings/dictionary tables (Bucketed scans), the
+    BOUNDED query-term side builds the broadcast hash, and the
+    corpus-sized postings scan STREAMS — never the other way around
+    (Catalyst's file-size stats would broadcast the postings table at
+    fixture scale, exactly backwards at 100 TB)."""
+    df = q["search_bm25_topk"](spark, sf_dir)
+    df.count()  # resolve AQE so the final plan is inspectable
+    plan = _plan(df)
+    assert "Bucketed: true" in _formatted(df)
+    assert "BatchEvalPython" not in plan
+    # the broadcast legs must NOT contain the 4-column candidate
+    # postings scan (w, doc_id, tf, len -> cand side); spot it by the
+    # alias set on the BroadcastExchange subtree
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:\s+[:+|-][^\n]*\n)*)", plan):
+        sub = m.group(0)
+        assert "len#" not in sub.split("BroadcastExchange")[1][:2000] or \
+            "query_id" in sub, sub[:500]
+
+
+def test_lexical_index_build_idempotent_and_consistent(spark, sf_dir):
+    """lexical_index_build must be build-once (second call returns the
+    same tables without rewriting) and internally consistent: per-doc
+    len in every posting equals the doc's sum(tf), and the dictionary's
+    df/tf_total equal fresh rollups of the postings."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.similarity import lexical_index_build
+
+    idx1 = lexical_index_build(spark, sf_dir)
+    stats_m = os.path.getmtime(f"{idx1['stats']}/_SUCCESS")
+    idx2 = lexical_index_build(spark, sf_dir)
+    assert idx1 == idx2
+    assert os.path.getmtime(f"{idx2['stats']}/_SUCCESS") == stats_m
+    post = spark.table(idx1["postings"])
+    bad_len = (
+        post.groupBy("doc_id", "len")
+        .agg(F.sum("tf").alias("s"))
+        .filter(F.col("s") != F.col("len"))
+        .count()
+    )
+    assert bad_len == 0
+    fresh = post.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df2"), F.sum("tf").alias("tt2")
+    )
+    mism = (
+        spark.table(idx1["dict"])
+        .join(fresh, "w", "full")
+        .filter(
+            (F.col("df") != F.col("df2")) | (F.col("tf_total") != F.col("tt2"))
+        )
+        .count()
+    )
+    assert mism == 0
