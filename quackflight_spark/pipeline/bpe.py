@@ -38,6 +38,14 @@ from quackflight_spark.sources.fixtures import load_table
 
 BPE_MERGES = 8
 END_MARK = "_"  # end-of-word marker (classic </w>, shortened)
+# Checkpoint cadence for the merge loop (r12 A/B, VERDICT r11 task 5):
+# materializing the rewritten vocabulary EVERY round paid one extra
+# vocabulary-sized job per merge; composing two _apply_merge folds
+# between checkpoints halves that (measured 2.81 -> 1.63 s at sf0.1,
+# identical merges). Deeper batching loses again (1.80 s at 4/8) —
+# the nested higher-order-function expression outgrows what codegen
+# handles cheaply, the known Catalyst re-inlining hazard.
+BPE_CKPT_EVERY = 2
 
 
 def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +93,7 @@ def train_bpe_merges(
     # vocabulary-sized frame, reused every iteration
     vocab = vocab.localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    pending = 0
     for rank in range(1, k + 1):
         pairs = (
             vocab.select(
@@ -109,7 +118,13 @@ def train_bpe_merges(
         merges.append((rank, a, b, n))
         vocab = vocab.select(
             _apply_merge(F.col("sym"), a, b).alias("sym"), "freq"
-        ).localCheckpoint()  # constant plan depth across iterations
+        )
+        pending += 1
+        if pending >= BPE_CKPT_EVERY:
+            # bounded plan depth: materialize after every
+            # BPE_CKPT_EVERY composed folds (see constant above)
+            vocab = vocab.localCheckpoint()
+            pending = 0
     return merges
 
 

@@ -1569,6 +1569,173 @@ def events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# events_survival_consistency — cross-estimator identity audit (r12)
+# ---------------------------------------------------------------------------
+
+# Shared VERBATIM from lif(user_id, dur, cause) onward: the competing-
+# risks tail EXTENDED with the inclusive all-cause KM column, so ONE
+# row set carries the all-cause life-table survival (the survival_km /
+# churn-hazard product Π(1 − d/n)) AND both Aalen–Johansen CIFs, plus
+# their sum — the S(t) + CIF₁(t) + CIF₂(t) ≡ 1 identity visible on
+# every row, oracle-checked.
+_CRX_TAIL_SQL = """
+    n_total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lif),
+    leaving AS (
+      SELECT dur AS t,
+             CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lif GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             nt.n - coalesce(sum(c) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+      FROM leaving CROSS JOIN n_total nt
+    ),
+    ev AS (SELECT t, n_risk, d1, d2 FROM risk WHERE d1 + d2 > 0),
+    km AS (
+      SELECT t, n_risk, d1, d2,
+             coalesce(sum(CASE WHEN n_risk > d1 + d2
+                      THEN ln(CAST(n_risk - d1 - d2 AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0.0) AS lprev,
+             coalesce(min(n_risk - d1 - d2) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 1) AS minprev,
+             sum(CASE WHEN n_risk > d1 + d2
+                      THEN ln(CAST(n_risk - d1 - d2 AS DOUBLE)
+                              / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lsum,
+             min(n_risk - d1 - d2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+               AS minleft
+      FROM ev
+    ),
+    terms AS (
+      SELECT t, n_risk, d1, d2,
+             CASE WHEN minprev = 0 THEN 0.0 ELSE exp(lprev) END AS sprev,
+             CASE WHEN minleft = 0 THEN 0.0 ELSE exp(lsum) END AS surv
+      FROM km
+    ),
+    cif AS (
+      SELECT t, n_risk, d1, d2, surv,
+             sum(sprev * CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif1,
+             sum(sprev * CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cif2
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d1 + d2 AS BIGINT) AS d_all,
+           round(surv, 6) AS surv_allcause,
+           round(cif1, 6) AS cif_convert,
+           round(cif2, 6) AS cif_incident,
+           round(surv + cif1 + cif2, 6) AS aj_total
+    FROM cif"""
+
+
+@query("events_survival_consistency", oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d0,
+             max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d1,
+             min(CASE WHEN event_type = 'purchase' AND value >= {CR_BIG}
+                      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                AS DATE) END) AS dc,
+             min(CASE WHEN event_type = 'error' AND value >= {CR_BIG}
+                      THEN CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                                AS DATE) END) AS de
+      FROM events GROUP BY user_id
+    ),
+    lif AS (
+      SELECT user_id,
+             CAST(CASE WHEN dc IS NOT NULL AND (de IS NULL OR dc <= de)
+                       THEN dc - d0
+                       WHEN de IS NOT NULL THEN de - d0
+                       ELSE d1 - d0 END AS BIGINT) AS dur,
+             CASE WHEN dc IS NOT NULL AND (de IS NULL OR dc <= de) THEN 1
+                  WHEN de IS NOT NULL THEN 2 ELSE 0 END AS cause
+      FROM u
+    ),
+    {_CRX_TAIL_SQL}
+""")
+def events_survival_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-estimator survival CONSISTENCY audit (new r12, VERDICT r11
+    stretch #9 — the ann_recall_eval discipline applied to the 44-key
+    events/stats family): over the competing-risks lifetimes
+    (events_competing_risks' exact cause/censor decisions), compute IN
+    ONE ROW SET (a) the all-cause Kaplan–Meier survival — the same
+    life-table product Π(1 − d/n) behind events_survival_km and
+    events_churn_hazard — and (b) both Aalen–Johansen cumulative
+    incidences, and emit their sum: the estimator-theoretic identity
+    S(t) + CIF_convert(t) + CIF_incident(t) ≡ 1 (Aalen & Johansen
+    1978) is then VISIBLE on every registered row (aj_total) and
+    hash-checked by the oracle, promoting the r11 pytest-only identity
+    (tests/test_operators.py::test_competing_risks_aj_identity...) to
+    a driver-gated artifact. A drift between the KM product path and
+    the CIF increment path — a wrong at-risk denominator, a window
+    frame off by one row, a mis-guarded ln — breaks aj_total ≈ 1
+    before it breaks either curve visibly.
+
+    Exactness: durations, causes, at-risk and event counts are exact
+    BIGINTs; every float (lprev/lsum accumulations, exp, CIF running
+    sums, the identity total) lives in ONE SQL text shared verbatim
+    from lif onward (_CRX_TAIL_SQL) — identical window order,
+    identical IEEE in both engines; the survival_km ln(0) guard covers
+    both the exclusive and inclusive KM columns.
+
+    Scale shape: identical to events_competing_risks — one map-side-
+    combinable per-user rollup; everything after lives on the ≤31-row
+    duration grain, calendar-bounded."""
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(day).alias("d0"),
+            F.max(day).alias("d1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= CR_BIG),
+                    day,
+                )
+            ).alias("dc"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "error")
+                    & (F.col("value") >= CR_BIG),
+                    day,
+                )
+            ).alias("de"),
+        )
+    )
+    conv_first = F.col("dc").isNotNull() & (
+        F.col("de").isNull() | (F.col("dc") <= F.col("de"))
+    )
+    lif = u.select(
+        "user_id",
+        F.when(conv_first, F.datediff(F.col("dc"), F.col("d0")))
+        .when(F.col("de").isNotNull(), F.datediff(F.col("de"), F.col("d0")))
+        .otherwise(F.datediff(F.col("d1"), F.col("d0")))
+        .cast("bigint")
+        .alias("dur"),
+        F.when(conv_first, F.lit(1))
+        .when(F.col("de").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("cause"),
+    )
+    lif.createOrReplaceTempView("_crx_lif")
+    return spark.sql(
+        f"WITH lif AS (SELECT * FROM _crx_lif), {_CRX_TAIL_SQL}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # events_attribution_shapley — exact Shapley-value channel credit (r11)
 # ---------------------------------------------------------------------------
 
