@@ -207,6 +207,146 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 3
+HITS_SCALE = 10**6  # fixed-point scale; raw·SCALE ≤ |E|·SCALE² must stay
+# in int64 (|E|·1e12 here — the pagerank "pre-scale once past ~1e12
+# edges" convention applies at real graph scale)
+
+
+def _hits_oracle() -> str:
+    """HITS hubs/authorities, fixed {HITS_ITERS} rounds, integer
+    fixed-point (the graph_pagerank device): a ← Σ_in h, h ← Σ_out a,
+    each renormalized to mass HITS_SCALE via integer division — `//`
+    in DuckDB, DIV in Spark, bit-identical everywhere."""
+    parts = [f"""WITH {_pr_edges_sql()},
+    h0 AS (SELECT v, CAST({HITS_SCALE} AS BIGINT) AS r FROM nodes)"""]
+    for i in range(1, HITS_ITERS + 1):
+        p = i - 1
+        parts.append(f""",
+    a{i}raw AS (
+      SELECT n.v, CAST(COALESCE(s.x, 0) AS BIGINT) AS x
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS v, CAST(sum(h.r) AS BIGINT) AS x
+        FROM edges e JOIN h{p} h ON h.v = e.src GROUP BY e.dst
+      ) s ON s.v = n.v
+    ),
+    a{i}tot AS (SELECT CAST(greatest(sum(x), 1) AS BIGINT) AS t
+                FROM a{i}raw),
+    a{i} AS (
+      SELECT v, CAST((x * {HITS_SCALE}) // t.t AS BIGINT) AS r
+      FROM a{i}raw CROSS JOIN a{i}tot t
+    ),
+    h{i}raw AS (
+      SELECT n.v, CAST(COALESCE(s.x, 0) AS BIGINT) AS x
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS v, CAST(sum(a.r) AS BIGINT) AS x
+        FROM edges e JOIN a{i} a ON a.v = e.dst GROUP BY e.src
+      ) s ON s.v = n.v
+    ),
+    h{i}tot AS (SELECT CAST(greatest(sum(x), 1) AS BIGINT) AS t
+                FROM h{i}raw),
+    h{i} AS (
+      SELECT v, CAST((x * {HITS_SCALE}) // t.t AS BIGINT) AS r
+      FROM h{i}raw CROSS JOIN h{i}tot t
+    )""")
+    parts.append(f"""
+    SELECT h.v AS node,
+           h.r AS hub_scaled, a.r AS auth_scaled,
+           round(CAST(h.r AS DOUBLE) / {HITS_SCALE}, 9) AS hub,
+           round(CAST(a.r AS DOUBLE) / {HITS_SCALE}, 9) AS auth
+    FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.v = h.v""")
+    return "".join(parts)
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (new r12; Kleinberg 1999) over the
+    customer→nation→region FK graph — the OTHER classical link-analysis
+    fixpoint next to graph_pagerank, separating pointer-mass (hubs:
+    nodes whose out-links reach strong authorities) from pointed-at
+    mass (authorities) instead of folding both into one stationary
+    score. Built with the pagerank r5 device end-to-end: a FIXED
+    {HITS_ITERS}-round unroll, INTEGER fixed-point throughout (scale
+    {HITS_SCALE}; the per-round sum-normalization — the place real
+    HITS needs floats — is an exact integer multiply-then-divide with
+    a shared greatest(·,1) guard), so the result is bit-identical in
+    any engine under any partitioning.
+
+    Scale shape: each half-round is one rank⋈edges equi-join shuffle +
+    one partial agg keyed on the opposite endpoint, exactly pagerank's
+    step with src/dst swapped; the normalization total is a 1-row
+    aggregate broadcast back. Edges and nodes pin once via
+    shared_frame (the pagerank lesson: without it every unrolled round
+    re-derives the graph from the scan)."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    def build_edges() -> DataFrame:
+        c = load_table(spark, sf_dir, "customer").select(
+            (F.col("c_custkey") + 100000).alias("src"),
+            F.col("c_nationkey").cast("bigint").alias("dst"),
+        )
+        n = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("bigint").alias("src"),
+            (F.col("n_regionkey") + 1000).cast("bigint").alias("dst"),
+        )
+        return c.unionByName(n)
+
+    edges = shared_frame("hits_edges", sf_dir, build_edges)
+    nodes = shared_frame(
+        "hits_nodes",
+        sf_dir,
+        lambda: edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct(),
+    )
+
+    def half_round(rank: DataFrame, key: str, other: str) -> DataFrame:
+        contrib = (
+            edges.join(rank.withColumnRenamed("v", other), other)
+            .groupBy(F.col(key).alias("v"))
+            .agg(F.sum("r").cast("bigint").alias("x"))
+        )
+        # localCheckpoint: the normalization total references raw a
+        # second time, so an un-materialized plan DOUBLES per
+        # half-round (measured: 1132 exchanges across 6 composed
+        # half-rounds); pinned, each half-round is one join shuffle +
+        # one agg. The total is a 1-row exact scalar collected
+        # driver-side (the pagerank n_nodes precedent) and embedded
+        # as an integer literal — same `//` chain as the oracle.
+        raw = (
+            nodes.join(contrib, "v", "left")
+            .select(
+                "v", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+            )
+            .localCheckpoint()
+        )
+        tot = int(
+            raw.agg(F.greatest(F.sum("x"), F.lit(1)).cast("bigint")).first()[0]
+        )
+        return raw.select(
+            "v",
+            F.expr(f"(x * {HITS_SCALE}) DIV {tot}").cast("bigint").alias("r"),
+        )
+
+    h = nodes.withColumn("r", F.lit(HITS_SCALE).cast("bigint"))
+    a = None
+    for _ in range(HITS_ITERS):
+        a = half_round(h, "dst", "src")     # authorities gather in-mass
+        h = half_round(a, "src", "dst")     # hubs gather out-mass
+    return h.select(F.col("v").alias("node"), F.col("r").alias("hub_scaled")).join(
+        a.select(F.col("v").alias("node"), F.col("r").alias("auth_scaled")),
+        "node",
+    ).select(
+        "node",
+        "hub_scaled",
+        "auth_scaled",
+        F.round(F.col("hub_scaled").cast("double") / HITS_SCALE, 9).alias("hub"),
+        F.round(F.col("auth_scaled").cast("double") / HITS_SCALE, 9).alias(
+            "auth"
+        ),
+    )
+
+
 @query("recursive_cte", oracle=_RECURSIVE_SQL)
 def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure over the customer→nation→region FK hierarchy

@@ -1967,6 +1967,272 @@ def search_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEX_DELTA_MOD = 5   # doc_id % 5 == 4 → the appended ingest batch (~20%)
+
+
+@query("search_index_append", oracle=rf"""
+    WITH tokf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, lower(unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+        FROM documents) GROUP BY doc_id, w
+    ),
+    dfx AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS tf_total
+            FROM tokf GROUP BY w),
+    dfd AS (SELECT w, CAST(count(*) AS BIGINT) AS df_delta
+            FROM tokf WHERE doc_id % {LEX_DELTA_MOD} = {LEX_DELTA_MOD - 1}
+            GROUP BY w)
+    SELECT w, df, tf_total, df_delta, CAST(r AS INT) AS rn
+    FROM (SELECT dfx.w, dfx.df, dfx.tf_total,
+                 CAST(coalesce(dfd.df_delta, 0) AS BIGINT) AS df_delta,
+                 row_number() OVER (ORDER BY dfx.df DESC, dfx.w) AS r
+          FROM dfx LEFT JOIN dfd ON dfd.w = dfx.w)
+    WHERE r <= {LEX_TOPDF}
+""")
+def search_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index MAINTENANCE (new r12) — the lexical
+    sibling of ann_ivf_append / dedup_minhash_append, completing the
+    maintenance story for the r12 staged index: a production search
+    engine never re-tokenizes its corpus per ingest batch — the batch
+    (doc_id % {LEX_DELTA_MOD} == {LEX_DELTA_MOD - 1}, ~20%) is
+    tokenized ALONE into a delta segment, the postings append is a
+    pure segment add (bucketed file append, no read), and only the
+    vocabulary-sized DICTIONARY merges: df/tf_total sum across
+    segments because both are ADDITIVE over disjoint doc sets (the
+    Lucene segment-merge identity). This key performs that merge —
+    base dictionary (built once from the base docs, the 'existing
+    index') ⊕ delta rollup — and emits the merged dictionary head
+    with each term's delta contribution (df_delta > 0 on fixture head
+    terms: the proof the batch is SEARCHABLE, not just stored). The
+    oracle derives the same head from the FULL corpus, so a hash
+    match proves append ≡ rebuild;
+    tests/test_operators.py::test_lex_append_equals_rebuild asserts
+    the full merged dictionary equals the staged full-corpus
+    dictionary row-for-row.
+
+    Exactness: everything is exact BIGINT counts; ordering is the
+    integer (df DESC, w) cut.
+
+    Scale shape: tokenize cost is DELTA-sized (the point — the base
+    corpus is never rescanned); the merge is a vocabulary-bounded
+    full-outer sum; at 100 TB an ingest batch costs its own tokens
+    plus a dictionary-sized merge, independent of corpus size."""
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+
+    def seg_dict(docs: DataFrame) -> DataFrame:
+        tokf = (
+            docs.select(
+                "doc_id",
+                F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w"),
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        return tokf.groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+        )
+
+    base = shared_frame(
+        "lex_base_dict",
+        sf_dir,
+        lambda: seg_dict(
+            d.filter(F.col("doc_id") % LEX_DELTA_MOD != LEX_DELTA_MOD - 1)
+        ),
+    )
+    delta = seg_dict(
+        d.filter(F.col("doc_id") % LEX_DELTA_MOD == LEX_DELTA_MOD - 1)
+    ).select(
+        "w",
+        F.col("df").alias("df_d"),
+        F.col("tf_total").alias("tt_d"),
+    )
+    merged = (
+        base.join(delta, "w", "full")
+        .select(
+            "w",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0)))
+            .cast("bigint")
+            .alias("df"),
+            (
+                F.coalesce("tf_total", F.lit(0))
+                + F.coalesce("tt_d", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("tf_total"),
+            F.coalesce("df_d", F.lit(0)).cast("bigint").alias("df_delta"),
+        )
+    )
+    wdf = W.orderBy(F.desc("df"), "w")
+    return (
+        merged.withColumn("rn", F.row_number().over(wdf))
+        .filter(F.col("rn") <= LEX_TOPDF)
+        .select("w", "df", "tf_total", "df_delta",
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
+SNIP_W = 12   # snippet window length in tokens
+
+
+@query("search_snippet_extract", oracle=rf"""
+    WITH tokf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, lower(unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+        FROM documents) GROUP BY doc_id, w
+    ),
+    dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tokf GROUP BY w),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tokf),
+    kept AS (SELECT dfq.w FROM dfq CROSS JOIN nn
+             WHERE {DF_CEIL_DEN} * dfq.df <= {DF_CEIL_NUM} * nn.n),
+    q AS (SELECT doc_id AS query_id, w FROM tokf JOIN kept USING (w)
+          WHERE doc_id < {N_QUERIES}),
+    shared AS (
+      SELECT q.query_id, t.doc_id AS cand, CAST(count(*) AS BIGINT) AS n_shared
+      FROM q JOIN tokf t ON t.w = q.w AND t.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT query_id, cand, n_shared FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_shared DESC, cand) AS r FROM shared)
+      WHERE r = 1
+    ),
+    toks AS (SELECT doc_id, list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+             FROM documents),
+    pos AS (SELECT b.query_id, b.cand, b.n_shared, CAST(i AS BIGINT) AS p,
+                   lower(t.ws[CAST(i AS INT)]) AS w,
+                   CAST(len(t.ws) AS BIGINT) AS n_toks
+            FROM best b JOIN toks t ON t.doc_id = b.cand,
+            LATERAL (SELECT unnest(range(1, len(t.ws) + 1)) AS i) _l),
+    hit AS (SELECT p.query_id, p.cand, p.n_shared, p.p, p.n_toks,
+                   CASE WHEN q.w IS NOT NULL THEN 1 ELSE 0 END AS h
+            FROM pos p LEFT JOIN q
+              ON q.query_id = p.query_id AND q.w = p.w),
+    win AS (SELECT query_id, cand, n_shared, p, n_toks,
+                   CAST(sum(h) OVER (PARTITION BY query_id, cand ORDER BY p
+                     RANGE BETWEEN CURRENT ROW
+                               AND {SNIP_W - 1} FOLLOWING) AS BIGINT) AS hits
+            FROM hit)
+    SELECT query_id, CAST(cand AS BIGINT) AS doc_id, n_shared, n_toks,
+           CAST(p AS BIGINT) AS snip_start, hits AS snip_hits
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id, cand
+                    ORDER BY hits DESC, p) AS r
+          FROM win
+          WHERE p <= greatest(n_toks - {SNIP_W} + 1, 1))
+    WHERE r = 1
+""")
+def search_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet extraction (new r12) — the result-rendering
+    stage every lexical engine serves after ranking (Lucene's
+    highlighter / 'keyword-in-context'): for each query, take its best
+    shared-vocabulary document and find the {SNIP_W}-token window
+    containing the MOST query-term occurrences (tie: earliest start).
+    Completes the search family's serving path: index (build/append) →
+    rank (bm25/rrf/prf/mmr) → SNIPPET.
+
+    Exactness: candidate choice (shared kept-term count, tie smaller
+    doc_id), per-position hit marks, windowed hit counts (an integer
+    RANGE frame over the position spine — identical frame in both
+    texts), and the (hits DESC, start ASC) argmax are ALL exact
+    integer decisions; no float exists anywhere in the key.
+
+    Scale shape: the candidate argmax rides the staged index (bucketed
+    postings probe, the bm25 plan); position analysis then tokenizes
+    ONLY the {N_QUERIES} chosen documents (broadcast-joined winners) —
+    per-pair cost is one token-length window pass, independent of
+    corpus size. At 100 TB snippet extraction stays a per-result
+    operation, as it must."""
+    idx = lexical_index_build(spark, sf_dir)
+    post = spark.table(idx["postings"])
+    stats = spark.read.parquet(idx["stats"])
+    dfreq = spark.table(idx["dict"]).select("w", "df")
+    kept = (
+        dfreq.join(F.broadcast(stats.select("n")))
+        .filter(DF_CEIL_DEN * F.col("df") <= DF_CEIL_NUM * F.col("n"))
+        .select("w")
+    )
+    q = (
+        post.filter(F.col("doc_id") < N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .join(kept, "w")
+    )
+    shared = (
+        post.select(F.col("doc_id").alias("cand"), "w")
+        .join(F.broadcast(q), "w")
+        .filter(F.col("cand") != F.col("query_id"))
+        .groupBy("query_id", "cand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    wb = W.partitionBy("query_id").orderBy(F.desc("n_shared"), "cand")
+    best = (
+        shared.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("query_id", "cand", "n_shared")
+    )
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand"), toks.alias("ws")
+    )
+    pos = (
+        docs.join(F.broadcast(best), "cand")
+        .select(
+            "query_id",
+            "cand",
+            "n_shared",
+            F.size("ws").cast("bigint").alias("n_toks"),
+            F.posexplode("ws").alias("p0", "tok"),
+        )
+        .select(
+            "query_id",
+            "cand",
+            "n_shared",
+            "n_toks",
+            (F.col("p0") + 1).cast("bigint").alias("p"),
+            F.lower(F.col("tok")).alias("w"),
+        )
+    )
+    hit = pos.join(
+        F.broadcast(q.withColumn("h1", F.lit(1))),
+        ["query_id", "w"],
+        "left",
+    ).select(
+        "query_id",
+        "cand",
+        "n_shared",
+        "n_toks",
+        "p",
+        F.coalesce("h1", F.lit(0)).alias("h"),
+    )
+    ww = (
+        W.partitionBy("query_id", "cand")
+        .orderBy("p")
+        .rangeBetween(W.currentRow, SNIP_W - 1)
+    )
+    win = hit.withColumn("hits", F.sum("h").over(ww).cast("bigint")).filter(
+        F.col("p") <= F.greatest(F.col("n_toks") - SNIP_W + 1, F.lit(1))
+    )
+    wr = W.partitionBy("query_id", "cand").orderBy(F.desc("hits"), "p")
+    return (
+        win.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("cand").alias("doc_id"),
+            "n_shared",
+            "n_toks",
+            F.col("p").alias("snip_start"),
+            F.col("hits").alias("snip_hits"),
+        )
+    )
+
+
 MMR_LAMBDA = 0.7   # relevance weight; 1-λ penalizes redundancy
 MMR_K = 5          # diversified picks per query
 

@@ -5435,3 +5435,62 @@ def test_diameter_2sweep_python_recompute(spark, sf_dir):
     assert (g.far_node, g.diameter_lb) == (far2, ecc2)
     assert (g.n_reached, g.n_reached2) == (n1, n2)
     assert g.diameter_lb >= g.ecc_sweep1
+
+
+def test_lex_append_equals_rebuild(spark, sf_dir):
+    """search_index_append's dictionary merge (base segment ⊕ delta
+    rollup) must equal the full-corpus staged dictionary row-for-row —
+    df/tf_total are additive over disjoint doc segments, so append and
+    rebuild are the same function of the corpus."""
+    from pyspark.sql import functions as F
+
+    from quackflight_spark.pipeline.frame_cache import shared_frame
+    from quackflight_spark.pipeline.similarity import (
+        LEX_DELTA_MOD,
+        lexical_index_build,
+    )
+    from quackflight_spark.sources.fixtures import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+
+    def seg_dict(docs):
+        tokf = (
+            docs.select(
+                "doc_id",
+                F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w"),
+            )
+            .groupBy("doc_id", "w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+        return tokf.groupBy("w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+        )
+
+    base = seg_dict(
+        d.filter(F.col("doc_id") % LEX_DELTA_MOD != LEX_DELTA_MOD - 1)
+    )
+    delta = seg_dict(
+        d.filter(F.col("doc_id") % LEX_DELTA_MOD == LEX_DELTA_MOD - 1)
+    ).select("w", F.col("df").alias("df_d"), F.col("tf_total").alias("tt_d"))
+    merged = base.join(delta, "w", "full").select(
+        "w",
+        (F.coalesce("df", F.lit(0)) + F.coalesce("df_d", F.lit(0))).alias("df"),
+        (F.coalesce("tf_total", F.lit(0)) + F.coalesce("tt_d", F.lit(0))).alias(
+            "tf_total"
+        ),
+    )
+    idx = lexical_index_build(spark, sf_dir)
+    full = spark.table(idx["dict"])
+    assert (
+        merged.join(full, "w", "full")
+        .filter(
+            (merged["df"] != full["df"])
+            | (merged["tf_total"] != full["tf_total"])
+            | merged["df"].isNull()
+            | full["df"].isNull()
+        )
+        .count()
+        == 0
+    )
