@@ -279,6 +279,11 @@ BENCH_KEYS = [
     "graph_diameter_2sweep",
     # -- r12 additions --
     "search_index_build",
+    "search_index_append",
+    "search_snippet_extract",
+    "events_survival_consistency",
+    "graph_hits",
+    "timeseries_model_select",
 ]
 
 

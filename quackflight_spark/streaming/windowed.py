@@ -3458,6 +3458,128 @@ def timeseries_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("timeseries_model_select", oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    feat AS (
+      SELECT event_type, day, x,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+             CAST(count(x) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS c7,
+             max(day) OVER (PARTITION BY event_type) AS max_day
+      FROM daily
+    ),
+    test AS (
+      SELECT * FROM feat
+      WHERE day > max_day - 7 AND l7 IS NOT NULL AND l1 IS NOT NULL
+        AND c7 = 7
+    ),
+    sae AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(7 * abs(x - l7)) AS BIGINT) AS sae7_snaive,
+             CAST(sum(7 * abs(x - l1)) AS BIGINT) AS sae7_naive1,
+             CAST(sum(abs(7 * x - s7)) AS BIGINT) AS sae7_ma7
+      FROM test GROUP BY event_type
+    )
+    SELECT event_type, n_test, sae7_snaive, sae7_naive1, sae7_ma7,
+           CASE WHEN sae7_snaive <= sae7_naive1 AND sae7_snaive <= sae7_ma7
+                THEN 'snaive'
+                WHEN sae7_naive1 <= sae7_ma7 THEN 'naive1'
+                ELSE 'ma7' END AS winner,
+           CAST(least(sae7_snaive, sae7_naive1, sae7_ma7) AS DOUBLE)
+             / CAST(7 * n_test AS DOUBLE) AS winner_mae
+    FROM sae
+""")
+def timeseries_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast MODEL SELECTION over a common holdout (new r12) — the
+    decision step timeseries_forecast_snaive's error report feeds: per
+    series, backtest three standard baselines (seasonal-naive t−7,
+    persistence t−1, trailing 7-day mean) on the final week and pick
+    the winner — what an operational forecasting pipeline does before
+    promoting a method per series (the M-competition protocol in
+    miniature, and the cross-method audit discipline of
+    events_survival_consistency applied to the forecasting family).
+
+    Exactness: the three SAEs are compared at a COMMON integer 7×
+    scale — 7·|x−l7|, 7·|x−l1|, |7x−Σprev7| — so the winner is a pure
+    BIGINT argmin with a fixed preference order (snaive ≻ naive1 ≻
+    ma7) on ties; the only float is the winner's MAE, one division of
+    identical exact integers in identical text. Lags and frames are
+    row-based over the observed daily rollup, identical in both
+    engines (the fixture calendar is dense; stated).
+
+    Scale shape: the snaive plan exactly — one map-side-combinable
+    rollup to |series|×|days|, one series-partitioned window pass
+    producing all three feature columns in one Sort, a per-series
+    aggregate, and a 9-row decision projection."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wf = w.rowsBetween(-7, -1)
+    feat = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x", 7).over(w).alias("l7"),
+        F.lag("x", 1).over(w).alias("l1"),
+        F.sum("x").over(wf).cast("bigint").alias("s7"),
+        F.count("x").over(wf).cast("bigint").alias("c7"),
+        F.max("day").over(Window.partitionBy("event_type")).alias("max_day"),
+    )
+    test = feat.filter(
+        (F.col("day") > F.date_sub(F.col("max_day"), 7))
+        & F.col("l7").isNotNull()
+        & F.col("l1").isNotNull()
+        & (F.col("c7") == 7)
+    )
+    sae = test.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(7 * F.abs(F.col("x") - F.col("l7")))
+        .cast("bigint")
+        .alias("sae7_snaive"),
+        F.sum(7 * F.abs(F.col("x") - F.col("l1")))
+        .cast("bigint")
+        .alias("sae7_naive1"),
+        F.sum(F.abs(7 * F.col("x") - F.col("s7")))
+        .cast("bigint")
+        .alias("sae7_ma7"),
+    )
+    winner = (
+        F.when(
+            (F.col("sae7_snaive") <= F.col("sae7_naive1"))
+            & (F.col("sae7_snaive") <= F.col("sae7_ma7")),
+            F.lit("snaive"),
+        )
+        .when(F.col("sae7_naive1") <= F.col("sae7_ma7"), F.lit("naive1"))
+        .otherwise(F.lit("ma7"))
+    )
+    return sae.select(
+        "event_type",
+        "n_test",
+        "sae7_snaive",
+        "sae7_naive1",
+        "sae7_ma7",
+        winner.alias("winner"),
+        (
+            F.least("sae7_snaive", "sae7_naive1", "sae7_ma7").cast("double")
+            / (7 * F.col("n_test")).cast("double")
+        ).alias("winner_mae"),
+    )
+
+
 @query("events_mannwhitney", oracle="""
     WITH pts AS (
       SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INT)
