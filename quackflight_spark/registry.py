@@ -46,150 +46,28 @@ def query(key: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn
 # err:"no_oracle" row wastes a gate slot — moot since r9: every key
 # has a value oracle.) r9 rotation regenerated from CORRECTNESS_r01-08.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- r11 close rotation (tools/gate_rotation.py vs ref 0bedd18, the
-    # r10 close): the 20 never-driver-checked keys lead (15 from the
-    # r11 second wave + 5 from the first; builder-side proof: per-key
-    # dual-leg checks at sf0.001+sf0.01+sf0.1, a 7-core determinism
-    # sweep, and recompute/optimality/identity tests), then keys whose
-    # implementing MODULE changed since their last green driver row
-    # (stalest-green-first), then everything else stalest-first. --
-    "agg_benford",  # new
-    "dedup_minhash_append",  # new
-    "events_attribution_shapley",  # new
-    "events_competing_risks",  # new
-    "events_hmm_viterbi",  # new
-    "events_markov_absorption",  # new
-    "events_survival_km",  # new
-    "graph_assortativity",  # new
-    "graph_diameter_2sweep",  # new
-    "search_prf_expansion",  # new
-    "text_burrows_delta",  # new
-    "text_kneser_ney_bigram",  # new
-    "text_mtld",  # new
-    "text_rake_keywords",  # new
-    "text_zipf_fit",  # new
-    "timeseries_changepoint",  # new
-    "timeseries_dtw",  # new
-    "timeseries_mann_kendall",  # new
-    "timeseries_matrix_profile",  # new
-    "timeseries_theil_sen",  # new
-    "text_bigram_topk",  # chg r4
-    "text_pii_scrub",  # chg r4
-    "text_tfidf_topterms",  # chg r4
-    "text_winnowing",  # chg r4
-    "ann_ivf_pruned",  # chg r5
-    "ann_ivf_topk",  # chg r5
-    "ann_ivfpq_topk",  # chg r5
-    "ann_lsh_topk",  # chg r5
-    "ann_pq_topk",  # chg r5
-    "ann_range_search",  # chg r5
-    "cluster_kmeans",  # chg r5
-    "dedup_clusters",  # chg r5
-    "dedup_exact",  # chg r5
-    "dedup_minhash_lsh",  # chg r5
-    "dedup_ngram_jaccard",  # chg r5
-    "dedup_simhash",  # chg r5
-    "mm_binary_meta",  # chg r5
-    "mm_frame_sample",  # chg r5
-    "pipeline_dedup_keep_best",  # chg r5
-    "pipeline_pack_sequences",  # chg r5
-    "text_fingerprint",  # chg r5
-    "text_repetition",  # chg r5
-    "text_vocab_topk",  # chg r5
-    "agg_skew_kurtosis",  # chg r6
-    "dedup_containment",  # chg r6
-    "layout_hilbert",  # chg r6
-    "text_code_detect",  # chg r6
-    "text_entropy",  # chg r6
-    "text_lang_confusion",  # chg r6
-    "text_novelty",  # chg r6
-    "text_readability",  # chg r6
-    "ann_recall_eval",  # chg r7
-    "fn_geohash",  # chg r7
-    "graph_adamic_adar",  # chg r7
-    "graph_bfs",  # chg r7
-    "graph_kcore",  # chg r7
-    "graph_lpa_communities",  # chg r7
-    "layout_zorder",  # chg r7
-    "mm_audio_vad",  # chg r7
-    "mm_scene_cuts",  # chg r7
-    "text_collocations_pmi",  # chg r7
-    "text_url_normalize",  # chg r7
-    "ann_pq_distortion",  # chg r8
-    "pipeline_dsir_logratio",  # chg r8
-    "agg_corr_matrix",  # chg r9
-    "agg_gini",  # chg r9
-    "agg_weighted_median",  # chg r9
-    "ann_bruteforce_topk",  # chg r9
-    "dedup_embedding",  # chg r9
-    "dedup_lsh_recall_curve",  # chg r9
-    "dedup_semantic",  # chg r9
-    "dedup_substring",  # chg r9
-    "events_chisq",  # chg r9
-    "events_cmh",  # chg r9
-    "events_decay_score",  # chg r9
-    "events_markov_stationary",  # chg r9
-    "events_mutual_info",  # chg r9
-    "events_sprt",  # chg r9
-    "fn_udf_slugify",  # chg r9
-    "graph_betweenness",  # chg r9
-    "graph_closeness",  # chg r9
-    "graph_scc",  # chg r9
-    "layout_zone_map_prune",  # chg r9
-    "mm_image_phash",  # chg r9
-    "pipeline_data_card",  # chg r9
-    "pipeline_gopher_rules",  # chg r9
-    "pipeline_hard_negatives",  # chg r9
-    "pipeline_tokenizer_fertility",  # chg r9
-    "pipeline_triplet_mining",  # chg r9
-    "search_bm25_topk",  # chg r9
-    "search_hybrid_rrf",  # chg r9
-    "search_mmr_rerank",  # chg r9
-    "search_phrase_match",  # chg r9
-    "search_trigram_fuzzy",  # chg r9
-    "text_langid",  # chg r9
-    "text_perplexity_bigram",  # chg r9
-    "text_quality",  # chg r9
-    "text_script_ratio",  # chg r9
-    "text_tokens",  # chg r9
-    "text_unigram_logprob",  # chg r9
-    "timeseries_croston",  # chg r9
-    "timeseries_hampel",  # chg r9
-    "timeseries_holt_winters",  # chg r9
-    "timeseries_pacf",  # chg r9
-    "timeseries_sax",  # chg r9
-    "timeseries_spectral_dft",  # chg r9
-    "timeseries_twap",  # chg r9
-    "agg_approx_topk",  # chg r10
-    "agg_grouping_id",  # chg r10
-    "agg_histogram",  # chg r10
-    "agg_listagg",  # chg r10
-    "agg_mode_median",  # chg r10
-    "agg_ols_multi",  # chg r10
-    "agg_regression",  # chg r10
-    "ann_filtered_topk",  # chg r10
-    "ann_ivf_append",  # chg r10
-    "dedup_incremental",  # chg r10
-    "dedup_lines",  # chg r10
-    "events_propensity_match",  # chg r10
-    "fn_bitwise",  # chg r10
-    "fn_edit_distance",  # chg r10
-    "fn_hashing",  # chg r10
-    "fn_time_bucket",  # chg r10
-    "fn_udtf_split",  # chg r10
-    "fn_variant",  # chg r10
-    "graph_ktruss",  # chg r10
-    "graph_random_walk",  # chg r10
-    "mm_audio_energy",  # chg r10
-    "mm_decode",  # chg r10
-    "mm_feature_extract",  # chg r10
-    "mm_resize",  # chg r10
-    "pipeline_dataset_diff",  # chg r10
-    "pipeline_length_buckets",  # chg r10
-    "pipeline_train_quality_filter",  # chg r10
-    "search_spell_correct",  # chg r10
-    "timeseries_kalman",  # chg r10
-    "timeseries_ljung_box",  # chg r10
+    # -- r12 close rotation (tools/gate_rotation.py vs ref a2d657d,
+    # the r11 close) under the AMENDED rule (VERDICT r11 #3): lead
+    # capped at 15 (6 never-checked r12 keys + 9 changed-file
+    # stalest), the remainder strictly stalest-first — gate slots
+    # 16-50 are drawn from the 53-key r1-r3 stale-evidence cohort
+    # (win_*/set_*/tpch/subquery/fn_* lead), so CORRECTNESS_r12
+    # refreshes >=30 of them and the cohort strictly shrinks. --
+    "events_survival_consistency",  # new
+    "graph_hits",  # new
+    "search_index_append",  # new
+    "search_index_build",  # new
+    "search_snippet_extract",  # new
+    "timeseries_model_select",  # new
+    "rollup_time_partitioned",  # chg r3
+    "stream_dedup",  # chg r3
+    "stream_interval_join",  # chg r3
+    "stream_session",  # chg r3
+    "stream_sliding",  # chg r3
+    "stream_tumbling",  # chg r3
+    "timeseries_gapfill",  # chg r3
+    "events_anomaly_mad",  # chg r4
+    "events_dau_wau",  # chg r4
     "limit_offset",  # r1
     "tpch_q1",  # r1
     "tpch_q3",  # r1
@@ -235,21 +113,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "win_rank",  # r2
     "delete_where",  # r3
     "merge_upsert",  # r3
-    "rollup_time_partitioned",  # r3
-    "stream_dedup",  # r3
-    "stream_interval_join",  # r3
-    "stream_session",  # r3
-    "stream_sliding",  # r3
-    "stream_tumbling",  # r3
     "stream_upsert_sink",  # r3
-    "timeseries_gapfill",  # r3
     "agg_bitmap_distinct",  # r4
     "agg_theta_sketch_ops",  # r4
-    "events_anomaly_mad",  # r4
-    "events_dau_wau",  # r4
-    "events_funnel",  # r4
-    "events_sessionize",  # r4
-    "events_transition_matrix",  # r4
+    "events_funnel",  # chg r4
+    "events_sessionize",  # chg r4
+    "events_transition_matrix",  # chg r4
     "fmt_jsoncompact",  # r4
     "join_asof_forward",  # r4
     "join_skew_salted",  # r4
@@ -257,56 +126,56 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_overlap_matrix",  # r4
     "pipeline_quality_audit",  # r4
     "pipeline_shuffle_shards",  # r4
-    "retention_cohorts",  # r4
+    "retention_cohorts",  # chg r4
     "scan_csv",  # r4
     "scan_jsonl",  # r4
-    "stream_enrich_join",  # r4
+    "stream_enrich_join",  # chg r4
     "stream_running_totals",  # r4
-    "stream_watermark_late",  # r4
+    "stream_watermark_late",  # chg r4
     "subquery_any_all",  # r4
-    "timeseries_interpolate",  # r4
+    "timeseries_interpolate",  # chg r4
     "win_time_range",  # r4
     "agg_list",  # r5
     "basket_pair_lift",  # r5
-    "events_attribution",  # r5
-    "events_rfm",  # r5
-    "events_top_paths",  # r5
+    "events_attribution",  # chg r5
+    "events_rfm",  # chg r5
+    "events_top_paths",  # chg r5
     "fn_array_hof",  # r5
     "fn_array_ops",  # r5
     "fn_cast_ch",  # r5
     "fn_date_ch",  # r5
     "fn_map_access",  # r5
     "fn_url_ip",  # r5
-    "graph_pagerank",  # r5
+    "graph_pagerank",  # chg r5
     "join_asof_tolerance",  # r5
     "join_fuzzy_names",  # r5
     "merge_scd2",  # r5
-    "pipeline_bpe_merges",  # r5
-    "pipeline_bpe_tokenize",  # r5
+    "pipeline_bpe_merges",  # chg r5
+    "pipeline_bpe_tokenize",  # chg r5
     "pipeline_corpus_prep",  # r5
     "pipeline_decontaminate",  # r5
-    "recursive_cte",  # r5
-    "topk_per_group",  # r5
+    "recursive_cte",  # chg r5
+    "topk_per_group",  # chg r5
     "tpch_q12",  # r5
     "win_ntile",  # r5
     "agg_cms_frequency",  # r6
     "agg_hll_portable",  # r6
-    "events_ab_test",  # r6
-    "events_bootstrap_ci",  # r6
-    "events_churn_hazard",  # r6
-    "events_cuped",  # r6
-    "events_funnel_windowed",  # r6
-    "events_incidents",  # r6
-    "events_ks_test",  # r6
-    "events_ltv_triangle",  # r6
-    "events_mannwhitney",  # r6
-    "events_slo_burn",  # r6
-    "events_streaks",  # r6
-    "events_time_to_convert",  # r6
-    "events_welch_ttest",  # r6
-    "graph_jaccard",  # r6
-    "graph_triangles",  # r6
-    "graph_wcc",  # r6
+    "events_ab_test",  # chg r6
+    "events_bootstrap_ci",  # chg r6
+    "events_churn_hazard",  # chg r6
+    "events_cuped",  # chg r6
+    "events_funnel_windowed",  # chg r6
+    "events_incidents",  # chg r6
+    "events_ks_test",  # chg r6
+    "events_ltv_triangle",  # chg r6
+    "events_mannwhitney",  # chg r6
+    "events_slo_burn",  # chg r6
+    "events_streaks",  # chg r6
+    "events_time_to_convert",  # chg r6
+    "events_welch_ttest",  # chg r6
+    "graph_jaccard",  # chg r6
+    "graph_triangles",  # chg r6
+    "graph_wcc",  # chg r6
     "join_interval_overlap",  # r6
     "join_nearest",  # r6
     "join_scd2_pointintime",  # r6
@@ -318,20 +187,22 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_normalize_zscore",  # r6
     "pipeline_shard_balance",  # r6
     "sample_random",  # r6
-    "stream_topk",  # r6
-    "timeseries_anomaly_stl",  # r6
-    "timeseries_autocorr",  # r6
-    "timeseries_cusum",  # r6
-    "timeseries_forecast_snaive",  # r6
-    "timeseries_rolling_median",  # r6
-    "timeseries_seasonal_decompose",  # r6
+    "stream_topk",  # chg r6
+    "text_readability",  # chg r6
+    "timeseries_anomaly_stl",  # chg r6
+    "timeseries_autocorr",  # chg r6
+    "timeseries_cusum",  # chg r6
+    "timeseries_forecast_snaive",  # chg r6
+    "timeseries_rolling_median",  # chg r6
+    "timeseries_seasonal_decompose",  # chg r6
     "agg_winsorized_mean",  # r7
+    "ann_recall_eval",  # chg r7
     "cluster_dbscan",  # r7
-    "events_ab_srm",  # r7
+    "events_ab_srm",  # chg r7
     "events_anova_dow",  # r7
     "events_attribution_position",  # r7
     "events_did",  # r7
-    "events_pattern_match",  # r7
+    "events_pattern_match",  # chg r7
     "events_power_mde",  # r7
     "events_qte",  # r7
     "events_ratio_delta_method",  # r7
@@ -339,7 +210,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "filter_eq",  # r7
     "fn_date_spine",  # r7
     "fn_format_ch",  # r7
+    "fn_geohash",  # chg r7
+    "graph_adamic_adar",  # chg r7
+    "graph_bfs",  # chg r7
+    "graph_kcore",  # chg r7
+    "graph_lpa_communities",  # chg r7
     "join_ip_lpm",  # r7
+    "layout_zorder",  # chg r7
+    "mm_audio_vad",  # chg r7
+    "mm_scene_cuts",  # chg r7
     "pipeline_dp_counts",  # r7
     "project_cols",  # r7
     "sample_percent",  # r7
@@ -353,9 +232,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "scan_xml",  # r7
     "stream_holt",  # r7
     "stream_pattern_match",  # r7
+    "text_collocations_pmi",  # chg r7
+    "text_url_normalize",  # chg r7
     "timeseries_downsample_lttb",  # r7
     "timeseries_ewma_control",  # r7
-    "timeseries_holt",  # r7
+    "timeseries_holt",  # chg r7
     "timeseries_vwap",  # r7
     "agg_approx",  # r8
     "agg_argminmax",  # r8
@@ -372,6 +253,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "agg_quantile",  # r8
     "agg_rollup",  # r8
     "agg_stats",  # r8
+    "ann_pq_distortion",  # chg r8
     "events_concurrency",  # r8
     "filter_between_in",  # r8
     "filter_like_regex",  # r8
@@ -395,25 +277,99 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orderby_limit_ties",  # r8
     "orderby_multi",  # r8
     "pipeline_dataset_fingerprint",  # r8
+    "pipeline_dsir_logratio",  # chg r8
     "pipeline_importance_sample",  # r8
     "scan_schema_evolution",  # r8
     "scan_time_travel",  # r8
     "stream_cdc_apply",  # r8
-    "timeseries_ohlc",  # r8
+    "timeseries_ohlc",  # chg r8
+    "agg_corr_matrix",  # chg r9
+    "agg_gini",  # chg r9
     "agg_hll_sketch_table",  # r9
     "agg_quantile_sketch_table",  # r9
+    "agg_weighted_median",  # chg r9
+    "ann_bruteforce_topk",  # chg r9
+    "dedup_embedding",  # r9
+    "dedup_lsh_recall_curve",  # r9
+    "dedup_semantic",  # chg r9
+    "dedup_substring",  # r9
+    "events_chisq",  # chg r9
+    "events_cmh",  # chg r9
+    "events_decay_score",  # chg r9
+    "events_markov_stationary",  # chg r9
+    "events_mutual_info",  # chg r9
+    "events_sprt",  # chg r9
+    "fn_udf_slugify",  # chg r9
+    "graph_betweenness",  # chg r9
+    "graph_closeness",  # chg r9
+    "graph_scc",  # chg r9
     "join_point_in_polygon",  # r9
+    "layout_zone_map_prune",  # chg r9
+    "mm_image_phash",  # chg r9
+    "pipeline_data_card",  # chg r9
+    "pipeline_gopher_rules",  # chg r9
+    "pipeline_hard_negatives",  # chg r9
+    "pipeline_tokenizer_fertility",  # chg r9
+    "pipeline_triplet_mining",  # chg r9
     "sample_systematic",  # r9
     "scan_csv_gzip",  # r9
+    "search_bm25_topk",  # chg r9
+    "search_hybrid_rrf",  # chg r9
+    "search_mmr_rerank",  # chg r9
+    "search_phrase_match",  # chg r9
+    "search_trigram_fuzzy",  # chg r9
     "stream_alert_hysteresis",  # r9
     "stream_sprt",  # r9
+    "text_langid",  # chg r9
+    "text_perplexity_bigram",  # chg r9
+    "text_quality",  # chg r9
+    "text_script_ratio",  # chg r9
+    "text_tokens",  # chg r9
+    "text_unigram_logprob",  # chg r9
+    "timeseries_croston",  # chg r9
+    "timeseries_hampel",  # chg r9
+    "timeseries_holt_winters",  # chg r9
+    "timeseries_pacf",  # chg r9
+    "timeseries_sax",  # chg r9
+    "timeseries_spectral_dft",  # chg r9
+    "timeseries_twap",  # chg r9
+    "agg_approx_topk",  # chg r10
+    "agg_grouping_id",  # chg r10
+    "agg_histogram",  # chg r10
+    "agg_listagg",  # chg r10
+    "agg_mode_median",  # chg r10
+    "agg_ols_multi",  # chg r10
+    "agg_regression",  # chg r10
+    "ann_filtered_topk",  # chg r10
+    "ann_ivf_append",  # chg r10
+    "dedup_incremental",  # r10
+    "dedup_lines",  # r10
+    "events_propensity_match",  # chg r10
+    "fn_bitwise",  # chg r10
+    "fn_edit_distance",  # chg r10
+    "fn_hashing",  # chg r10
+    "fn_time_bucket",  # chg r10
+    "fn_udtf_split",  # chg r10
+    "fn_variant",  # chg r10
+    "graph_ktruss",  # chg r10
+    "graph_random_walk",  # chg r10
+    "mm_audio_energy",  # chg r10
+    "mm_decode",  # chg r10
+    "mm_feature_extract",  # chg r10
+    "mm_resize",  # chg r10
+    "pipeline_dataset_diff",  # chg r10
+    "pipeline_length_buckets",  # chg r10
     "pipeline_mix_domains",  # r10
+    "pipeline_train_quality_filter",  # chg r10
     "sample_quota",  # r10
     "sample_stratified",  # r10
     "scan_csv_multiline",  # r10
     "scan_partitioned_dir",  # r10
+    "search_spell_correct",  # chg r10
     "split_train_test",  # r10
     "stream_kalman",  # r10
+    "timeseries_kalman",  # chg r10
+    "timeseries_ljung_box",  # chg r10
     "tpch_q11",  # r10
     "tpch_q13",  # r10
     "tpch_q15",  # r10
@@ -427,6 +383,56 @@ GATE_PRIORITY: tuple[str, ...] = (
     "tpch_q7",  # r10
     "tpch_q8",  # r10
     "tpch_q9",  # r10
+    "agg_benford",  # chg r11
+    "agg_skew_kurtosis",  # chg r11
+    "ann_ivf_pruned",  # chg r11
+    "ann_ivf_topk",  # chg r11
+    "ann_ivfpq_topk",  # chg r11
+    "ann_lsh_topk",  # chg r11
+    "ann_pq_topk",  # chg r11
+    "ann_range_search",  # chg r11
+    "cluster_kmeans",  # chg r11
+    "dedup_clusters",  # r11
+    "dedup_containment",  # r11
+    "dedup_exact",  # r11
+    "dedup_minhash_append",  # r11
+    "dedup_minhash_lsh",  # r11
+    "dedup_ngram_jaccard",  # r11
+    "dedup_simhash",  # r11
+    "events_attribution_shapley",  # chg r11
+    "events_competing_risks",  # chg r11
+    "events_hmm_viterbi",  # chg r11
+    "events_markov_absorption",  # chg r11
+    "events_survival_km",  # chg r11
+    "graph_assortativity",  # chg r11
+    "graph_diameter_2sweep",  # chg r11
+    "layout_hilbert",  # chg r11
+    "mm_binary_meta",  # chg r11
+    "mm_frame_sample",  # chg r11
+    "pipeline_dedup_keep_best",  # r11
+    "pipeline_pack_sequences",  # chg r11
+    "search_prf_expansion",  # chg r11
+    "text_bigram_topk",  # chg r11
+    "text_burrows_delta",  # chg r11
+    "text_code_detect",  # chg r11
+    "text_entropy",  # chg r11
+    "text_fingerprint",  # chg r11
+    "text_kneser_ney_bigram",  # chg r11
+    "text_lang_confusion",  # chg r11
+    "text_mtld",  # chg r11
+    "text_novelty",  # r11
+    "text_pii_scrub",  # chg r11
+    "text_rake_keywords",  # chg r11
+    "text_repetition",  # chg r11
+    "text_tfidf_topterms",  # chg r11
+    "text_vocab_topk",  # chg r11
+    "text_winnowing",  # chg r11
+    "text_zipf_fit",  # chg r11
+    "timeseries_changepoint",  # chg r11
+    "timeseries_dtw",  # chg r11
+    "timeseries_mann_kendall",  # chg r11
+    "timeseries_matrix_profile",  # chg r11
+    "timeseries_theil_sen",  # chg r11
 )
 
 

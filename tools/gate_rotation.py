@@ -7,6 +7,15 @@
 3. then everything else stalest-evidence-first (latest green
    CORRECTNESS round ascending, then key name for determinism).
 
+r12 amendment (VERDICT r11 what's-wrong #2 / next-round #3): the lead
+buckets (1+2) are CAPPED at GATE_LEAD_CAP slots — at ~20 new keys per
+round the old unbounded lead meant the 50-slot gate never reached the
+r1-r3 tail (53 keys stale for three rounds). Overflow from bucket 2
+demotes into the stalest-first ordering (module-level change is a
+blunt signal; per-key behavior changes are covered by the builder's
+own differential checks, and the stale tail has had NO driver row
+since r1-r3).
+
 Prints the python tuple body to paste into registry.py.
 Usage: python tools/gate_rotation.py [git-ref-of-last-checked-state]
 """
@@ -21,6 +30,8 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+GATE_LEAD_CAP = 15  # r12 amendment: max lead slots for new/changed keys
 
 
 def main() -> None:
@@ -66,9 +77,26 @@ def main() -> None:
     ordered = sorted(keys, key=bucket)
     never = [k for k in ordered if bucket(k)[0] == 0]
     chg = [k for k in ordered if bucket(k)[0] == 1]
-    print(f"# never-checked: {len(never)}; changed-file: {len(chg)}; "
-          f"total: {len(ordered)}", file=sys.stderr)
-    for k in ordered:
+    # cap the lead: never-checked first, then changed-file
+    # stalest-first, truncated at GATE_LEAD_CAP; everything else —
+    # including demoted changed-file keys — goes stalest-first
+    lead = (never + chg)[:GATE_LEAD_CAP]
+    lead_set = set(lead)
+    tail = sorted(
+        (k for k in keys if k not in lead_set),
+        key=lambda k: (latest_green.get(k, 0), k),
+    )
+    print(
+        f"# never-checked: {len(never)}; changed-file: {len(chg)}; "
+        f"lead (capped {GATE_LEAD_CAP}): {len(lead)}; "
+        f"total: {len(ordered)}",
+        file=sys.stderr,
+    )
+    for k in lead:
+        b = bucket(k)
+        tag = {0: "new", 1: f"chg r{b[1]}", 2: f"r{b[1]}"}[b[0]]
+        print(f'    "{k}",  # {tag}')
+    for k in tail:
         b = bucket(k)
         tag = {0: "new", 1: f"chg r{b[1]}", 2: f"r{b[1]}"}[b[0]]
         print(f'    "{k}",  # {tag}')
