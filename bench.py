@@ -284,6 +284,7 @@ BENCH_KEYS = [
     "events_survival_consistency",
     "graph_hits",
     "timeseries_model_select",
+    "search_ndcg_eval",
 ]
 
 

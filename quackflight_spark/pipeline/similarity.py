@@ -1790,8 +1790,9 @@ def lexical_index_build(spark: SparkSession, sf_dir: str) -> dict:
     return {"postings": post_tbl, "dict": dict_tbl, "stats": stats_path}
 
 
-@query("search_bm25_topk", oracle=rf"""
-    WITH tokf AS (
+# bm25 CTE chain shared VERBATIM by the search_bm25_topk oracle and
+# the search_ndcg_eval oracle (r12): `bm` is the per-query top-k.
+_BM25_CORE_SQL = rf"""tokf AS (
       SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
         SELECT doc_id, lower(unnest(list_filter(
                  regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
@@ -1818,12 +1819,19 @@ def lexical_index_build(spark: SparkSession, sf_dir: str) -> dict:
       WHERE q.doc_id < {N_QUERIES}
         AND {DF_CEIL_DEN} * df.df <= {DF_CEIL_NUM} * s.n
       GROUP BY q.doc_id, d.doc_id
-    )
-    SELECT query_id, cand AS doc_id, score, CAST(rn AS INT) AS rn
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY score DESC, cand) AS rn
-          FROM scored)
-    WHERE rn <= {BM25_TOP}
+    ),
+    bm AS (
+      SELECT query_id, cand AS doc_id, score, CAST(rn AS INT) AS rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, cand) AS rn
+            FROM scored)
+      WHERE rn <= {BM25_TOP}
+    )"""
+
+
+@query("search_bm25_topk", oracle=f"""
+    WITH {_BM25_CORE_SQL}
+    SELECT query_id, doc_id, score, rn FROM bm
 """)
 def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval (new r8) — THE canonical lexical
@@ -2073,6 +2081,124 @@ def search_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= LEX_TOPDF)
         .select("w", "df", "tf_total", "df_delta",
                 F.col("rn").cast("int").alias("rn"))
+    )
+
+
+import math as _math
+
+# NDCG discount literals 1/log2(1+rank) for ranks 1..BM25_TOP, full-
+# precision repr shared by both engine texts (the Benford/SPRT constant
+# device) — no transcendental evaluates at runtime in either engine.
+_NDCG_DISC = {i: 1.0 / _math.log2(1 + i) for i in range(1, BM25_TOP + 1)}
+_NDCG_IDEAL = sum(_NDCG_DISC[i] for i in range(1, BM25_TOP + 1))
+# CAST AS DOUBLE around every literal: BOTH engines parse bare decimal
+# literals as DECIMAL (Spark and DuckDB alike), which would put decimal
+# arithmetic — and a DecimalType output — where IEEE doubles must be.
+_NDCG_DCG_EXPR = " + ".join(
+    f"r{i} * CAST({_NDCG_DISC[i]!r} AS DOUBLE)"
+    for i in range(1, BM25_TOP + 1)
+)
+
+
+@query("search_ndcg_eval", oracle=f"""
+    WITH {_BM25_CORE_SQL},
+    {_EN_SQL},
+    truth AS (
+      SELECT query_id, cand FROM (
+        SELECT q.vec_id AS query_id, t.vec_id AS cand,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.e, t.e), 6) DESC,
+                          t.vec_id) AS rv
+        FROM en q JOIN en t ON t.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES})
+      WHERE rv <= {RRF_DEPTH}
+    ),
+    marked AS (
+      SELECT b.query_id, b.rn,
+             CASE WHEN t.cand IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM bm b LEFT JOIN truth t
+        ON t.query_id = b.query_id AND t.cand = b.doc_id
+    ),
+    agg AS (
+      SELECT query_id,
+             CAST(sum(rel) AS BIGINT) AS n_rel,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN rn = {i} THEN rel ELSE 0 END)"
+                 f" AS BIGINT) AS r{i}"
+                 for i in range(1, BM25_TOP + 1)
+             )}
+      FROM marked GROUP BY query_id
+    )
+    SELECT query_id, n_rel,
+           CAST(n_rel AS DOUBLE) / {BM25_TOP} AS prec_at_k,
+           {_NDCG_DCG_EXPR} AS dcg,
+           ({_NDCG_DCG_EXPR}) / CAST({_NDCG_IDEAL!r} AS DOUBLE) AS ndcg
+    FROM agg
+""")
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic retrieval quality (new r12) — NDCG@{BM25_TOP}
+    of the bm25 ranking against exact-cosine ground truth (relevant =
+    the query's vector top-{RRF_DEPTH}, doc_id ≡ vec_id on the fixture
+    corpus): the GRADED companion of ann_recall_eval, and the eval
+    every hybrid-retrieval deployment runs to decide how much the
+    lexical leg contributes before fusion weights are chosen
+    (Järvelin & Kekäläinen 2002). Emits per-query precision@k, DCG and
+    NDCG.
+
+    Exactness: relevance marks and the per-rank hit counts r1..r{BM25_TOP}
+    are exact integers; the discounts 1/log2(1+r) are FULL-PRECISION
+    repr literals shared by both texts (no transcendental evaluates at
+    runtime), DCG is one fixed-literal-order expression over exact
+    ints, and NDCG divides by the ideal-DCG literal (always
+    {BM25_TOP} relevant available since {RRF_DEPTH} ≥ {BM25_TOP}) —
+    raw quotients, no rounding needed.
+
+    Scale shape: composes two already-audited plans — the staged-index
+    bm25 probe and the broadcast-queries brute-force cosine leg — then
+    joins two k-bounded rank lists and aggregates {N_QUERIES} rows.
+    The eval costs nothing beyond the legs it grades."""
+    bm = search_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rn")
+    emb = _emb_normed(spark, sf_dir)
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    vec = (
+        emb.select(F.col("vec_id").alias("cand"), "e")
+        .join(F.broadcast(qe), F.col("cand") != F.col("query_id"))
+        .withColumn("cs", F.round(_dot(F.col("qe"), F.col("e")), 6))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("cs"), "cand")
+    truth = (
+        vec.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= RRF_DEPTH)
+        .select("query_id", F.col("cand").alias("doc_id"), F.lit(1).alias("h1"))
+    )
+    marked = bm.join(truth, ["query_id", "doc_id"], "left").select(
+        "query_id", "rn", F.coalesce("h1", F.lit(0)).alias("rel")
+    )
+    agg = marked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        *[
+            F.sum(F.when(F.col("rn") == i, F.col("rel")).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{i}")
+            for i in range(1, BM25_TOP + 1)
+        ],
+    )
+    # F.lit doubles, not F.expr over the literal text: Spark SQL parses
+    # bare decimal literals as DECIMAL and the whole expression would
+    # land DecimalType in the output schema (the known canonicalizer
+    # hazard); lit() pins DoubleType with the identical IEEE values,
+    # added in the identical left-to-right order as the oracle text.
+    dcg = F.lit(0.0)
+    for i in range(1, BM25_TOP + 1):
+        dcg = dcg + F.col(f"r{i}").cast("double") * F.lit(_NDCG_DISC[i])
+    return agg.select(
+        "query_id",
+        "n_rel",
+        (F.col("n_rel").cast("double") / BM25_TOP).alias("prec_at_k"),
+        dcg.alias("dcg"),
+        (dcg / F.lit(_NDCG_IDEAL)).alias("ndcg"),
     )
 
 

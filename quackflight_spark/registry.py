@@ -54,6 +54,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # (win_*/set_*/tpch/subquery/fn_* lead), so CORRECTNESS_r12
     # refreshes >=30 of them and the cohort strictly shrinks. --
     "events_survival_consistency",  # new
+    "search_ndcg_eval",  # new
     "graph_hits",  # new
     "search_index_append",  # new
     "search_index_build",  # new
