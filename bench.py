@@ -285,6 +285,9 @@ BENCH_KEYS = [
     "graph_hits",
     "timeseries_model_select",
     "search_ndcg_eval",
+    "text_lexicon_score",
+    "events_gains_deciles",
+    "mm_shot_stats",
 ]
 
 

@@ -2809,3 +2809,86 @@ def text_mtld(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_tokens bigint, factors bigint, "
         "tail_types bigint, tail_tokens bigint, mtld double",
     )
+
+
+# ---------------------------------------------------------------------------
+# text_lexicon_score — wordlist-based document scoring (r12)
+# ---------------------------------------------------------------------------
+
+# Domain wordlists as shared literals (the mechanism — not the lists —
+# is the deliverable: this is the blocklist/allowlist scorer every
+# training-data filter runs, from bad-word filters to domain-quality
+# lexicons; swap the lists per deployment). Chosen from the fixture's
+# own vocabulary so both tails fire.
+LEX_POS = ("fast", "small", "batch", "vector", "merge")
+LEX_NEG = ("slow", "big", "dup", "spill", "skew")
+
+
+def _lex_in_sql(words: tuple) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query("text_lexicon_score", oracle=rf"""
+    WITH pos AS (
+      SELECT source, lower(unnest(list_filter(
+               regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+      FROM documents
+    ),
+    hits AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN w IN ({_lex_in_sql(LEX_POS)})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos_hits,
+             CAST(sum(CASE WHEN w IN ({_lex_in_sql(LEX_NEG)})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS neg_hits
+      FROM pos GROUP BY source
+    )
+    SELECT source, n_tokens, pos_hits, neg_hits,
+           CAST(pos_hits - neg_hits AS BIGINT) AS net,
+           CAST(pos_hits - neg_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS score
+    FROM hits
+""")
+def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based source scoring (new r12) — the wordlist mechanism
+    behind every blocklist/allowlist pipeline filter (bad-word
+    filters, domain-quality lexicons, LIWC-style category counters):
+    count per-source hits of a positive and a negative wordlist and
+    emit the normalized net score. The lists are configuration — the
+    registered key pins the MECHANISM (set-membership aggregation over
+    the token stream) with fixture-derived lists so the decision paths
+    actually fire; text_pii_scrub covers the regex-class sibling.
+
+    Exactness: hit counts and token totals are exact BIGINTs; the
+    score is the RAW quotient of exact integers (the recorded
+    raw-quotient lesson), identical in both texts.
+
+    Scale shape: one tokenize + one map-side-combinable groupBy to
+    |sources| rows; the IN-list evaluates as a literal hash set inside
+    codegen — zero joins, zero shuffles beyond the rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    pos = d.select(
+        "source",
+        F.explode(F.transform(toks, lambda x: F.lower(x))).alias("w"),
+    )
+    hits = pos.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(*LEX_POS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_hits"),
+        F.sum(F.when(F.col("w").isin(*LEX_NEG), 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg_hits"),
+    )
+    return hits.select(
+        "source",
+        "n_tokens",
+        "pos_hits",
+        "neg_hits",
+        (F.col("pos_hits") - F.col("neg_hits")).cast("bigint").alias("net"),
+        (
+            (F.col("pos_hits") - F.col("neg_hits")).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("score"),
+    )

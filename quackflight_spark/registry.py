@@ -55,6 +55,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # refreshes >=30 of them and the cohort strictly shrinks. --
     "events_survival_consistency",  # new
     "search_ndcg_eval",  # new
+    "text_lexicon_score",  # new
+    "events_gains_deciles",  # new
+    "mm_shot_stats",  # new
     "graph_hits",  # new
     "search_index_append",  # new
     "search_index_build",  # new

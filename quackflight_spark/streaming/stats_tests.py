@@ -1905,3 +1905,126 @@ def events_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share"),
         "total_conv",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_gains_deciles — cumulative-gains / lift table (r12)
+# ---------------------------------------------------------------------------
+
+GAINS_BUCKETS = 10
+GAINS_BIG = 150  # converter = any purchase >= this (the CR_BIG device)
+
+
+@query("events_gains_deciles", oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND value >= {GAINS_BIG}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, conv,
+             CAST(ntile({GAINS_BUCKETS}) OVER (
+               ORDER BY score DESC, user_id) AS INT) AS decile
+      FROM u
+    ),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM d GROUP BY decile
+    ),
+    t AS (SELECT CAST(sum(n_conv) AS BIGINT) AS total_conv,
+                 CAST(sum(n_users) AS BIGINT) AS total_users
+          FROM g)
+    SELECT g.decile, g.n_users, g.n_conv,
+           CAST(sum(g.n_conv) OVER (ORDER BY g.decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv,
+           CASE WHEN t.total_conv = 0 THEN 0.0
+                ELSE CAST(sum(g.n_conv) OVER (ORDER BY g.decile
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(t.total_conv AS DOUBLE) END AS capture_rate,
+           CASE WHEN t.total_conv = 0 OR g.n_users = 0 THEN 0.0
+                ELSE CAST(g.n_conv * t.total_users AS DOUBLE)
+                     / CAST(g.n_users * t.total_conv AS DOUBLE) END AS lift
+    FROM g CROSS JOIN t
+""")
+def events_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table (new r12) — THE model-evaluation
+    artifact of targeting and propensity work (the 'gains chart' every
+    campaign report shows): rank users by an activity score (total
+    event count as the propensity proxy), cut into {GAINS_BUCKETS}
+    deciles, and report each decile's converter capture and lift over
+    the base rate. Complements events_propensity_match (which
+    ESTIMATES an effect) with the ranking-quality read (how well does
+    the score CONCENTRATE converters).
+
+    Exactness: scores, conversion flags, decile assignment (exact
+    NTILE over the total order (score DESC, user_id) — Spark side via
+    the distributed-exact win_ntile device on the negated score, no
+    single-task sort), per-decile counts and the cumulative sum are
+    ALL exact integers; capture and lift are raw quotients of exact
+    integer products, zero-guarded with identical CASE text in both
+    engines (DuckDB raises on /0 where Spark returns NULL — the
+    burrows-delta divergent-failure-mode lesson).
+
+    Scale shape: one map-side-combinable user rollup; the ntile is
+    one range exchange + per-slice rank (the win_ntile plan); the
+    decile rollup is {GAINS_BUCKETS} rows and everything after is
+    metadata-scale."""
+    from quackflight_spark.streaming.windowed import _ntile_distributed
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= GAINS_BIG),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .withColumn("nscore", -F.col("score"))
+    )
+    d = _ntile_distributed(u, ["nscore", "user_id"], "decile", GAINS_BUCKETS)
+    g = d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    t = g.agg(
+        F.sum("n_conv").cast("bigint").alias("total_conv"),
+        F.sum("n_users").cast("bigint").alias("total_users"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("cum_conv", F.sum("n_conv").over(wc).cast("bigint"))
+        .select(
+            "decile",
+            "n_users",
+            "n_conv",
+            "cum_conv",
+            F.when(F.col("total_conv") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("cum_conv").cast("double")
+                / F.col("total_conv").cast("double")
+            )
+            .alias("capture_rate"),
+            F.when(
+                (F.col("total_conv") == 0) | (F.col("n_users") == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                (F.col("n_conv") * F.col("total_users")).cast("double")
+                / (F.col("n_users") * F.col("total_conv")).cast("double")
+            )
+            .alias("lift"),
+        )
+    )
