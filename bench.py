@@ -288,6 +288,8 @@ BENCH_KEYS = [
     "text_lexicon_score",
     "events_gains_deciles",
     "mm_shot_stats",
+    "graph_modularity_components",
+    "timeseries_haar_dwt",
 ]
 
 

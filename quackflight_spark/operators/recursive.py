@@ -612,3 +612,108 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("component_id"),
         "component_size",
     )
+
+
+@query("graph_modularity_components", oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= {WCC_MIN_CO}
+    ),
+    edges AS (
+      SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0
+    ),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+      ) SELECT a, b FROM r UNION SELECT a, a FROM edges
+    ),
+    comp AS (SELECT a AS node, min(b) AS component_id FROM reach GROUP BY a),
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY a),
+    vol AS (SELECT c.component_id, CAST(sum(d.d) AS BIGINT) AS vol
+            FROM comp c JOIN deg d ON d.node = c.node GROUP BY 1),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    s AS (SELECT CAST(sum(vol * vol) AS BIGINT) AS sum_vol_sq,
+                 CAST(count(*) AS BIGINT) AS n_components FROM vol),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM comp)
+    SELECT nn.n_nodes, s.n_components, mm.m AS m_edges, s.sum_vol_sq,
+           CAST(4 * mm.m * mm.m - s.sum_vol_sq AS BIGINT) AS q_num,
+           CAST(4 * mm.m * mm.m AS BIGINT) AS q_den,
+           CAST(4 * mm.m * mm.m - s.sum_vol_sq AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE) AS modularity
+    FROM nn, s, mm
+""")
+def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the connected-component partition (new r12)
+    — the partition-quality audit for the graph family (the
+    ann_recall_eval discipline applied to community structure): for
+    the WCC partition every edge is intra-community, so Q collapses to
+    the exact rational 1 − Σ_c vol_c²/(2m)² — the UPPER BOUND any
+    community assignment on this graph can approach from below, the
+    yardstick a Louvain/LPA run is judged against (Newman & Girvan
+    2004). Emits the exact integer numerator/denominator so the score
+    is auditable as a rational on the row, plus the raw double
+    quotient.
+
+    Exactness: edge count, degrees, component volumes and both Q sides
+    are exact BIGINTs (4m² at fixture scale ≤ ~1e10; the pagerank
+    pre-scale convention applies past ~1e9 edges); modularity is the
+    RAW quotient of those exact integers.
+
+    Scale shape: the same support-thresholded edge build and shared
+    min-label CC kernel as graph_wcc, one degree rollup, one
+    volume rollup on converged labels, then single-row arithmetic —
+    nothing beyond what wcc already pays."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= WCC_MIN_CO)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    from quackflight_spark.pipeline.dedup import min_label_components
+
+    labels = min_label_components(edges, WCC_MAX_ROUNDS, "graph_modularity")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    vol = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("bigint").alias("vol"))
+    )
+    s = vol.agg(
+        F.sum(F.col("vol") * F.col("vol")).cast("bigint").alias("sum_vol_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+    )
+    mm = e0.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    nn = labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    qn = 4 * F.col("m") * F.col("m") - F.col("sum_vol_sq")
+    qd = 4 * F.col("m") * F.col("m")
+    return (
+        nn.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "n_nodes",
+            "n_components",
+            F.col("m").alias("m_edges"),
+            "sum_vol_sq",
+            qn.cast("bigint").alias("q_num"),
+            qd.cast("bigint").alias("q_den"),
+            (qn.cast("double") / qd.cast("double")).alias("modularity"),
+        )
+    )

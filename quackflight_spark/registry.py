@@ -58,6 +58,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lexicon_score",  # new
     "events_gains_deciles",  # new
     "mm_shot_stats",  # new
+    "graph_modularity_components",  # new
+    "timeseries_haar_dwt",  # new
     "graph_hits",  # new
     "search_index_append",  # new
     "search_index_build",  # new

@@ -1742,3 +1742,139 @@ def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ta string, tb string, na bigint, nb bigint, "
         "dtw_d2 bigint, dtw_norm double",
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_haar_dwt — unnormalized Haar wavelet energies (r12)
+# ---------------------------------------------------------------------------
+
+HAAR_N = 256       # spine padded to the next power of two past MP_BUCKETS
+HAAR_LEVELS = 3    # detail levels emitted
+
+
+@query("timeseries_haar_dwt", oracle=f"""
+    WITH cnts AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '{TS_ANCHOR}',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                  AS BIGINT) * {MP_BPD}
+               + CAST(hour(CAST(ts AS TIMESTAMP)) // 3 AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, CAST(g.i AS BIGINT) AS b
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           LATERAL (SELECT unnest(range(0, {HAAR_N})) AS i) g
+    ),
+    a0 AS (
+      SELECT s.event_type, s.b, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN cnts c
+        ON c.event_type = s.event_type AND c.b = s.b
+    ),
+    l1 AS (
+      SELECT event_type, CAST(b // 2 AS BIGINT) AS b,
+             CAST(sum(CASE WHEN b % 2 = 0 THEN x ELSE 0 END)
+                + sum(CASE WHEN b % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN b % 2 = 0 THEN x ELSE 0 END)
+                - sum(CASE WHEN b % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS d
+      FROM a0 GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT event_type, CAST(b // 2 AS BIGINT) AS b,
+             CAST(sum(CASE WHEN b % 2 = 0 THEN a ELSE 0 END)
+                + sum(CASE WHEN b % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN b % 2 = 0 THEN a ELSE 0 END)
+                - sum(CASE WHEN b % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS d
+      FROM l1 GROUP BY 1, 2
+    ),
+    l3 AS (
+      SELECT event_type, CAST(b // 2 AS BIGINT) AS b,
+             CAST(sum(CASE WHEN b % 2 = 0 THEN a ELSE 0 END)
+                + sum(CASE WHEN b % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN b % 2 = 0 THEN a ELSE 0 END)
+                - sum(CASE WHEN b % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS d
+      FROM l2 GROUP BY 1, 2
+    ),
+    det AS (
+      SELECT event_type, 1 AS level, d FROM l1
+      UNION ALL SELECT event_type, 2, d FROM l2
+      UNION ALL SELECT event_type, 3, d FROM l3
+    )
+    SELECT event_type, CAST(level AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_coeffs,
+           CAST(sum(d * d) AS BIGINT) AS energy,
+           CAST(max(abs(d)) AS BIGINT) AS max_abs
+    FROM det GROUP BY 1, 2
+""")
+def timeseries_haar_dwt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition per series (new r12) —
+    the multi-resolution companion of timeseries_spectral_dft: where
+    the DFT localizes energy in FREQUENCY only, the Haar detail
+    coefficients (pairwise differences of successively coarser sums)
+    localize burst energy in TIME at dyadic scales — the change/burst
+    profile a monitoring pipeline reads per 6-hour/12-hour/daily band
+    (and the transform behind wavelet-based series compression and
+    similarity). Emits per (series, level) the detail count, energy
+    Σd² and peak |d|.
+
+    Exactness: the unnormalized Haar transform (a = x₀+x₁, d = x₀−x₁,
+    no 1/√2) is PURE INTEGER on exact 3-hour counts over a dense
+    {HAAR_N}-bucket spine (the matrix_profile calendar device, padded
+    to the dyadic length with exact zeros); energies and maxima are
+    exact BIGINTs — not one float in either text.
+
+    Scale shape: one map-side-combinable rollup to the bucket grain,
+    then {HAAR_LEVELS} successive halving groupBys on the
+    |series|×{HAAR_N} spine — calendar-bounded volume; 100 TB only
+    raises the counts inside x."""
+    ev = load_table(spark, sf_dir, "events")
+    cnts = ev.groupBy(
+        "event_type",
+        (
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit(TS_ANCHOR).cast("date"),
+            ).cast("bigint")
+            * MP_BPD
+            + F.floor(F.hour("ts") / 3).cast("bigint")
+        ).alias("b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(HAAR_N - 1))).alias("b0"),
+        )
+        .select("event_type", F.col("b0").cast("bigint").alias("b"))
+    )
+    cur = spine.join(cnts, ["event_type", "b"], "left").select(
+        "event_type",
+        "b",
+        F.coalesce("x", F.lit(0)).cast("bigint").alias("a"),
+    )
+    dets = []
+    for level in range(1, HAAR_LEVELS + 1):
+        even = F.sum(F.when(F.col("b") % 2 == 0, F.col("a")).otherwise(0))
+        odd = F.sum(F.when(F.col("b") % 2 == 1, F.col("a")).otherwise(0))
+        nxt = cur.groupBy(
+            "event_type", (F.col("b") / 2).cast("bigint").alias("b")
+        ).agg(
+            (even + odd).cast("bigint").alias("a"),
+            (even - odd).cast("bigint").alias("d"),
+        )
+        dets.append(
+            nxt.select(
+                "event_type", F.lit(level).alias("level"), F.col("d")
+            )
+        )
+        cur = nxt.select("event_type", "b", "a")
+    det = dets[0]
+    for x in dets[1:]:
+        det = det.unionByName(x)
+    return det.groupBy("event_type", F.col("level").cast("int").alias("level")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+        F.max(F.abs("d")).cast("bigint").alias("max_abs"),
+    )
