@@ -5494,3 +5494,61 @@ def test_lex_append_equals_rebuild(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_survival_consistency_identity_on_rows(spark, sf_dir):
+    """The registered events_survival_consistency rows must exhibit the
+    Aalen-Johansen identity directly: aj_total = S(t)+CIF1+CIF2 within
+    round-6 of 1.0 at every event time, n_risk strictly decreasing, and
+    both CIFs nondecreasing."""
+    rows = sorted(
+        _queries()["events_survival_consistency"](spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows
+    prev_risk = None
+    prev_c1 = prev_c2 = -1.0
+    for r in rows:
+        assert abs(r.aj_total - 1.0) <= 2e-6, (r.t_days, r.aj_total)
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk
+        assert r.cif_convert >= prev_c1 - 1e-12
+        assert r.cif_incident >= prev_c2 - 1e-12
+        prev_risk, prev_c1, prev_c2 = r.n_risk, r.cif_convert, r.cif_incident
+
+
+def test_gains_deciles_partition_and_monotonicity(spark, sf_dir):
+    """Gains table invariants: deciles partition the user base, decile
+    sizes differ by at most one (exact NTILE), capture_rate is
+    nondecreasing in decile and reaches 1.0, and cum_conv totals the
+    converter count."""
+    from quackflight_spark.sources.fixtures import load_table
+
+    rows = sorted(
+        _queries()["events_gains_deciles"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_users_total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users_total
+    sizes = [r.n_users for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    caps = [r.capture_rate for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(caps, caps[1:]))
+    assert abs(caps[-1] - 1.0) < 1e-12
+    assert rows[-1].cum_conv == sum(r.n_conv for r in rows)
+
+
+def test_modularity_components_closed_form(spark, sf_dir):
+    """graph_modularity_components must equal the closed form computed
+    from the graph_wcc key's own output: Q = 1 - sum(vol_c^2)/(2m)^2
+    with vol_c summed from per-node degrees."""
+    row = _queries()["graph_modularity_components"](spark, sf_dir).collect()[0]
+    assert row.q_den == 4 * row.m_edges * row.m_edges
+    assert row.q_num == row.q_den - row.sum_vol_sq
+    assert row.modularity == row.q_num / row.q_den
+    wcc = _queries()["graph_wcc"](spark, sf_dir).collect()
+    assert row.n_nodes == len(wcc)
+    assert row.n_components == len({r.component_id for r in wcc})
