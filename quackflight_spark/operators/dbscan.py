@@ -213,14 +213,17 @@ def cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist_sq", dist_sq)
         .filter(F.col("dist_sq") <= eps * eps)
         .select("ka", "kb", "dist_sq")
-        .localCheckpoint()  # feeds core count, core edges, border argmin
+        # lazy (r12): feeds core count, core edges, border argmin — the
+        # CC kernel's first fused job materializes the whole chain;
+        # eager paid two extra standalone jobs of floor here
+        .localCheckpoint(eager=False)
     )
     core = (
         cand.groupBy("ka")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") + 1 >= DBSCAN_MIN_PTS)
         .select(F.col("ka").alias("k"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ce = (
         cand.join(core.withColumnRenamed("k", "ka"), "ka", "left_semi")

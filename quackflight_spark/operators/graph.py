@@ -114,7 +114,10 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            # lazy (r12): fixed-hop unroll with no driver decision per
+            # hop — the final action materializes the whole checkpoint
+            # chain; eager paid one standalone job per hop
+            .localCheckpoint(eager=False)
         )
         # the next frontier is exactly the nodes first labeled this hop
         frontier = dist.filter(F.col("dist") == hop)
@@ -255,9 +258,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nb"))
         .union(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
-        .localCheckpoint()
+        # lazy + fused count (r12): the n_alive count materializes
+        # incidence AND alive in one cascade; eager paid two extra jobs
+        .localCheckpoint(eager=False)
     )
-    alive = incidence.select("node").distinct().localCheckpoint()
+    alive = incidence.select("node").distinct().localCheckpoint(eager=False)
     n_alive = alive.count()
     ROUND_TRACE["kcore_peel"] = 0
     # One materialization (lazy checkpoint + count) per round. An r11
@@ -479,7 +484,9 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nlbl"))).alias("w"))
             .select("node", (-F.col("w.nlbl")).alias("lbl"))
-            .localCheckpoint()
+            # lazy (r12): fixed LPA_ROUNDS unroll, no per-round driver
+            # decision — chain materializes under the final action
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")
@@ -542,7 +549,7 @@ def _fb_labels(edges: DataFrame, nodes: DataFrame, caller: str) -> DataFrame:
     avoids. Loud non-convergence."""
     labels = nodes.select(
         "node", F.col("node").alias("f"), F.col("node").alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     changed = -1
     ROUND_TRACE["scc_fb_inner"] = ROUND_TRACE.get("scc_fb_inner", 0)
     for _ in range(SCC_MAX_INNER):
@@ -691,7 +698,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(
         F.when(par, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(par, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # The support-thresholded graph is orders of magnitude smaller than
     # the fact table; the iterative phase runs dozens of tiny keyed
     # shuffles where 32 partitions is pure scheduling overhead. Narrow
@@ -712,7 +719,7 @@ def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     edges_rem = edges
     assigned = None
@@ -754,10 +761,16 @@ def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
         trimmed = remaining.join(core_nodes, "node", "anti").select(
             "node", F.col("node").alias("scc_id")
         )
+        # lazy checkpoints + fused counts (r12 floor shave): every
+        # eager checkpoint here was its own job; the convergence count
+        # that immediately follows materializes the same blocks, so
+        # lazy+count halves the per-phase job count. `assigned` has no
+        # following count — it materializes inside the next action's
+        # cascade.
         assigned = (
             trimmed if assigned is None else assigned.unionByName(trimmed)
-        ).localCheckpoint()
-        remaining = core_nodes.localCheckpoint()
+        ).localCheckpoint(eager=False)
+        remaining = core_nodes.localCheckpoint(eager=False)
         if remaining.count() == 0:
             break
         keep = remaining.withColumnRenamed("node", "k")
@@ -766,18 +779,18 @@ def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .drop("k")
             .join(keep, edges_rem.dst == keep.k)
             .drop("k")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # fused f/b match on the trimmed core
         fb = _fb_labels(edges_rem, remaining, "graph_scc.fb")
         done = fb.filter(F.col("f") == F.col("b")).select(
             "node", F.col("f").alias("scc_id")
         )
-        assigned = assigned.unionByName(done).localCheckpoint()
+        assigned = assigned.unionByName(done).localCheckpoint(eager=False)
         remaining = (
             fb.filter(F.col("f") != F.col("b"))
             .select("node")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if remaining.count() == 0:
             break
@@ -787,7 +800,7 @@ def _scc_peel(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .drop("k")
             .join(keep, edges_rem.dst == keep.k)
             .drop("k")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         raise RuntimeError(
@@ -910,7 +923,8 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(reached)
             .groupBy("seed", "node")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            # lazy (r12): fixed-hop unroll — see graph_bfs
+            .localCheckpoint(eager=False)
         )
         frontier = dist.filter(F.col("d") == hop)
     per_d = (
@@ -1086,10 +1100,14 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, ["seed", "v"], "left_anti")
             .groupBy("seed", "v")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
-            .localCheckpoint()
+            # lazy (r12): fixed-depth Brandes unroll, no driver
+            # decisions — the chain materializes under the final action
+            .localCheckpoint(eager=False)
         )
         lv[d] = nxt
-        visited = visited.unionByName(nxt.select("seed", "v")).localCheckpoint()
+        visited = visited.unionByName(nxt.select("seed", "v")).localCheckpoint(
+            eager=False
+        )
     delta = {
         BETW_MAX_HOPS: lv[BETW_MAX_HOPS].select(
             "seed", "v", F.lit(0.0).alias("delta")
@@ -1142,7 +1160,7 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "v",
                 F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     alldel = None
     for d in range(1, BETW_MAX_HOPS):
@@ -1257,22 +1275,38 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut re-oriented and re-joined per round and measured 104 s at
     sf0.1): edges orient ONCE by initial (degree, id) — any fixed
     acyclic orientation stays valid as edges drop, and the O(√m)
-    forward-degree bound only improves on subgraphs — and each round
-    is exactly ONE 2-path equi-join + ONE closing-edge semi-join + ONE
-    count keyed on the oriented pair. No edge⋈support join exists:
-    the support rows ARE the surviving edges (an edge in zero
-    triangles has no support row and is dropped by construction, which
-    is precisely the K≥3 rule). Convergence via the lazy-checkpoint +
-    count fold (one job per round); loud non-convergence at
-    {KTRUSS_MAX_ROUNDS} rounds — the oracle unrolls the same bound
-    over id-ordered pairs (the triangle SET is orientation-invariant,
-    so supports agree pair-for-pair).
+    forward-degree bound only improves on subgraphs. Triangles are
+    enumerated ONCE (compact-forward over the gated
+    broadcast/shuffled adjacency; each triangle appears exactly once,
+    from its unique base edge) into a materialized triangle LEDGER;
+    supports are the per-edge role counts over it. An edge in zero
+    triangles has no support row and is dropped by construction —
+    precisely the K≥3 rule.
 
-    Scale shape: per round two keyed shuffles over SURVIVING edges
-    (monotonically shrinking), never node×node; at 100 TB this is the
-    standard distributed truss peel (triangle join with degree
-    orientation) — the known-good shape from the MapReduce/Spark truss
-    literature."""
+    Rounds after the first work on the LEDGER, not the graph (r12
+    rework — the r10 loop rebuilt adjacency and re-enumerated all
+    triangles of the surviving set every round, 16.7 s at sf0.1 and
+    badly steal-sensitive on a shared host): a triangle dies exactly
+    when one of its edges drops, so each round marks the ledger rows
+    containing a dropped edge (three gated-broadcast joins of the
+    dropped set), filters them out, and recounts per-edge roles over
+    the survivors — identical to re-enumeration round-for-round, with
+    no per-round adjacency shuffle or array-intersect work.
+    Convergence via the lazy-checkpoint + count fold (one job per
+    round); loud non-convergence at {KTRUSS_MAX_ROUNDS} rounds — the
+    oracle unrolls the same bound over id-ordered pairs (the triangle
+    SET is orientation-invariant, so supports agree pair-for-pair).
+
+    Scale shape: one full triangle enumeration (the unavoidable pass),
+    then per-round work ∝ the surviving ledger (3·|tri| thin int
+    rows, monotonically shrinking) with the dropped set riding the
+    same size gate as the adjacency broadcast; the ledger is ∝ total
+    triangles — the state the distributed truss-maintenance
+    literature also keeps, staged to reliable storage on a cluster.
+    (An explicit support-decrement variant — per-round work ∝ dead
+    triangles only — measured WORSE here: the extra checkpointed
+    join layer per round outweighs recounting thin rows; negative
+    kept in OPTIMIZATION_r12.md.)"""
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -1302,74 +1336,116 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = edges.count()
     # Size gate (ADVICE r10): oriented-edge count == adjacency entries,
     # monotonically shrinking, so the initial count bounds every round.
     use_broadcast = n_edges <= KTRUSS_BROADCAST_EDGE_LIMIT
 
-    def support(e: DataFrame) -> DataFrame:
-        """(src, dst, support) over oriented edge set e — support rows
-        exist only for edges in >= 1 triangle.
+    def maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_broadcast else df
 
-        Compact-forward enumeration (Latapy): triangles at edge (x, y)
-        are N+(x) ∩ N+(y), computed by exploding array_intersect over
-        the BROADCAST forward-adjacency table — the Θ(Σ fdeg²) 2-path
-        intermediate of the naive three-way join (measured 49 M rows
-        per round at sf0.1, 6 s/round) never materializes; only the
-        1.9 M actual triangles do (whole peel 104 → 16.5 s at sf0.1,
-        ~1.8× the DuckDB oracle's 9 s — the 2× bar met). The
-        adjacency table is |nodes| rows of avg-fdeg arrays — broadcast
-        while the oriented edge count (== total adjacency entries,
-        monotonically shrinking) is under KTRUSS_BROADCAST_EDGE_LIMIT;
-        past that the SAME plan key-shuffles the two adjacency lookups
-        — identical results, two sort-merge joins instead of two
-        broadcast joins (size gate costs zero extra jobs: it reads the
-        count the peel already takes)."""
-        adj = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-        ax = adj.select(F.col("src").alias("x"), F.col("nbrs").alias("ax"))
-        ay = adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ay"))
-        if use_broadcast:
-            ax, ay = F.broadcast(ax), F.broadcast(ay)
-        tri = (
-            e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-            .join(ax, "x")
-            .join(ay, "y")
-            .select(
-                "x",
-                "y",
-                F.explode(F.array_intersect("ax", "ay")).alias("z"),
-            )
-        )
+    # --- One-shot triangle enumeration (compact-forward, Latapy) -----
+    # Triangles at base edge (x, y) are N+(x) ∩ N+(y), computed by
+    # exploding array_intersect over the forward-adjacency table
+    # (broadcast under the size gate, key-shuffled past it) — the
+    # Θ(Σ fdeg²) 2-path intermediate of the naive three-way join never
+    # materializes, only the actual triangles do. Under the fixed
+    # acyclic orientation each triangle {a,b,c} (a→b, a→c, b→c) is
+    # emitted EXACTLY once, from its unique base (a, b) — so the
+    # materialized table is the distinct triangle set, usable as a
+    # support ledger.
+    adj = edges.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    ax = maybe_bcast(adj.select(F.col("src").alias("x"), F.col("nbrs").alias("ax")))
+    ay = maybe_bcast(adj.select(F.col("src").alias("y"), F.col("nbrs").alias("ay")))
+    tri = (
+        edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .join(ax, "x")
+        .join(ay, "y")
+        .select("x", "y", F.explode(F.array_intersect("ax", "ay")).alias("z"))
+        .localCheckpoint(eager=False)
+    )
+
+    def role_sup(t: DataFrame) -> DataFrame:
         roles = (
-            tri.select(F.col("x").alias("src"), F.col("y").alias("dst"))
-            .unionByName(tri.select(F.col("x").alias("src"), F.col("z").alias("dst")))
-            .unionByName(tri.select(F.col("y").alias("src"), F.col("z").alias("dst")))
+            t.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+            .unionByName(t.select(F.col("x").alias("src"), F.col("z").alias("dst")))
+            .unionByName(t.select(F.col("y").alias("src"), F.col("z").alias("dst")))
         )
         return roles.groupBy("src", "dst").agg(
             F.count(F.lit(1)).cast("bigint").alias("support")
         )
 
+    sup = role_sup(tri).localCheckpoint(eager=False)
+
+    # --- Incremental peel over the triangle ledger (r12 rework) ------
+    # The r10 peel re-derived adjacency and re-enumerated ALL triangles
+    # of the surviving edge set every round (9 rounds × full
+    # enumeration at sf0.1 = 16.7 s in BENCH_r12's close). But a
+    # synchronous peel round only CHANGES the support of edges that
+    # shared a triangle with a dropped edge, so the rounds after the
+    # first need to touch only the delta: a triangle DIES when any of
+    # its three edges drops, and each surviving edge of a dead
+    # triangle loses exactly one support. Maintaining (live triangles,
+    # supports) under those decrements reproduces the full recompute
+    # round-for-round — the standard support-maintenance formulation
+    # of truss peeling — while shuffling only decrement rows
+    # (∝ dead triangles this round) instead of the whole edge set.
+    # Convergence: one count job per round (lazy checkpoint + count,
+    # the min_label_components device); the dropped-edge and decrement
+    # tables ride the same broadcast size gate as the adjacency.
+    surv = F.col("support") >= KTRUSS_K - 2
     ROUND_TRACE["ktruss_peel"] = 0
-    sup = None
+    n_prev = -1
     for _ in range(KTRUSS_MAX_ROUNDS):
         ROUND_TRACE["ktruss_peel"] += 1
-        sup = support(edges).filter(
-            F.col("support") >= KTRUSS_K - 2
-        ).localCheckpoint(eager=False)
-        n_kept = sup.count()
-        edges = sup.select("src", "dst")
-        if n_kept == n_edges:
+        # One job: materializes this round's sup (and, chained through
+        # its lineage, the surviving-triangle blocks) and returns the
+        # survivor count.
+        n_keep = sup.filter(surv).count()
+        if n_keep == n_prev:
             break
-        n_edges = n_kept
+        n_prev = n_keep
+        dropped = sup.filter(~surv).select("src", "dst")
+        d1 = dropped.select(
+            F.col("src").alias("x"), F.col("dst").alias("y"), F.lit(1).alias("m1")
+        )
+        d2 = dropped.select(
+            F.col("src").alias("x"), F.col("dst").alias("z"), F.lit(1).alias("m2")
+        )
+        d3 = dropped.select(
+            F.col("src").alias("y"), F.col("dst").alias("z"), F.lit(1).alias("m3")
+        )
+        # A triangle dies when any of its three edges dropped; supports
+        # for the next round are the role counts over the SURVIVING
+        # ledger — identical to re-enumerating triangles of the
+        # surviving edge set, without rebuilding adjacency. (An A/B
+        # against explicit per-edge support decrements measured the
+        # decrement bookkeeping WORSE — an extra checkpointed join
+        # layer per round costs more than recounting 3·|tri| tiny rows;
+        # min-of-3 interleaved 15.0 s vs 24.4 s — so the recount is the
+        # kept shape.)
+        tri = (
+            tri.join(maybe_bcast(d1), ["x", "y"], "left")
+            .join(maybe_bcast(d2), ["x", "z"], "left")
+            .join(maybe_bcast(d3), ["y", "z"], "left")
+            .filter(
+                F.col("m1").isNull()
+                & F.col("m2").isNull()
+                & F.col("m3").isNull()
+            )
+            .select("x", "y", "z")
+            .localCheckpoint(eager=False)
+        )
+        sup = role_sup(tri).localCheckpoint(eager=False)
     else:
         raise RuntimeError(
             f"graph_ktruss: peel did not converge within "
             f"{KTRUSS_MAX_ROUNDS} rounds — raise KTRUSS_MAX_ROUNDS "
             "(oracle unrolls the same bound)"
         )
-    return sup.select(
+    return sup.filter(surv).select(
         F.least("src", "dst").alias("u"),
         F.greatest("src", "dst").alias("v"),
         "support",
@@ -1768,7 +1844,7 @@ def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalars."""
         dist = spark.createDataFrame(
             [(int(src_node), 0)], "node bigint, d int"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         frontier = dist.select("node")
         for hop in range(1, DIAM_MAX_HOPS + 1):
             reached = (
@@ -1780,11 +1856,13 @@ def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             new = (
                 reached.join(dist.select("node"), "node", "left_anti")
                 .withColumn("d", F.lit(hop))
-                .localCheckpoint()
+                # lazy + fused emptiness probe (r12): isEmpty
+                # materializes the checkpoint blocks in the same job
+                .localCheckpoint(eager=False)
             )
             if new.isEmpty():
                 break
-            dist = dist.union(new).localCheckpoint()
+            dist = dist.union(new).localCheckpoint(eager=False)
             frontier = new.select("node")
         top = (
             dist.orderBy(F.desc("d"), "node").limit(1).collect()[0]

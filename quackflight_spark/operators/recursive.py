@@ -301,31 +301,40 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def half_round(rank: DataFrame, key: str, other: str) -> DataFrame:
+        # ZERO ROWS ARE DROPPED, not carried (r12 rework): the r12
+        # first cut left-joined `nodes` every half-round so every node
+        # kept an explicit 0 — but a zero rank contributes nothing to
+        # the opposite side's sums and nothing to the normalization
+        # total (greatest(Σx, 1) over contributors == over all nodes),
+        # and (0·S) DIV t = 0, so dropping the zero rows is exact and
+        # the full node set is reinstated once at the final output.
+        # That shrinks the rank frames to the nodes that actually hold
+        # mass (the FK graph's authority side is |nations|+|regions|
+        # rows) and removes one join per half-round. The rank frame is
+        # broadcast into the edges join (it is the small side by
+        # construction — mass-holding nodes ≤ edge endpoints), the
+        # total stays IN-PLAN as a broadcast 1-row aggregate (the
+        # oracle's a{i}tot CROSS JOIN shape) rather than a driver-side
+        # first() — so a half-round is one broadcast join + one partial
+        # agg + one tiny re-agg, and the whole 6-deep lazy-checkpoint
+        # chain materializes under the single final action with no
+        # per-round driver sync. Integer multiply-then-DIV against the
+        # broadcast total is the same exact `//` chain as the oracle.
         contrib = (
-            edges.join(rank.withColumnRenamed("v", other), other)
+            edges.join(F.broadcast(rank.withColumnRenamed("v", other)), other)
             .groupBy(F.col(key).alias("v"))
             .agg(F.sum("r").cast("bigint").alias("x"))
         )
-        # localCheckpoint: the normalization total references raw a
-        # second time, so an un-materialized plan DOUBLES per
-        # half-round (measured: 1132 exchanges across 6 composed
-        # half-rounds); pinned, each half-round is one join shuffle +
-        # one agg. The total is a 1-row exact scalar collected
-        # driver-side (the pagerank n_nodes precedent) and embedded
-        # as an integer literal — same `//` chain as the oracle.
-        raw = (
-            nodes.join(contrib, "v", "left")
+        tot = contrib.agg(
+            F.greatest(F.sum("x"), F.lit(1)).cast("bigint").alias("t")
+        )
+        return (
+            contrib.crossJoin(F.broadcast(tot))
             .select(
-                "v", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+                "v",
+                F.expr(f"(x * {HITS_SCALE}) DIV t").cast("bigint").alias("r"),
             )
-            .localCheckpoint()
-        )
-        tot = int(
-            raw.agg(F.greatest(F.sum("x"), F.lit(1)).cast("bigint")).first()[0]
-        )
-        return raw.select(
-            "v",
-            F.expr(f"(x * {HITS_SCALE}) DIV {tot}").cast("bigint").alias("r"),
+            .localCheckpoint(eager=False)
         )
 
     h = nodes.withColumn("r", F.lit(HITS_SCALE).cast("bigint"))
@@ -333,17 +342,39 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(HITS_ITERS):
         a = half_round(h, "dst", "src")     # authorities gather in-mass
         h = half_round(a, "src", "dst")     # hubs gather out-mass
-    return h.select(F.col("v").alias("node"), F.col("r").alias("hub_scaled")).join(
-        a.select(F.col("v").alias("node"), F.col("r").alias("auth_scaled")),
-        "node",
-    ).select(
-        "node",
-        "hub_scaled",
-        "auth_scaled",
-        F.round(F.col("hub_scaled").cast("double") / HITS_SCALE, 9).alias("hub"),
-        F.round(F.col("auth_scaled").cast("double") / HITS_SCALE, 9).alias(
-            "auth"
-        ),
+    return (
+        nodes.select(F.col("v").alias("node"))
+        # broadcast hints: the rank frames are ≤ |mass-holding nodes|
+        # rows but their checkpointed stats don't say so — without the
+        # hint the final assembly planned two SortMergeJoins
+        .join(
+            F.broadcast(
+                h.select(F.col("v").alias("node"), F.col("r").alias("hs"))
+            ),
+            "node",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                a.select(F.col("v").alias("node"), F.col("r").alias("as_"))
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("hs", F.lit(0)).cast("bigint").alias("hub_scaled"),
+            F.coalesce("as_", F.lit(0)).cast("bigint").alias("auth_scaled"),
+        )
+        .select(
+            "node",
+            "hub_scaled",
+            "auth_scaled",
+            F.round(F.col("hub_scaled").cast("double") / HITS_SCALE, 9).alias("hub"),
+            F.round(F.col("auth_scaled").cast("double") / HITS_SCALE, 9).alias(
+                "auth"
+            ),
+        )
     )
 
 
@@ -680,7 +711,8 @@ def graph_modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= WCC_MIN_CO)
         .select("u", "v")
-        .localCheckpoint()
+        # lazy (r12): materialized by the CC kernel's first fused job
+        .localCheckpoint(eager=False)
     )
     edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))

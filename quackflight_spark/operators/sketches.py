@@ -236,7 +236,7 @@ def agg_theta_sketch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = spark.sql(
         "SELECT o_orderpriority, theta_sketch_agg(o_custkey, 15) AS s "
         "FROM _theta_orders GROUP BY o_orderpriority"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     sk.createOrReplaceTempView("_theta_sk")
     return spark.sql(
         r"""

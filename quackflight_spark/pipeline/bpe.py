@@ -90,8 +90,9 @@ def train_bpe_merges(
     vocab = _word_freqs(spark, sf_dir).select(
         _symbols(F.col("word")).alias("sym"), "freq"
     )
-    # vocabulary-sized frame, reused every iteration
-    vocab = vocab.localCheckpoint()
+    # vocabulary-sized frame, reused every iteration (lazy r12: the
+    # first round's top-pair collect materializes it)
+    vocab = vocab.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     pending = 0
     for rank in range(1, k + 1):
@@ -122,8 +123,9 @@ def train_bpe_merges(
         pending += 1
         if pending >= BPE_CKPT_EVERY:
             # bounded plan depth: materialize after every
-            # BPE_CKPT_EVERY composed folds (see constant above)
-            vocab = vocab.localCheckpoint()
+            # BPE_CKPT_EVERY composed folds (see constant above);
+            # lazy — the next round's collect materializes it
+            vocab = vocab.localCheckpoint(eager=False)
             pending = 0
     return merges
 

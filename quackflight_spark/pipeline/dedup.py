@@ -312,7 +312,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    pairs = common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # pin (lazy, r12): fwd and rev both read `pairs` — uncheckpointed,
+    # the shingle inverted-index self-join (the key's entire cost) ran
+    # twice, once per direction (9 scans / 25 exchanges in the before
+    # plan); pinned, it runs once and the direction split is the free
+    # post-agg projection the docstring promises
+    pairs = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .localCheckpoint(eager=False)
+    )
     jac = F.round(
         F.col("n_common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_common")),
@@ -853,12 +862,15 @@ def min_label_components(
     (Shiloach-Vishkin / GraphFrames' large-star). Non-convergence
     within max_rounds raises instead of silently returning
     partially-propagated labels."""
-    edges = edges.localCheckpoint()
+    # Lazy entry checkpoints (r12): the first round's fused
+    # materialize-and-count job pulls both through in its own cascade —
+    # the eager versions each paid a separate job of pure floor.
+    edges = edges.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_rounds):  # bound >> log₂(diameter)

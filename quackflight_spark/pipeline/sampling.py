@@ -679,7 +679,7 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
         o.repartitionByRange(p, F.col("h").asc(), F.col("o_orderkey").asc())
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows = sorted(
         (r["_pid"], r["_c"])

@@ -2466,77 +2466,100 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= RRF_DEPTH)
         .select("query_id", "doc_id", "rel", "e")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = cand.select("query_id", F.col("doc_id").alias("da"), F.col("e").alias("ea"))
     b = cand.select("query_id", F.col("doc_id").alias("db"), F.col("e").alias("eb"))
+    # qid rename: both cogroup sides descend from the same checkpointed
+    # `cand`, so keeping the name (and attribute id) identical on both
+    # trips Spark's ambiguous-self-join detector at the cogroup.
     sims = (
         a.join(b, "query_id")
         .filter(F.col("da") != F.col("db"))
         .withColumn("sim", F.round(_dot(F.col("ea"), F.col("eb")), 6))
-        .select("query_id", "da", "db", "sim")
-        .localCheckpoint()
+        .select(F.col("query_id").alias("qid"), "da", "db", "sim")
     )
-    lam, om = MMR_LAMBDA, round(1 - MMR_LAMBDA, 10)
-    w1 = W.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
-    pick1 = (
-        cand.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "doc_id",
-            "rel",
-            F.expr(
-                f"CAST(round(CAST(rel AS DECIMAL(18,6))"
-                f" * CAST({MMR_LAMBDA} AS DECIMAL(2,1)), 6) AS DOUBLE)"
-            ).alias("mmr"),
-            F.lit(1).alias("pick"),
-        )
-    )
-    selcum = pick1
-    for i in range(2, MMR_K + 1):
-        sel = selcum.select(
-            F.col("query_id").alias("sq"), F.col("doc_id").alias("sel_id")
-        )
-        remaining = cand.join(
-            F.broadcast(sel),
-            (F.col("query_id") == F.col("sq")) & (F.col("doc_id") == F.col("sel_id")),
-            "left_anti",
-        )
-        sims_sel = (
-            sims.withColumnRenamed("query_id", "pq")
-            .join(
-                F.broadcast(sel),
-                (F.col("pq") == F.col("sq")) & (F.col("db") == F.col("sel_id")),
+    # Greedy selection in ONE cogrouped Arrow kernel (r12 rework): the
+    # r8 implementation unrolled the {MMR_K} rounds into the plan —
+    # each round an anti-join + sim join + window argmax + an EAGER
+    # checkpoint, ~{MMR_K}+ sequential jobs over a table that is
+    # k-bounded per query BY CONSTRUCTION (≤ RRF_DEPTH candidates,
+    # ≤ RRF_DEPTH² sim pairs). The guide's Python-boundary rule cuts
+    # the other way at this cardinality: hand the whole bounded group
+    # to one Arrow batch and replay the sequential greedy exactly
+    # (the events_hmm_viterbi precedent). Exactness is preserved
+    # digit-for-digit: rel/sim arrive as the SAME round-6 doubles the
+    # plan computed, and the kernel replays the oracle's DECIMAL chain
+    # — CAST(·, DECIMAL(18,6)) via shortest-repr (Python repr ==
+    # BigDecimal.valueOf), exact ·λ / ·(1−λ) products, HALF_UP
+    # round-6 — so every mmr is bit-identical to the unrolled plan's.
+    # Scale shape: groups are (query, ≤k²) bounded; the kernel is one
+    # shuffle by query_id, no per-round driver sync at any corpus
+    # size.
+    lam_s, om_s = str(MMR_LAMBDA), str(round(1 - MMR_LAMBDA, 10))
+    mmr_k = MMR_K
+
+    def _mmr_greedy(cdf, sdf):
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        lam_d, om_d = Decimal(lam_s), Decimal(om_s)
+
+        def d6(x):
+            return Decimal(repr(float(x))).quantize(q6, ROUND_HALF_UP)
+
+        cols = ["query_id", "doc_id", "pick", "rel", "mmr"]
+        if len(cdf) == 0:
+            return pd.DataFrame(columns=cols)
+        qid = int(cdf["query_id"].iloc[0])
+        rel = {
+            int(d): float(r) for d, r in zip(cdf["doc_id"], cdf["rel"])
+        }
+        sim = {
+            (int(x), int(y)): float(s)
+            for x, y, s in zip(sdf["da"], sdf["db"], sdf["sim"])
+        }
+        first = min(rel, key=lambda d: (-rel[d], d))
+        rows = [
+            (
+                qid,
+                first,
+                1,
+                rel[first],
+                float((d6(rel[first]) * lam_d).quantize(q6, ROUND_HALF_UP)),
             )
-            .select("pq", "da", "sim")
+        ]
+        picked = [first]
+        remaining = set(rel) - {first}
+        for i in range(2, mmr_k + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:
+                maxsim = max(sim[(d, s)] for s in picked)
+                m = float(
+                    (d6(rel[d]) * lam_d - d6(maxsim) * om_d).quantize(
+                        q6, ROUND_HALF_UP
+                    )
+                )
+                k = (-m, d)
+                if best is None or k < best[0]:
+                    best = (k, d, m)
+            _, d, m = best
+            rows.append((qid, d, i, rel[d], m))
+            picked.append(d)
+            remaining.discard(d)
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        cand.select("query_id", "doc_id", "rel")
+        .groupBy("query_id")
+        .cogroup(sims.groupBy("qid"))
+        .applyInPandas(
+            _mmr_greedy,
+            "query_id long, doc_id long, pick int, rel double, mmr double",
         )
-        m = (
-            remaining.join(
-                sims_sel,
-                (F.col("pq") == F.col("query_id")) & (F.col("da") == F.col("doc_id")),
-            )
-            .groupBy("query_id", "doc_id", "rel")
-            .agg(F.max("sim").alias("maxsim"))
-            .withColumn(
-                "mmr",
-                F.expr(
-                    f"CAST(round(CAST(rel AS DECIMAL(18,6))"
-                    f" * CAST({lam} AS DECIMAL(2,1))"
-                    f" - CAST(maxsim AS DECIMAL(18,6))"
-                    f" * CAST({om} AS DECIMAL(2,1)), 6) AS DOUBLE)"
-                ),
-            )
-        )
-        wi = W.partitionBy("query_id").orderBy(F.desc("mmr"), "doc_id")
-        pick_i = (
-            m.withColumn("rn", F.row_number().over(wi))
-            .filter(F.col("rn") == 1)
-            .select("query_id", "doc_id", "rel", "mmr", F.lit(i).alias("pick"))
-        )
-        selcum = selcum.unionByName(pick_i).localCheckpoint()
-    return selcum.select(
-        "query_id", "doc_id", F.col("pick").cast("int").alias("pick"), "rel", "mmr"
     )
 
 

@@ -1969,7 +1969,7 @@ def pipeline_train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit("[0-9]"), F.lit(0))
         ).cast("bigint").alias("n_dig"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     w = [0, 0, 0, 0]  # (bias, n_tok, n_uniq, n_dig)
 
@@ -1981,7 +1981,14 @@ def pipeline_train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             + F.lit(wv[3]) * F.col("n_dig")
         )
 
+    # One aggregate per round, not two (r12 fusion): round r's update
+    # sums over mis(w_{r-1}) and round r−1's pocket error count share
+    # the SAME predicate, so a count(*) column in the update aggregate
+    # replaces the separate err-count job — and since w_0 = 0 puts
+    # every row in mis(w_0), round 1's count IS n_docs, replacing that
+    # job too. 2·R+2 sequential jobs → R+2, identical integers.
     best = None  # (err, round, weights)
+    n_docs = 0
     for r in range(1, PERC_ROUNDS + 1):
         mis = feats.filter(margin(w) <= 0)
         row = mis.agg(
@@ -1989,17 +1996,23 @@ def pipeline_train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("y") * F.col("n_tok")).alias("dt"),
             F.sum(F.col("y") * F.col("n_uniq")).alias("du"),
             F.sum(F.col("y") * F.col("n_dig")).alias("dd"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
+        if r == 1:
+            n_docs = row["n"]
+        else:
+            err_prev = row["n"]
+            if best is None or err_prev < best[0]:
+                best = (err_prev, r - 1, list(w))
         w = [
             w[0] + (row["db"] or 0),
             w[1] + (row["dt"] or 0),
             w[2] + (row["du"] or 0),
             w[3] + (row["dd"] or 0),
         ]
-        err = feats.filter(margin(w) <= 0).count()
-        if best is None or err < best[0]:
-            best = (err, r, list(w))
-    n_docs = feats.count()
+    err_last = feats.filter(margin(w) <= 0).count()
+    if best is None or err_last < best[0]:
+        best = (err_last, PERC_ROUNDS, list(w))
     err, rnd, wb = best
     return spark.createDataFrame(
         [(wb[0], wb[1], wb[2], wb[3], rnd, err, n_docs)],
@@ -2360,7 +2373,16 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    pw = grp.filter(F.col("st") == 0).select("doc_id", "g", "p", "w")
+    # pin (lazy, r12): pw feeds THREE consumers (phr, wstat, ps) and phr
+    # two — uncheckpointed, each consumer re-ran the tokenize →
+    # stop-join → per-doc delimiter window pipeline (16 documents scans
+    # / 34 exchanges in the before plan, zero reuse); pinned, the
+    # window pass runs once and the consumers read blocks
+    pw = (
+        grp.filter(F.col("st") == 0)
+        .select("doc_id", "g", "p", "w")
+        .localCheckpoint(eager=False)
+    )
     phr = pw.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("plen"),
         F.array_join(
@@ -2370,7 +2392,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("phrase"),
-    )
+    ).localCheckpoint(eager=False)
     wstat = (
         pw.join(phr.select("doc_id", "g", "plen"), ["doc_id", "g"])
         .groupBy("w")

@@ -888,13 +888,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
         # |types| x |hours| rows; pinning it keeps the corpus scan+rollup
-        # from re-running once per downstream branch (med, dev, mad)
-        .localCheckpoint()
+        # from re-running once per downstream branch (med, dev, mad);
+        # lazy (r12) — the first downstream job materializes it
+        .localCheckpoint(eager=False)
     )
     med = hourly.groupBy("event_type").agg(F.median("n").alias("med"))
     dev = hourly.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("n") - F.col("med"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -987,8 +988,9 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # |users| x |days| frame feeding both the DAU count and the
         # WAU coverage-explode — pin it so the events scan+distinct
-        # runs once, not once per branch
-        .localCheckpoint()
+        # runs once, not once per branch (lazy r12: first job
+        # materializes)
+        .localCheckpoint(eager=False)
     )
     dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     cover = ud.select(
@@ -1052,8 +1054,9 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
         # |types|^2 matrix feeding both the totals agg and the final
-        # join — pin it so the window+count pipeline runs once
-        .localCheckpoint()
+        # join — pin it so the window+count pipeline runs once (lazy
+        # r12: first job materializes)
+        .localCheckpoint(eager=False)
     )
     totals = pairs.groupBy("from_type").agg(F.sum("n").alias("total"))
     return (
@@ -1137,8 +1140,10 @@ def _ntile_distributed(df: DataFrame, cols: list, out_col: str, buckets: int) ->
     part = (
         df.repartitionByRange(p, *[F.col(c).asc() for c in cols])
         .withColumn("_pid", F.spark_partition_id())
-        # pin so the counts pass and the rank pass see one pid assignment
-        .localCheckpoint()
+        # pin so the counts pass and the rank pass see one pid
+        # assignment — lazy (r12) keeps the same single planned RDD,
+        # materialized by the offsets collect in one fused job
+        .localCheckpoint(eager=False)
     )
     rows = sorted(
         (r["_pid"], r["_c"])
@@ -1216,7 +1221,7 @@ def _ntile_distributed_arrow(df: DataFrame, cols: list, out_col: str,
         df.repartitionByRange(p, *[F.col(c).asc() for c in cols])
         .sortWithinPartitions(*cols)
         .mapInArrow(add_rank, schema=schema)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows = sorted(
         (r["_pid"], r["_c"])
@@ -1264,7 +1269,7 @@ def _ntile_distributed_long(long: DataFrame, buckets: int) -> DataFrame:
             F.col("metric_id").asc(), F.col("value").asc(), F.col("user_id").asc(),
         )
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rows = sorted(
         ((r["metric_id"], r["_pid"]), r["_c"])

@@ -44,6 +44,9 @@ def signals(plan: str) -> dict[str, str]:
                 or "FlatMapGroupsInPandasWithState" in plan
                 or "MapGroupsInPandas" in plan
                 or "TransformWithStateInPandas" in plan
+                # cogrouped-map kernels too (r12: search_mmr_rerank's
+                # greedy selection moved into one cogroup kernel)
+                or "FlatMapCoGroupsInPandas" in plan
             )
             else "—"
         ),
