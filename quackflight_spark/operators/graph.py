@@ -116,7 +116,13 @@ def graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").alias("dist"))
             # lazy (r12): fixed-hop unroll with no driver decision per
             # hop — the final action materializes the whole checkpoint
-            # chain; eager paid one standalone job per hop
+            # chain; eager paid one standalone job per hop. Removing
+            # the checkpoints entirely was ALSO tried (AQE stage reuse
+            # dedups the repeated subtrees at runtime) and looked good
+            # in a deep-warm interleaved A/B, but fresh-session
+            # bench-protocol runs pay the composed plan's RE-ANALYSIS
+            # on every build (closeness/betweenness blew up 1.5 → 9.5 s)
+            # — negative recorded, checkpoints kept.
             .localCheckpoint(eager=False)
         )
         # the next frontier is exactly the nodes first labeled this hop
@@ -486,6 +492,8 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", (-F.col("w.nlbl")).alias("lbl"))
             # lazy (r12): fixed LPA_ROUNDS unroll, no per-round driver
             # decision — chain materializes under the final action
+            # (checkpoint-free variant re-analyzes the composed plan
+            # per build; see graph_bfs note)
             .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lbl").agg(
@@ -1102,6 +1110,8 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
             # lazy (r12): fixed-depth Brandes unroll, no driver
             # decisions — the chain materializes under the final action
+            # (checkpoint-free variant re-analyzes per build; see
+            # graph_bfs note)
             .localCheckpoint(eager=False)
         )
         lv[d] = nxt

@@ -312,16 +312,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    # pin (lazy, r12): fwd and rev both read `pairs` — uncheckpointed,
-    # the shingle inverted-index self-join (the key's entire cost) ran
-    # twice, once per direction (9 scans / 25 exchanges in the before
-    # plan); pinned, it runs once and the direction split is the free
-    # post-agg projection the docstring promises
-    pairs = (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    # NOT pinned (r12 negative): fwd and rev both read `pairs` and the
+    # initial plan shows the inverted-index self-join twice — but AQE
+    # stage reuse shares the identical exchanges at runtime, and an
+    # interleaved pin-vs-nopin A/B measured the checkpoint WORSE
+    # (2.21 vs 1.58 s min-of-3). See OPTIMIZATION_r12.md.
+    pairs = common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
     jac = F.round(
         F.col("n_common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_common")),

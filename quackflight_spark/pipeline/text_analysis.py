@@ -2373,16 +2373,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    # pin (lazy, r12): pw feeds THREE consumers (phr, wstat, ps) and phr
-    # two — uncheckpointed, each consumer re-ran the tokenize →
-    # stop-join → per-doc delimiter window pipeline (16 documents scans
-    # / 34 exchanges in the before plan, zero reuse); pinned, the
-    # window pass runs once and the consumers read blocks
-    pw = (
-        grp.filter(F.col("st") == 0)
-        .select("doc_id", "g", "p", "w")
-        .localCheckpoint(eager=False)
-    )
+    # NOT pinned (r12 negative): pw feeds three consumers and the
+    # initial plan shows the tokenize→window pipeline 3× (16 scans /
+    # 34 exchanges) — but AQE stage reuse dedups the identical
+    # subtrees at runtime, and an interleaved pin-vs-nopin A/B
+    # measured the checkpoint WORSE (2.08 vs 1.85 s min-of-3): the
+    # materialization barrier costs more than the (already reused)
+    # recomputation. See OPTIMIZATION_r12.md.
+    pw = grp.filter(F.col("st") == 0).select("doc_id", "g", "p", "w")
     phr = pw.groupBy("doc_id", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("plen"),
         F.array_join(
@@ -2392,7 +2390,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             " ",
         ).alias("phrase"),
-    ).localCheckpoint(eager=False)
+    )
     wstat = (
         pw.join(phr.select("doc_id", "g", "plen"), ["doc_id", "g"])
         .groupBy("w")
