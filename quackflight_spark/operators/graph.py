@@ -515,6 +515,9 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCC_MIN_CO = 2        # support threshold for the co-purchase edge set
 SCC_MAX_OUTER = 15    # peel rounds: ≥1 SCC (the remaining-min's) resolves/round
 SCC_MAX_INNER = 40    # jumped propagation: bound ≫ observed (17 on the fixture)
+# Broadcast gate for the per-round label side (min_label_components
+# precedent): 4 M (node, f, b) rows ~ 96 MB — far under the 8 GB cap.
+SCC_BROADCAST_NODE_LIMIT = 4_000_000
 
 
 def _scc_materialize(df: DataFrame, tag: str) -> DataFrame:
@@ -558,23 +561,42 @@ def _fb_labels(edges: DataFrame, nodes: DataFrame, caller: str) -> DataFrame:
     labels = nodes.select(
         "node", F.col("node").alias("f"), F.col("node").alias("b")
     ).localCheckpoint(eager=False)
+    # Size-gated broadcast of the label side (r12-opt, the
+    # min_label_components device): the round frames are parquet /
+    # checkpoint leaves whose stats don't say the label table is tiny,
+    # so the edge set paid per-round shuffle writes into SortMergeJoins.
+    # The label row count is constant across rounds; one entry count
+    # decides the loop. Past the gate (billions of nodes) the keyed
+    # shape below is unchanged.
+    n_nodes = labels.count()
+    bcast = n_nodes <= SCC_BROADCAST_NODE_LIMIT
+
+    def maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     changed = -1
     ROUND_TRACE["scc_fb_inner"] = ROUND_TRACE.get("scc_fb_inner", 0)
     for _ in range(SCC_MAX_INNER):
         ROUND_TRACE["scc_fb_inner"] += 1
         nmf = (
-            edges.join(labels.select("node", "f"), edges.dst == F.col("node"))
+            edges.join(
+                maybe_bcast(labels.select("node", "f")),
+                edges.dst == F.col("node"),
+            )
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("f").alias("nf"))
         )
         nmb = (
-            edges.join(labels.select("node", "b"), edges.src == F.col("node"))
+            edges.join(
+                maybe_bcast(labels.select("node", "b")),
+                edges.src == F.col("node"),
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("b").alias("nb"))
         )
         stepped = (
-            labels.join(nmf, "node", "left")
-            .join(nmb, "node", "left")
+            labels.join(maybe_bcast(nmf), "node", "left")
+            .join(maybe_bcast(nmb), "node", "left")
             .select(
                 "node",
                 F.least("f", F.coalesce("nf", "f")).alias("f"),
@@ -586,8 +608,8 @@ def _fb_labels(edges: DataFrame, nodes: DataFrame, caller: str) -> DataFrame:
         fmap = labels.select(F.col("node").alias("fk"), F.col("f").alias("fv"))
         bmap = labels.select(F.col("node").alias("bk"), F.col("b").alias("bv"))
         new_labels = (
-            stepped.join(fmap, stepped.f == fmap.fk, "left")
-            .join(bmap, stepped.b == bmap.bk, "left")
+            stepped.join(maybe_bcast(fmap), stepped.f == fmap.fk, "left")
+            .join(maybe_bcast(bmap), stepped.b == bmap.bk, "left")
             .select(
                 "node",
                 F.least("f", F.coalesce("fv", "f")).alias("f"),

@@ -833,6 +833,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast the per-round label table only while the node count fits
+# comfortably in executor memory: 4 M (node, lbl) int64 pairs ~ 64 MB
+# serialized — far under Spark's 8 GB broadcast cap. Past the gate the
+# kernel keeps its keyed-shuffle round shape unchanged.
+MLC_BROADCAST_NODE_LIMIT = 4_000_000
+
+
 def min_label_components(
     edges: DataFrame, max_rounds: int, caller: str
 ) -> DataFrame:
@@ -868,10 +875,28 @@ def min_label_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    # Size-gated broadcast of the label side (r12-opt): the round plan's
+    # joins read checkpointed LogicalRDDs whose stats don't say the
+    # label table is tiny, so initial planning picked SortMergeJoin and
+    # the EDGE set paid a map-side shuffle write every round even when
+    # AQE later switched the join (probed: 3 SMJ / 0 broadcasts in the
+    # round-1 initial plan over a 13 k-row label table). The label-row
+    # count is CONSTANT across rounds (every node keeps a row), so one
+    # entry count decides the whole loop: under the cap each round is a
+    # map-only broadcast join over the edges plus small-table work; past
+    # it (billions of nodes at the 100 TB point) the keyed-shuffle shape
+    # below is unchanged — the ktruss KTRUSS_BROADCAST_EDGE_LIMIT
+    # precedent. Interleaved A/B at sf0.1: see OPTIMIZATION_r12.md.
+    n_nodes = labels.count()
+    bcast = n_nodes <= MLC_BROADCAST_NODE_LIMIT
+
+    def maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     changed = -1
     for _ in range(max_rounds):  # bound >> log₂(diameter)
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(maybe_bcast(labels), edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
@@ -879,7 +904,9 @@ def min_label_components(
         # filter-count on the checkpointed blocks — not a join of new
         # labels back against old (r10: that join was a whole extra
         # shuffle + job per round)
-        stepped = labels.join(neighbor_min, on="node", how="left").select(
+        stepped = labels.join(
+            maybe_bcast(neighbor_min), on="node", how="left"
+        ).select(
             "node",
             F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
             F.col("lbl").alias("olbl"),
@@ -894,7 +921,7 @@ def min_label_components(
         # lineage-truncation contract is unchanged, first action
         # persists the blocks)
         new_full = (
-            stepped.join(lbl_lookup, on="lbl", how="left")
+            stepped.join(maybe_bcast(lbl_lookup), on="lbl", how="left")
             .select(
                 "node",
                 F.least("lbl", F.coalesce("lbl2", "lbl")).alias("lbl"),
