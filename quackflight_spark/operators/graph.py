@@ -283,9 +283,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf1-equivalent crossover leg in tools/scale_curve_graph.py.
     for _ in range(KCORE_MAX_ROUNDS):
         ROUND_TRACE["kcore_peel"] += 1
+        # ONE semi-join per round, not two (r12-opt): the node-side
+        # filter is provably redundant inside the loop — a node removed
+        # in round s had < K alive neighbors then, and alive only
+        # shrinks, so its alive-neighbor count can never climb back to
+        # K; the d >= K filter below can therefore never resurrect a
+        # dead node. Dropping the node-side semi-join removes one
+        # broadcast build + probe per round (interleaved A/B min-of-4:
+        # 3.21 s vs 3.39 s, identical output). The FINAL output below
+        # keeps both joins — it must not emit dead nodes' partial rows.
         deg = (
-            incidence.join(alive.hint("broadcast"), "node", "left_semi")
-            .join(
+            incidence.join(
                 alive.select(F.col("node").alias("nb")).hint("broadcast"),
                 "nb", "left_semi",
             )
