@@ -914,6 +914,15 @@ def min_label_components(
         lbl_lookup = labels.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
         )
+        # A second lbl_lookup application per round (lbl <- lbl[lbl]
+        # composed twice against the round-entry table) was A/B'd
+        # r12-opt and REFUTED: round counts were identical on every
+        # consumer (2 rounds for wcc/modularity/clusters/semantic, 7
+        # for dbscan's grid CC at sf0.1) because convergence here is
+        # governed by the one-graph-hop neighbor_min spread, not by
+        # pointer-chain length — the single halving below already keeps
+        # chains short. Timing wash-to-worse (dbscan 5.26 vs 5.57 s
+        # interleaved min-of-4); extra join per round buys nothing.
         # LAZY checkpoint + count: the count() materializes the
         # checkpoint blocks AND returns the convergence signal in ONE
         # job — the eager-checkpoint-then-count pattern paid two fixed
