@@ -313,6 +313,28 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     jvm_trace: dict[str, dict] = {}
 
+    # Read the COMMITTED close's per-key map before this run overwrites
+    # it (r13, VERDICT r12 what's-wrong #2): the one-line JSON used to
+    # carry only the 10 slowest keys, so the driver's round-over-round
+    # comparison was blind to regressions outside the top 10. Regressed
+    # keys (>25% over the committed close's min, same master/SF only —
+    # the driver's lower-core leg must not flood the line) are appended
+    # to the summary below.
+    samples_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
+    )
+    prev_times: dict[str, float] = {}
+    try:
+        with open(samples_path) as f:
+            prev = json.load(f)
+        prev_master = prev.get("conf", {}).get("master")
+        prev_sf = str(prev.get("sf"))
+        cur_sf = str(float(sf)) if sf.replace(".", "").isdigit() else sf
+        if prev_master == spark.sparkContext.master and prev_sf == cur_sf:
+            prev_times = dict(prev.get("queries", {}))
+    except Exception:
+        pass
+
     def jvm_snapshot() -> dict:
         """Per-key JVM accumulation telemetry (r10 in-session-drift A/B):
         segmented code-cache pools, metaspace, loaded classes, heap, and
@@ -417,12 +439,37 @@ def main() -> None:
     slowest = dict(
         sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # r13 (VERDICT r12 what's-wrong #2): append every key whose min
+    # regressed >25% vs the committed close (same master+SF), worst
+    # ratio first, capped at 15 total line entries so the line stays
+    # under the driver's tail budget; flag truncation. This makes real
+    # regressions driver-visible instead of top-10-blind.
+    regressed = sorted(
+        (
+            (k, v) for k, v in times.items()
+            if k in prev_times and prev_times[k] > 0
+            and v > 1.25 * prev_times[k]
+        ),
+        key=lambda kv: kv[1] / prev_times[kv[0]],
+        reverse=True,
+    )
+    reported = dict(slowest)
+    regr_trunc = False
+    for k, v in regressed:
+        if k in reported:
+            continue
+        if len(reported) >= 15:
+            regr_trunc = True
+            break
+        reported[k] = v
     line = {
         "metric": "headline wall-clock (min of 3 warm)",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "n_keys": len(times),
-        "queries": {k: round(v, 3) for k, v in slowest.items()},
+        "queries": {k: round(v, 3) for k, v in reported.items()},
+        "n_regressed_gt25pct": len(regressed),
+        "regr_trunc": regr_trunc,
         "full_map": "bench_samples.json",
         "sf": sf_val,
     }

@@ -211,6 +211,15 @@ HITS_ITERS = 3
 HITS_SCALE = 10**6  # fixed-point scale; raw·SCALE ≤ |E|·SCALE² must stay
 # in int64 (|E|·1e12 here — the pagerank "pre-scale once past ~1e12
 # edges" convention applies at real graph scale)
+# Broadcast gate for the per-half-round rank frame and the final
+# assembly (r13; the MLC/SCC/KTRUSS gate precedent): every rank frame
+# is ≤ |nodes| rows by construction (the first half-round broadcasts
+# the FULL node set, later rounds only mass-holding nodes), so one
+# node count decides the whole unroll. 4 M (v, r) int64 pairs ~ 64 MB
+# serialized — far under the 8 GB broadcast cap; past the gate the
+# keyed-shuffle join shape is unchanged (correct 100 TB behavior for
+# a fat-tailed graph whose mass-holding side is NOT small).
+HITS_BROADCAST_NODE_LIMIT = 4_000_000
 
 
 def _hits_oracle() -> str:
@@ -300,6 +309,19 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
     )
 
+    # Size-gated broadcasts (r13; VERDICT r12 what's-wrong #1): the
+    # rank frame is ≤ |nodes| rows every half-round — the FIRST
+    # half-round carries the full node set, so "mass-holding nodes are
+    # few" is a topology-dependent assumption, not a bound. One entry
+    # count (nodes is a pinned shared_frame, so this rides the setup)
+    # gates every broadcast in the unroll; past the gate the keyed
+    # joins below keep their shuffle shape unchanged.
+    n_nodes = nodes.count()
+    bcast = n_nodes <= HITS_BROADCAST_NODE_LIMIT
+
+    def maybe_bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     def half_round(rank: DataFrame, key: str, other: str) -> DataFrame:
         # ZERO ROWS ARE DROPPED, not carried (r12 rework): the r12
         # first cut left-joined `nodes` every half-round so every node
@@ -309,10 +331,9 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and (0·S) DIV t = 0, so dropping the zero rows is exact and
         # the full node set is reinstated once at the final output.
         # That shrinks the rank frames to the nodes that actually hold
-        # mass (the FK graph's authority side is |nations|+|regions|
-        # rows) and removes one join per half-round. The rank frame is
-        # broadcast into the edges join (it is the small side by
-        # construction — mass-holding nodes ≤ edge endpoints), the
+        # mass and removes one join per half-round. The rank frame is
+        # broadcast into the edges join UNDER THE GATE (it is ≤ |nodes|
+        # rows — small for THIS FK topology, gated for any other), the
         # total stays IN-PLAN as a broadcast 1-row aggregate (the
         # oracle's a{i}tot CROSS JOIN shape) rather than a driver-side
         # first() — so a half-round is one broadcast join + one partial
@@ -321,7 +342,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-round driver sync. Integer multiply-then-DIV against the
         # broadcast total is the same exact `//` chain as the oracle.
         contrib = (
-            edges.join(F.broadcast(rank.withColumnRenamed("v", other)), other)
+            edges.join(maybe_bcast(rank.withColumnRenamed("v", other)), other)
             .groupBy(F.col(key).alias("v"))
             .agg(F.sum("r").cast("bigint").alias("x"))
         )
@@ -344,18 +365,19 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = half_round(a, "src", "dst")     # hubs gather out-mass
     return (
         nodes.select(F.col("v").alias("node"))
-        # broadcast hints: the rank frames are ≤ |mass-holding nodes|
-        # rows but their checkpointed stats don't say so — without the
-        # hint the final assembly planned two SortMergeJoins
+        # broadcast hints (size-gated like the rounds): the rank frames
+        # are ≤ |mass-holding nodes| rows but their checkpointed stats
+        # don't say so — without the hint the final assembly planned
+        # two SortMergeJoins
         .join(
-            F.broadcast(
+            maybe_bcast(
                 h.select(F.col("v").alias("node"), F.col("r").alias("hs"))
             ),
             "node",
             "left",
         )
         .join(
-            F.broadcast(
+            maybe_bcast(
                 a.select(F.col("v").alias("node"), F.col("r").alias("as_"))
             ),
             "node",

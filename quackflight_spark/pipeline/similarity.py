@@ -2537,7 +2537,16 @@ def search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             best = None
             for d in remaining:
-                maxsim = max(sim[(d, s)] for s in picked)
+                # sims is the complete da!=db self-join over cand, so
+                # every (remaining, picked) pair MUST be present; a
+                # .get() would silently degrade to order-dependent
+                # max() on NaN/missing — enforce completeness loudly
+                # instead (ADVICE r12 low).
+                pair_sims = [sim.get((d, s)) for s in picked]
+                assert None not in pair_sims, (
+                    f"mmr: missing sim pair for doc {d} in query {qid}"
+                )
+                maxsim = max(pair_sims)
                 m = float(
                     (d6(rel[d]) * lam_d - d6(maxsim) * om_d).quantize(
                         q6, ROUND_HALF_UP

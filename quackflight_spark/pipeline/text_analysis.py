@@ -1983,23 +1983,27 @@ def pipeline_train_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # One aggregate per round, not two (r12 fusion): round r's update
     # sums over mis(w_{r-1}) and round r−1's pocket error count share
-    # the SAME predicate, so a count(*) column in the update aggregate
-    # replaces the separate err-count job — and since w_0 = 0 puts
-    # every row in mis(w_0), round 1's count IS n_docs, replacing that
-    # job too. 2·R+2 sequential jobs → R+2, identical integers.
+    # the SAME predicate, so conditional aggregation over the full
+    # feats pass replaces the separate err-count job. n_docs is an
+    # UNCONDITIONED count column in round 1's aggregate (ADVICE r12:
+    # the earlier "round-1 misclassified = everything under w_0 = 0"
+    # identity silently undercounts if a NULL text makes margin NULL;
+    # the same single pass now counts all rows explicitly).
+    # 2·R+2 sequential jobs → R+2, identical integers.
     best = None  # (err, round, weights)
     n_docs = 0
     for r in range(1, PERC_ROUNDS + 1):
-        mis = feats.filter(margin(w) <= 0)
-        row = mis.agg(
-            F.sum("y").alias("db"),
-            F.sum(F.col("y") * F.col("n_tok")).alias("dt"),
-            F.sum(F.col("y") * F.col("n_uniq")).alias("du"),
-            F.sum(F.col("y") * F.col("n_dig")).alias("dd"),
-            F.count(F.lit(1)).alias("n"),
+        mis = margin(w) <= 0
+        row = feats.agg(
+            F.sum(F.when(mis, F.col("y"))).alias("db"),
+            F.sum(F.when(mis, F.col("y") * F.col("n_tok"))).alias("dt"),
+            F.sum(F.when(mis, F.col("y") * F.col("n_uniq"))).alias("du"),
+            F.sum(F.when(mis, F.col("y") * F.col("n_dig"))).alias("dd"),
+            F.count(F.when(mis, F.lit(1))).alias("n"),
+            F.count(F.lit(1)).alias("n_all"),
         ).collect()[0]
         if r == 1:
-            n_docs = row["n"]
+            n_docs = row["n_all"]
         else:
             err_prev = row["n"]
             if best is None or err_prev < best[0]:

@@ -4368,6 +4368,107 @@ def test_ktruss_shuffled_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
     assert shuffled == broadcast and broadcast
 
 
+def test_scc_matches_python_tarjan(spark, sf_dir):
+    """r13 (the _fb_labels observe-fused convergence count changed the
+    inner loop's internals): graph_scc must equal a from-scratch Python
+    SCC (iterative Tarjan) over the identical md5-oriented digraph."""
+    import __spark_entry__ as e
+
+    from quackflight_spark.operators.graph import SCC_MIN_CO
+    from quackflight_spark.sources.fixtures import load_table
+
+    got = {r.node: (r.scc_id, r.scc_size)
+           for r in e.queries()["graph_scc"](spark, sf_dir).collect()}
+
+    # reconstruct the same digraph (the query's own construction)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= SCC_MIN_CO)
+        .select("u", "v")
+    )
+    import hashlib
+
+    adj: dict[int, list[int]] = {}
+    nodes = set()
+    for r in e0.collect():
+        u, v = int(r.u), int(r.v)
+        par = int(hashlib.md5(f"{u},{v}".encode()).hexdigest()[0], 16) % 2 == 0
+        s, d = (u, v) if par else (v, u)
+        adj.setdefault(s, []).append(d)
+        nodes.update((s, d))
+
+    # iterative Tarjan
+    idx, low, onstk, comp = {}, {}, set(), {}
+    stack, counter = [], [0]
+    for root in nodes:
+        if root in idx:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                idx[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstk.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w_ = succs[i]
+                if w_ not in idx:
+                    work[-1] = (v, i + 1)
+                    work.append((w_, 0))
+                    recurse = True
+                    break
+                elif w_ in onstk:
+                    low[v] = min(low[v], idx[w_])
+            if recurse:
+                continue
+            if low[v] == idx[v]:
+                members = []
+                while True:
+                    w_ = stack.pop()
+                    onstk.discard(w_)
+                    members.append(w_)
+                    if w_ == v:
+                        break
+                m = min(members)
+                for w_ in members:
+                    comp[w_] = (m, len(members))
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+
+    want = {n: comp[n] for n in nodes}
+    assert got == want and want
+
+
+def test_hits_shuffled_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
+    """r13 (VERDICT r12 what's-wrong #1): past HITS_BROADCAST_NODE_LIMIT
+    every half-round and the final assembly must key-shuffle instead of
+    broadcasting the rank frame — force the gate shut (limit=0) and
+    assert the shuffled path returns identical hub/auth scores."""
+    import __spark_entry__ as e
+
+    from quackflight_spark.operators import recursive
+
+    broadcast = {r.node: (r.hub_scaled, r.auth_scaled)
+                 for r in e.queries()["graph_hits"](spark, sf_dir).collect()}
+    monkeypatch.setattr(recursive, "HITS_BROADCAST_NODE_LIMIT", 0)
+    shuffled = {r.node: (r.hub_scaled, r.auth_scaled)
+                for r in e.queries()["graph_hits"](spark, sf_dir).collect()}
+    assert shuffled == broadcast and broadcast
+
+
 def test_spell_correct_matches_python_symspell(spark, sf_dir):
     """r10: search_spell_correct must equal a from-scratch Python
     SymSpell (delete-1 neighborhoods, levenshtein<=1 verify, Norvig

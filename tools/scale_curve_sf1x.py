@@ -158,11 +158,20 @@ def main() -> None:
             f"read_parquet('{sf1x}/{t}.parquet/*.parquet')"
         )
 
+    # QF_SF1X_SPARK_ONLY=1 (r13): record just the Spark x10 leg — the
+    # scale-SHAPE evidence (time at x10 vs x1 for the same code) the
+    # iterative-operator claims need — without paying the multi-minute
+    # DuckDB recursive oracles (ktruss's closure ran 57-124 s at x1).
+    spark_only = os.environ.get("QF_SF1X_SPARK_ONLY") == "1"
     summary = {}
     for key in KEYS:
         s_sec = min3(lambda: queries[key](spark, sf1x).count())
         clear_frames()
         spark.catalog.clearCache()
+        if spark_only:
+            summary[key] = {"spark": s_sec}
+            print(f"{key}: spark={s_sec}s (spark-only leg)", flush=True)
+            continue
         d_sec = min3(lambda: con.execute(oracles[key]).fetchall())
         ratio = round(s_sec / d_sec, 2) if d_sec else None
         summary[key] = {"spark": s_sec, "duckdb": d_sec, "ratio": ratio}
