@@ -1443,6 +1443,13 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def role_sup(t: DataFrame) -> DataFrame:
+        # 3-way union, NOT an explode-of-structs (r13 negative, kept):
+        # a generator pass over array(struct(x,y),struct(x,z),
+        # struct(y,z)) "reads the ledger once instead of three times",
+        # but the per-row struct/array allocations cost more than the
+        # three clean columnar scans of the checkpointed blocks —
+        # interleaved per-round-unit min-of-4: union 1.80 s vs explode
+        # 2.29 s (and 2.37 s combined with the anti-join variant).
         roles = (
             t.select(F.col("x").alias("src"), F.col("y").alias("dst"))
             .unionByName(t.select(F.col("x").alias("src"), F.col("z").alias("dst")))
@@ -1500,7 +1507,12 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decrement bookkeeping WORSE — an extra checkpointed join
         # layer per round costs more than recounting 3·|tri| tiny rows;
         # min-of-3 interleaved 15.0 s vs 24.4 s — so the recount is the
-        # kept shape.)
+        # kept shape. A r13 variant replacing these marker left-joins
+        # with three LEFT ANTI joins against one identically-projected
+        # dropped set ALSO measured worse — per-round unit min-of-4
+        # interleaved: marker+union 1.80 s, anti+union 2.06 s,
+        # anti+explode 2.37 s; full-key A/B old 18.2 s vs new 22.4 s at
+        # ≤0.4% steal — so the marker shape is the kept one, too.)
         tri = (
             tri.join(maybe_bcast(d1), ["x", "y"], "left")
             .join(maybe_bcast(d2), ["x", "z"], "left")
