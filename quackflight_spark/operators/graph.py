@@ -309,6 +309,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         n_new = new_alive.count()
+        # this round's alive set is superseded once the count above
+        # has materialized new_alive (r13, guide §5 — see
+        # frame_cache.free_checkpoint); incidence stays live all loop
+        from quackflight_spark.pipeline.frame_cache import free_checkpoint
+
+        free_checkpoint(alive)
         alive = new_alive
         if n_new == n_alive:
             break
@@ -1480,12 +1486,23 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = F.col("support") >= KTRUSS_K - 2
     ROUND_TRACE["ktruss_peel"] = 0
     n_prev = -1
+    # Superseded round state is freed explicitly (r13, guide §5): the
+    # ledger checkpoints are ~GB-scale past ×10, and dead rounds'
+    # blocks otherwise wait for a JVM GC before ContextCleaner can
+    # release them (measured 27 GB accumulated / 1.5× slower at ×10).
+    # `edges` is only read until the first count materializes tri/sup.
+    from quackflight_spark.pipeline.frame_cache import free_checkpoint
+
+    superseded = [edges]
     for _ in range(KTRUSS_MAX_ROUNDS):
         ROUND_TRACE["ktruss_peel"] += 1
         # One job: materializes this round's sup (and, chained through
         # its lineage, the surviving-triangle blocks) and returns the
         # survivor count.
         n_keep = sup.filter(surv).count()
+        for _df in superseded:
+            free_checkpoint(_df)
+        superseded = [tri, sup]
         if n_keep == n_prev:
             break
         n_prev = n_keep

@@ -894,6 +894,15 @@ def min_label_components(
         return F.broadcast(df) if bcast else df
 
     changed = -1
+    # Superseded round state freed explicitly (r13, guide §5): the
+    # previous round's label checkpoint is dead once this round's
+    # convergence count has materialized the new one — without the
+    # explicit free, dead label blocks (∝ nodes × rounds) wait for a
+    # JVM GC before ContextCleaner can release them. `edges` stays
+    # live for the whole loop (every round joins it).
+    from quackflight_spark.pipeline.frame_cache import free_checkpoint
+
+    prev_full = labels  # the entry checkpoint, dead after round 1
     for _ in range(max_rounds):  # bound >> log₂(diameter)
         neighbor_min = (
             edges.join(maybe_bcast(labels), edges.src == labels.node)
@@ -939,6 +948,8 @@ def min_label_components(
             .localCheckpoint(eager=False)
         )
         changed = new_full.filter(F.col("lbl") != F.col("olbl")).count()
+        free_checkpoint(prev_full)
+        prev_full = new_full
         labels = new_full.select("node", "lbl")
         if changed == 0:
             break

@@ -4368,6 +4368,31 @@ def test_ktruss_shuffled_fallback_matches_broadcast(spark, sf_dir, monkeypatch):
     assert shuffled == broadcast and broadcast
 
 
+def test_free_checkpoint_semantics(spark):
+    """r13: free_checkpoint releases a localCheckpoint's blocks, no-ops
+    on derived (non-LogicalRDD) frames, and a premature free fails
+    LOUDLY on the next read (never silently wrong)."""
+    from quackflight_spark.pipeline.frame_cache import free_checkpoint
+
+    df = spark.range(100).localCheckpoint(eager=False)
+    assert df.count() == 100
+
+    def cached_ids():
+        return {i.id() for i in spark._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    # derived frame: helper must no-op (blocks stay)
+    free_checkpoint(df.select("id"))
+    assert cached_ids() == before
+    # the checkpoint itself: blocks released
+    free_checkpoint(df)
+    assert cached_ids() < before
+    # reading a freed local checkpoint is a loud error, not wrong data
+    with pytest.raises(Exception):
+        df.count()
+    free_checkpoint(None)  # guard: accepts None
+
+
 def test_scc_matches_python_tarjan(spark, sf_dir):
     """r13 (the _fb_labels observe-fused convergence count changed the
     inner loop's internals): graph_scc must equal a from-scratch Python
